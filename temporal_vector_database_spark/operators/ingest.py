@@ -1,0 +1,152 @@
+"""Ingest pipeline: sequence assignment, delta encoding, base promotion.
+
+Replaces the reference's per-row write API
+(``add_content_version``, ``storage/temporal_database.py:86-178``) with a
+batch job: one shuffle partitions the incoming rows by ``content_id``, then
+every timeline is encoded independently (Arrow-vectorized
+``applyInPandas``). The reference reloads the whole timeline and
+*reconstructs* the previous version on every insert
+(``storage/temporal_database.py:114-115,134-135``); because each delta is
+computed against that lossy reconstruction, the encode is genuinely
+sequential per content — but embarrassingly parallel across contents, which
+is what matters at 100 TB (shuffle once by key, then a narrow map).
+
+Semantics preserved (SURVEY.md §2.3):
+- delta keeps dims with ``abs(change) >= sparsity_threshold`` (>=,
+  ``core/delta_computer.py:65``);
+- ``magnitude`` is the L2 of the RAW unsparsified diff
+  (``core/delta_computer.py:74``);
+- promotion rules in reference order: forced → first version → interval
+  ``(seq-1) % I == 0`` → changed-dim ratio strictly > 0.7 → gap since last
+  base > 2·I (``storage/temporal_database.py:354-413``);
+- delta chains strictly consecutive, ``from_seq == seq - 1``
+  (``core/data_structures.py:100-101``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from temporal_vector_database_spark.config import DEFAULT_CONFIG, TVDBConfig
+
+
+def assign_sequence(raw: DataFrame) -> DataFrame:
+    """O1: assign dense ``seq`` 1..N per content by timestamp order.
+
+    Reference auto-increments from stored metadata
+    (``storage/storage_engine.py:417-437``); batch form is a ranking window.
+    """
+    w = Window.partitionBy("content_id").orderBy("ts")
+    return raw.withColumn("seq", F.row_number().over(w).cast("int"))
+
+
+def _versions_schema(raw_schema: T.StructType) -> T.StructType:
+    ts_type = raw_schema["ts"].dataType
+    return T.StructType(
+        [
+            T.StructField("content_id", T.StringType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("ts", ts_type),
+            T.StructField("kind", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("sparse_idx", T.ArrayType(T.IntegerType())),
+            T.StructField("sparse_val", T.ArrayType(T.DoubleType())),
+            T.StructField("from_seq", T.IntegerType()),
+            T.StructField("magnitude", T.DoubleType()),
+            T.StructField("n_changed", T.IntegerType()),
+            T.StructField("total_dims", T.IntegerType()),
+            T.StructField("version_id", T.StringType()),
+        ]
+    )
+
+
+def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
+    """O2+O3: delta-encode raw version timelines into the ``versions`` layout.
+
+    Input columns: ``content_id, seq, ts, embedding`` and optionally
+    ``force_base`` (bool, reference's ``force_base_snapshot`` parameter) and
+    ``base_interval`` (int, per-content policy override).
+    """
+    threshold = cfg.sparsity_threshold
+    promo = cfg.base_promotion_sparsity_threshold
+    gap_factor = cfg.base_gap_factor
+    default_interval = cfg.base_snapshot_interval
+
+    cols = set(raw.columns)
+    if "force_base" not in cols:
+        raw = raw.withColumn("force_base", F.lit(False))
+    if "base_interval" not in cols:
+        raw = raw.withColumn("base_interval", F.lit(default_interval).cast("int"))
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        content_id = pdf["content_id"].iloc[0]
+        interval = int(pdf["base_interval"].iloc[0])
+        out: dict[str, list] = {k: [] for k in (
+            "content_id", "seq", "ts", "kind", "embedding", "sparse_idx",
+            "sparse_val", "from_seq", "magnitude", "n_changed", "total_dims",
+            "version_id",
+        )}
+        recon: np.ndarray | None = None
+        last_base_seq = 0
+        for seq, ts, emb, force in zip(
+            pdf["seq"], pdf["ts"], pdf["embedding"], pdf["force_base"]
+        ):
+            seq = int(seq)
+            raw_vec = np.asarray(emb, dtype=np.float64)
+            dim = raw_vec.shape[0]
+            if seq == 1 or bool(force):
+                is_base, diff, changed = True, None, None
+            else:
+                diff = raw_vec - recon
+                changed = np.abs(diff) >= threshold
+                ratio = float(changed.sum()) / dim
+                is_base = (
+                    ((seq - 1) % interval == 0)
+                    or (ratio > promo)
+                    or ((seq - last_base_seq) > gap_factor * interval)
+                )
+            out["content_id"].append(content_id)
+            out["seq"].append(seq)
+            out["ts"].append(ts)
+            out["total_dims"].append(dim)
+            if is_base:
+                out["kind"].append("base")
+                out["embedding"].append(raw_vec)
+                out["sparse_idx"].append(None)
+                out["sparse_val"].append(None)
+                out["from_seq"].append(None)
+                out["magnitude"].append(None)
+                out["n_changed"].append(None)
+                out["version_id"].append(f"{content_id}_{int(pd.Timestamp(ts).value // 1000)}")
+                recon = raw_vec.copy()
+                last_base_seq = seq
+            else:
+                idx = np.nonzero(changed)[0]
+                vals = diff[idx]
+                out["kind"].append("delta")
+                out["embedding"].append(None)
+                out["sparse_idx"].append(idx.astype(np.int32))
+                out["sparse_val"].append(vals)
+                out["from_seq"].append(seq - 1)
+                out["magnitude"].append(float(math.sqrt(float((diff * diff).sum()))))
+                out["n_changed"].append(int(idx.shape[0]))
+                out["version_id"].append(f"{content_id}_v{seq}")
+                recon = recon.copy()
+                recon[idx] += vals
+        return pd.DataFrame(out)
+
+    schema = _versions_schema(raw.schema)
+    return raw.groupBy("content_id").applyInPandas(encode, schema=schema)
+
+
+def ingest(raw_events: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Full write path: O1 sequence assignment then O2/O3 encoding."""
+    return encode_versions(assign_sequence(raw_events), cfg)

@@ -1,0 +1,99 @@
+"""V1 reconstruction validation + V2 timeline integrity validation.
+
+V1 (``core/delta_computer.py:193-216``): cosine similarity and L2 error
+between a reconstruction and its ground truth; valid iff
+``l2_error < tolerance`` (default 0.01).
+
+V2 (``core/reconstruction_service.py:299-358``): per-timeline checks —
+(a) missing sequences = ``{1..max} − present`` (anti-join against an
+exploded ``sequence()``), (b) deltas whose predecessor sequence does not
+exist (left-anti self-join), (c) max gap between consecutive base
+snapshots, flagged when > 20. All keyed by ``content_id`` — one shuffle,
+then narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.config import DEFAULT_CONFIG, TVDBConfig
+from temporal_vector_database_spark.functions.vector import cosine, l2_dist
+
+
+def validate_reconstruction(
+    df: DataFrame,
+    recon_col: str = "embedding",
+    truth_col: str = "truth_embedding",
+    tolerance: float = DEFAULT_CONFIG.l2_tolerance,
+) -> DataFrame:
+    """V1: attach ``cosine_sim``, ``l2_error``, ``is_valid`` columns
+    (``validate_reconstruction``, ``core/delta_computer.py:193-216``)."""
+    return (
+        df.withColumn("cosine_sim", cosine(F.col(recon_col), F.col(truth_col)))
+        .withColumn("l2_error", l2_dist(F.col(recon_col), F.col(truth_col)))
+        .withColumn("is_valid", F.col("l2_error") < F.lit(tolerance))
+    )
+
+
+def missing_sequences(versions: DataFrame) -> DataFrame:
+    """V2(a): expected ``1..max(seq)`` minus present, per content
+    (``core/reconstruction_service.py:322-332``)."""
+    expected = (
+        versions.groupBy("content_id")
+        .agg(F.max("seq").alias("max_seq"))
+        .select("content_id", F.explode(F.sequence(F.lit(1), F.col("max_seq"))).alias("seq"))
+    )
+    return expected.join(versions.select("content_id", "seq"), ["content_id", "seq"], "left_anti")
+
+
+def dangling_deltas(versions: DataFrame) -> DataFrame:
+    """V2(b): deltas whose ``from_seq`` is not a stored sequence
+    (``core/reconstruction_service.py:334-343``)."""
+    deltas = versions.where(F.col("kind") == "delta").select(
+        "content_id", "seq", F.col("from_seq")
+    )
+    present = versions.select("content_id", F.col("seq").alias("from_seq"))
+    return deltas.join(present, ["content_id", "from_seq"], "left_anti")
+
+
+def base_gaps(versions: DataFrame) -> DataFrame:
+    """V2(c): max gap between consecutive base snapshots per content
+    (``core/reconstruction_service.py:345-356``)."""
+    w = Window.partitionBy("content_id").orderBy("seq")
+    bases = versions.where(F.col("kind") == "base").select("content_id", "seq")
+    gaps = bases.withColumn("gap", F.col("seq") - F.lag("seq").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("content_id").agg(F.max("gap").cast("int").alias("max_base_gap"))
+
+
+def validate_timeline_integrity(versions: DataFrame, gap_flag: int = 20) -> DataFrame:
+    """V2: one row per content — counts, missing/dangling counts, max base
+    gap, ``valid`` flag (missing or dangling ⇒ invalid; a large gap is an
+    issue but does NOT flip ``valid`` in the reference,
+    ``core/reconstruction_service.py:345-356``)."""
+    summary = versions.groupBy("content_id").agg(
+        F.max("seq").cast("int").alias("max_sequence"),
+        F.sum(F.when(F.col("kind") == "base", 1).otherwise(0)).cast("int").alias("base_snapshots"),
+        F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0)).cast("int").alias("deltas"),
+    )
+    miss = missing_sequences(versions).groupBy("content_id").agg(
+        F.count("*").cast("int").alias("n_missing"),
+        F.sort_array(F.collect_list("seq")).alias("missing_seqs"),
+    )
+    dang = dangling_deltas(versions).groupBy("content_id").agg(
+        F.count("*").cast("int").alias("n_dangling"),
+        F.sort_array(F.collect_list("seq")).alias("dangling_seqs"),
+    )
+    gaps = base_gaps(versions)
+    out = (
+        summary.join(miss, "content_id", "left")
+        .join(dang, "content_id", "left")
+        .join(gaps, "content_id", "left")
+        .withColumn("n_missing", F.coalesce("n_missing", F.lit(0).cast("int")))
+        .withColumn("n_dangling", F.coalesce("n_dangling", F.lit(0).cast("int")))
+        .withColumn("valid", (F.col("n_missing") == 0) & (F.col("n_dangling") == 0))
+        .withColumn("large_gap", F.coalesce(F.col("max_base_gap") > gap_flag, F.lit(False)))
+    )
+    return out

@@ -1,0 +1,257 @@
+"""Time-travel reconstruction (reference read path, SURVEY.md §3.2).
+
+The reference reconstructs one version at a time: find the nearest base at
+or before the target, then sequentially fold sparse deltas onto it
+(``core/delta_computer.py:90-135``). Key insight (SURVEY.md §7): per-index
+delta addition COMMUTES (``core/data_structures.py:117-119`` is ``+=``), so
+the fold is an ``explode → groupBy(idx) → sum → merge`` — a fully
+distributed plan with no per-row Python.
+
+Scale posture: every join/aggregate here is keyed by ``content_id`` (and
+the governing-base epoch), so a 1000-executor cluster shuffles once and
+each timeline is processed where it lands. The epoch tag bounds the
+targets×deltas join to ``interval²`` rows per epoch instead of ``N²`` per
+content.
+
+Semantics preserved (SURVEY.md §2.3):
+- nearest base looks BACKWARD only (``core/data_structures.py:245-250``);
+  a target below the first base has no reconstruction (the reference
+  raises, ``core/delta_computer.py:116-119``) — such targets are absent
+  from the output here.
+- as-of is inclusive (``ts <= t``) and empty when t precedes all versions
+  (``core/data_structures.py:219,224``, ``core/reconstruction_service.py:151-153``).
+- cost = number of deltas applied (``core/reconstruction_service.py:19-36``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.config import DEFAULT_CONFIG, TVDBConfig
+
+
+def with_governing_base(versions: DataFrame) -> DataFrame:
+    """O4: tag every row with its governing (nearest at-or-before) base seq.
+
+    ``last(CASE WHEN kind='base' THEN seq END) IGNORE NULLS`` over the
+    seq-ordered window — the Spark form of
+    ``find_nearest_base_snapshot`` (``core/data_structures.py:229-252``).
+    """
+    w = (
+        Window.partitionBy("content_id")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return versions.withColumn(
+        "base_seq",
+        F.last(F.when(F.col("kind") == "base", F.col("seq")), ignorenulls=True).over(w),
+    )
+
+
+def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
+    """Shared core: merge summed sparse deltas in ``(base_seq, target_seq]``
+    onto the governing base embedding.
+
+    ``targets`` must have columns (content_id, target_seq, base_seq);
+    ``tagged`` is ``with_governing_base(versions)``.
+    Output: content_id, target_seq, base_seq, cost, avg_magnitude,
+    avg_sparsity, deltas_applied, embedding.
+    """
+    bases = tagged.where(F.col("kind") == "base").select(
+        "content_id",
+        F.col("seq").alias("base_seq"),
+        F.col("embedding").alias("base_embedding"),
+    )
+    deltas = tagged.where(F.col("kind") == "delta").select(
+        "content_id",
+        "base_seq",
+        F.col("seq").alias("delta_seq"),
+        "sparse_idx",
+        "sparse_val",
+        "magnitude",
+        "n_changed",
+        "total_dims",
+        "version_id",
+    )
+    # epoch-scoped join: a target consumes only deltas of its own epoch
+    jd = targets.join(deltas, ["content_id", "base_seq"]).where(
+        F.col("delta_seq") <= F.col("target_seq")
+    )
+    keys = ["content_id", "target_seq", "base_seq"]
+    stats = jd.groupBy(*keys).agg(
+        F.count("*").cast("int").alias("cost"),
+        F.avg("magnitude").alias("avg_magnitude"),
+        F.avg(F.col("n_changed").cast("double") / F.col("total_dims")).alias("avg_sparsity"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("delta_seq", "version_id"))),
+            lambda s: s["version_id"],
+        ).alias("deltas_applied"),
+    )
+    sums = (
+        jd.select(*keys, F.explode(F.arrays_zip("sparse_idx", "sparse_val")).alias("e"))
+        .groupBy(*keys, F.col("e.sparse_idx").alias("idx"))
+        .agg(F.sum("e.sparse_val").alias("dval"))
+        .groupBy(*keys)
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "dval"))).alias("dmap"))
+    )
+    out = (
+        targets.join(bases, ["content_id", "base_seq"])
+        .join(stats, keys, "left")
+        .join(sums, keys, "left")
+        .withColumn(
+            "embedding",
+            F.when(F.col("dmap").isNull(), F.col("base_embedding")).otherwise(
+                F.transform(
+                    "base_embedding",
+                    lambda x, i: x + F.coalesce(F.element_at(F.col("dmap"), i), F.lit(0.0)),
+                )
+            ),
+        )
+        .withColumn("cost", F.coalesce(F.col("cost"), F.lit(0).cast("int")))
+        .withColumn(
+            "deltas_applied",
+            F.coalesce(F.col("deltas_applied"), F.array().cast("array<string>")),
+        )
+        .drop("dmap", "base_embedding")
+    )
+    return out
+
+
+def reconstruct_at(versions: DataFrame, targets: DataFrame) -> DataFrame:
+    """O5: reconstruct each (content_id, target_seq) pair in ``targets``.
+
+    Batch generalization of ``reconstruct_embedding_from_nearest``
+    (``core/delta_computer.py:90-135``) — any number of point lookups in one
+    distributed plan.
+    """
+    tagged = with_governing_base(versions)
+    tb = (
+        tagged.where(F.col("kind") == "base")
+        .select("content_id", F.col("seq").alias("bseq"))
+        .join(targets, "content_id")
+        .where(F.col("bseq") <= F.col("target_seq"))
+        .groupBy("content_id", "target_seq")
+        .agg(F.max("bseq").alias("base_seq"))
+    )
+    return _fold_deltas(tb, tagged)
+
+
+def reconstruct_all(versions: DataFrame) -> DataFrame:
+    """O7 (superior batch form): reconstruct EVERY stored version in one pass.
+
+    The reference's ``get_version_range``/``batch_reconstruct`` loop point
+    lookups and reload the timeline per target
+    (``core/reconstruction_service.py:159-184``); here every version is an
+    epoch-tagged target of the same fold.
+    """
+    tagged = with_governing_base(versions)
+    targets = tagged.where(F.col("base_seq").isNotNull()).select(
+        "content_id", F.col("seq").alias("target_seq"), "base_seq"
+    )
+    return _fold_deltas(targets, tagged)
+
+
+def reconstruct_range(versions: DataFrame, start_seq: int, end_seq: int) -> DataFrame:
+    """O7: reconstruct sequences in ``[start_seq, end_seq]`` per content
+    (``storage/temporal_database.py:255-272``; ascending order guaranteed by
+    the ``target_seq`` column, ``core/reconstruction_service.py:177``)."""
+    tagged = with_governing_base(versions)
+    targets = tagged.where(
+        (F.col("seq") >= start_seq) & (F.col("seq") <= end_seq) & F.col("base_seq").isNotNull()
+    ).select("content_id", F.col("seq").alias("target_seq"), "base_seq")
+    return _fold_deltas(targets, tagged)
+
+
+def latest_targets(versions: DataFrame) -> DataFrame:
+    """O8: (content_id, max seq) per content
+    (``storage/temporal_database.py:222-236``)."""
+    return versions.groupBy("content_id").agg(F.max("seq").alias("target_seq"))
+
+
+def reconstruct_latest(versions: DataFrame) -> DataFrame:
+    return reconstruct_at(versions, latest_targets(versions))
+
+
+def asof_resolve(versions: DataFrame, probes: DataFrame) -> DataFrame:
+    """O6: resolve each (content_id, t) probe to ``max(seq) where ts <= t``
+    (inclusive; ``core/data_structures.py:213-227``). Probes with no
+    version at-or-before t resolve to NULL
+    (``core/reconstruction_service.py:151-153``)."""
+    j = probes.join(versions.select("content_id", "seq", "ts"), "content_id", "left").where(
+        F.col("ts") <= F.col("t")
+    )
+    resolved = j.groupBy("content_id", "t").agg(F.max("seq").alias("target_seq"))
+    return probes.join(resolved, ["content_id", "t"], "left")
+
+
+def reconstruct_asof(versions: DataFrame, probes: DataFrame) -> DataFrame:
+    """O6 + O5: time-travel reconstruction at timestamps."""
+    resolved = asof_resolve(versions, probes).where(F.col("target_seq").isNotNull())
+    return reconstruct_at(versions, resolved.select("content_id", "target_seq").distinct()).join(
+        resolved, ["content_id", "target_seq"]
+    )
+
+
+def parse_version_id(df: DataFrame, id_col: str = "version_id") -> DataFrame:
+    """O9: parse ``"<content>_v<seq>"`` version-id strings
+    (``storage/temporal_database.py:197-220``, reference uses
+    ``rsplit("_v", 1)`` — greedy regexp matches the LAST ``_v``)."""
+    return df.withColumn(
+        "content_id", F.regexp_extract(F.col(id_col), r"^(.*)_v(\d+)$", 1)
+    ).withColumn(
+        "target_seq", F.regexp_extract(F.col(id_col), r"^(.*)_v(\d+)$", 2).cast("int")
+    )
+
+
+def reconstruct_by_version_id(versions: DataFrame, ids: DataFrame, id_col: str = "version_id") -> DataFrame:
+    parsed = parse_version_id(ids, id_col).select("content_id", "target_seq")
+    return reconstruct_at(versions, parsed)
+
+
+def with_quality_columns(df: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
+    """O10/O11: error-bound and quality-score column math.
+
+    Exact transcription of ``_estimate_error_bound_sequential``
+    (``core/reconstruction_service.py:229-266``) and
+    ``_calculate_quality_score_sequential`` (``:268-297``) as deterministic
+    column expressions over the fold's aggregate outputs. Expects columns
+    ``cost``, ``avg_magnitude``, ``base_seq``, ``target_seq``.
+    """
+    cost = F.col("cost").cast("double")
+    error_bound = F.when(F.col("cost") == 0, F.lit(0.0)).otherwise(
+        cost
+        * F.lit(cfg.error_accumulation_rate)
+        * (F.lit(1.0) + F.coalesce(F.col("avg_magnitude"), F.lit(0.0)) * F.lit(0.05))
+        * F.when(F.col("cost") < 5, F.lit(0.9)).otherwise(F.lit(1.0))
+    )
+    df = df.withColumn("error_bound", error_bound)
+    base_distance = (F.col("target_seq") - F.col("base_seq")).cast("double")
+    chain_penalty = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (cost / F.lit(float(cfg.max_chain_length))) * F.lit(0.3)
+    )
+    distance_bonus = F.greatest(F.lit(0.7), F.lit(1.0) - (base_distance / F.lit(20.0)) * F.lit(0.3))
+    error_penalty = F.greatest(F.lit(0.5), F.lit(1.0) - F.col("error_bound") * F.lit(20.0))
+    sequential_bonus = F.when(F.col("cost") < 8, F.lit(1.1)).otherwise(F.lit(1.0))
+    quality = F.least(
+        F.lit(1.0),
+        F.greatest(F.lit(0.0), chain_penalty * distance_bonus * error_penalty * sequential_bonus),
+    )
+    return df.withColumn(
+        "quality_score", F.when(F.col("cost") == 0, F.lit(1.0)).otherwise(quality)
+    )
+
+
+def with_cost_estimate(df: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
+    """O10 advisor heuristic (``core/delta_computer.py:218-264``):
+    ``estimated_error = cost*0.001 + avg_magnitude*0.1 + avg_sparsity*0.5``;
+    recommended iff ``cost < 10 AND estimated_error < 0.05``."""
+    est = (
+        F.col("cost").cast("double") * F.lit(0.001)
+        + F.coalesce(F.col("avg_magnitude"), F.lit(0.0)) * F.lit(0.1)
+        + F.coalesce(F.col("avg_sparsity"), F.lit(0.0)) * F.lit(0.5)
+    )
+    return df.withColumn("estimated_error_bound", est).withColumn(
+        "recommended",
+        (F.col("cost") < cfg.advisor_max_cost) & (F.col("estimated_error_bound") < 0.05),
+    ).withColumn("base_snapshot_distance", (F.col("target_seq") - F.col("base_seq")).cast("int"))

@@ -1,0 +1,118 @@
+"""S1: exact batch cosine top-k similarity search.
+
+The reference normalizes base-snapshot embeddings into an in-memory FAISS
+``IndexFlatIP`` and scans it per query (``storage/storage_engine.py:83-110,
+439-469``). Flat inner-product search over normalized vectors IS exact
+brute-force cosine, so the Spark-native form is: broadcast the (small)
+query batch against the ``kind='base'`` rows, compute the dot product as a
+codegen'd higher-order-function fold, keep ``sim > 0``
+(``storage/storage_engine.py:465``), and take per-query top-k.
+
+Scale posture: the query side is broadcast (no shuffle for the join); the
+scored pairs are pre-reduced with an Arrow-batched local top-k
+(``mapInPandas``) before the final per-query window, so the shuffle moves
+at most ``k`` rows per (query, input-partition) instead of the full
+``|queries| × |bases|`` cross product. The index object disappears — "index
+build" is just the (cacheable) normalized base projection. An approximate
+LSH variant for 100 TB lives in ``operators/dedup.py`` patterns / MLlib
+``BucketedRandomProjectionLSH``.
+
+Semantics preserved (SURVEY.md §2.3 #8): search covers base snapshots only;
+scores are cosine; results filtered to ``sim > 0``; ``k`` is naturally
+capped by the number of candidates. Ties broken by (content_id, seq) for
+determinism (the reference inherits FAISS insertion order — unspecified).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.functions.vector import cosine
+
+
+def score_candidates(
+    bases: DataFrame,
+    queries: DataFrame,
+    id_cols: tuple[str, ...] = ("content_id", "seq"),
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Cross-score every query against every candidate: broadcast join +
+    codegen'd cosine. ``queries`` needs (query_id, embedding[, k])."""
+    q = queries.select(
+        "query_id",
+        F.col(emb_col).alias("_q_emb"),
+        *(["k"] if "k" in queries.columns else []),
+    )
+    c = bases.select(*id_cols, F.col(emb_col).alias("_c_emb"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        *id_cols,
+        *(["k"] if "k" in q.columns else []),
+        cosine(F.col("_q_emb"), F.col("_c_emb")).alias("sim"),
+    )
+    return scored
+
+
+def _local_topk(id_cols: tuple[str, ...], max_k: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(["query_id", "sim"], ascending=[True, False])
+            yield pdf.groupby("query_id", sort=False).head(max_k)
+
+    return fn
+
+
+def topk_cosine(
+    bases: DataFrame,
+    queries: DataFrame,
+    k: int | None = None,
+    id_cols: tuple[str, ...] = ("content_id", "seq"),
+    emb_col: str = "embedding",
+    prereduce: bool = True,
+) -> DataFrame:
+    """Per-query top-k by cosine, ``sim > 0`` only.
+
+    ``k`` defaults to the per-query ``k`` column (reference default 5,
+    ``storage/storage_engine.py:441``). Output: query_id, id_cols…, sim,
+    rank (1-based, ties broken by id_cols).
+    """
+    scored = score_candidates(bases, queries, id_cols=id_cols, emb_col=emb_col)
+    has_k_col = "k" in scored.columns
+    if k is not None:
+        scored = scored.withColumn("k", F.lit(int(k)))
+    elif not has_k_col:
+        scored = scored.withColumn("k", F.lit(5))
+    scored = scored.where(F.col("sim") > 0)
+
+    if prereduce and k is not None:
+        # Arrow-batched partial top-k: map-side reduction before the
+        # per-query shuffle — at most k survivors per (query, batch), so the
+        # shuffle moves O(k · partitions) rows, not |queries| × |bases|.
+        scored = scored.mapInPandas(_local_topk(id_cols, int(k)), schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), *[F.asc(c) for c in id_cols])
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .drop("k")
+    )
+
+
+def search_similar_snapshots(versions: DataFrame, queries: DataFrame, k: int | None = None) -> DataFrame:
+    """Reference facade ``search_similar_content``
+    (``storage/temporal_database.py:274-287``): search base snapshots only."""
+    bases = versions.where(F.col("kind") == "base")
+    return topk_cosine(bases, queries, k=k)
+
+
+def ann_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Beyond-reference: brute-force cosine top-k over the driver's
+    ``embeddings`` table (vec_id, embedding) — the exact baseline for ANN."""
+    cands = embeddings.select(F.col("vec_id"), F.col("embedding"))
+    return topk_cosine(cands, queries, k=k, id_cols=("vec_id",))

@@ -1,0 +1,114 @@
+"""Reconstruction (O4-O9) correctness.
+
+- exact parity with a numpy re-implementation of the reference fold
+  (nearest base + ordered sparse application, core/delta_computer.py:90-135);
+- golden: with bases {1,6,11}, seq 7 and 10 reconstruct from base 6, never
+  11 (tests/test_week2.py:443-463); v7 cost < 5 (:828-836);
+- round-trip quality vs ground truth: cosine > 0.995
+  (tests/test_week1.py:233-235);
+- as-of probe semantics (inclusive <=, empty before first version).
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.reconstruct import (
+    asof_resolve,
+    parse_version_id,
+    reconstruct_all,
+    reconstruct_at,
+    reconstruct_latest,
+    reconstruct_range,
+    with_quality_columns,
+)
+from temporal_vector_database_spark.operators.integrity import validate_reconstruction
+
+
+def _numpy_reconstruct(rows, target):
+    """Reference-style fold: nearest base at-or-before target, then apply
+    deltas in order."""
+    by_seq = {r["seq"]: r for r in rows}
+    base_seq = max(s for s, r in by_seq.items() if r["kind"] == "base" and s <= target)
+    emb = np.array(by_seq[base_seq]["embedding"], dtype=np.float64)
+    for s in range(base_seq + 1, target + 1):
+        d = by_seq[s]
+        emb[np.array(d["sparse_idx"], dtype=int)] += np.array(d["sparse_val"])
+    return base_seq, emb
+
+
+def test_exact_vs_numpy_fold(versions):
+    sample = versions.where(F.col("content_id").isin("c00000", "c00001", "sparsejump", "longchain"))
+    rows = [r.asDict() for r in sample.collect()]
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r["content_id"], []).append(r)
+    out = {
+        (r["content_id"], r["target_seq"]): r
+        for r in reconstruct_all(sample).collect()
+        for r in [r.asDict()]
+    }
+    for cid, crows in by_content.items():
+        for target in sorted(r["seq"] for r in crows):
+            base_seq, expected = _numpy_reconstruct(crows, target)
+            got = out[(cid, target)]
+            assert got["base_seq"] == base_seq, (cid, target)
+            assert np.array_equal(np.array(got["embedding"]), expected), (cid, target)
+
+
+def test_nearest_base_golden(spark, versions):
+    targets = spark.createDataFrame([("c00000", 7), ("c00000", 10)], ["content_id", "target_seq"])
+    res = {r.target_seq: r for r in reconstruct_at(versions, targets).collect()}
+    assert res[7].base_seq == 6 and res[7].cost == 1
+    assert res[10].base_seq == 6 and res[10].cost == 4
+    assert res[7].cost < 5  # test_week2.py:828-836
+
+
+def test_roundtrip_quality(versions, versions_raw):
+    rec = reconstruct_all(versions.where(~F.col("content_id").startswith("corrupt")))
+    truth = versions_raw.select(
+        "content_id",
+        F.col("seq").alias("target_seq"),
+        F.col("embedding").alias("truth_embedding"),
+    )
+    checked = validate_reconstruction(rec.join(truth, ["content_id", "target_seq"]))
+    bad_cos = checked.where(F.col("cosine_sim") <= 0.995).count()
+    assert bad_cos == 0
+    # base rows reconstruct exactly
+    exact = checked.where((F.col("cost") == 0) & (F.col("l2_error") != 0.0)).count()
+    assert exact == 0
+
+
+def test_range_and_latest(versions):
+    r = reconstruct_range(versions.where(F.col("content_id") == "c00002"), 2, 4)
+    seqs = sorted(row.target_seq for row in r.collect())
+    assert seqs == [2, 3, 4]  # exactly 3, ascending (test_week2.py:607-611)
+    latest = reconstruct_latest(versions.where(F.col("content_id") == "c00002")).collect()
+    assert len(latest) == 1 and latest[0].target_seq == 12
+
+
+def test_asof_semantics(versions, asof_probes):
+    resolved = asof_resolve(versions, asof_probes)
+    rows = resolved.collect()
+    by_case = {}
+    for r in rows:
+        by_case.setdefault(r["case"], []).append(r.target_seq)
+    assert all(v is None for v in by_case["before_first"])
+    assert all(v == 3 for v in by_case["exact_seq3"])  # inclusive <=
+    assert all(v == 5 for v in by_case["between_5_and_6"])
+    assert all(v == 12 for v in by_case["after_last"])
+
+
+def test_parse_version_id(spark):
+    df = spark.createDataFrame([("c00001_v7",), ("weird_v2_v13",)], ["version_id"])
+    rows = {r.version_id: r for r in parse_version_id(df).collect()}
+    assert rows["c00001_v7"].content_id == "c00001" and rows["c00001_v7"].target_seq == 7
+    # rsplit('_v', 1) semantics: last _v wins (storage/temporal_database.py:212-214)
+    assert rows["weird_v2_v13"].content_id == "weird_v2" and rows["weird_v2_v13"].target_seq == 13
+
+
+def test_quality_columns(versions):
+    rec = with_quality_columns(reconstruct_all(versions.where(F.col("content_id") == "c00000")))
+    rows = {r.target_seq: r for r in rec.collect()}
+    assert rows[1].quality_score == 1.0 and rows[1].error_bound == 0.0
+    assert 0.0 < rows[10].quality_score <= 1.0
+    assert rows[10].error_bound > rows[7].error_bound

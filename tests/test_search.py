@@ -1,0 +1,54 @@
+"""S1 similarity search vs numpy brute force, plus quirk coverage:
+sim > 0 filter, k cap, base-snapshots-only scope
+(storage/storage_engine.py:439-469)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.search import search_similar_snapshots
+
+
+def test_topk_matches_numpy(versions, queries_vec):
+    bases = versions.where(F.col("kind") == "base").select("content_id", "seq", "embedding")
+    brows = bases.collect()
+    B = np.array([r.embedding for r in brows], dtype=np.float64)
+    ids = [(r.content_id, r.seq) for r in brows]
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    got = search_similar_snapshots(versions, queries_vec).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    for q in queries_vec.collect():
+        qv = np.array(q.embedding, dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        sims = Bn @ qn
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        expected = [(ids[i], sims[i]) for i in order if sims[i] > 0][: q.k]
+        actual = sorted(by_q.get(q.query_id, []), key=lambda r: r.rank)
+        assert len(actual) == len(expected), q.query_id
+        for a, (eid, esim) in zip(actual, expected):
+            assert (a.content_id, a.seq) == eid
+            assert abs(a.sim - esim) < 1e-9
+
+
+def test_sim_positive_filter(versions, queries_vec):
+    got = search_similar_snapshots(versions, queries_vec)
+    assert got.where(F.col("sim") <= 0).count() == 0
+
+
+def test_k_cap(versions, queries_vec):
+    n_bases = versions.where(F.col("kind") == "base").count()
+    big_k = queries_vec.orderBy(F.desc("k")).first()
+    got = search_similar_snapshots(versions, queries_vec)
+    n = got.where(F.col("query_id") == big_k.query_id).count()
+    assert n <= n_bases  # k capped by candidate count (storage_engine.py:460)
+    assert n > 0
+
+
+def test_deltas_invisible_to_search(versions, queries_vec):
+    got = search_similar_snapshots(versions, queries_vec)
+    delta_keys = versions.where(F.col("kind") == "delta").select("content_id", "seq")
+    leaked = got.join(delta_keys, ["content_id", "seq"], "inner").count()
+    assert leaked == 0
