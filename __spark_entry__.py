@@ -1,38 +1,70 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query: full engine loop on sf0.001 (ingest-
+encoded ``versions`` fixture → reconstruct every content's latest version →
+quality scoring → validation against the raw ground truth).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the beyond-reference LLM-pipeline operators; oracle SQL
+is DuckDB-ready (driver tables by view name, fixture tables by absolute
+parquet path — both engines read identical bytes).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from temporal_vector_database_spark.operators.integrity import validate_reconstruction
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_latest,
+        with_quality_columns,
+    )
+    from temporal_vector_database_spark.sources.fixtures import ensure_fixtures
+
+    sf_dir = "/root/testdata/sf0.001"
+    fix = ensure_fixtures(sf_dir)
+    versions = spark.read.parquet(os.path.join(fix, "versions.parquet")).where(
+        ~F.col("content_id").startswith("corrupt")
+    )
+    raw = spark.read.parquet(os.path.join(fix, "versions_raw.parquet"))
+    rec = with_quality_columns(reconstruct_latest(versions))
+    truth = raw.select(
+        "content_id",
+        F.col("seq").alias("target_seq"),
+        F.col("embedding").alias("truth_embedding"),
+    )
+    checked = validate_reconstruction(rec.join(truth, ["content_id", "target_seq"]))
+    return checked.select(
+        "content_id",
+        "target_seq",
+        "base_seq",
+        "cost",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.round("l2_error", 6).alias("l2_error"),
+        "is_valid",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from temporal_vector_database_spark.plans.registry import query_map
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return query_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for every query."""
+    from temporal_vector_database_spark.plans.registry import oracle_map
+
+    return oracle_map()

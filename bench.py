@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full column
+materialization, no driver collect). Fixture generation happens before
+timing starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from temporal_vector_database_spark.plans.registry import query_map  # noqa: E402
+from temporal_vector_database_spark.session import get_spark  # noqa: E402
+from temporal_vector_database_spark.sources.fixtures import ensure_fixtures  # noqa: E402
+
+HEADLINE = (
+    "ingest_encode",
+    "nearest_base",
+    "reconstruct_all",
+    "reconstruct_latest",
+    "asof_resolve",
+    "topk_search",
+    "integrity_report",
+    "change_stats",
+    "reconstruction_stats",
+    "ann_topk",
+    "dedup_exact",
+    "minhash_signature",
+    "dedup_near_pairs",
+    "token_stats",
+    "text_quality",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "top_orders_per_customer",
+    "events_sessionize",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    ensure_fixtures(sf_dir)  # build versions/query fixtures outside the clock
+    spark = get_spark("tvdb-bench")
+    qs = query_map()
+
+    # JVM/codegen warmup on a tiny query
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

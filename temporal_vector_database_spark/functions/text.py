@@ -1,0 +1,70 @@
+"""Text-analysis scalar functions (beyond-reference, BASELINE.json north
+star: LLM-data-pipeline operators over the ``documents`` table).
+
+All pure JVM column expressions (no Python UDFs): token counting
+(whitespace + a BPE-ish regex), quality scoring (length / stopword ratio),
+and rolling-shingle document fingerprinting. Ratios are exact rational
+divisions so they hash identically against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword list — deterministic, mirrored in the oracle SQL
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) tokens."""
+    return docs.select(
+        "doc_id",
+        F.length(text_col).cast("int").alias("n_chars"),
+        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), F.lit(0)))
+        .cast("int")
+        .alias("n_re_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length and stopword-ratio signals.
+
+    quality = min(1, n_tokens/100) * (0.3 + 0.7 * min(stop_ratio*5, 1)) —
+    exact rational arithmetic, bit-stable across engines.
+    """
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("int")
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), x -> x in ({stoplist}))")).cast("int")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    mean_tok_len = (
+        (F.length(text_col).cast("double") - (n_tokens.cast("double") - F.lit(1.0)))
+        / n_tokens.cast("double")
+    )
+    quality = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0)) * (
+        F.lit(0.3) + F.lit(0.7) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        F.round(quality, 9).alias("quality_r"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", width: int = 8) -> DataFrame:
+    """Document fingerprint: minimum md5 over all ``width``-char rolling
+    shingles (winnowing-style content signature)."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+            f" i -> md5(substring({text_col}, i, {width}))))"
+        ).alias("fingerprint"),
+    )

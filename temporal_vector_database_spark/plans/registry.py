@@ -1,0 +1,840 @@
+"""Query registry: every SURVEY.md §2 operator as a named (Spark, DuckDB-SQL)
+pair for the driver's oracle gate.
+
+Cross-engine float parity strategy (SURVEY.md §7 risk 2):
+- fixture arithmetic lives on an exact dyadic grid (see sources/fixtures.py),
+  so reconstruction sums / dot products / L2 norms are bit-identical in any
+  engine and any aggregation order;
+- driver float32 columns (embeddings, prices) are either quantized with
+  ``floor(x*1024)/1024`` before multiplication (exact products, exact sums)
+  or their aggregates are rounded (money → 2 dp, averages → 6-9 dp);
+- every computed column is explicitly aliased AND explicitly cast on both
+  sides (DuckDB ``sum(int)`` returns HUGEINT → always ``CAST(... AS BIGINT)``);
+- ranks use ``row_number`` with full deterministic tie-breaks.
+
+Oracle SQL references the fixture parquet by absolute path (both engines
+read the same bytes); driver tables use the pre-registered view names.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.config import FIXTURE_CONFIG
+from temporal_vector_database_spark.functions.vector import cosine, dot, l2_norm
+from temporal_vector_database_spark.operators import integrity as I
+from temporal_vector_database_spark.operators import reconstruct as R
+from temporal_vector_database_spark.operators import stats as S
+from temporal_vector_database_spark.operators.ingest import encode_versions
+from temporal_vector_database_spark.operators.search import topk_cosine
+from temporal_vector_database_spark.sources.fixtures import ensure_fixtures, fixture_dir
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def _fix(sf_dir: str, name: str):
+    return os.path.join(ensure_fixtures(sf_dir), f"{name}.parquet")
+
+
+def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_fix(sf_dir, "versions"))
+
+
+def _versions_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _versions(spark, sf_dir).where(~F.col("content_id").startswith("corrupt"))
+
+
+# --------------------------------------------------------------------------
+# Spark query functions (each: (spark, sf_dir) -> DataFrame)
+# --------------------------------------------------------------------------
+
+def q_list_contents(spark, sf_dir):
+    return S.list_content_ids(_versions(spark, sf_dir))
+
+
+def q_ingest_encode(spark, sf_dir):
+    raw = spark.read.parquet(_fix(sf_dir, "versions_raw")).where(
+        ~F.col("content_id").startswith("corrupt")
+    )
+    enc = encode_versions(raw, FIXTURE_CONFIG)
+    return enc.select(
+        "content_id",
+        "seq",
+        "kind",
+        "from_seq",
+        "n_changed",
+        "magnitude",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x).alias("esum"),
+        F.aggregate("sparse_val", F.lit(0.0), lambda a, x: a + x).alias("vsum"),
+    )
+
+
+def q_nearest_base(spark, sf_dir):
+    v = R.with_governing_base(_versions(spark, sf_dir))
+    return v.select("content_id", "seq", "base_seq")
+
+
+def _emb_sums(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "emb_sum", F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
+    ).withColumn(
+        "emb_wsum",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda x, w: x * w.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def q_reconstruct_all(spark, sf_dir):
+    rec = R.reconstruct_all(_versions_ok(spark, sf_dir))
+    return _emb_sums(rec).select(
+        "content_id", "target_seq", "base_seq", "cost", "emb_sum", "emb_wsum"
+    )
+
+
+def q_reconstruct_latest(spark, sf_dir):
+    v = _versions_ok(spark, sf_dir)
+    rec = R.with_quality_columns(R.reconstruct_latest(v))
+    return _emb_sums(rec).select(
+        "content_id",
+        "target_seq",
+        "base_seq",
+        "cost",
+        F.round("avg_magnitude", 9).alias("avg_mag_r"),
+        F.round("error_bound", 9).alias("error_bound_r"),
+        F.round("quality_score", 9).alias("quality_r"),
+        "emb_sum",
+    )
+
+
+def q_asof_resolve(spark, sf_dir):
+    probes = spark.read.parquet(_fix(sf_dir, "asof_probes"))
+    res = R.asof_resolve(_versions(spark, sf_dir), probes)
+    return res.select("probe_id", "content_id", F.col("case"), "target_seq")
+
+
+def q_version_id_parse(spark, sf_dir):
+    d = _versions(spark, sf_dir).where(F.col("kind") == "delta").select("version_id")
+    parsed = R.parse_version_id(d)
+    return parsed.select(
+        "version_id",
+        F.col("content_id").alias("parsed_content_id"),
+        F.col("target_seq").alias("parsed_seq"),
+    )
+
+
+def q_topk_search(spark, sf_dir):
+    v = _versions(spark, sf_dir)
+    queries = spark.read.parquet(_fix(sf_dir, "queries_vec"))
+    res = topk_cosine(v.where(F.col("kind") == "base"), queries)
+    return res.select("query_id", "rank", "content_id", "seq", "sim")
+
+
+def q_integrity_report(spark, sf_dir):
+    rep = I.validate_timeline_integrity(_versions(spark, sf_dir))
+    return rep.select(
+        "content_id",
+        "max_sequence",
+        "base_snapshots",
+        "deltas",
+        "n_missing",
+        "n_dangling",
+        "max_base_gap",
+        "valid",
+        "large_gap",
+    )
+
+
+def q_change_stats(spark, sf_dir):
+    st = S.change_statistics(_versions(spark, sf_dir))
+    return st.select(
+        "content_id",
+        "max_sequence",
+        "base_count",
+        "delta_count",
+        F.round("avg_change_magnitude", 9).alias("avg_mag_r"),
+        "max_change_magnitude",
+        "min_change_magnitude",
+    )
+
+
+def q_storage_stats(spark, sf_dir):
+    return S.storage_statistics(_versions(spark, sf_dir))
+
+
+def q_storage_efficiency(spark, sf_dir):
+    return S.storage_efficiency(_versions(spark, sf_dir))
+
+
+def q_reconstruction_stats(spark, sf_dir):
+    st = S.reconstruction_statistics(_versions_ok(spark, sf_dir))
+    return st.select(
+        "content_id",
+        "versions_analyzed",
+        "avg_reconstruction_cost",
+        "max_reconstruction_cost",
+        "avg_base_distance",
+        F.round("avg_quality_score", 9).alias("avg_quality_r"),
+        F.round("min_quality_score", 9).alias("min_quality_r"),
+        "recommended_base_promotion",
+    )
+
+
+def q_advisor(spark, sf_dir):
+    rec = S.optimize_content_bases(_versions_ok(spark, sf_dir))
+    return rec.select(
+        "content_id",
+        "seq",
+        "cost",
+        "base_seq",
+        F.round("estimated_error_bound", 9).alias("est_error_r"),
+    )
+
+
+# ---- beyond-reference: LLM-data-pipeline operators over driver tables ----
+
+def q_dedup_exact(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_duplicates(docs)
+
+
+def q_token_stats(spark, sf_dir):
+    from temporal_vector_database_spark.functions.text import token_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_stats(docs)
+
+
+def q_text_quality(spark, sf_dir):
+    from temporal_vector_database_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return quality_score(docs)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from temporal_vector_database_spark.functions.text import doc_fingerprint
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return doc_fingerprint(docs)
+
+
+def q_minhash_signature(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_signatures(docs, num_hashes=8)
+
+
+def q_dedup_near_pairs(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return near_duplicate_pairs(docs, num_hashes=8, bands=4)
+
+
+def q_ann_topk(spark, sf_dir):
+    from temporal_vector_database_spark.operators.search import topk_cosine
+
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1024) / 1024,
+            ).alias("embedding"),
+        )
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    res = topk_cosine(emb, queries, k=10, id_cols=("vec_id",))
+    return res.select("query_id", "rank", "vec_id", "sim")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_top10(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue")
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_events_type_stats(spark, sf_dir):
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect; fixture tables by absolute path, driver tables
+# by pre-registered view name). {FIX} is replaced with the fixture dir.
+# --------------------------------------------------------------------------
+
+_V = "read_parquet('{FIX}/versions.parquet')"
+_VOK = f"(SELECT * FROM {_V} WHERE content_id NOT LIKE 'corrupt%')"
+_RAWOK = "(SELECT * FROM read_parquet('{FIX}/versions_raw.parquet') WHERE content_id NOT LIKE 'corrupt%')"
+
+_RECON_CTE = f"""
+WITH v AS (SELECT * FROM {_VOK}),
+tagged AS (
+  SELECT content_id, seq, kind, sparse_idx, sparse_val, magnitude, n_changed, total_dims, version_id,
+         max(CASE WHEN kind='base' THEN seq END)
+           OVER (PARTITION BY content_id ORDER BY seq ROWS UNBOUNDED PRECEDING) AS base_seq
+  FROM v
+),
+targets AS (
+  SELECT content_id, seq AS target_seq, base_seq FROM tagged WHERE base_seq IS NOT NULL
+),
+bases AS (
+  SELECT content_id, seq AS base_seq,
+         list_sum(embedding) AS base_sum,
+         list_sum(list_transform(embedding, (x, i) -> x * i)) AS base_wsum
+  FROM v WHERE kind='base'
+),
+deltas AS (
+  SELECT content_id, base_seq, seq AS delta_seq, sparse_idx, sparse_val, magnitude, n_changed, total_dims
+  FROM tagged WHERE kind='delta'
+),
+jd AS (
+  SELECT t.content_id, t.target_seq, t.base_seq, d.delta_seq, d.sparse_idx, d.sparse_val,
+         d.magnitude, d.n_changed, d.total_dims
+  FROM targets t JOIN deltas d
+    ON t.content_id = d.content_id AND t.base_seq = d.base_seq AND d.delta_seq <= t.target_seq
+),
+dstats AS (
+  SELECT content_id, target_seq, base_seq,
+         CAST(count(*) AS INTEGER) AS cost,
+         avg(magnitude) AS avg_magnitude,
+         avg(CAST(n_changed AS DOUBLE) / total_dims) AS avg_sparsity
+  FROM jd GROUP BY 1, 2, 3
+),
+expl AS (
+  SELECT content_id, target_seq, base_seq, unnest(sparse_idx) AS idx, unnest(sparse_val) AS val FROM jd
+),
+dsums AS (
+  SELECT content_id, target_seq, base_seq,
+         sum(val) AS delta_sum, sum(val * (idx + 1)) AS delta_wsum
+  FROM expl GROUP BY 1, 2, 3
+),
+recon AS (
+  SELECT t.content_id, t.target_seq, t.base_seq,
+         COALESCE(ds.cost, 0) AS cost,
+         ds.avg_magnitude, ds.avg_sparsity,
+         b.base_sum + COALESCE(dm.delta_sum, 0.0) AS emb_sum,
+         b.base_wsum + COALESCE(dm.delta_wsum, 0.0) AS emb_wsum
+  FROM targets t
+  JOIN bases b ON t.content_id = b.content_id AND t.base_seq = b.base_seq
+  LEFT JOIN dstats ds ON t.content_id = ds.content_id AND t.target_seq = ds.target_seq
+  LEFT JOIN dsums dm ON t.content_id = dm.content_id AND t.target_seq = dm.target_seq
+)
+"""
+
+_QUALITY_EXPR = """
+  CASE WHEN cost = 0 THEN 0.0
+       ELSE cost * 0.0005 * (1.0 + COALESCE(avg_magnitude, 0.0) * 0.05)
+            * (CASE WHEN cost < 5 THEN 0.9 ELSE 1.0 END) END
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["list_contents"] = f"SELECT DISTINCT content_id FROM {_V} ORDER BY content_id"
+
+ORACLES["ingest_encode"] = f"""
+SELECT content_id, seq, kind, from_seq, n_changed, magnitude,
+       list_sum(embedding) AS esum, list_sum(sparse_val) AS vsum
+FROM {_VOK}
+"""
+
+ORACLES["nearest_base"] = f"""
+SELECT content_id, seq,
+       max(CASE WHEN kind='base' THEN seq END)
+         OVER (PARTITION BY content_id ORDER BY seq ROWS UNBOUNDED PRECEDING) AS base_seq
+FROM {_V}
+"""
+
+ORACLES["reconstruct_all"] = (
+    _RECON_CTE + "SELECT content_id, target_seq, base_seq, cost, emb_sum, emb_wsum FROM recon"
+)
+
+ORACLES["reconstruct_latest"] = (
+    _RECON_CTE
+    + f"""
+, latest AS (SELECT content_id, max(target_seq) AS target_seq FROM recon GROUP BY 1),
+lrec AS (SELECT r.* FROM recon r JOIN latest l USING (content_id, target_seq)),
+q AS (
+  SELECT *, {_QUALITY_EXPR} AS error_bound,
+         (target_seq - base_seq) AS base_distance
+  FROM lrec
+)
+SELECT content_id, target_seq, base_seq, cost,
+       round(avg_magnitude, 9) AS avg_mag_r,
+       round(error_bound, 9) AS error_bound_r,
+       round(CASE WHEN cost = 0 THEN 1.0 ELSE
+         least(1.0, greatest(0.0,
+           greatest(0.0, 1.0 - (CAST(cost AS DOUBLE) / 15.0) * 0.3)
+           * greatest(0.7, 1.0 - (CAST(base_distance AS DOUBLE) / 20.0) * 0.3)
+           * greatest(0.5, 1.0 - error_bound * 20.0)
+           * (CASE WHEN cost < 8 THEN 1.1 ELSE 1.0 END)))
+       END, 9) AS quality_r,
+       emb_sum
+FROM q
+"""
+)
+
+ORACLES["asof_resolve"] = """
+WITH probes AS (SELECT * FROM read_parquet('{FIX}/asof_probes.parquet')),
+v AS (SELECT content_id, seq, ts FROM read_parquet('{FIX}/versions.parquet')),
+resolved AS (
+  SELECT p.probe_id, max(v.seq) AS target_seq
+  FROM probes p JOIN v ON p.content_id = v.content_id AND v.ts <= p.t
+  GROUP BY p.probe_id
+)
+SELECT p.probe_id, p.content_id, p."case", r.target_seq
+FROM probes p LEFT JOIN resolved r ON p.probe_id = r.probe_id
+"""
+
+ORACLES["version_id_parse"] = f"""
+SELECT version_id,
+       regexp_extract(version_id, '^(.*)_v(\\d+)$', 1) AS parsed_content_id,
+       CAST(regexp_extract(version_id, '^(.*)_v(\\d+)$', 2) AS INTEGER) AS parsed_seq
+FROM {_V} WHERE kind = 'delta'
+"""
+
+ORACLES["topk_search"] = f"""
+WITH b AS (
+  SELECT content_id, seq, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nb
+  FROM {_V} WHERE kind='base'
+),
+q AS (
+  SELECT query_id, k, embedding AS qe,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nq
+  FROM read_parquet('{{FIX}}/queries_vec.parquet')
+),
+scored AS (
+  SELECT q.query_id, q.k, b.content_id, b.seq,
+         -- NULL-tolerant dot (list_dot_product is evaluated speculatively on
+         -- pre-filter rows whose embedding is NULL and raises); sums are
+         -- exact on the fixture grid, so any formulation gives identical bits
+         CASE WHEN q.nq > 0 AND b.nb > 0
+              THEN list_sum(list_transform(list_zip(q.qe, b.embedding), x -> x[1] * x[2])) / (q.nq * b.nb)
+              ELSE 0.0 END AS sim
+  FROM b CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, content_id, seq, sim, k,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, content_id, seq) AS INTEGER) AS rank
+  FROM scored WHERE sim > 0
+)
+SELECT query_id, rank, content_id, seq, sim FROM ranked WHERE rank <= k
+"""
+
+ORACLES["integrity_report"] = f"""
+WITH v AS (SELECT * FROM {_V}),
+summary AS (
+  SELECT content_id,
+         CAST(max(seq) AS INTEGER) AS max_sequence,
+         CAST(CAST(sum(CASE WHEN kind='base' THEN 1 ELSE 0 END) AS BIGINT) AS INTEGER) AS base_snapshots,
+         CAST(CAST(sum(CASE WHEN kind='delta' THEN 1 ELSE 0 END) AS BIGINT) AS INTEGER) AS deltas
+  FROM v GROUP BY 1
+),
+expected AS (
+  SELECT content_id, unnest(range(1, max_sequence + 1)) AS seq FROM summary
+),
+missing AS (
+  SELECT e.content_id, CAST(count(*) AS INTEGER) AS n_missing
+  FROM expected e LEFT JOIN v ON e.content_id = v.content_id AND e.seq = v.seq
+  WHERE v.seq IS NULL GROUP BY 1
+),
+dangling AS (
+  SELECT d.content_id, CAST(count(*) AS INTEGER) AS n_dangling
+  FROM (SELECT content_id, seq, from_seq FROM v WHERE kind='delta') d
+  LEFT JOIN v p ON d.content_id = p.content_id AND d.from_seq = p.seq
+  WHERE p.seq IS NULL GROUP BY 1
+),
+gaps AS (
+  SELECT content_id, CAST(max(gap) AS INTEGER) AS max_base_gap FROM (
+    SELECT content_id, seq - lag(seq) OVER (PARTITION BY content_id ORDER BY seq) AS gap
+    FROM v WHERE kind='base'
+  ) WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT s.content_id, s.max_sequence, s.base_snapshots, s.deltas,
+       COALESCE(m.n_missing, 0) AS n_missing,
+       COALESCE(d.n_dangling, 0) AS n_dangling,
+       g.max_base_gap,
+       (COALESCE(m.n_missing, 0) = 0 AND COALESCE(d.n_dangling, 0) = 0) AS valid,
+       COALESCE(g.max_base_gap > 20, false) AS large_gap
+FROM summary s
+LEFT JOIN missing m USING (content_id)
+LEFT JOIN dangling d USING (content_id)
+LEFT JOIN gaps g USING (content_id)
+"""
+
+ORACLES["change_stats"] = f"""
+SELECT content_id,
+       CAST(max(seq) AS INTEGER) AS max_sequence,
+       CAST(CAST(sum(CASE WHEN kind='base' THEN 1 ELSE 0 END) AS BIGINT) AS INTEGER) AS base_count,
+       CAST(CAST(sum(CASE WHEN kind='delta' THEN 1 ELSE 0 END) AS BIGINT) AS INTEGER) AS delta_count,
+       round(avg(CASE WHEN kind='delta' THEN magnitude END), 9) AS avg_mag_r,
+       max(CASE WHEN kind='delta' THEN magnitude END) AS max_change_magnitude,
+       min(CASE WHEN kind='delta' THEN magnitude END) AS min_change_magnitude
+FROM {_V} GROUP BY 1
+"""
+
+ORACLES["storage_stats"] = f"""
+WITH per_content AS (
+  SELECT content_id,
+         CAST(sum(CASE WHEN kind='base' THEN 1 ELSE 0 END) AS BIGINT) AS bases,
+         CAST(sum(CASE WHEN kind='delta' THEN 1 ELSE 0 END) AS BIGINT) AS deltas
+  FROM {_V} GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS total_contents,
+       CAST(sum(bases) AS BIGINT) AS total_base_snapshots,
+       CAST(sum(deltas) AS BIGINT) AS total_deltas,
+       avg(bases + deltas) AS avg_versions_per_content
+FROM per_content
+"""
+
+ORACLES["storage_efficiency"] = f"""
+SELECT CAST(sum(total_dims) AS DOUBLE) /
+       CAST(sum(CASE WHEN kind='base' THEN total_dims ELSE 2 * COALESCE(n_changed, 0) END) AS DOUBLE)
+       AS storage_efficiency
+FROM {_V}
+"""
+
+ORACLES["reconstruction_stats"] = (
+    _RECON_CTE
+    + f"""
+, q AS (
+  SELECT *, {_QUALITY_EXPR} AS error_bound, (target_seq - base_seq) AS base_distance FROM recon
+),
+q2 AS (
+  SELECT *,
+         CASE WHEN cost = 0 THEN 1.0 ELSE
+           least(1.0, greatest(0.0,
+             greatest(0.0, 1.0 - (CAST(cost AS DOUBLE) / 15.0) * 0.3)
+             * greatest(0.7, 1.0 - (CAST(base_distance AS DOUBLE) / 20.0) * 0.3)
+             * greatest(0.5, 1.0 - error_bound * 20.0)
+             * (CASE WHEN cost < 8 THEN 1.1 ELSE 1.0 END)))
+         END AS quality_score
+  FROM q
+)
+SELECT content_id,
+       CAST(count(*) AS INTEGER) AS versions_analyzed,
+       avg(CAST(cost AS DOUBLE)) AS avg_reconstruction_cost,
+       CAST(max(cost) AS INTEGER) AS max_reconstruction_cost,
+       avg(CAST(base_distance AS DOUBLE)) AS avg_base_distance,
+       round(avg(quality_score), 9) AS avg_quality_r,
+       round(min(quality_score), 9) AS min_quality_r,
+       (max(cost) > 15) AS recommended_base_promotion
+FROM q2 GROUP BY 1
+"""
+)
+
+ORACLES["advisor"] = (
+    _RECON_CTE
+    + """
+SELECT content_id, target_seq AS seq, cost, base_seq,
+       round(CAST(cost AS DOUBLE) * 0.001
+             + COALESCE(avg_magnitude, 0.0) * 0.1
+             + COALESCE(avg_sparsity, 0.0) * 0.5, 9) AS est_error_r
+FROM recon WHERE cost > 10
+"""
+)
+
+ORACLES["dedup_exact"] = """
+SELECT doc_id, md5(text) AS text_hash,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM documents
+"""
+
+ORACLES["token_stats"] = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_re_tokens
+FROM documents
+"""
+
+ORACLES["text_quality"] = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS INTEGER) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stop,
+       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       (CAST(n_chars AS DOUBLE) - (CAST(n_tokens AS DOUBLE) - 1.0)) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+       round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+             * (0.3 + 0.7 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)), 9) AS quality_r
+FROM s
+"""
+
+ORACLES["doc_fingerprint"] = """
+SELECT doc_id,
+       list_aggregate(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                     i -> md5(substring(text, i, 8))), 'min') AS fingerprint
+FROM documents
+"""
+
+_SHINGLES_CTE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substring(text, i, 3))) AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) AS mh_0, min(md5('1:' || sh)) AS mh_1,
+         min(md5('2:' || sh)) AS mh_2, min(md5('3:' || sh)) AS mh_3,
+         min(md5('4:' || sh)) AS mh_4, min(md5('5:' || sh)) AS mh_5,
+         min(md5('6:' || sh)) AS mh_6, min(md5('7:' || sh)) AS mh_7
+  FROM sh GROUP BY doc_id
+)
+"""
+
+ORACLES["minhash_signature"] = _SHINGLES_CTE + "SELECT * FROM sig"
+
+ORACLES["dedup_near_pairs"] = (
+    _SHINGLES_CTE
+    + """
+, banded AS (
+  SELECT *,
+         md5(mh_0 || '|' || mh_1) AS band_0, md5(mh_2 || '|' || mh_3) AS band_1,
+         md5(mh_4 || '|' || mh_5) AS band_2, md5(mh_6 || '|' || mh_7) AS band_3
+  FROM sig
+),
+bucket AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+         unnest([band_0, band_1, band_2, band_3]) AS band_hash
+  FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CAST((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) AS INTEGER) AS n_match
+  FROM pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+)
+SELECT a_id, b_id, n_match, CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard
+FROM scored WHERE CAST(n_match AS DOUBLE) / 8.0 >= 0.5
+"""
+)
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3_top10"] = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+ORACLES["events_sessionize"] = """
+WITH g AS (
+  -- order by millisecond-truncated time to mirror the Spark side, which
+  -- reads the TIMESTAMP(NANOS) column as a raw long and truncates to ms
+  SELECT user_id, event_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+         CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM g
+),
+c AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+"""
+
+ORACLES["events_type_stats"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+ORACLES["ann_topk"] = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, en.vec_id,
+         CASE WHEN q.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(q.qe, en.emb) / (q.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored WHERE sim > 0
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "list_contents": q_list_contents,
+    "ingest_encode": q_ingest_encode,
+    "nearest_base": q_nearest_base,
+    "reconstruct_all": q_reconstruct_all,
+    "reconstruct_latest": q_reconstruct_latest,
+    "asof_resolve": q_asof_resolve,
+    "version_id_parse": q_version_id_parse,
+    "topk_search": q_topk_search,
+    "integrity_report": q_integrity_report,
+    "change_stats": q_change_stats,
+    "storage_stats": q_storage_stats,
+    "storage_efficiency": q_storage_efficiency,
+    "reconstruction_stats": q_reconstruction_stats,
+    "advisor": q_advisor,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signature": q_minhash_signature,
+    "dedup_near_pairs": q_dedup_near_pairs,
+    "ann_topk": q_ann_topk,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3_top10": q_tpch_q3_top10,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_sessionize": q_events_sessionize,
+    "events_type_stats": q_events_type_stats,
+}
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_map(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
+    """Oracle SQL with fixture paths bound to ``sf_dir``'s fixture dir."""
+    fix = fixture_dir(sf_dir)
+    return {name: sql.replace("{FIX}", fix) for name, sql in ORACLES.items()}

@@ -28,4 +28,21 @@ DRIVER_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table from ``<sf_dir>/<name>.parquet``."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it as a
+    raw nanosecond long (legacy flag) and expose ``ts_ns`` (long) plus a
+    millisecond-truncated ``ts_ms`` — all downstream time math is integer
+    and therefore oracle-exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+        "ts_ms", F.expr("ts div 1000000").cast("long")
+    )
