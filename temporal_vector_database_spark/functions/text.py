@@ -68,3 +68,46 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", width: int = 8) -> 
             f" i -> md5(substring({text_col}, i, {width}))))"
         ).alias("fingerprint"),
     )
+
+
+# per-language marker-token profiles for the n-gram/token language-ID
+# heuristic. Deterministic and mirrored verbatim in the oracle SQL; on
+# real corpora you'd learn trigram profiles — the dataflow (explode →
+# profile join → argmax) is the same.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "la", "les", "est", "une"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4"),
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = count of token occurrences matching
+    each language's marker list; prediction = argmax score (ties → 'und'
+    if all zero, else lexicographically-first language). Pure column
+    expressions — one pass, no shuffle beyond the source scan."""
+    toks = F.split(F.col(text_col), " ")
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda x: x.isin(*words))  # noqa: B023
+        ).cast("int")
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = None
+    for lang in sorted(LANG_PROFILES):
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best = (
+                F.when(s > best[0], s).otherwise(best[0]),
+                F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    pred = F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_PROFILES)],
+        pred.alias("predicted_lang"),
+    )

@@ -1,18 +1,27 @@
 """Deduplication operators (beyond-reference, BASELINE.json north star).
 
 - exact: hash-groupBy on the full text (md5) — one shuffle on the hash;
-- near-dup: MinHash over character 3-shingles + LSH banding. The minhash
-  uses md5-based hash families so Spark and the DuckDB oracle compute
-  identical signatures (Spark's ``hash()`` is murmur3, DuckDB's differs —
-  md5 is the portable choice). min() over shingles is idempotent, so no
-  DISTINCT is needed before the aggregate.
+- near-dup (MinHash): MinHash over character 3-shingles + LSH banding. The
+  minhash uses md5-based hash families so Spark and the DuckDB oracle
+  compute identical signatures (Spark's ``hash()`` is murmur3, DuckDB's
+  differs — md5 is the portable choice). min() over shingles is
+  idempotent, so no DISTINCT is needed before the aggregate.
+- near-dup (SimHash): 32-bit simhash over whitespace tokens (bit-majority
+  vote of per-token md5-derived hashes), candidate pairs via 8-bit band
+  buckets, verified by Hamming distance.
+- near-dup (n-gram Jaccard): EXACT Jaccard over distinct character
+  3-shingles, computed only for LSH candidate pairs (integer-ratio exact).
+- near-dup (embedding cosine): sign-bit LSH bucketing over embedding dims,
+  verified by exact cosine.
 
 Scale posture: signatures are one explode + one groupBy(doc) — shuffle
 size is bounded by docs × H strings. LSH banding turns the quadratic
 all-pairs comparison into an equi-join on (band, band_hash) buckets;
 only bucket-colliding pairs are scored. At 100 TB, band-bucket skew
 (very common shingles) is the known hot spot — AQE skew-join handles
-moderate skew; salting hot buckets is the escape hatch.
+moderate skew; salting hot buckets is the escape hatch. Signature tables
+are tiny relative to the corpus (docs × a few ints) — the verify joins
+broadcast them when they fit, else AQE picks sort-merge.
 """
 
 from __future__ import annotations
@@ -114,3 +123,215 @@ def near_duplicate_pairs(
         .select("a_id", "b_id", "n_match", "est_jaccard")
     )
     return scored
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # nibbles 1..8 of md5(token) — portable across engines
+
+
+def _token_hash32_expr(tok_col: str) -> str:
+    """32-bit token hash from the first 8 hex nibbles of md5(token).
+
+    Built from ``instr('0123456789abcdef', nibble)`` so the identical
+    expression text runs in both Spark SQL and DuckDB (no engine-specific
+    hex-parse builtins).
+    """
+    terms = [
+        f"CAST(instr('0123456789abcdef', substring(md5({tok_col}), {p + 1}, 1)) - 1 AS BIGINT)"
+        f" * CAST({16 ** p} AS BIGINT)"
+        for p in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document 32-bit SimHash over whitespace tokens.
+
+    Classic Charikar simhash: each token votes its hash bits (+1 if set,
+    -1 if clear); signature bit b is 1 iff the vote is strictly positive.
+    One explode + one groupBy(doc_id) with 32 partially-aggregated sums —
+    map-side combine keeps the shuffle at O(docs × 32 ints).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.expr(_token_hash32_expr("tok")).cast("long"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = sum(
+        F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 8-bit band buckets (4 bands — a pair
+    within Hamming distance 6 of a 32-bit hash must agree on ≥1 full byte
+    when distance < 4; banding is the recall heuristic, Hamming is the
+    verifier), then exact ``bit_count(xor)`` filter."""
+    sig = simhash_signatures(docs, text_col)
+    bucket = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.expr(f"(simhash div {1 << (8 * i)}) % 256") for i in range(4)])
+        ).alias("band_id", "band_val"),
+    )
+    pairs = (
+        bucket.alias("a")
+        .join(
+            bucket.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("a_sim"),
+            F.col("b.simhash").alias("b_sim"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.expr("bit_count(a_sim ^ b_sim)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (over LSH candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for MinHash-LSH candidate pairs.
+
+    The LSH stage bounds the candidate set (vs. the quadratic all-pairs
+    join); the verify stage computes true |A∩B| / |A∪B| over DISTINCT
+    character shingles — an integer ratio, so bit-exact in any engine.
+    """
+    sh = _shingles(docs, text_col, width).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+
+    sig = minhash_signatures(docs, text_col, num_hashes, width)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    bucket = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    pairs = (
+        bucket.alias("a")
+        .join(
+            bucket.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        pairs.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a_id", "b_id"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a_id", "b_id", "n_inter", "n_union", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (sign-bit LSH)
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bands: int = 4,
+    dims_per_band: int = 4,
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-bit LSH + exact cosine.
+
+    Bucket key per band = the sign pattern of ``dims_per_band`` consecutive
+    dimensions (a random-hyperplane LSH specialized to axis-aligned planes —
+    deterministic, engine-portable). A candidate pair shares ≥1 full band
+    pattern; survivors are verified with exact cosine ≥ ``min_cosine``.
+    Recall for cos≈0.8 with 4×4-bit bands ≈ 0.87; more/narrower bands trade
+    shuffle volume for recall (documented approximation, like any LSH).
+    """
+    from temporal_vector_database_spark.functions.vector import cosine
+
+    def band_val(i: int):
+        bits = [
+            F.when(F.element_at(F.col("emb"), i * dims_per_band + j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(dims_per_band)
+        ]
+        return sum(bits)
+
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
+    bucket = e.select(
+        "vid",
+        F.posexplode(F.array(*[band_val(i).cast("int") for i in range(bands)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    pairs = (
+        bucket.alias("a")
+        .join(
+            bucket.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("a_id"), F.col("b.vid").alias("b_id"))
+        .distinct()
+    )
+    a_e = e.select(F.col("vid").alias("a_id"), F.col("emb").alias("a_emb"))
+    b_e = e.select(F.col("vid").alias("b_id"), F.col("emb").alias("b_emb"))
+    return (
+        pairs.join(a_e, "a_id")
+        .join(b_e, "b_id")
+        .withColumn("sim", cosine(F.col("a_emb"), F.col("b_emb")))
+        .where(F.col("sim") >= min_cosine)
+        .select("a_id", "b_id", "sim")
+    )

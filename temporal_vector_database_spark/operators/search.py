@@ -116,3 +116,82 @@ def ann_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> D
     ``embeddings`` table (vec_id, embedding) — the exact baseline for ANN."""
     cands = embeddings.select(F.col("vec_id"), F.col("embedding"))
     return topk_cosine(cands, queries, k=k, id_cols=("vec_id",))
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: deterministic centroid seeding + nearest-centroid
+    assignment.
+
+    Centroids are the vectors with ``id % centroid_mod == centroid_rem`` —
+    a training-free, engine-portable seeding (at real scale you'd run
+    k-means|| on a sample; the assignment/probe machinery below is
+    identical either way). Returns (centroids, assignment) where
+    assignment maps every vector to its argmax-cosine centroid
+    (ties → lowest centroid_id).
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
+    cents = e.where(F.col("vid") % centroid_mod == centroid_rem).select(
+        F.col("vid").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vid", "emb", "centroid_id", cosine(F.col("emb"), F.col("c_emb")).alias("c_sim")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "emb", "centroid_id")
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: probe the ``nprobe`` nearest
+    centroid lists only, then exact cosine + per-query top-k within them.
+
+    Scale story: the exhaustive scan touches every vector per query; IVF
+    touches ~(nprobe / n_centroids) of them. The centroid table is tiny →
+    broadcast; the candidate join is an equi-join on centroid_id (shuffle
+    bounded by the probed lists). Recall is the standard IVF tradeoff and
+    is deterministic here (no RNG), so results are engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    cents, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
+    q = queries.select(F.col("query_id"), F.col(emb_col).alias("q_emb"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_emb", "centroid_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    cands = probes.join(assign, "centroid_id").select(
+        "query_id", "vid", cosine(F.col("q_emb"), F.col("emb")).alias("sim")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        cands.where(F.col("sim") > 0)
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias(id_col), "sim")
+    )

@@ -265,6 +265,61 @@ def q_ann_topk(spark, sf_dir):
     return res.select("query_id", "rank", "vec_id", "sim")
 
 
+def q_simhash_signature(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import simhash_signatures
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_signatures(docs)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_near_pairs(docs, max_hamming=6)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_jaccard_pairs(docs, num_hashes=8, bands=4, min_jaccard=0.4)
+
+
+def _quantized_embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1024) / 1024,
+        ).alias("embedding"),
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return embedding_near_duplicates(emb, min_cosine=0.4)
+
+
+def q_ivf_topk(spark, sf_dir):
+    from temporal_vector_database_spark.operators.search import ivf_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, nprobe=2)
+
+
+def q_language_id(spark, sf_dir):
+    from temporal_vector_database_spark.functions.text import language_id
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return language_id(docs)
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -711,6 +766,207 @@ FROM scored WHERE CAST(n_match AS DOUBLE) / 8.0 >= 0.5
 """
 )
 
+# --- simhash (SQL generated to mirror operators/dedup.py bit-for-bit) ------
+
+from temporal_vector_database_spark.operators.dedup import _token_hash32_expr  # noqa: E402
+
+_SIMHASH_H = _token_hash32_expr("tok")  # identical expression text in both engines
+
+_SIMHASH_CTE = (
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashes AS (
+  SELECT doc_id, """
+    + _SIMHASH_H
+    + """ AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(32)
+    )
+    + """
+  FROM hashes GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST("""
+    + " + ".join(f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    + """ AS BIGINT) AS simhash FROM votes
+)
+"""
+)
+
+ORACLES["simhash_signature"] = _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig"
+
+ORACLES["simhash_near_pairs"] = (
+    _SIMHASH_CTE
+    + """
+, bucket AS (
+  SELECT doc_id, simhash, band_id, (simhash // (1 << (8 * band_id))) % 256 AS band_val
+  FROM sig, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(a_sim, b_sim)) <= 6
+"""
+)
+
+ORACLES["ngram_jaccard"] = (
+    _SHINGLES_CTE
+    + """
+, banded AS (
+  SELECT *,
+         md5(mh_0 || '|' || mh_1) AS band_0, md5(mh_2 || '|' || mh_3) AS band_1,
+         md5(mh_4 || '|' || mh_5) AS band_2, md5(mh_6 || '|' || mh_7) AS band_3
+  FROM sig
+),
+bucket AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+         unnest([band_0, band_1, band_2, band_3]) AS band_hash
+  FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+inter AS (
+  SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.a_id
+  JOIN shd b ON b.doc_id = p.b_id AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.a_id, p.b_id, COALESCE(i.n_inter, 0) AS n_inter,
+         sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS n_union
+  FROM pairs p
+  LEFT JOIN inter i ON p.a_id = i.a_id AND p.b_id = i.b_id
+  JOIN sizes sa ON sa.doc_id = p.a_id
+  JOIN sizes sb ON sb.doc_id = p.b_id
+)
+SELECT a_id, b_id, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+FROM scored WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.4
+"""
+)
+
+_QEMB_CTE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+)
+"""
+
+ORACLES["embedding_near_dup"] = (
+    _QEMB_CTE
+    + """
+, bucket AS (
+  SELECT vec_id, band_id,
+         (CASE WHEN emb[4 * band_id + 1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 4] >= 0 THEN 8 ELSE 0 END) AS band_val
+  FROM en, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM pairs p JOIN en ea ON p.a_id = ea.vec_id JOIN en eb ON p.b_id = eb.vec_id
+)
+SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.4
+"""
+)
+
+ORACLES["ivf_topk"] = (
+    _QEMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, nrm, centroid_id FROM (
+    SELECT en.vec_id AS vid, en.emb, en.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qe, nq, centroid_id FROM (
+    SELECT q.query_id, q.qe, q.nq, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (CASE WHEN q.nq > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(q.qe, c.c_emb) / (q.nq * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+cands AS (
+  SELECT p.query_id, a.vid,
+         CASE WHEN p.nq > 0 AND a.nrm > 0
+              THEN list_dot_product(p.qe, a.emb) / (p.nq * a.nrm)
+              ELSE 0.0 END AS sim
+  FROM probes p JOIN assign a USING (centroid_id)
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid) AS INTEGER) AS rank
+  FROM cands WHERE sim > 0
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
+"""
+)
+
+from temporal_vector_database_spark.functions.text import LANG_PROFILES  # noqa: E402
+
+_LANG_SCORES = ", ".join(
+    "CAST(len(list_filter(string_split(text, ' '), x -> x IN ({words}))) AS INTEGER) AS score_{lang}".format(
+        words=", ".join(f"'{w}'" for w in words), lang=lang
+    )
+    for lang, words in sorted(LANG_PROFILES.items())
+)
+
+ORACLES["language_id"] = (
+    "WITH s AS (SELECT doc_id, "
+    + _LANG_SCORES
+    + """ FROM documents),
+m AS (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS mx FROM s)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+       CASE WHEN mx = 0 THEN 'und'
+            WHEN score_de = mx THEN 'de'
+            WHEN score_en = mx THEN 'en'
+            WHEN score_es = mx THEN 'es'
+            WHEN score_fr = mx THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM m
+"""
+)
+
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -821,7 +1077,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signature": q_minhash_signature,
     "dedup_near_pairs": q_dedup_near_pairs,
+    "simhash_signature": q_simhash_signature,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "language_id": q_language_id,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_top10": q_tpch_q3_top10,
     "top_orders_per_customer": q_top_orders_per_customer,

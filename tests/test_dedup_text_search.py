@@ -1,0 +1,97 @@
+"""Tests for the beyond-reference LLM-pipeline operators: dedup family
+(simhash / n-gram jaccard / embedding near-dup), language-ID, IVF search."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.functions.text import language_id
+from temporal_vector_database_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from temporal_vector_database_spark.operators.search import ivf_topk, topk_cosine
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "completely different words here entirely unrelated content"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    res = {r.doc_id: r for r in exact_duplicates(docs).collect()}
+    assert res[0].text_hash == res[1].text_hash
+    assert res[0].dup_count == 2 and res[3].dup_count == 1
+    assert res[0].is_canonical and not res[1].is_canonical
+
+
+def test_simhash_identical_docs_equal(docs):
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sig[0] == sig[1]
+    assert 0 <= sig[0] < 2**32
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_near_pairs(docs, max_hamming=32).collect()}
+    assert pairs[(0, 1)] == 0  # identical docs → hamming 0
+    # near-dup shares most tokens → much closer than the unrelated doc
+    if (0, 3) in pairs and (0, 2) in pairs:
+        assert pairs[(0, 2)] < pairs[(0, 3)]
+
+
+def test_ngram_jaccard_exactness(docs):
+    res = {(r.a_id, r.b_id): r for r in ngram_jaccard_pairs(docs, min_jaccard=0.0).collect()}
+    assert res[(0, 1)].jaccard == 1.0  # identical docs
+    r02 = res[(0, 2)]
+    assert 0.5 < r02.jaccard < 1.0
+    assert r02.n_inter == r02.n_union * r02.jaccard  # exact integer ratio
+
+
+def test_language_id(spark):
+    rows = [
+        (0, "the cat and the dog is of to the"),
+        (1, "der hund und die katze ist nicht"),
+        (2, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = {r.doc_id: r.predicted_lang for r in language_id(df).collect()}
+    assert res[0] == "en" and res[1] == "de" and res[2] == "und"
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0] * 4),
+        (1, [1.0, 0.001, 1.0, 0.0] * 4),  # near-identical to 0
+        (2, [-1.0, 0.5, -1.0, 0.5] * 4),  # far from 0/1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.a_id, r.b_id): r.sim for r in embedding_near_duplicates(df, min_cosine=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ivf_matches_brute_force_when_probing_own_list(spark):
+    # 40 vectors in 2 well-separated clusters; centroid seeding vec_id%20==7
+    # puts one centroid in each cluster, so nprobe=1 already recovers the
+    # brute-force top-k for in-cluster queries.
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 10.0, 0.0, 0.0]
+        rows.append((i, [b + (i % 7) * 0.01 for b in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(df, queries, k=5, nprobe=2, centroid_mod=20, centroid_rem=7)
+    brute = topk_cosine(df, queries, k=5, id_cols=("vec_id",))
+    ivf_rows = {(r.query_id, r.rank): r.vec_id for r in ivf.collect()}
+    brute_rows = {(r.query_id, r.rank): r.vec_id for r in brute.collect()}
+    assert ivf_rows == brute_rows
