@@ -320,6 +320,31 @@ def q_language_id(spark, sf_dir):
     return language_id(docs)
 
 
+def q_multimodal_meta(spark, sf_dir):
+    from temporal_vector_database_spark.operators.multimodal import payload_metadata
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return payload_metadata(docs)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from temporal_vector_database_spark.operators.multimodal import decode_payload, with_payload
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return decode_payload(with_payload(docs))
+
+
+def q_frame_sample(spark, sf_dir):
+    from temporal_vector_database_spark.operators.multimodal import (
+        decode_payload,
+        sample_frames,
+        with_payload,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sample_frames(decode_payload(with_payload(docs)), every_k=4)
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -967,6 +992,47 @@ FROM m
 """
 )
 
+# --- multimodal: md5-derived fake-decode mirrored in SQL -------------------
+
+def _hexpair(c1: int, c2: int) -> str:
+    n1 = f"(instr('0123456789abcdef', substring(h, {c1}, 1)) - 1)"
+    n2 = f"(instr('0123456789abcdef', substring(h, {c2}, 1)) - 1)"
+    return f"({n1} * 16 + {n2})"
+
+
+_DECODE_CTE = f"""
+WITH p AS (
+  SELECT doc_id, md5(text) AS h, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+  FROM documents
+),
+dec AS (
+  SELECT doc_id, byte_len, h AS checksum,
+         CAST(16 * (1 + {_hexpair(1, 2)} % 64) AS INTEGER) AS width,
+         CAST(16 * (1 + {_hexpair(3, 4)} % 64) AS INTEGER) AS height,
+         CAST(1 + (instr('0123456789abcdef', substring(h, 5, 1)) - 1) % 4 AS INTEGER) AS channels,
+         CAST(1 + {_hexpair(6, 7)} % 16 AS INTEGER) AS n_frames
+  FROM p
+)
+"""
+
+ORACLES["multimodal_meta"] = """
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       md5(text) AS checksum
+FROM documents
+"""
+
+ORACLES["multimodal_decode"] = _DECODE_CTE + "SELECT * FROM dec"
+
+ORACLES["frame_sample"] = (
+    _DECODE_CTE
+    + """
+SELECT doc_id, n_frames, CAST(frame_id AS INTEGER) AS frame_id
+FROM dec, unnest(range(0, n_frames)) AS t(frame_id)
+WHERE frame_id % 4 = 0
+"""
+)
+
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1084,6 +1150,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_top10": q_tpch_q3_top10,
     "top_orders_per_customer": q_top_orders_per_customer,

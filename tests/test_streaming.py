@@ -1,0 +1,87 @@
+"""Streaming ingest must produce byte-identical output to the batch
+encoder, including state carried ACROSS micro-batch boundaries (a delta in
+run 2 is computed against the reconstruction of run 1's last version)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.config import FIXTURE_CONFIG
+from temporal_vector_database_spark.operators.ingest import ingest
+from temporal_vector_database_spark.streaming.ingest import run_ingest_stream
+
+
+def _raw_rows(spark, n_contents=3, n_versions=12):
+    import numpy as np
+
+    rows = []
+    for c in range(n_contents):
+        rng = np.random.default_rng(100 + c)
+        vec = np.round(rng.normal(size=16) * 128) / 128
+        for k in range(1, n_versions + 1):
+            if k > 1:
+                noise = np.zeros(16)
+                dims = rng.choice(16, size=3, replace=False)
+                noise[dims] = rng.integers(2, 4, size=3) / 128
+                vec = vec + noise
+            rows.append(
+                (
+                    f"s{c}",
+                    f"2025-01-{k:02d}T00:00:00",
+                    [float(x) for x in vec],
+                    False,
+                    5,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, ["content_id", "ts_s", "embedding", "force_base", "base_interval"]
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    return df.select(
+        "content_id",
+        "ts",
+        "embedding",
+        "force_base",
+        F.col("base_interval").cast("int").alias("base_interval"),
+    )
+
+
+def _canon(df):
+    rows = df.select(
+        "content_id",
+        "seq",
+        "kind",
+        "from_seq",
+        "magnitude",
+        "n_changed",
+        F.aggregate(F.coalesce("embedding", F.array()), F.lit(0.0), lambda a, x: a + x).alias("esum"),
+        F.aggregate(F.coalesce("sparse_val", F.array()), F.lit(0.0), lambda a, x: a + x).alias("vsum"),
+    ).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_stream_matches_batch_across_microbatches(spark, tmp_path):
+    from pyspark.sql import Window
+
+    raw = _raw_rows(spark)
+    # split the timeline mid-stream: seqs 1-6 arrive in run 1, 7-12 in run 2
+    w_rank = F.row_number().over(Window.partitionBy("content_id").orderBy("ts"))
+    ranked = raw.withColumn("rk", w_rank)
+    in_dir = os.path.join(tmp_path, "in")
+    out_dir = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    os.makedirs(in_dir)
+
+    ranked.where(F.col("rk") <= 6).drop("rk").coalesce(1).write.mode("append").parquet(in_dir)
+    run_ingest_stream(spark, in_dir, out_dir, ckpt, FIXTURE_CONFIG)
+    ranked.where(F.col("rk") > 6).drop("rk").coalesce(1).write.mode("append").parquet(in_dir)
+    run_ingest_stream(spark, in_dir, out_dir, ckpt, FIXTURE_CONFIG)
+
+    streamed = spark.read.parquet(out_dir)
+    batch = ingest(raw, FIXTURE_CONFIG)
+    assert _canon(streamed) == _canon(batch)
+    # sanity: promotion placement preserved across the batch boundary
+    bases = sorted(
+        r.seq for r in streamed.where((F.col("content_id") == "s0") & (F.col("kind") == "base")).collect()
+    )
+    assert bases == [1, 6, 11]
