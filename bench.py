@@ -36,8 +36,16 @@ HEADLINE = (
     "dedup_exact",
     "minhash_signature",
     "dedup_near_pairs",
+    "simhash_signature",
+    "simhash_near_pairs",
+    "ngram_jaccard",
+    "embedding_near_dup",
+    "ivf_topk",
     "token_stats",
     "text_quality",
+    "language_id",
+    "multimodal_decode",
+    "frame_sample",
     "tpch_q1",
     "tpch_q3_top10",
     "top_orders_per_customer",

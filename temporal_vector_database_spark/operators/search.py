@@ -31,7 +31,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from temporal_vector_database_spark.functions.vector import cosine
+from temporal_vector_database_spark.functions.vector import cosine  # noqa: F401  (public re-export)
+
+
+def _guarded_sim(a_emb: str, b_emb: str, a_nrm: str, b_nrm: str):
+    """dot/(na·nb) with zero-norm guard, norms taken from precomputed
+    columns — bit-identical to ``cosine()`` but one fold per pair."""
+    from temporal_vector_database_spark.functions.vector import dot
+
+    return (
+        F.when(
+            (F.col(a_nrm) > 0) & (F.col(b_nrm) > 0),
+            dot(F.col(a_emb), F.col(b_emb)) / (F.col(a_nrm) * F.col(b_nrm)),
+        ).otherwise(F.lit(0.0))
+    )
 
 
 def score_candidates(
@@ -41,18 +54,36 @@ def score_candidates(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Cross-score every query against every candidate: broadcast join +
-    codegen'd cosine. ``queries`` needs (query_id, embedding[, k])."""
+    codegen'd cosine. ``queries`` needs (query_id, embedding[, k]).
+
+    Norms are computed ONCE per input row before the join (|Q| + |C| folds)
+    instead of inside the pair expression (3 folds × |Q|·|C|); the per-pair
+    work is a single dot-product fold. Bit-identical to ``cosine()``:
+    dot / (nq · nc), zero-norm guarded.
+    """
+    from temporal_vector_database_spark.functions.vector import dot, l2_norm
+
     q = queries.select(
         "query_id",
         F.col(emb_col).alias("_q_emb"),
+        l2_norm(F.col(emb_col)).alias("_q_nrm"),
         *(["k"] if "k" in queries.columns else []),
     )
-    c = bases.select(*id_cols, F.col(emb_col).alias("_c_emb"))
+    c = bases.select(
+        *id_cols,
+        F.col(emb_col).alias("_c_emb"),
+        l2_norm(F.col(emb_col)).alias("_c_nrm"),
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         *id_cols,
         *(["k"] if "k" in q.columns else []),
-        cosine(F.col("_q_emb"), F.col("_c_emb")).alias("sim"),
+        F.when(
+            (F.col("_q_nrm") > 0) & (F.col("_c_nrm") > 0),
+            dot(F.col("_q_emb"), F.col("_c_emb")) / (F.col("_q_nrm") * F.col("_c_nrm")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sim"),
     )
     return scored
 
@@ -137,18 +168,26 @@ def ivf_assign(
     """
     from pyspark.sql import Window
 
-    e = embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("emb"),
+        l2_norm(F.col(emb_col)).alias("nrm"),
+    )
     cents = e.where(F.col("vid") % centroid_mod == centroid_rem).select(
-        F.col("vid").alias("centroid_id"), F.col("emb").alias("c_emb")
+        F.col("vid").alias("centroid_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vid", "emb", "centroid_id", cosine(F.col("emb"), F.col("c_emb")).alias("c_sim")
+        "vid", "emb", "nrm", "centroid_id", _guarded_sim("emb", "c_emb", "nrm", "c_nrm").alias("c_sim")
     )
     w = Window.partitionBy("vid").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     assign = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vid", "emb", "centroid_id")
+        .select("vid", "emb", "nrm", "centroid_id")
     )
     return cents, assign
 
@@ -174,19 +213,26 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
     cents, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
-    q = queries.select(F.col("query_id"), F.col(emb_col).alias("q_emb"))
+    q = queries.select(
+        F.col("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        l2_norm(F.col(emb_col)).alias("q_nrm"),
+    )
     qc = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "q_emb", "centroid_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("c_sim")
+        "query_id", "q_emb", "q_nrm", "centroid_id",
+        _guarded_sim("q_emb", "c_emb", "q_nrm", "c_nrm").alias("c_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     probes = (
         qc.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_nrm", "centroid_id")
     )
     cands = probes.join(assign, "centroid_id").select(
-        "query_id", "vid", cosine(F.col("q_emb"), F.col("emb")).alias("sim")
+        "query_id", "vid", _guarded_sim("q_emb", "emb", "q_nrm", "nrm").alias("sim")
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
     return (

@@ -745,10 +745,10 @@ WITH sh AS (
 ),
 sig AS (
   SELECT doc_id,
-         min(md5('0:' || sh)) AS mh_0, min(md5('1:' || sh)) AS mh_1,
-         min(md5('2:' || sh)) AS mh_2, min(md5('3:' || sh)) AS mh_3,
-         min(md5('4:' || sh)) AS mh_4, min(md5('5:' || sh)) AS mh_5,
-         min(md5('6:' || sh)) AS mh_6, min(md5('7:' || sh)) AS mh_7
+         min(substring(md5(sh), 1, 4)) AS mh_0, min(substring(md5(sh), 5, 4)) AS mh_1,
+         min(substring(md5(sh), 9, 4)) AS mh_2, min(substring(md5(sh), 13, 4)) AS mh_3,
+         min(substring(md5(sh), 17, 4)) AS mh_4, min(substring(md5(sh), 21, 4)) AS mh_5,
+         min(substring(md5(sh), 25, 4)) AS mh_6, min(substring(md5(sh), 29, 4)) AS mh_7
   FROM sh GROUP BY doc_id
 )
 """
