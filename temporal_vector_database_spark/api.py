@@ -1,0 +1,207 @@
+"""Drop-in facade mirroring the reference's public API surface.
+
+``TemporalVectorDatabase`` (reference ``storage/temporal_database.py:20``)
+re-expressed over a partitioned parquet ``versions`` table: every method a
+reference user calls exists here with the same name and semantics, but each
+one is a distributed DataFrame plan instead of per-row HDF5 traffic —
+point lookups become partition-pruned filters, and every method also has a
+batch form (the reference's one-at-a-time loops are the anti-pattern this
+engine removes, SURVEY.md §4.2).
+
+Point-read methods return a Python dict (the reference returns
+``ReconstructionResult`` dataclasses); batch methods return DataFrames.
+Storage is append-only parquet; "opening a DB" is pointing at a directory.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.config import DEFAULT_CONFIG, TVDBConfig
+from temporal_vector_database_spark.operators import integrity as I
+from temporal_vector_database_spark.operators import reconstruct as R
+from temporal_vector_database_spark.operators import stats as S
+from temporal_vector_database_spark.operators.ingest import append_versions
+from temporal_vector_database_spark.operators.search import search_similar_snapshots
+
+
+def _result_dict(row: Row) -> dict[str, Any]:
+    d = row.asDict(recursive=True)
+    if "embedding" in d and d["embedding"] is not None:
+        d["embedding"] = list(d["embedding"])
+    return d
+
+
+class TemporalVectorDatabase:
+    """Reference facade parity (``storage/temporal_database.py:20-553``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        cfg: TVDBConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.spark = spark
+        self.table_path = table_path
+        self.cfg = cfg
+
+    # -- storage ------------------------------------------------------------
+
+    @property
+    def _exists(self) -> bool:
+        if not os.path.isdir(self.table_path):
+            return False
+        return any(
+            f.endswith(".parquet") or f.startswith("part-")
+            for f in os.listdir(self.table_path)
+        )
+
+    def versions(self) -> DataFrame:
+        """The full ``versions`` table (SURVEY.md §1.4 schema)."""
+        return self.spark.read.parquet(self.table_path)
+
+    # -- write path (O1-O3) --------------------------------------------------
+
+    def add_versions(self, raw: DataFrame) -> int:
+        """Batch write path: encode raw (content_id, ts, embedding
+        [, force_base, base_interval]) rows continuing stored timelines,
+        append to the table. Returns the number of rows written."""
+        if self._exists:
+            encoded = append_versions(self.versions(), raw, self.cfg)
+        else:
+            from temporal_vector_database_spark.operators.ingest import ingest
+
+            encoded = ingest(raw, self.cfg)
+        encoded = encoded.localCheckpoint(eager=True)  # freeze before append
+        n = encoded.count()
+        encoded.write.mode("append").parquet(self.table_path)
+        return n
+
+    def add_content_version(
+        self,
+        content_id: str,
+        embedding: Sequence[float],
+        timestamp: datetime | None = None,
+        metadata: dict | None = None,  # noqa: ARG002 - parity; carried via version_id only
+        force_base_snapshot: bool = False,
+    ) -> tuple[bool, int]:
+        """Single-version convenience (reference
+        ``add_content_version``, ``storage/temporal_database.py:86-178``).
+        Returns (success, assigned_seq). Prefer ``add_versions`` — per-row
+        inserts exist for parity, not throughput."""
+        ts = timestamp or datetime.utcnow()
+        raw = self.spark.createDataFrame(
+            [(content_id, ts, [float(x) for x in embedding], bool(force_base_snapshot))],
+            "content_id string, ts timestamp, embedding array<double>, force_base boolean",
+        )
+        self.add_versions(raw)
+        row = (
+            self.versions()
+            .where(F.col("content_id") == content_id)
+            .agg(F.max("seq").alias("seq"))
+            .first()
+        )
+        return True, int(row["seq"])
+
+    # -- read path (O4-O9) ---------------------------------------------------
+
+    def get_version(self, content_id: str, sequence_number: int) -> dict | None:
+        """O5 point reconstruction (``get_version``,
+        ``storage/temporal_database.py:180-195``)."""
+        targets = self.spark.createDataFrame(
+            [(content_id, sequence_number)], "content_id string, target_seq int"
+        )
+        rows = self.reconstruct(targets).collect()
+        return _result_dict(rows[0]) if rows else None
+
+    def get_version_by_id(self, version_id: str) -> dict | None:
+        """O9 (``get_version_by_id``, ``storage/temporal_database.py:197-220``)."""
+        ids = self.spark.createDataFrame([(version_id,)], "version_id string")
+        rows = R.reconstruct_by_version_id(self.versions(), ids).collect()
+        return _result_dict(rows[0]) if rows else None
+
+    def get_latest_version(self, content_id: str) -> dict | None:
+        """O8 (``get_latest_version``, ``storage/temporal_database.py:222-236``)."""
+        v = self.versions().where(F.col("content_id") == content_id)
+        rows = R.with_quality_columns(R.reconstruct_latest(v), self.cfg).collect()
+        return _result_dict(rows[0]) if rows else None
+
+    def get_version_at_time(self, content_id: str, timestamp: datetime) -> dict | None:
+        """O6 as-of (``get_version_at_time`` →
+        ``core/reconstruction_service.py:129-157``; inclusive ``ts <= t``)."""
+        probes = self.spark.createDataFrame(
+            [(0, content_id, timestamp)], "probe_id int, content_id string, t timestamp"
+        )
+        rows = R.reconstruct_asof(self.versions(), probes).collect()
+        return _result_dict(rows[0]) if rows else None
+
+    def get_version_range(self, content_id: str, start_seq: int, end_seq: int) -> DataFrame:
+        """O7 (``get_version_range``, ``storage/temporal_database.py:255-272``)
+        — one distributed pass, unlike the reference's reload-per-target loop."""
+        v = self.versions().where(F.col("content_id") == content_id)
+        return R.reconstruct_range(v, start_seq, end_seq)
+
+    def reconstruct(self, targets: DataFrame) -> DataFrame:
+        """Batch point-reconstruction with quality columns — any number of
+        (content_id, target_seq) pairs in one plan."""
+        return R.with_quality_columns(R.reconstruct_at(self.versions(), targets), self.cfg)
+
+    # -- search (S1) ---------------------------------------------------------
+
+    def search_similar_content(self, query_embedding: Sequence[float], k: int = 5) -> list[tuple]:
+        """S1 (``search_similar_content``,
+        ``storage/temporal_database.py:274-287``): exact cosine top-k over
+        base snapshots, ``sim > 0`` only. Returns [(content_id, seq, sim)]."""
+        q = self.spark.createDataFrame(
+            [(0, [float(x) for x in query_embedding])],
+            "query_id int, embedding array<double>",
+        )
+        rows = search_similar_snapshots(self.versions(), q, k=k).collect()
+        return [(r.content_id, r.seq, r.sim) for r in sorted(rows, key=lambda r: r.rank)]
+
+    def search_batch(self, queries: DataFrame, k: int | None = None) -> DataFrame:
+        """Batch S1: a whole DataFrame of queries in one broadcast join."""
+        return search_similar_snapshots(self.versions(), queries, k=k)
+
+    # -- integrity / stats / advisor (V2, A1-A5, O12, O13) --------------------
+
+    def validate_timeline_integrity(self, content_id: str | None = None) -> DataFrame:
+        """V2 (``core/reconstruction_service.py:299-358``), all contents at
+        once (pass ``content_id`` to filter)."""
+        v = self.versions()
+        if content_id is not None:
+            v = v.where(F.col("content_id") == content_id)
+        return I.validate_timeline_integrity(v)
+
+    def get_content_statistics(self, content_id: str) -> dict:
+        """A5 bundle (``storage/temporal_database.py:301-330``)."""
+        v = self.versions().where(F.col("content_id") == content_id)
+        rows = S.content_statistics(v, self.cfg).collect()
+        return _result_dict(rows[0]) if rows else {}
+
+    def get_database_statistics(self) -> dict:
+        """A4 (``storage/temporal_database.py:496-542``) — over ALL contents,
+        not the reference's first-5 sample (documented fix, SURVEY.md §4.2)."""
+        rows = S.database_statistics(self.versions(), self.cfg).collect()
+        return _result_dict(rows[0]) if rows else {}
+
+    def get_storage_statistics(self) -> dict:
+        """A2 (``storage/storage_engine.py:471-524``)."""
+        rows = S.storage_statistics(self.versions()).collect()
+        return _result_dict(rows[0]) if rows else {}
+
+    def optimize_content_bases(self, content_id: str | None = None, max_cost: int | None = None) -> DataFrame:
+        """O12 advisor (``storage/temporal_database.py:443-494``)."""
+        v = self.versions()
+        if content_id is not None:
+            v = v.where(F.col("content_id") == content_id)
+        return S.optimize_content_bases(v, max_cost=max_cost, cfg=self.cfg)
+
+    def list_content_ids(self) -> list[str]:
+        """O13 (``storage/temporal_database.py:332-352``)."""
+        return [r.content_id for r in S.list_content_ids(self.versions()).collect()]

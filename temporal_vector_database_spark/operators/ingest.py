@@ -150,3 +150,120 @@ def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFra
 def ingest(raw_events: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
     """Full write path: O1 sequence assignment then O2/O3 encoding."""
     return encode_versions(assign_sequence(raw_events), cfg)
+
+
+def timeline_state(versions: DataFrame) -> DataFrame:
+    """Per-content encoder state from a stored ``versions`` table:
+    (last_seq, last_base_seq, reconstruction of the latest version).
+
+    This is what the incremental append path continues from — the batch
+    analogue of the streaming checkpoint state
+    (``streaming/ingest.py``): one window pass + the standard
+    reconstruction fold, no per-content driver loops.
+    """
+    from temporal_vector_database_spark.operators.reconstruct import reconstruct_latest
+
+    latest = reconstruct_latest(versions)
+    return latest.select(
+        "content_id",
+        F.col("target_seq").alias("_st_last_seq"),
+        F.col("base_seq").alias("_st_last_base_seq"),
+        F.col("embedding").alias("_st_recon"),
+    )
+
+
+def append_versions(
+    versions: DataFrame, new_raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Incremental ingest: encode NEW raw rows continuing each content's
+    stored timeline (the reference's ``add_content_version`` write path,
+    ``storage/temporal_database.py:86-178``, batched).
+
+    Returns ONLY the newly encoded rows (append them to the table). New
+    contents start at seq 1; existing contents continue from their stored
+    state — deltas are computed against the reconstruction of the stored
+    latest version, exactly like the reference (which reloads and
+    reconstructs seq-1 on every insert).
+    """
+    threshold = cfg.sparsity_threshold
+    promo = cfg.base_promotion_sparsity_threshold
+    gap_factor = cfg.base_gap_factor
+    default_interval = cfg.base_snapshot_interval
+
+    cols = set(new_raw.columns)
+    if "force_base" not in cols:
+        new_raw = new_raw.withColumn("force_base", F.lit(False))
+    if "base_interval" not in cols:
+        new_raw = new_raw.withColumn(
+            "base_interval", F.lit(default_interval).cast("int")
+        )
+    state = timeline_state(versions)
+    staged = new_raw.join(state, "content_id", "left")
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        content_id = pdf["content_id"].iloc[0]
+        interval_default = int(pdf["base_interval"].iloc[0])
+        out: dict[str, list] = {k: [] for k in (
+            "content_id", "seq", "ts", "kind", "embedding", "sparse_idx",
+            "sparse_val", "from_seq", "magnitude", "n_changed", "total_dims",
+            "version_id",
+        )}
+        st_seq = pdf["_st_last_seq"].iloc[0]
+        if pd.notna(st_seq):
+            last_seq = int(st_seq)
+            last_base_seq = int(pdf["_st_last_base_seq"].iloc[0])
+            recon = np.asarray(pdf["_st_recon"].iloc[0], dtype=np.float64)
+        else:
+            last_seq, last_base_seq, recon = 0, 0, None
+        for ts, emb, force, interval in zip(
+            pdf["ts"], pdf["embedding"], pdf["force_base"], pdf["base_interval"]
+        ):
+            interval = int(interval) if pd.notna(interval) else interval_default
+            raw_vec = np.asarray(emb, dtype=np.float64)
+            dim = raw_vec.shape[0]
+            seq = last_seq + 1
+            if seq == 1 or bool(force):
+                is_base, diff, changed = True, None, None
+            else:
+                diff = raw_vec - recon
+                changed = np.abs(diff) >= threshold
+                ratio = float(changed.sum()) / dim
+                is_base = (
+                    ((seq - 1) % interval == 0)
+                    or (ratio > promo)
+                    or ((seq - last_base_seq) > gap_factor * interval)
+                )
+            out["content_id"].append(content_id)
+            out["seq"].append(seq)
+            out["ts"].append(ts)
+            out["total_dims"].append(dim)
+            if is_base:
+                out["kind"].append("base")
+                out["embedding"].append(raw_vec)
+                out["sparse_idx"].append(None)
+                out["sparse_val"].append(None)
+                out["from_seq"].append(None)
+                out["magnitude"].append(None)
+                out["n_changed"].append(None)
+                out["version_id"].append(f"{content_id}_{int(pd.Timestamp(ts).value // 1000)}")
+                recon = raw_vec.copy()
+                last_base_seq = seq
+            else:
+                idx = np.nonzero(changed)[0]
+                vals = diff[idx]
+                out["kind"].append("delta")
+                out["embedding"].append(None)
+                out["sparse_idx"].append(idx.astype(np.int32))
+                out["sparse_val"].append(vals)
+                out["from_seq"].append(seq - 1)
+                out["magnitude"].append(float(math.sqrt(float((diff * diff).sum()))))
+                out["n_changed"].append(int(idx.shape[0]))
+                out["version_id"].append(f"{content_id}_v{seq}")
+                recon = recon.copy()
+                recon[idx] += vals
+            last_seq = seq
+        return pd.DataFrame(out)
+
+    schema = _versions_schema(new_raw.schema)
+    return staged.groupBy("content_id").applyInPandas(encode, schema=schema)

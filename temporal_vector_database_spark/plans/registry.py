@@ -393,6 +393,62 @@ def q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def q_customers_without_orders(spark, sf_dir):
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        F.col("o_orderdate") < F.lit("1993-01-01")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def q_revenue_rollup(spark, sf_dir):
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("r_name", "n_name", "revenue", "n_orders")
+    )
+
+
+def q_part_setops(spark, sf_dir):
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    big_parts = p.where(F.col("p_size") >= 40).select(F.col("p_partkey").alias("pk"))
+    heavy_sold = li.where(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("pk")).distinct()
+    inter = big_parts.intersect(heavy_sold).select(F.lit("intersect").alias("op"), "pk")
+    only_big = big_parts.exceptAll(heavy_sold).select(F.lit("except").alias("op"), "pk")
+    return inter.unionAll(only_big)
+
+
+def q_events_tumbling(spark, sf_dir):
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("window_start_ms", (F.col("ts_ms") - F.col("ts_ms") % 3_600_000))
+        .groupBy("window_start_ms", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
@@ -1067,6 +1123,42 @@ SELECT o_custkey, o_orderkey, rank FROM (
 ) WHERE rank <= 3
 """
 
+ORACLES["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'
+)
+"""
+
+ORACLES["revenue_rollup"] = """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+ORACLES["part_setops"] = """
+WITH big_parts AS (SELECT p_partkey AS pk FROM part WHERE p_size >= 40),
+heavy_sold AS (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_quantity >= 45)
+SELECT 'intersect' AS op, pk FROM (SELECT pk FROM big_parts INTERSECT SELECT pk FROM heavy_sold)
+UNION ALL
+SELECT 'except' AS op, pk FROM (SELECT pk FROM big_parts EXCEPT SELECT pk FROM heavy_sold)
+"""
+
+ORACLES["events_tumbling"] = """
+SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS window_start_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
 ORACLES["events_sessionize"] = """
 WITH g AS (
   -- order by millisecond-truncated time to mirror the Spark side, which
@@ -1158,6 +1250,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
     "events_type_stats": q_events_type_stats,
+    "events_tumbling": q_events_tumbling,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_rollup": q_revenue_rollup,
+    "part_setops": q_part_setops,
 }
 
 

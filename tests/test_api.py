@@ -1,0 +1,93 @@
+"""Facade parity: the reference's public API surface
+(storage/temporal_database.py) over parquet storage, including the
+incremental append path continuing stored timelines."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.api import TemporalVectorDatabase
+from temporal_vector_database_spark.config import TVDBConfig
+
+CFG = TVDBConfig(base_snapshot_interval=5)
+T0 = datetime(2025, 1, 1)
+
+
+def _raw(spark, contents=("a", "b"), n=12, dim=16, start_seq=1):
+    rows = []
+    for ci, c in enumerate(contents):
+        rng = np.random.default_rng(1000 + ci)
+        vec = np.round(rng.normal(size=dim) * 128) / 128
+        # advance deterministically to the state right before start_seq
+        for k in range(1, start_seq + n):
+            if k > 1:
+                noise = np.zeros(dim)
+                dims = rng.choice(dim, size=3, replace=False)
+                noise[dims] = rng.integers(2, 4, size=3) / 128
+                vec = vec + noise
+            if k >= start_seq:
+                rows.append((c, T0 + timedelta(days=k - 1), [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "content_id string, ts timestamp, embedding array<double>")
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return TemporalVectorDatabase(spark, str(tmp_path / "versions"), CFG)
+
+
+def test_write_read_roundtrip(db, spark):
+    raw = _raw(spark, n=12)
+    assert db.add_versions(raw) == 24
+    assert db.list_content_ids() == ["a", "b"]
+    # interval-5 promotion → bases {1, 6, 11} (reference tests/test_week2.py:409-434)
+    bases = sorted(
+        r.seq for r in db.versions().where((F.col("content_id") == "a") & (F.col("kind") == "base")).collect()
+    )
+    assert bases == [1, 6, 11]
+    # v7 reconstructs from base 6 with cost 1 (reference asserts cost < 5)
+    res = db.get_version("a", 7)
+    assert res["base_seq"] == 6 and res["cost"] == 1
+    # reconstruction equals the raw input exactly (dyadic-grid arithmetic)
+    from pyspark.sql import Window
+
+    truth = {r.seq: r.embedding for r in raw.where(F.col("content_id") == "a").withColumn(
+        "seq", F.row_number().over(Window.partitionBy("content_id").orderBy("ts"))
+    ).collect()}
+    assert res["embedding"] == list(truth[7])
+
+
+def test_incremental_append_continues_timeline(db, spark):
+    db.add_versions(_raw(spark, n=7))
+    db.add_versions(_raw(spark, n=5, start_seq=8))
+    v = db.versions().where(F.col("content_id") == "a")
+    seqs = sorted(r.seq for r in v.select("seq").collect())
+    assert seqs == list(range(1, 13))
+    bases = sorted(r.seq for r in v.where(F.col("kind") == "base").collect())
+    assert bases == [1, 6, 11]  # promotion policy unaware of the append split
+    latest = db.get_latest_version("a")
+    assert latest["target_seq"] == 12 and latest["base_seq"] == 11
+
+
+def test_point_and_asof_and_id_lookups(db, spark):
+    db.add_versions(_raw(spark, n=12))
+    assert db.get_version_by_id("a_v7")["target_seq"] == 7
+    asof = db.get_version_at_time("a", T0 + timedelta(days=4, hours=12))
+    assert asof["target_seq"] == 5  # inclusive as-of → seq 5
+    assert db.get_version_at_time("a", T0 - timedelta(days=1)) is None
+    rng_df = db.get_version_range("a", 2, 4)
+    assert sorted(r.target_seq for r in rng_df.collect()) == [2, 3, 4]
+
+
+def test_single_version_insert_and_search(db, spark):
+    db.add_versions(_raw(spark, n=12))
+    ok, seq = db.add_content_version("a", [0.5] * 16, timestamp=T0 + timedelta(days=40))
+    assert ok and seq == 13
+    first_base = db.versions().where((F.col("content_id") == "a") & (F.col("seq") == 1)).first()
+    hits = db.search_similar_content(list(first_base.embedding), k=3)
+    assert hits and hits[0][0] == "a" and hits[0][1] == 1 and hits[0][2] > 0.999
+    stats = db.get_storage_statistics()
+    assert stats["total_contents"] == 2
+    integ = {r.content_id: r.valid for r in db.validate_timeline_integrity().collect()}
+    assert integ == {"a": True, "b": True}
