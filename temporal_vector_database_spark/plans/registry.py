@@ -201,6 +201,40 @@ def q_advisor(spark, sf_dir):
     )
 
 
+def q_database_stats(spark, sf_dir):
+    st = S.database_statistics(_versions_ok(spark, sf_dir))
+    return st.select(
+        "total_contents",
+        "total_base_snapshots",
+        "total_deltas",
+        F.round("avg_versions_per_content", 9).alias("avg_versions_r"),
+        F.round("avg_reconstruction_cost", 9).alias("avg_cost_r"),
+        "max_reconstruction_cost",
+        F.round("avg_quality_score", 9).alias("avg_quality_r"),
+    )
+
+
+def q_content_stats(spark, sf_dir):
+    st = S.content_statistics(_versions_ok(spark, sf_dir))
+    return st.select(
+        "content_id",
+        "max_sequence",
+        "base_count",
+        "delta_count",
+        F.round("avg_change_magnitude", 9).alias("avg_mag_r"),
+        "versions_analyzed",
+        "max_reconstruction_cost",
+        F.round("avg_quality_score", 9).alias("avg_quality_r"),
+    )
+
+
+def q_reconstruct_by_id(spark, sf_dir):
+    v = _versions_ok(spark, sf_dir)
+    ids = v.where((F.col("kind") == "delta") & (F.col("seq") % 5 == 2)).select("version_id")
+    rec = R.reconstruct_by_version_id(v, ids)
+    return _emb_sums(rec).select("content_id", "target_seq", "base_seq", "cost", "emb_sum")
+
+
 # ---- beyond-reference: LLM-data-pipeline operators over driver tables ----
 
 def q_dedup_exact(spark, sf_dir):
@@ -742,6 +776,104 @@ FROM q2 GROUP BY 1
 """
 )
 
+_QUALITY_FULL = """
+  CASE WHEN cost = 0 THEN 1.0 ELSE
+    least(1.0, greatest(0.0,
+      greatest(0.0, 1.0 - (CAST(cost AS DOUBLE) / 15.0) * 0.3)
+      * greatest(0.7, 1.0 - (CAST(base_distance AS DOUBLE) / 20.0) * 0.3)
+      * greatest(0.5, 1.0 - error_bound * 20.0)
+      * (CASE WHEN cost < 8 THEN 1.1 ELSE 1.0 END)))
+  END
+"""
+
+ORACLES["database_stats"] = (
+    _RECON_CTE
+    + f"""
+, q AS (
+  SELECT *, {_QUALITY_EXPR} AS error_bound, (target_seq - base_seq) AS base_distance FROM recon
+),
+q2 AS (SELECT *, {_QUALITY_FULL} AS quality_score FROM q),
+percontent AS (
+  SELECT content_id,
+         avg(CAST(cost AS DOUBLE)) AS avg_cost,
+         CAST(max(cost) AS INTEGER) AS max_cost,
+         avg(quality_score) AS avg_q
+  FROM q2 GROUP BY 1
+),
+globalr AS (
+  SELECT avg(avg_cost) AS avg_reconstruction_cost,
+         CAST(max(max_cost) AS INTEGER) AS max_reconstruction_cost,
+         avg(avg_q) AS avg_quality_score
+  FROM percontent
+),
+per_content AS (
+  SELECT content_id,
+         CAST(sum(CASE WHEN kind='base' THEN 1 ELSE 0 END) AS BIGINT) AS bases,
+         CAST(sum(CASE WHEN kind='delta' THEN 1 ELSE 0 END) AS BIGINT) AS deltas
+  FROM {_VOK} GROUP BY 1
+),
+storage AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_contents,
+         CAST(sum(bases) AS BIGINT) AS total_base_snapshots,
+         CAST(sum(deltas) AS BIGINT) AS total_deltas,
+         avg(bases + deltas) AS avg_versions_per_content
+  FROM per_content
+)
+SELECT total_contents, total_base_snapshots, total_deltas,
+       round(avg_versions_per_content, 9) AS avg_versions_r,
+       round(avg_reconstruction_cost, 9) AS avg_cost_r,
+       max_reconstruction_cost,
+       round(avg_quality_score, 9) AS avg_quality_r
+FROM storage CROSS JOIN globalr
+"""
+)
+
+ORACLES["content_stats"] = (
+    _RECON_CTE
+    + f"""
+, q AS (
+  SELECT *, {_QUALITY_EXPR} AS error_bound, (target_seq - base_seq) AS base_distance FROM recon
+),
+q2 AS (SELECT *, {_QUALITY_FULL} AS quality_score FROM q),
+rstats AS (
+  SELECT content_id,
+         CAST(count(*) AS INTEGER) AS versions_analyzed,
+         CAST(max(cost) AS INTEGER) AS max_reconstruction_cost,
+         avg(quality_score) AS avg_q
+  FROM q2 GROUP BY 1
+),
+cstats AS (
+  SELECT content_id,
+         CAST(max(seq) AS INTEGER) AS max_sequence,
+         CAST(CAST(sum(CASE WHEN kind='base' THEN 1 ELSE 0 END) AS BIGINT) AS INTEGER) AS base_count,
+         CAST(CAST(sum(CASE WHEN kind='delta' THEN 1 ELSE 0 END) AS BIGINT) AS INTEGER) AS delta_count,
+         avg(CASE WHEN kind='delta' THEN magnitude END) AS avg_mag
+  FROM {_VOK} GROUP BY 1
+)
+SELECT c.content_id, c.max_sequence, c.base_count, c.delta_count,
+       round(c.avg_mag, 9) AS avg_mag_r,
+       r.versions_analyzed, r.max_reconstruction_cost,
+       round(r.avg_q, 9) AS avg_quality_r
+FROM cstats c LEFT JOIN rstats r USING (content_id)
+"""
+)
+
+ORACLES["reconstruct_by_id"] = (
+    _RECON_CTE
+    + f"""
+, ids AS (
+  SELECT version_id FROM {_VOK} WHERE kind = 'delta' AND seq % 5 = 2
+),
+parsed AS (
+  SELECT regexp_extract(version_id, '^(.*)_v(\\d+)$', 1) AS content_id,
+         CAST(regexp_extract(version_id, '^(.*)_v(\\d+)$', 2) AS INTEGER) AS target_seq
+  FROM ids
+)
+SELECT r.content_id, r.target_seq, r.base_seq, r.cost, r.emb_sum
+FROM recon r JOIN parsed p ON r.content_id = p.content_id AND r.target_seq = p.target_seq
+"""
+)
+
 ORACLES["advisor"] = (
     _RECON_CTE
     + """
@@ -918,13 +1050,13 @@ pairs AS (
   FROM bucket a JOIN bucket b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-shd AS (SELECT DISTINCT doc_id, sh FROM sh),
-sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+shd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(DISTINCT shh) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
 inter AS (
-  SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS n_inter
+  SELECT p.a_id, p.b_id, CAST(count(DISTINCT a.shh) AS BIGINT) AS n_inter
   FROM pairs p
   JOIN shd a ON a.doc_id = p.a_id
-  JOIN shd b ON b.doc_id = p.b_id AND b.sh = a.sh
+  JOIN shd b ON b.doc_id = p.b_id AND b.shh = a.shh
   GROUP BY 1, 2
 ),
 scored AS (
@@ -940,6 +1072,7 @@ SELECT a_id, b_id, n_inter, n_union,
 FROM scored WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.4
 """
 )
+ORACLES["ngram_jaccard"] = ORACLES["ngram_jaccard"].replace("{SHH}", _token_hash32_expr("sh"))
 
 _QEMB_CTE = """
 WITH e AS (
@@ -1229,6 +1362,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_efficiency": q_storage_efficiency,
     "reconstruction_stats": q_reconstruction_stats,
     "advisor": q_advisor,
+    "database_stats": q_database_stats,
+    "content_stats": q_content_stats,
+    "reconstruct_by_id": q_reconstruct_by_id,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
