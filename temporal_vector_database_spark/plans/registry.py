@@ -483,6 +483,30 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    from temporal_vector_database_spark.operators.temporal import asof_join
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    t_left, t_right = sorted(types)[0], sorted(types)[-1]
+    left = ev.where(F.col("event_type") == t_left).select("user_id", "ts_ms", "event_id")
+    # dedupe right to one row per (user, ts): keep max event_id (deterministic)
+    right = (
+        ev.where(F.col("event_type") == t_right)
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("r_event_id"), F.max("value").alias("r_value"))
+    )
+    res = asof_join(left, right, on="ts_ms", by=("user_id",), value_cols=("r_event_id", "r_value"))
+    return res.select(
+        "user_id",
+        "ts_ms",
+        "event_id",
+        "r_event_id_asof",
+        F.round("r_value_asof", 6).alias("r_value_asof"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
@@ -1292,6 +1316,22 @@ SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS window_start_ms, event_type,
 FROM events GROUP BY 1, 2
 """
 
+ORACLES["events_asof_join"] = """
+WITH ded AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         max(event_id) AS r_event_id, max(value) AS r_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+l AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.user_id, l.ts_ms, l.event_id,
+       d.r_event_id AS r_event_id_asof,
+       round(d.r_value, 6) AS r_value_asof
+FROM l ASOF LEFT JOIN ded d ON l.user_id = d.user_id AND l.ts_ms >= d.ts_ms
+"""
+
 ORACLES["events_sessionize"] = """
 WITH g AS (
   -- order by millisecond-truncated time to mirror the Spark side, which
@@ -1387,6 +1427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_type_stats": q_events_type_stats,
     "events_tumbling": q_events_tumbling,
+    "events_asof_join": q_events_asof_join,
     "customers_without_orders": q_customers_without_orders,
     "revenue_rollup": q_revenue_rollup,
     "part_setops": q_part_setops,

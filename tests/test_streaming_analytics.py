@@ -1,0 +1,86 @@
+"""Watermarked streaming windowed aggregation must equal the same plan run
+in batch (complete mode), and must drop late rows in append mode."""
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.streaming.analytics import windowed_event_stats
+
+SCHEMA = "ts timestamp, event_type string, user_id long, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows():
+    t0 = datetime(2025, 3, 1, 10, 0, 0)
+    out = []
+    for i in range(200):
+        out.append(
+            (
+                t0 + timedelta(minutes=i % 170),
+                "click" if i % 3 else "view",
+                i % 7,
+                float(i % 10) / 4,
+            )
+        )
+    return out
+
+
+def test_stream_equals_batch_complete_mode(spark, tmp_path):
+    rows = _rows()
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _events(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        windowed_event_stats(stream, "1 hour", "30 minutes")
+        .writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM win_stats").collect()}
+    want = {tuple(r) for r in windowed_event_stats(_events(spark, rows)).collect()}
+    assert got == want and len(want) >= 4
+
+
+def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
+    rows = _rows()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    _events(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+
+    from temporal_vector_database_spark.streaming.analytics import windowed_event_stats as ws
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        ws(stream, "1 hour", "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir)
+    # max event time 12:50 → watermark 12:20 → only the 10:00 and 11:00
+    # windows are finalized; the 12:00 window is still open and held back
+    starts = {r.window_start for r in emitted.select("window_start").distinct().collect()}
+    assert starts == {datetime(2025, 3, 1, 10), datetime(2025, 3, 1, 11)}
+    # emitted windows carry exactly the batch-computed values
+    batch = windowed_event_stats(_events(spark, rows))
+    want = {
+        tuple(r)
+        for r in batch.where(F.col("window_start") < F.lit(datetime(2025, 3, 1, 12))).collect()
+    }
+    assert {tuple(r) for r in emitted.collect()} == want
