@@ -62,8 +62,11 @@ class TemporalVectorDatabase:
         )
 
     def versions(self) -> DataFrame:
-        """The full ``versions`` table (SURVEY.md §1.4 schema)."""
-        return self.spark.read.parquet(self.table_path)
+        """The full ``versions`` table (SURVEY.md §1.4 schema).
+
+        ``mergeSchema`` tolerates tables written before optional columns
+        (e.g. ``metadata``) existed — schema evolution is additive-only."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
 
     # -- write path (O1-O3) --------------------------------------------------
 
@@ -87,17 +90,22 @@ class TemporalVectorDatabase:
         content_id: str,
         embedding: Sequence[float],
         timestamp: datetime | None = None,
-        metadata: dict | None = None,  # noqa: ARG002 - parity; carried via version_id only
+        metadata: dict | None = None,
         force_base_snapshot: bool = False,
     ) -> tuple[bool, int]:
         """Single-version convenience (reference
         ``add_content_version``, ``storage/temporal_database.py:86-178``).
-        Returns (success, assigned_seq). Prefer ``add_versions`` — per-row
-        inserts exist for parity, not throughput."""
+        User metadata is stored on the row; for delta rows it is merged
+        over the encoder's sparsity stats with user keys winning (quirk
+        #12, ``storage/temporal_database.py:172``). Returns
+        (success, assigned_seq). Prefer ``add_versions`` — per-row inserts
+        exist for parity, not throughput."""
         ts = timestamp or datetime.utcnow()
+        meta = {str(k): str(v) for k, v in (metadata or {}).items()} or None
         raw = self.spark.createDataFrame(
-            [(content_id, ts, [float(x) for x in embedding], bool(force_base_snapshot))],
-            "content_id string, ts timestamp, embedding array<double>, force_base boolean",
+            [(content_id, ts, [float(x) for x in embedding], bool(force_base_snapshot), meta)],
+            "content_id string, ts timestamp, embedding array<double>, "
+            "force_base boolean, metadata map<string,string>",
         )
         self.add_versions(raw)
         row = (

@@ -63,8 +63,33 @@ def _versions_schema(raw_schema: T.StructType) -> T.StructType:
             T.StructField("n_changed", T.IntegerType()),
             T.StructField("total_dims", T.IntegerType()),
             T.StructField("version_id", T.StringType()),
+            T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
         ]
     )
+
+
+def _user_meta(value) -> dict:
+    """Normalize an Arrow map cell (dict or list of (k, v) pairs) to a dict."""
+    if value is None:
+        return {}
+    if isinstance(value, dict):
+        return {str(k): str(v) for k, v in value.items()}
+    try:
+        return {str(k): str(v) for k, v in value}
+    except TypeError:
+        return {}
+
+
+def _delta_meta(user: dict, n_changed: int, dim: int) -> dict:
+    """Reference quirk #12 (``storage/temporal_database.py:172``): encoder
+    stats merged with user metadata, USER KEYS WIN (``dict.update``)."""
+    meta = {
+        "sparsity_ratio": repr(n_changed / dim),
+        "dimensions_changed": str(n_changed),
+        "total_dimensions": str(dim),
+    }
+    meta.update(user)
+    return meta
 
 
 def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -92,12 +117,13 @@ def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFra
         out: dict[str, list] = {k: [] for k in (
             "content_id", "seq", "ts", "kind", "embedding", "sparse_idx",
             "sparse_val", "from_seq", "magnitude", "n_changed", "total_dims",
-            "version_id",
+            "version_id", "metadata",
         )}
+        metas = pdf["metadata"] if "metadata" in pdf.columns else [None] * len(pdf)
         recon: np.ndarray | None = None
         last_base_seq = 0
-        for seq, ts, emb, force in zip(
-            pdf["seq"], pdf["ts"], pdf["embedding"], pdf["force_base"]
+        for seq, ts, emb, force, meta in zip(
+            pdf["seq"], pdf["ts"], pdf["embedding"], pdf["force_base"], metas
         ):
             seq = int(seq)
             raw_vec = np.asarray(emb, dtype=np.float64)
@@ -126,6 +152,7 @@ def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFra
                 out["magnitude"].append(None)
                 out["n_changed"].append(None)
                 out["version_id"].append(f"{content_id}_{int(pd.Timestamp(ts).value // 1000)}")
+                out["metadata"].append(_user_meta(meta) or None)
                 recon = raw_vec.copy()
                 last_base_seq = seq
             else:
@@ -139,6 +166,7 @@ def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFra
                 out["magnitude"].append(float(math.sqrt(float((diff * diff).sum()))))
                 out["n_changed"].append(int(idx.shape[0]))
                 out["version_id"].append(f"{content_id}_v{seq}")
+                out["metadata"].append(_delta_meta(_user_meta(meta), int(idx.shape[0]), dim))
                 recon = recon.copy()
                 recon[idx] += vals
         return pd.DataFrame(out)
@@ -207,8 +235,9 @@ def append_versions(
         out: dict[str, list] = {k: [] for k in (
             "content_id", "seq", "ts", "kind", "embedding", "sparse_idx",
             "sparse_val", "from_seq", "magnitude", "n_changed", "total_dims",
-            "version_id",
+            "version_id", "metadata",
         )}
+        metas = pdf["metadata"] if "metadata" in pdf.columns else [None] * len(pdf)
         st_seq = pdf["_st_last_seq"].iloc[0]
         if pd.notna(st_seq):
             last_seq = int(st_seq)
@@ -216,8 +245,8 @@ def append_versions(
             recon = np.asarray(pdf["_st_recon"].iloc[0], dtype=np.float64)
         else:
             last_seq, last_base_seq, recon = 0, 0, None
-        for ts, emb, force, interval in zip(
-            pdf["ts"], pdf["embedding"], pdf["force_base"], pdf["base_interval"]
+        for ts, emb, force, interval, meta in zip(
+            pdf["ts"], pdf["embedding"], pdf["force_base"], pdf["base_interval"], metas
         ):
             interval = int(interval) if pd.notna(interval) else interval_default
             raw_vec = np.asarray(emb, dtype=np.float64)
@@ -247,6 +276,7 @@ def append_versions(
                 out["magnitude"].append(None)
                 out["n_changed"].append(None)
                 out["version_id"].append(f"{content_id}_{int(pd.Timestamp(ts).value // 1000)}")
+                out["metadata"].append(_user_meta(meta) or None)
                 recon = raw_vec.copy()
                 last_base_seq = seq
             else:
@@ -260,6 +290,7 @@ def append_versions(
                 out["magnitude"].append(float(math.sqrt(float((diff * diff).sum()))))
                 out["n_changed"].append(int(idx.shape[0]))
                 out["version_id"].append(f"{content_id}_v{seq}")
+                out["metadata"].append(_delta_meta(_user_meta(meta), int(idx.shape[0]), dim))
                 recon = recon.copy()
                 recon[idx] += vals
             last_seq = seq

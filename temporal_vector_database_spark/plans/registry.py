@@ -507,6 +507,26 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def q_events_json_props(spark, sf_dir):
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.from_json("props", "k INT").alias("s"),
+    )
+    return (
+        parsed.withColumn("k2", F.col("s.k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(F.when(F.col("k") == F.col("k2"), 1).otherwise(0)).cast("long").alias("parse_agree"),
+        )
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
@@ -1316,6 +1336,14 @@ SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS window_start_ms, event_type,
 FROM events GROUP BY 1, 2
 """
 
+ORACLES["events_json_props"] = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS parse_agree
+FROM events GROUP BY 1
+"""
+
 ORACLES["events_asof_join"] = """
 WITH ded AS (
   SELECT user_id, epoch_ms(ts) AS ts_ms,
@@ -1428,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_stats": q_events_type_stats,
     "events_tumbling": q_events_tumbling,
     "events_asof_join": q_events_asof_join,
+    "events_json_props": q_events_json_props,
     "customers_without_orders": q_customers_without_orders,
     "revenue_rollup": q_revenue_rollup,
     "part_setops": q_part_setops,

@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from temporal_vector_database_spark.config import DEFAULT_CONFIG, TVDBConfig
+from temporal_vector_database_spark.operators.ingest import _delta_meta, _user_meta
 
 RAW_EVENT_SCHEMA = T.StructType(
     [
@@ -41,6 +42,7 @@ RAW_EVENT_SCHEMA = T.StructType(
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
         T.StructField("force_base", T.BooleanType()),
         T.StructField("base_interval", T.IntegerType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -58,6 +60,7 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_changed", T.IntegerType()),
         T.StructField("total_dims", T.IntegerType()),
         T.StructField("version_id", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -90,8 +93,9 @@ def _encode_group(cfg: TVDBConfig):
         out: dict[str, list] = {f.name: [] for f in OUTPUT_SCHEMA.fields}
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
-            for ts, emb, force, interval in zip(
-                pdf["ts"], pdf["embedding"], pdf["force_base"], pdf["base_interval"]
+            metas = pdf["metadata"] if "metadata" in pdf.columns else [None] * len(pdf)
+            for ts, emb, force, interval, meta in zip(
+                pdf["ts"], pdf["embedding"], pdf["force_base"], pdf["base_interval"], metas
             ):
                 interval = int(interval) if pd.notna(interval) else default_interval
                 raw_vec = np.asarray(emb, dtype=np.float64)
@@ -123,6 +127,7 @@ def _encode_group(cfg: TVDBConfig):
                     out["version_id"].append(
                         f"{content_id}_{int(pd.Timestamp(ts).value // 1000)}"
                     )
+                    out["metadata"].append(_user_meta(meta) or None)
                     recon = raw_vec.copy()
                     last_base_seq = seq
                 else:
@@ -136,6 +141,7 @@ def _encode_group(cfg: TVDBConfig):
                     out["magnitude"].append(float(math.sqrt(float((diff * diff).sum()))))
                     out["n_changed"].append(int(idx.shape[0]))
                     out["version_id"].append(f"{content_id}_v{seq}")
+                    out["metadata"].append(_delta_meta(_user_meta(meta), int(idx.shape[0]), dim))
                     recon = recon.copy()
                     recon[idx] += vals
                 last_seq = seq

@@ -91,3 +91,24 @@ def test_single_version_insert_and_search(db, spark):
     assert stats["total_contents"] == 2
     integ = {r.content_id: r.valid for r in db.validate_timeline_integrity().collect()}
     assert integ == {"a": True, "b": True}
+
+
+def test_metadata_merge_quirk(db, spark):
+    db.add_versions(_raw(spark, contents=("a",), n=2))
+    latest = db.get_latest_version("a")["embedding"]
+    nxt = list(latest)
+    nxt[0] += 2 / 128
+    nxt[5] -= 3 / 128
+    ok, seq = db.add_content_version(
+        "a", nxt, timestamp=T0 + timedelta(days=30),
+        metadata={"source": "unit", "total_dimensions": "override"},
+    )
+    assert ok and seq == 3
+    row = db.versions().where((F.col("content_id") == "a") & (F.col("seq") == 3)).first()
+    assert row.kind == "delta"
+    # encoder stats present, user keys win (reference quirk #12)
+    assert row.metadata["source"] == "unit"
+    assert row.metadata["total_dimensions"] == "override"
+    assert row.metadata["dimensions_changed"] == str(row.n_changed)
+    base = db.versions().where((F.col("content_id") == "a") & (F.col("seq") == 1)).first()
+    assert base.metadata is None

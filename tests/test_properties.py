@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): the encode → reconstruct loop is
+lossless for ANY timeline on the dyadic grid, and structural invariants
+hold for any generated history."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.config import TVDBConfig
+from temporal_vector_database_spark.operators.ingest import ingest
+from temporal_vector_database_spark.operators.reconstruct import reconstruct_all
+
+T0 = datetime(2025, 6, 1)
+
+
+@st.composite
+def timelines(draw):
+    """1-3 contents × 2-10 versions of dim-8 vectors on the 1/128 grid."""
+    n_contents = draw(st.integers(1, 3))
+    interval = draw(st.integers(2, 6))
+    out = []
+    for c in range(n_contents):
+        n_versions = draw(st.integers(2, 10))
+        vec = np.array(draw(st.lists(st.integers(-256, 256), min_size=8, max_size=8))) / 128.0
+        for k in range(1, n_versions + 1):
+            if k > 1:
+                n_changed = draw(st.integers(0, 8))
+                dims = draw(
+                    st.lists(st.integers(0, 7), min_size=n_changed, max_size=n_changed, unique=True)
+                )
+                steps = draw(st.lists(st.integers(-5, 5), min_size=n_changed, max_size=n_changed))
+                delta = np.zeros(8)
+                delta[dims] = np.array(steps) / 128.0
+                vec = vec + delta
+            out.append((f"c{c}", T0 + timedelta(days=k), [float(x) for x in vec], interval))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(timelines())
+def test_encode_reconstruct_roundtrip(spark, rows):
+    raw = spark.createDataFrame(
+        rows, "content_id string, ts timestamp, embedding array<double>, base_interval int"
+    )
+    cfg = TVDBConfig(base_snapshot_interval=rows[0][3])
+    versions = ingest(raw, cfg)
+    rec = reconstruct_all(versions)
+    got = {
+        (r.content_id, r.target_seq): list(r.embedding)
+        for r in rec.collect()
+    }
+    from pyspark.sql import Window
+
+    truth = {
+        (r.content_id, r.seq): list(r.embedding)
+        for r in raw.withColumn(
+            "seq", F.row_number().over(Window.partitionBy("content_id").orderBy("ts"))
+        ).collect()
+    }
+    # The encode is deliberately lossy: per-dim changes below the sparsity
+    # threshold are dropped and carried as residue (reference
+    # core/delta_computer.py:63-66). The residue resets whenever a dim's
+    # cumulative diff crosses the threshold (applied) or a base is stored,
+    # so the TRUE invariant is |recon - raw|_inf < threshold, with exact
+    # equality on base rows.
+    kinds = {(r.content_id, r.seq): r.kind for r in versions.collect()}
+    assert got.keys() == truth.keys()
+    for key in got:
+        err = max(abs(a - b) for a, b in zip(got[key], truth[key]))
+        if kinds[key] == "base":
+            assert err == 0.0
+        else:
+            assert err < cfg.sparsity_threshold
+
+
+@settings(max_examples=5, deadline=None)
+@given(timelines())
+def test_structural_invariants(spark, rows):
+    raw = spark.createDataFrame(
+        rows, "content_id string, ts timestamp, embedding array<double>, base_interval int"
+    )
+    cfg = TVDBConfig(base_snapshot_interval=rows[0][3])
+    v = ingest(raw, cfg).collect()
+    by_content: dict[str, list] = {}
+    for r in v:
+        by_content.setdefault(r.content_id, []).append(r)
+    for rows_c in by_content.values():
+        rows_c.sort(key=lambda r: r.seq)
+        assert rows_c[0].seq == 1 and rows_c[0].kind == "base"  # first is base
+        seqs = [r.seq for r in rows_c]
+        assert seqs == list(range(1, len(rows_c) + 1))  # dense seqs
+        interval = rows[0][3]
+        for r in rows_c:
+            if r.kind == "delta":
+                assert r.from_seq == r.seq - 1  # consecutive chains
+                assert r.embedding is None and r.sparse_idx is not None
+                assert all(abs(x) >= cfg.sparsity_threshold for x in r.sparse_val)
+                assert (r.seq - 1) % interval != 0  # interval rule would have promoted
+            else:
+                assert r.sparse_idx is None and r.embedding is not None
