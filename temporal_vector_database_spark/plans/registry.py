@@ -417,6 +417,33 @@ def q_tpch_q3_top10(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue by nation within one region
+    and order-date year. Six-table join — dims broadcast, fact joins
+    shuffle on keys, Catalyst/AQE pick the order."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)  # "local supplier"
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
 def q_top_orders_per_customer(spark, sf_dir):
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1292,6 +1319,21 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+ORACLES["tpch_q5"] = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
 ORACLES["top_orders_per_customer"] = """
 SELECT o_custkey, o_orderkey, rank FROM (
   SELECT o_custkey, o_orderkey,
@@ -1451,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_top10": q_tpch_q3_top10,
+    "tpch_q5": q_tpch_q5,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
     "events_type_stats": q_events_type_stats,

@@ -80,3 +80,25 @@ def test_encode_matches_fixture_exactly(versions_raw, versions):
     ).count()
     assert joined.count() == expected.count()
     assert diff == 0
+
+
+def test_bucketed_layout_removes_window_exchange(spark, versions):
+    from temporal_vector_database_spark.operators.reconstruct import with_governing_base
+    from temporal_vector_database_spark.sources.tables import write_versions_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS _vb_test")
+    write_versions_bucketed(versions, "_vb_test", buckets=4)
+    try:
+        plan_plain = (
+            with_governing_base(versions)._jdf.queryExecution().executedPlan().toString()
+        )
+        plan_bucketed = (
+            with_governing_base(spark.table("_vb_test"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan_plain.count("Exchange") >= 1
+        assert plan_bucketed.count("Exchange") == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _vb_test")
