@@ -379,6 +379,33 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(decode_payload(with_payload(docs)), every_k=4)
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid — the vector-aggregate building block
+    (class prototypes / IVF training step). posexplode → per-dim avg is
+    fully partial-aggregatable (map-side combine), unlike array-valued
+    aggregation."""
+    emb = _quantized_embeddings(spark, sf_dir)
+    lab = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select("vec_id", "label")
+    return (
+        emb.join(lab, "vec_id")
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("x"), 9).alias("centroid_r"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def q_price_quantiles(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     return (
@@ -1319,6 +1346,27 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
+ORACLES["label_centroids"] = """
+WITH e AS (
+  SELECT label, list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+x AS (
+  SELECT label, CAST(t.i - 1 AS INTEGER) AS dim, emb[t.i] AS x
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+)
+SELECT label, dim, round(avg(x), 9) AS centroid_r, CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY 1, 2
+"""
+
+ORACLES["price_quantiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
 ORACLES["tpch_q5"] = """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
@@ -1491,6 +1539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
+    "label_centroids": q_label_centroids,
+    "price_quantiles": q_price_quantiles,
     "tpch_q1": q_tpch_q1,
     "tpch_q3_top10": q_tpch_q3_top10,
     "tpch_q5": q_tpch_q5,
