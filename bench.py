@@ -65,8 +65,17 @@ def main() -> None:
     spark = get_spark("tvdb-bench")
     qs = query_map()
 
-    # JVM/codegen warmup on a tiny query
+    # JVM/codegen + Arrow/pandas-UDF warmup on tiny inputs, so the first
+    # measured query doesn't absorb JIT and Python-worker startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: PLC0415
+
+    warm = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    warm.groupBy("k").applyInPandas(lambda p: p, schema="k int, v double").collect()
+    spark.sql(
+        "SELECT aggregate(transform(sequence(1, 8), x -> cast(x as double)),"
+        " 0D, (a, x) -> a + x), md5('w')"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
