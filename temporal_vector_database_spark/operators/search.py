@@ -241,3 +241,65 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vid").alias(id_col), "sim")
     )
+
+
+def build_search_index(
+    versions: DataFrame,
+    id_cols: tuple[str, ...] = ("content_id", "seq"),
+    emb_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """S1 index build: the base-snapshot projection with precomputed L2
+    norms, materialized for repeated searches.
+
+    The reference builds its FAISS index once at startup and appends per
+    base insert (``storage/storage_engine.py:83-110``); the Spark analogue
+    is this cached/checkpointed (id, embedding, norm) table — "index build"
+    is just materializing it. Feed to ``topk_cosine_indexed``.
+    """
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    bases = versions.where(F.col("kind") == "base") if "kind" in versions.columns else versions
+    idx = bases.select(
+        *id_cols,
+        F.col(emb_col).alias("_c_emb"),
+        l2_norm(F.col(emb_col)).alias("_c_nrm"),
+    )
+    return idx.localCheckpoint(eager=True) if materialize else idx
+
+
+def topk_cosine_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int | None = None,
+    id_cols: tuple[str, ...] = ("content_id", "seq"),
+) -> DataFrame:
+    """Per-query top-k against a prebuilt ``build_search_index`` table —
+    skips the per-call norm computation and base filtering; otherwise
+    identical (bit-for-bit) to ``topk_cosine``."""
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    q = queries.select(
+        "query_id",
+        F.col("embedding").alias("_q_emb"),
+        l2_norm(F.col("embedding")).alias("_q_nrm"),
+        *(["k"] if "k" in queries.columns else []),
+    )
+    scored = index.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        *id_cols,
+        *(["k"] if "k" in q.columns else []),
+        _guarded_sim("_q_emb", "_c_emb", "_q_nrm", "_c_nrm").alias("sim"),
+    )
+    has_k_col = "k" in scored.columns
+    if k is not None:
+        scored = scored.withColumn("k", F.lit(int(k)))
+    elif not has_k_col:
+        scored = scored.withColumn("k", F.lit(5))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), *[F.asc(c) for c in id_cols])
+    return (
+        scored.where(F.col("sim") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .drop("k", "_q_emb", "_q_nrm")
+    )

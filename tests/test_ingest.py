@@ -102,3 +102,23 @@ def test_bucketed_layout_removes_window_exchange(spark, versions):
         assert plan_bucketed.count("Exchange") == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS _vb_test")
+
+
+def test_force_base_mid_stream(spark):
+    from datetime import datetime, timedelta
+
+    from temporal_vector_database_spark.config import FIXTURE_CONFIG
+    from temporal_vector_database_spark.operators.ingest import ingest
+
+    t0 = datetime(2025, 1, 1)
+    rows = []
+    vec = [0.5] * 8
+    for k in range(1, 6):
+        vec = [v + (2 / 128 if k > 1 else 0) * (1 if i == k else 0) for i, v in enumerate(vec)]
+        rows.append(("f", t0 + timedelta(days=k), vec, k == 3))
+    raw = spark.createDataFrame(
+        rows, "content_id string, ts timestamp, embedding array<double>, force_base boolean"
+    )
+    enc = {r.seq: r.kind for r in ingest(raw, FIXTURE_CONFIG).collect()}
+    # forced base at 3 (reference force_base_snapshot param); 1 is always base
+    assert enc == {1: "base", 2: "delta", 3: "base", 4: "delta", 5: "delta"}

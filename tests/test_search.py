@@ -52,3 +52,22 @@ def test_deltas_invisible_to_search(versions, queries_vec):
     delta_keys = versions.where(F.col("kind") == "delta").select("content_id", "seq")
     leaked = got.join(delta_keys, ["content_id", "seq"], "inner").count()
     assert leaked == 0
+
+
+def test_indexed_search_matches_direct(spark, versions, queries_vec):
+    from temporal_vector_database_spark.operators.search import (
+        build_search_index,
+        search_similar_snapshots,
+        topk_cosine_indexed,
+    )
+
+    idx = build_search_index(versions)
+    got = {
+        (r.query_id, r.rank): (r.content_id, r.seq, r.sim)
+        for r in topk_cosine_indexed(idx, queries_vec).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.content_id, r.seq, r.sim)
+        for r in search_similar_snapshots(versions, queries_vec).collect()
+    }
+    assert got == want and len(got) > 0
