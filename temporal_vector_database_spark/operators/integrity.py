@@ -97,3 +97,31 @@ def validate_timeline_integrity(versions: DataFrame, gap_flag: int = 20) -> Data
         .withColumn("large_gap", F.coalesce(F.col("max_base_gap") > gap_flag, F.lit(False)))
     )
     return out
+
+
+def invalid_reconstruction_targets(versions: DataFrame, targets: DataFrame) -> DataFrame:
+    """Targets that CANNOT be reconstructed, with the reason — the
+    DataFrame analogue of the reference's exceptions (a target below the
+    first base raises ValueError, ``core/delta_computer.py:116-119``; an
+    unknown content/sequence returns None,
+    ``storage/temporal_database.py:190-195``). ``reconstruct_at`` silently
+    omits these rows; callers wanting strict semantics anti-join against
+    this report."""
+    v = versions.groupBy("content_id").agg(
+        F.max("seq").alias("_max_seq"),
+        F.min(F.when(F.col("kind") == "base", F.col("seq"))).alias("_first_base"),
+    )
+    j = targets.join(v, "content_id", "left")
+    return (
+        j.withColumn(
+            "reason",
+            F.when(F.col("_max_seq").isNull(), F.lit("unknown_content"))
+            .when(F.col("target_seq") > F.col("_max_seq"), F.lit("beyond_latest"))
+            .when(
+                F.col("_first_base").isNull() | (F.col("target_seq") < F.col("_first_base")),
+                F.lit("no_base_at_or_before_target"),
+            ),
+        )
+        .where(F.col("reason").isNotNull())
+        .select("content_id", "target_seq", "reason")
+    )

@@ -124,12 +124,24 @@ def reconstruct_at(versions: DataFrame, targets: DataFrame) -> DataFrame:
     Batch generalization of ``reconstruct_embedding_from_nearest``
     (``core/delta_computer.py:90-135``) — any number of point lookups in one
     distributed plan.
+
+    A target must be a STORED sequence: the reference's
+    ``get_delta_chain`` raises on any gap (``core/data_structures.py:
+    272-273``), so a nonexistent seq (unknown content, beyond-latest,
+    dropped row) can never reconstruct. Such targets produce no output
+    row here — ``integrity.invalid_reconstruction_targets`` reports them
+    with reasons for callers wanting strict errors.
     """
     tagged = with_governing_base(versions)
+    stored = targets.join(
+        versions.select("content_id", F.col("seq").alias("target_seq")),
+        ["content_id", "target_seq"],
+        "left_semi",
+    )
     tb = (
         tagged.where(F.col("kind") == "base")
         .select("content_id", F.col("seq").alias("bseq"))
-        .join(targets, "content_id")
+        .join(stored, "content_id")
         .where(F.col("bseq") <= F.col("target_seq"))
         .groupBy("content_id", "target_seq")
         .agg(F.max("bseq").alias("base_seq"))

@@ -303,3 +303,56 @@ def topk_cosine_indexed(
         .where(F.col("rank") <= F.col("k"))
         .drop("k", "_q_emb", "_q_nrm")
     )
+
+
+def mllib_lsh_neighbors(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Library-backed ANN path: MLlib ``BucketedRandomProjectionLSH``
+    approximate top-k, third variant next to brute-force and IVF.
+
+    Both sides are L2-normalized first, so euclidean distance is monotone
+    in cosine (``d² = 2 − 2·cos``) and the returned ``sim`` is cosine.
+    Deterministic for a fixed ``seed``, but NOT engine-portable (random
+    hyperplanes come from Spark's RNG) — hence no DuckDB oracle; recall is
+    test-pinned against brute force instead.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from temporal_vector_database_spark.functions.vector import normalize
+
+    cand = embeddings.select(
+        F.col(id_col).alias("vid"),
+        array_to_vector(normalize(F.col(emb_col)).cast("array<double>")).alias("features"),
+    )
+    q = queries.select(
+        "query_id",
+        array_to_vector(normalize(F.col(emb_col)).cast("array<double>")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(cand)
+    joined = model.approxSimilarityJoin(q, cand, threshold=2.0, distCol="dist")
+    scored = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.vid").alias(id_col),
+        (1.0 - F.col("dist") * F.col("dist") / 2.0).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.where(F.col("sim") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

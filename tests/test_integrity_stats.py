@@ -77,3 +77,31 @@ def test_list_content_ids(versions):
     ids = [r.content_id for r in list_content_ids(versions).collect()]
     assert ids == sorted(ids)
     assert "c00000" in ids and "longchain" in ids
+
+
+def test_invalid_reconstruction_targets(spark, versions):
+    from temporal_vector_database_spark.operators.integrity import (
+        invalid_reconstruction_targets,
+    )
+    from temporal_vector_database_spark.operators.reconstruct import reconstruct_at
+
+    targets = spark.createDataFrame(
+        [
+            ("c00000", 1),        # valid
+            ("c00000", 999),      # beyond latest
+            ("nope", 1),          # unknown content
+            ("corrupt2", 2),      # first base missing -> nothing at-or-before
+        ],
+        "content_id string, target_seq int",
+    )
+    bad = {
+        (r.content_id, r.target_seq): r.reason
+        for r in invalid_reconstruction_targets(versions, targets).collect()
+    }
+    assert bad[("c00000", 999)] == "beyond_latest"
+    assert bad[("nope", 1)] == "unknown_content"
+    assert bad[("corrupt2", 2)] == "no_base_at_or_before_target"
+    assert ("c00000", 1) not in bad
+    # reconstruct_at silently omits exactly the invalid ones
+    got = {(r.content_id, r.target_seq) for r in reconstruct_at(versions, targets).collect()}
+    assert got == {("c00000", 1)}

@@ -71,3 +71,40 @@ def test_indexed_search_matches_direct(spark, versions, queries_vec):
         for r in search_similar_snapshots(versions, queries_vec).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_mllib_lsh_recall_vs_brute_force(spark):
+    import numpy as np
+
+    from temporal_vector_database_spark.operators.search import (
+        mllib_lsh_neighbors,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        center = np.zeros(16)
+        center[i % 4] = 10.0
+        rows.append((i, [float(x) for x in center + rng.normal(0, 0.5, 16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    queries = df.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    lsh = mllib_lsh_neighbors(df, queries, k=10)
+    brute = topk_cosine(df, queries, k=10, id_cols=("vec_id",))
+    lsh_sets = {}
+    for r in lsh.collect():
+        lsh_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    brute_sets = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # every query finds itself, and recall@10 vs brute force is high
+    recalls = []
+    for qid, want in brute_sets.items():
+        got = lsh_sets.get(qid, set())
+        assert qid in got
+        recalls.append(len(got & want) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8

@@ -84,3 +84,24 @@ def test_append_mode_emits_only_finalized_windows(spark, tmp_path):
         for r in batch.where(F.col("window_start") < F.lit(datetime(2025, 3, 1, 12))).collect()
     }
     assert {tuple(r) for r in emitted.collect()} == want
+
+
+def test_streaming_search_matches_batch(spark, tmp_path, versions, queries_vec):
+    from temporal_vector_database_spark.operators.search import (
+        build_search_index,
+        topk_cosine_indexed,
+    )
+    from temporal_vector_database_spark.streaming.search import run_search_stream
+
+    in_dir = str(tmp_path / "queries_in")
+    out_dir = str(tmp_path / "hits")
+    ckpt = str(tmp_path / "ckpt")
+    queries_vec.coalesce(1).write.mode("append").parquet(in_dir)
+
+    idx = build_search_index(versions)
+    stream = spark.readStream.schema(queries_vec.schema).parquet(in_dir)
+    run_search_stream(stream, idx, out_dir, ckpt)
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in topk_cosine_indexed(idx, queries_vec).collect()}
+    assert got == want and len(want) > 0
