@@ -22,7 +22,9 @@ the reconstructed predecessor — reference write path
 ``storage/temporal_database.py:86-178``).
 """
 
-from temporal_vector_database_spark.config import TVDBConfig
+from temporal_vector_database_spark.api import TemporalVectorDatabase
+from temporal_vector_database_spark.config import DEFAULT_CONFIG, TVDBConfig
+from temporal_vector_database_spark.session import get_spark
 
-__all__ = ["TVDBConfig"]
+__all__ = ["DEFAULT_CONFIG", "TVDBConfig", "TemporalVectorDatabase", "get_spark"]
 __version__ = "0.1.0"
