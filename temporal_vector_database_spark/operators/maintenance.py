@@ -1,0 +1,102 @@
+"""Timeline maintenance: base promotion (compaction) and retention.
+
+The reference's advisor only REPORTS high-cost sequences
+(``optimize_content_bases``, ``storage/temporal_database.py:443-494``) —
+it has no operator to act on the report. These close the loop:
+
+- ``promote_bases``: replace chosen delta rows with materialized base
+  rows. EXACT by construction: the new base stores the reconstruction at
+  that seq, and every downstream delta encodes the diff against exactly
+  that reconstruction, so all reconstructions are bit-identical before
+  and after (test-pinned). Chain costs after the new base drop.
+- ``truncate_before``: retention — drop all versions with ``ts < cutoff``
+  while preserving every reconstruction at-or-after the cutoff, by first
+  promoting each content's as-of version at the cutoff to a base.
+
+Both are pure DataFrame→DataFrame rewrites (no driver loops); at cluster
+scale they run as one reconstruction pass + an anti-join rewrite, and the
+result is written as a new table version (append-only storage model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.reconstruct import reconstruct_at
+
+
+def _as_base_rows(versions: DataFrame, targets: DataFrame) -> DataFrame:
+    """Materialize (content_id, target_seq) reconstructions as base rows
+    carrying the original row's ts/total_dims/metadata."""
+    rec = reconstruct_at(versions, targets).select(
+        "content_id", F.col("target_seq").alias("seq"), "embedding"
+    )
+    orig = versions.join(
+        targets.select("content_id", F.col("target_seq").alias("seq")),
+        ["content_id", "seq"],
+        "left_semi",
+    )
+    meta_cols = [c for c in ("metadata",) if c in versions.columns]
+    return orig.select(
+        "content_id", "seq", "ts", "total_dims", "version_id", *meta_cols
+    ).join(rec, ["content_id", "seq"]).select(
+        "content_id",
+        "seq",
+        "ts",
+        F.lit("base").alias("kind"),
+        "embedding",
+        F.lit(None).cast("array<int>").alias("sparse_idx"),
+        F.lit(None).cast("array<double>").alias("sparse_val"),
+        F.lit(None).cast("int").alias("from_seq"),
+        F.lit(None).cast("double").alias("magnitude"),
+        F.lit(None).cast("int").alias("n_changed"),
+        "total_dims",
+        # base id format (data_structures.py:38-39): content + timestamp
+        F.concat(
+            F.col("content_id"),
+            F.lit("_"),
+            # microsecond epoch, matching the ingest base-id format (UTC session tz)
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        ).alias("version_id"),
+        *meta_cols,
+    )
+
+
+def promote_bases(versions: DataFrame, targets: DataFrame) -> DataFrame:
+    """Compaction: rewrite the chosen delta sequences as base snapshots
+    (e.g. feed it the advisor's recommendations). Reconstruction-
+    preserving by construction."""
+    new_bases = _as_base_rows(versions, targets)
+    keep = versions.join(
+        targets.select("content_id", F.col("target_seq").alias("seq")),
+        ["content_id", "seq"],
+        "left_anti",
+    )
+    return keep.unionByName(new_bases, allowMissingColumns=True)
+
+
+def truncate_before(versions: DataFrame, cutoff) -> DataFrame:
+    """Retention: drop rows with ``ts < cutoff`` keeping all
+    reconstructions at ``ts >= cutoff`` intact. Each content's governing
+    version at the cutoff is promoted to a base first (if it isn't one),
+    so surviving delta chains still have a base at-or-before them."""
+    anchor = (
+        versions.where(F.col("ts") < F.lit(cutoff))
+        .groupBy("content_id")
+        .agg(F.max("seq").alias("target_seq"))
+    )
+    # only promote anchors that are deltas (bases already self-contained)
+    anchor_deltas = anchor.join(
+        versions.where(F.col("kind") == "delta").select(
+            "content_id", F.col("seq").alias("target_seq")
+        ),
+        ["content_id", "target_seq"],
+        "left_semi",
+    )
+    promoted = promote_bases(versions, anchor_deltas)
+    keep_seqs = anchor.select("content_id", F.col("target_seq").alias("_keep_seq"))
+    out = promoted.join(keep_seqs, "content_id", "left").where(
+        (F.col("ts") >= F.lit(cutoff)) | (F.col("seq") == F.col("_keep_seq"))
+    )
+    return out.drop("_keep_seq")

@@ -235,6 +235,21 @@ def q_reconstruct_by_id(spark, sf_dir):
     return _emb_sums(rec).select("content_id", "target_seq", "base_seq", "cost", "emb_sum")
 
 
+def q_compaction_invariance(spark, sf_dir):
+    """Apply the advisor's base promotions, then reconstruct EVERYTHING —
+    the oracle is the reconstruction of the UNCOMPACTED table, proving the
+    maintenance rewrite is value-preserving."""
+    from temporal_vector_database_spark.operators.maintenance import promote_bases
+
+    v = _versions_ok(spark, sf_dir)
+    recs = S.optimize_content_bases(v).select(
+        "content_id", F.col("seq").alias("target_seq")
+    )
+    promoted = promote_bases(v, recs)
+    rec = R.reconstruct_all(promoted)
+    return _emb_sums(rec).select("content_id", "target_seq", "emb_sum", "emb_wsum")
+
+
 # ---- beyond-reference: LLM-data-pipeline operators over driver tables ----
 
 def q_dedup_exact(spark, sf_dir):
@@ -722,6 +737,10 @@ SELECT content_id, target_seq, base_seq, cost,
        emb_sum
 FROM q
 """
+)
+
+ORACLES["compaction_invariance"] = (
+    _RECON_CTE + "SELECT content_id, target_seq, emb_sum, emb_wsum FROM recon"
 )
 
 ORACLES["asof_resolve"] = """
@@ -1520,6 +1539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "storage_efficiency": q_storage_efficiency,
     "reconstruction_stats": q_reconstruction_stats,
     "advisor": q_advisor,
+    "compaction_invariance": q_compaction_invariance,
     "database_stats": q_database_stats,
     "content_stats": q_content_stats,
     "reconstruct_by_id": q_reconstruct_by_id,

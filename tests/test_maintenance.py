@@ -1,0 +1,55 @@
+"""Maintenance operators must preserve reconstructions bit-for-bit."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.maintenance import (
+    promote_bases,
+    truncate_before,
+)
+from temporal_vector_database_spark.operators.reconstruct import reconstruct_all
+from temporal_vector_database_spark.operators.stats import optimize_content_bases
+
+
+def _recon_map(versions):
+    return {
+        (r.content_id, r.target_seq): (list(r.embedding), r.base_seq, r.cost)
+        for r in reconstruct_all(versions).collect()
+    }
+
+
+def test_promote_bases_preserves_reconstructions(versions):
+    v = versions.where(F.col("content_id") == "longchain")
+    before = _recon_map(v)
+    recs = optimize_content_bases(v)  # longchain: 1 base + 11 deltas → high cost
+    assert recs.count() > 0
+    promoted = promote_bases(v, recs.select("content_id", F.col("seq").alias("target_seq")))
+    after = _recon_map(promoted)
+    assert {k: e for k, (e, _, _) in after.items()} == {k: e for k, (e, _, _) in before.items()}
+    # cost at the promoted seq drops to 0 and downstream chains shorten
+    assert max(c for _, _, c in after.values()) < max(c for _, _, c in before.values())
+    # advisor is satisfied after compaction
+    assert optimize_content_bases(promoted).count() == 0
+
+
+def test_truncate_before_keeps_post_cutoff_reconstructions(versions):
+    v = versions.where(F.col("content_id") == "c00000")
+    # cutoff just after seq 8 (mid-epoch: its governing base is 6, so the
+    # anchor promotion path is exercised)
+    cutoff = v.where(F.col("seq") == 8).first().ts + datetime.timedelta(hours=1)
+    before = {
+        k: e for k, (e, _, _) in _recon_map(v).items()
+    }
+    truncated = truncate_before(v, cutoff)
+    # dropped something, kept the anchor
+    assert truncated.count() < v.count()
+    after = _recon_map(truncated)
+    kept_ts = {
+        (r.content_id, r.seq)
+        for r in truncated.select("content_id", "seq", "ts").collect()
+    }
+    for key, (emb, _, _) in after.items():
+        assert emb == before[key]
+    # every surviving row reconstructs (no dangling chains)
+    assert set(after.keys()) == kept_ts
