@@ -213,3 +213,33 @@ class TemporalVectorDatabase:
     def list_content_ids(self) -> list[str]:
         """O13 (``storage/temporal_database.py:332-352``)."""
         return [r.content_id for r in S.list_content_ids(self.versions()).collect()]
+
+    # -- maintenance (beyond-reference: acts on the advisor's report) ---------
+
+    def compact(self, max_cost: int | None = None) -> int:
+        """Apply the advisor's base promotions to the stored table
+        (reconstruction-preserving, see ``operators/maintenance``).
+        Returns the number of promoted sequences."""
+        from temporal_vector_database_spark.operators.maintenance import promote_bases
+
+        v = self.versions()
+        recs = S.optimize_content_bases(v, max_cost=max_cost, cfg=self.cfg).select(
+            "content_id", F.col("seq").alias("target_seq")
+        )
+        n = recs.count()
+        if n == 0:
+            return 0
+        rewritten = promote_bases(v, recs).localCheckpoint(eager=True)
+        rewritten.write.mode("overwrite").parquet(self.table_path)
+        return n
+
+    def truncate_before(self, cutoff: datetime) -> int:
+        """Retention: drop versions older than ``cutoff`` (anchor versions
+        are promoted to bases first). Returns rows removed."""
+        from temporal_vector_database_spark.operators.maintenance import truncate_before
+
+        v = self.versions()
+        before = v.count()
+        rewritten = truncate_before(v, cutoff).localCheckpoint(eager=True)
+        rewritten.write.mode("overwrite").parquet(self.table_path)
+        return before - rewritten.count()

@@ -112,3 +112,36 @@ def test_metadata_merge_quirk(db, spark):
     assert row.metadata["dimensions_changed"] == str(row.n_changed)
     base = db.versions().where((F.col("content_id") == "a") & (F.col("seq") == 1)).first()
     assert base.metadata is None
+
+
+def test_facade_compact_and_truncate(db, spark):
+    # a long chain: one base + 14 deltas via interval-100 override
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vec = np.round(rng.normal(size=16) * 128) / 128
+    rows = []
+    for k in range(1, 16):
+        if k > 1:
+            noise = np.zeros(16)
+            dims = rng.choice(16, size=3, replace=False)
+            noise[dims] = rng.integers(2, 4, size=3) / 128
+            vec = vec + noise
+        rows.append(("lc", T0 + timedelta(days=k), [float(x) for x in vec], False, 100))
+    raw = spark.createDataFrame(
+        rows,
+        "content_id string, ts timestamp, embedding array<double>, "
+        "force_base boolean, base_interval int",
+    )
+    db.add_versions(raw)
+    latest_before = db.get_latest_version("lc")
+    assert latest_before["cost"] > 10  # advisor-worthy chain
+    n = db.compact()
+    assert n > 0
+    latest_after = db.get_latest_version("lc")
+    assert latest_after["embedding"] == latest_before["embedding"]
+    assert latest_after["cost"] <= 10
+    removed = db.truncate_before(T0 + timedelta(days=8))
+    assert removed > 0
+    still = db.get_latest_version("lc")
+    assert still["embedding"] == latest_before["embedding"]
