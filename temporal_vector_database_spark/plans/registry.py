@@ -486,6 +486,39 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_top_orders_per_customer(spark, sf_dir):
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1401,6 +1434,26 @@ WHERE c_nationkey = s_nationkey
 GROUP BY n_name
 """
 
+ORACLES["tpch_q6"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["tpch_q14"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
 ORACLES["top_orders_per_customer"] = """
 SELECT o_custkey, o_orderkey, rank FROM (
   SELECT o_custkey, o_orderkey,
@@ -1564,6 +1617,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3_top10": q_tpch_q3_top10,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
     "events_type_stats": q_events_type_stats,
