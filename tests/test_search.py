@@ -108,3 +108,34 @@ def test_mllib_lsh_recall_vs_brute_force(spark):
         assert qid in got
         recalls.append(len(got & want) / len(want))
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_hof_and_pandas_kernels_agree(spark, versions):
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.functions.vector import cosine, dot, l2_norm
+    from temporal_vector_database_spark.functions.vector_pandas import (
+        cosine_pdf,
+        dot_pdf,
+        l2_norm_pdf,
+    )
+
+    bases = versions.where(F.col("kind") == "base").limit(200)
+    a = bases.select(
+        F.col("embedding").alias("a"),
+        F.reverse("embedding").alias("b"),
+    )
+    d_np, n_np, c_np = dot_pdf(), l2_norm_pdf(), cosine_pdf()
+    rows = a.select(
+        dot("a", "b").alias("d_hof"),
+        d_np("a", "b").alias("d_np"),
+        l2_norm("a").alias("n_hof"),
+        n_np("a").alias("n_np"),
+        cosine("a", "b").alias("c_hof"),
+        c_np("a", "b").alias("c_np"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.d_hof - r.d_np) < 1e-12 * max(1.0, abs(r.d_hof))
+        assert abs(r.n_hof - r.n_np) < 1e-12 * max(1.0, abs(r.n_hof))
+        assert abs(r.c_hof - r.c_np) < 1e-12
