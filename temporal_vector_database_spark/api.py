@@ -27,7 +27,6 @@ from temporal_vector_database_spark.operators import integrity as I
 from temporal_vector_database_spark.operators import reconstruct as R
 from temporal_vector_database_spark.operators import stats as S
 from temporal_vector_database_spark.operators.ingest import append_versions
-from temporal_vector_database_spark.operators.search import search_similar_snapshots
 
 
 def _result_dict(row: Row) -> dict[str, Any]:
@@ -49,6 +48,7 @@ class TemporalVectorDatabase:
         self.spark = spark
         self.table_path = table_path
         self.cfg = cfg
+        self._index: DataFrame | None = None  # materialized search index
 
     # -- storage ------------------------------------------------------------
 
@@ -83,6 +83,7 @@ class TemporalVectorDatabase:
         encoded = encoded.localCheckpoint(eager=True)  # freeze before append
         n = encoded.count()
         encoded.write.mode("append").parquet(self.table_path)
+        self._invalidate_index()
         return n
 
     def add_content_version(
@@ -161,20 +162,39 @@ class TemporalVectorDatabase:
 
     # -- search (S1) ---------------------------------------------------------
 
+    def _search_index(self) -> DataFrame:
+        """Materialized normalized-base index, built lazily and reused
+        across searches until a write invalidates it — the Spark analogue
+        of the reference's startup index build + per-insert append
+        (``storage/storage_engine.py:83-110,153-164``)."""
+        from temporal_vector_database_spark.operators.search import build_search_index
+
+        if self._index is None:
+            self._index = build_search_index(self.versions())
+        return self._index
+
+    def _invalidate_index(self) -> None:
+        self._index = None
+
     def search_similar_content(self, query_embedding: Sequence[float], k: int = 5) -> list[tuple]:
         """S1 (``search_similar_content``,
         ``storage/temporal_database.py:274-287``): exact cosine top-k over
         base snapshots, ``sim > 0`` only. Returns [(content_id, seq, sim)]."""
+        from temporal_vector_database_spark.operators.search import topk_cosine_indexed
+
         q = self.spark.createDataFrame(
             [(0, [float(x) for x in query_embedding])],
             "query_id int, embedding array<double>",
         )
-        rows = search_similar_snapshots(self.versions(), q, k=k).collect()
+        rows = topk_cosine_indexed(self._search_index(), q, k=k).collect()
         return [(r.content_id, r.seq, r.sim) for r in sorted(rows, key=lambda r: r.rank)]
 
     def search_batch(self, queries: DataFrame, k: int | None = None) -> DataFrame:
-        """Batch S1: a whole DataFrame of queries in one broadcast join."""
-        return search_similar_snapshots(self.versions(), queries, k=k)
+        """Batch S1: a whole DataFrame of queries against the materialized
+        index in one broadcast join."""
+        from temporal_vector_database_spark.operators.search import topk_cosine_indexed
+
+        return topk_cosine_indexed(self._search_index(), queries, k=k)
 
     # -- integrity / stats / advisor (V2, A1-A5, O12, O13) --------------------
 
@@ -231,6 +251,7 @@ class TemporalVectorDatabase:
             return 0
         rewritten = promote_bases(v, recs).localCheckpoint(eager=True)
         rewritten.write.mode("overwrite").parquet(self.table_path)
+        self._invalidate_index()
         return n
 
     def truncate_before(self, cutoff: datetime) -> int:
@@ -242,4 +263,5 @@ class TemporalVectorDatabase:
         before = v.count()
         rewritten = truncate_before(v, cutoff).localCheckpoint(eager=True)
         rewritten.write.mode("overwrite").parquet(self.table_path)
+        self._invalidate_index()
         return before - rewritten.count()
