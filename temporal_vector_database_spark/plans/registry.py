@@ -1636,6 +1636,9 @@ def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_map(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
-    """Oracle SQL with fixture paths bound to ``sf_dir``'s fixture dir."""
-    fix = fixture_dir(sf_dir)
+    """Oracle SQL with fixture paths bound to ``sf_dir``'s fixture dir.
+
+    Generates the fixtures if absent — the driver may run the DuckDB side
+    before any Spark query has touched them."""
+    fix = ensure_fixtures(sf_dir) if os.path.isdir(sf_dir) else fixture_dir(sf_dir)
     return {name: sql.replace("{FIX}", fix) for name, sql in ORACLES.items()}
