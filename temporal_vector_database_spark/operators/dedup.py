@@ -153,19 +153,24 @@ def near_duplicate_pairs(
 SIMHASH_BITS = 32  # nibbles 1..8 of md5(token) — portable across engines
 
 
-def _token_hash32_expr(tok_col: str) -> str:
-    """32-bit token hash from the first 8 hex nibbles of md5(token).
+def _hash32_from_digest_expr(dig_col: str) -> str:
+    """32-bit hash from the first 8 hex nibbles of an md5-digest column.
 
     Built from ``instr('0123456789abcdef', nibble)`` so the identical
     expression text runs in both Spark SQL and DuckDB (no engine-specific
     hex-parse builtins).
     """
     terms = [
-        f"CAST(instr('0123456789abcdef', substring(md5({tok_col}), {p + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(instr('0123456789abcdef', substring({dig_col}, {p + 1}, 1)) - 1 AS BIGINT)"
         f" * CAST({16 ** p} AS BIGINT)"
         for p in range(8)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def _token_hash32_expr(tok_col: str) -> str:
+    """32-bit token hash: `_hash32_from_digest_expr` over ``md5(token)``."""
+    return _hash32_from_digest_expr(f"md5({tok_col})")
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -236,6 +241,77 @@ def simhash_near_pairs(
 # Exact n-gram Jaccard (over LSH candidates)
 # ---------------------------------------------------------------------------
 
+def _bucket_verify_fn(min_jaccard: float, chunk_rows: int):
+    """Grouped-map verifier: exact pairwise Jaccard within one LSH bucket.
+
+    Builds the bucket's doc×vocab membership matrix and gets ALL pairwise
+    intersection sizes from one BLAS product ``M @ M.T`` (row-chunked to
+    bound memory on giant buckets). Counts of a few hundred are exact in
+    float32 (integers < 2²⁴); jaccard is computed in float64 to match the
+    SQL double division of the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        nb = len(ids)
+        if nb < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": ids[:0],
+                    "b_id": ids[:0],
+                    "n_inter": np.array([], dtype=np.int64),
+                    "n_union": np.array([], dtype=np.int64),
+                    "jaccard": np.array([], dtype=np.float64),
+                }
+            )
+        # A pair colliding in several bands lands in several buckets; only
+        # the FIRST colliding band emits it, so no global dedup pass is
+        # needed. Earlier-band hashes are factorized to ints per bucket for
+        # cheap broadcast equality.
+        band_id = int(pdf["band_id"].iloc[0])
+        prev = [pd.factorize(pdf[f"band_{j}"])[0] for j in range(band_id)]
+        sets = pdf["shset"].to_list()
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        vocab, inv = np.unique(np.concatenate(sets), return_inverse=True)
+        m = np.zeros((nb, len(vocab)), dtype=np.float32)
+        m[np.repeat(np.arange(nb), lens), inv] = 1.0
+        out_a, out_b, out_i, out_u, out_j = [], [], [], [], []
+        for s in range(0, nb, chunk_rows):
+            e = min(s + chunk_rows, nb)
+            c = m[s:e] @ m.T  # (e-s, nb) pairwise intersection counts
+            # keep (i, j) with global i = s + local row and j > i
+            keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            for codes in prev:  # pair already emitted by an earlier band
+                keep2d &= codes[s:e, None] != codes[None, :]
+            loc, j = np.nonzero(keep2d)
+            i = loc + s
+            inter = np.rint(c[loc, j]).astype(np.int64)
+            union = lens[i] + lens[j] - inter
+            jac = inter / union
+            keep = jac >= min_jaccard
+            i, j, inter, union, jac = i[keep], j[keep], inter[keep], union[keep], jac[keep]
+            a, b = ids[i], ids[j]
+            swap = a > b  # bucket order is arbitrary; canonicalize a_id < b_id
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_i.append(inter)
+            out_u.append(union)
+            out_j.append(jac)
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "n_inter": np.concatenate(out_i),
+                "n_union": np.concatenate(out_u),
+                "jaccard": np.concatenate(out_j),
+            }
+        )
+
+    return fn
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -243,23 +319,91 @@ def ngram_jaccard_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     min_jaccard: float = 0.4,
+    verify: str = "matrix",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for MinHash-LSH candidate pairs.
 
     The LSH stage bounds the candidate set (vs. the quadratic all-pairs
     join); the verify stage computes true |A∩B| / |A∪B| over DISTINCT
     character shingles — an integer ratio, so bit-exact in any engine.
+    Shingles are pre-hashed to 32-bit ints (md5-nibble hash, portable);
+    the Jaccard is over the hashed shingle space — P(any collision) ≈
+    vocab²/2³³, negligible distortion.
 
-    Verify strategy: each doc's distinct-shingle SET rides along as an
-    array column and the intersection is computed per pair with
-    ``array_intersect`` inside codegen — |pairs| rows moving ~two set
-    arrays each, instead of the |pairs| × |shingles| exploded join + extra
-    shuffle (measured ~25× faster on the self-similar fixture corpus).
-    Shingles are pre-hashed to 32-bit ints (md5-nibble hash, portable):
-    long-array intersection beats string-array intersection ~2× and
-    shrinks the pair shuffle ~4×; the Jaccard is then over the hashed
-    shingle space — P(any collision) ≈ vocab²/2³³, negligible distortion.
+    Two verify strategies computing IDENTICAL results (cross-checked in
+    tests):
+
+    - ``verify="matrix"`` (default): group by LSH bucket and get every
+      pairwise intersection count from one BLAS product over the bucket's
+      doc×vocab 0/1 matrix (`_bucket_verify_fn`). Each doc's shingle set
+      moves once per band (≤ ``bands`` copies) instead of once per
+      candidate pair — on a self-similar corpus where the mean pair-degree
+      is in the hundreds, that removes ~99% of the verify-stage shuffle.
+      A pair colliding in several bands is emitted only by the FIRST
+      band in which it collides (each doc carries all its band hashes, so
+      the check is bucket-local) — output needs no global dedup shuffle.
+      Giant buckets are the skew hazard at scale: compute is row-chunked
+      (``chunk_rows``) so memory stays bounded, but one bucket is still
+      one task — salting/two-level banding is the documented escape hatch.
+    - ``verify="join"``: candidate pairs first (bucket self-join +
+      distinct), then each pair row carries both docs' set arrays through
+      ``array_intersect`` in codegen — |pairs| rows moving ~two set
+      arrays each. Beats the |pairs| × |shingles| exploded join ~25×,
+      but the per-pair array shuffle is the measured bottleneck on
+      self-similar corpora (~16 GB at sf0.1).
     """
+    rows_per_band = num_hashes // bands
+
+    def band_exprs():
+        return [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+
+    if verify == "matrix":
+        # Fused build: ONE shingle explode + distinct + md5 yields both the
+        # minhash slices (min over distinct shingles — min is idempotent,
+        # so identical to min over occurrences) and the hashed shingle set.
+        combined = (
+            _shingles(docs, text_col, width)
+            .distinct()
+            .withColumn("dig", F.md5("sh"))
+            .withColumn("shh", F.expr(_hash32_from_digest_expr("dig")).cast("long"))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.substring("dig", 4 * h + 1, 4)).alias(f"mh_{h}")
+                    for h in range(num_hashes)
+                ],
+                F.collect_set("shh").alias("shset"),
+            )
+            .select("doc_id", "shset", *band_exprs())
+            .localCheckpoint(eager=False)
+        )
+        grouped = combined.select(
+            "doc_id",
+            "shset",
+            *[F.col(f"band_{b}") for b in range(bands)],
+            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        return grouped.groupBy("band_id", "band_hash").applyInPandas(
+            _bucket_verify_fn(min_jaccard, chunk_rows),
+            schema=(
+                f"a_id {id_type}, b_id {id_type}, n_inter bigint,"
+                " n_union bigint, jaccard double"
+            ),
+        )
+
     shsets = (
         _shingles(docs, text_col, width)
         .distinct()
@@ -273,19 +417,13 @@ def ngram_jaccard_pairs(
     sig = minhash_signatures(docs, text_col, num_hashes, width).localCheckpoint(
         eager=False
     )
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    bucket = sig.select("doc_id", *band_cols).select(
+    bucket = sig.select("doc_id", *band_exprs()).select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band_id", "band_hash"
         ),
     )
+
     pairs = (
         bucket.alias("a")
         .join(

@@ -55,6 +55,19 @@ def test_ngram_jaccard_exactness(docs):
     assert r02.n_inter == r02.n_union * r02.jaccard  # exact integer ratio
 
 
+def test_ngram_jaccard_verify_strategies_agree(docs):
+    # matrix (bucket-grouped BLAS, chunk_rows=2 to force the chunk loop)
+    # and join (per-pair array_intersect) must produce identical rows.
+    def as_map(df):
+        return {
+            (r.a_id, r.b_id): (r.n_inter, r.n_union, r.jaccard) for r in df.collect()
+        }
+
+    mat = as_map(ngram_jaccard_pairs(docs, min_jaccard=0.0, verify="matrix", chunk_rows=2))
+    join = as_map(ngram_jaccard_pairs(docs, min_jaccard=0.0, verify="join"))
+    assert mat == join and len(mat) > 0
+
+
 def test_language_id(spark):
     rows = [
         (0, "the cat and the dog is of to the"),
