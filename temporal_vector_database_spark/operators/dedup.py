@@ -77,6 +77,65 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _minhash_bucket_verify_fn(num_hashes: int, min_jaccard_est: float, chunk_rows: int):
+    """Grouped-map verifier: per-bucket pairwise minhash agreement counts.
+
+    Same shape as `_bucket_verify_fn` but the per-pair statistic is
+    ``n_match`` = #agreeing minhash slices, computed as a sum of 8
+    factorized-code equality matrices — no signature join, no pair-level
+    array shuffle. A pair is emitted only by the first band in which it
+    collides, so no global dedup pass is needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        nb = len(ids)
+        if nb < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": ids[:0],
+                    "b_id": ids[:0],
+                    "n_match": np.array([], dtype=np.int32),
+                    "est_jaccard": np.array([], dtype=np.float64),
+                }
+            )
+        band_id = int(pdf["band_id"].iloc[0])
+        prev = [pd.factorize(pdf[f"band_{j}"])[0] for j in range(band_id)]
+        mh = [pd.factorize(pdf[f"mh_{h}"])[0] for h in range(num_hashes)]
+        out_a, out_b, out_m, out_e = [], [], [], []
+        for s in range(0, nb, chunk_rows):
+            e = min(s + chunk_rows, nb)
+            keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            for codes in prev:  # pair already emitted by an earlier band
+                keep2d &= codes[s:e, None] != codes[None, :]
+            loc, j = np.nonzero(keep2d)
+            i = loc + s
+            n_match = np.zeros(len(i), dtype=np.int32)
+            for codes in mh:
+                n_match += codes[i] == codes[j]
+            est = n_match / float(num_hashes)
+            keep = est >= min_jaccard_est
+            i, j, n_match, est = i[keep], j[keep], n_match[keep], est[keep]
+            a, b = ids[i], ids[j]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_m.append(n_match)
+            out_e.append(est)
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "n_match": np.concatenate(out_m),
+                "est_jaccard": np.concatenate(out_e),
+            }
+        )
+
+    return fn
+
+
 def near_duplicate_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -85,12 +144,20 @@ def near_duplicate_pairs(
     width: int = 3,
     min_jaccard_est: float = 0.5,
     materialize: bool = True,
+    verify: str = "matrix",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """LSH near-duplicate candidate pairs with estimated Jaccard.
 
     Bands of ``num_hashes/bands`` rows; a pair is a candidate iff all rows
     of some band agree; estimated Jaccard = fraction of agreeing
     minhashes. Output: a_id < b_id, n_match, est_jaccard (exact rational).
+
+    ``verify="matrix"`` (default) scores each LSH bucket in one grouped-map
+    pass (`_minhash_bucket_verify_fn`): signatures move once per band
+    instead of once per candidate pair, and the bucket self-join + distinct
+    + two signature joins disappear from the plan. ``verify="join"`` keeps
+    the join-based plan (cross-checked equal in tests).
 
     ``materialize`` checkpoints the signature table before it is consumed
     by the bucket self-join + two verify joins — the signature build is the
@@ -110,6 +177,20 @@ def near_duplicate_pairs(
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *[F.col(f"mh_{h}") for h in range(num_hashes)], *band_cols)
+    if verify == "matrix":
+        grouped = banded.select(
+            "*",
+            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        return grouped.groupBy("band_id", "band_hash").applyInPandas(
+            _minhash_bucket_verify_fn(num_hashes, min_jaccard_est, chunk_rows),
+            schema=f"a_id {id_type}, b_id {id_type}, n_match int, est_jaccard double",
+        )
     bucket = banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(

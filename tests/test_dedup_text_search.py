@@ -55,6 +55,19 @@ def test_ngram_jaccard_exactness(docs):
     assert r02.n_inter == r02.n_union * r02.jaccard  # exact integer ratio
 
 
+def test_minhash_near_pairs_verify_strategies_agree(docs):
+    from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
+
+    def as_map(df):
+        return {(r.a_id, r.b_id): (r.n_match, r.est_jaccard) for r in df.collect()}
+
+    mat = as_map(
+        near_duplicate_pairs(docs, bands=4, min_jaccard_est=0.0, verify="matrix", chunk_rows=2)
+    )
+    join = as_map(near_duplicate_pairs(docs, bands=4, min_jaccard_est=0.0, verify="join"))
+    assert mat == join and len(mat) > 0
+
+
 def test_ngram_jaccard_verify_strategies_agree(docs):
     # matrix (bucket-grouped BLAS, chunk_rows=2 to force the chunk loop)
     # and join (per-pair array_intersect) must produce identical rows.
