@@ -53,21 +53,99 @@ def _shingles(docs: DataFrame, text_col: str, width: int) -> DataFrame:
     )
 
 
+def _doc_digest_fn(text_col: str, num_hashes: int, width: int, with_set: bool):
+    """mapInPandas worker: per-document shingle md5 digests → minhash
+    slices (and optionally the distinct hashed-shingle set).
+
+    Python's hashlib produces the same digest bytes as Spark's/DuckDB's
+    ``md5`` (UTF-8 input, hex output), Python ``min`` on the ASCII-hex
+    slices matches SQL binary string ``min``, and the 32-bit set hash is
+    the same little-endian-nibble sum as `_hash32_from_digest_expr` —
+    slice-for-slice equality with the SQL build is pinned in tests.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            ids: list = []
+            cols: list[list] = [[] for _ in range(num_hashes)]
+            sets: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                n = max(len(text) - width + 1, 1)
+                digs = {
+                    hashlib.md5(text[i : i + width].encode("utf-8")).hexdigest()
+                    for i in range(n)
+                }
+                ids.append(doc_id)
+                for h in range(num_hashes):
+                    cols[h].append(min(d[4 * h : 4 * h + 4] for d in digs))
+                if with_set:
+                    sets.append(
+                        np.array(
+                            [
+                                sum(int(c, 16) * (16**p) for p, c in enumerate(d[:8]))
+                                for d in digs
+                            ],
+                            dtype=np.int64,
+                        )
+                    )
+            out = {"doc_id": ids}
+            for h in range(num_hashes):
+                out[f"mh_{h}"] = cols[h]
+            if with_set:
+                out["shset"] = sets
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the corpus across the session's default parallelism when
+    the source has fewer partitions (a single fixture parquet file reads as
+    1–4 partitions; a 100 TB corpus already has thousands — then this is a
+    no-op and the digest map stays narrow)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", num_hashes: int = 8, width: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    width: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """MinHash signature per document over character ``width``-shingles.
 
     Hash family: the ``num_hashes`` disjoint 4-hex-char (16-bit) slices of
-    ONE ``md5(shingle)`` — one digest per shingle occurrence instead of
-    ``num_hashes``, which measures ~2× faster end-to-end (md5 is the
-    dominant cost above the explode floor). 16-bit slices give ~P(min
-    collision) ≈ vocab/2^16 per hash — negligible estimator distortion for
-    realistic shingle vocabularies, and the slices of a cryptographic
-    digest are independent uniform. Requires ``num_hashes <= 8``.
+    ONE ``md5(shingle)`` per shingle. 16-bit slices give ~P(min collision)
+    ≈ vocab/2^16 per hash — negligible estimator distortion for realistic
+    shingle vocabularies, and the slices of a cryptographic digest are
+    independent uniform. Requires ``num_hashes <= 8``.
+
+    ``impl="pandas"`` (default): per-doc digesting in one narrow
+    ``mapInPandas`` — no shingle explode, no aggregation shuffle; measured
+    ~6× faster than the SQL build at sf0.1. ``impl="sql"``: explode +
+    ``min`` aggregate, the DuckDB-oracle-portable form (both impls are
+    slice-for-slice equal, pinned in tests).
     """
     if num_hashes > 8:
         raise ValueError("md5 yields 32 hex chars → at most 8 16-bit slices")
+    if impl == "pandas":
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        schema = f"doc_id {id_type}, " + ", ".join(
+            f"mh_{h} string" for h in range(num_hashes)
+        )
+        return _spread(docs.select("doc_id", text_col)).mapInPandas(
+            _doc_digest_fn(text_col, num_hashes, width, with_set=False), schema=schema
+        )
     sh = _shingles(docs, text_col, width)
     one = F.md5(F.col("sh"))
     aggs = [
@@ -447,24 +525,22 @@ def ngram_jaccard_pairs(
         ]
 
     if verify == "matrix":
-        # Fused build: ONE shingle explode + distinct + md5 yields both the
-        # minhash slices (min over distinct shingles — min is idempotent,
-        # so identical to min over occurrences) and the hashed shingle set.
-        combined = (
-            _shingles(docs, text_col, width)
-            .distinct()
-            .withColumn("dig", F.md5("sh"))
-            .withColumn("shh", F.expr(_hash32_from_digest_expr("dig")).cast("long"))
-            .groupBy("doc_id")
-            .agg(
-                *[
-                    F.min(F.substring("dig", 4 * h + 1, 4)).alias(f"mh_{h}")
-                    for h in range(num_hashes)
-                ],
-                F.collect_set("shh").alias("shset"),
-            )
-            .select("doc_id", "shset", *band_exprs())
-            .localCheckpoint(eager=False)
+        # Fused build: ONE narrow mapInPandas digest pass yields both the
+        # minhash slices and the distinct hashed-shingle set — no shingle
+        # explode, no aggregation shuffle (`_doc_digest_fn`).
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        digested = _spread(docs.select("doc_id", text_col)).mapInPandas(
+            _doc_digest_fn(text_col, num_hashes, width, with_set=True),
+            schema=(
+                f"doc_id {id_type}, "
+                + ", ".join(f"mh_{h} string" for h in range(num_hashes))
+                + ", shset array<bigint>"
+            ),
+        )
+        combined = digested.select("doc_id", "shset", *band_exprs()).localCheckpoint(
+            eager=False
         )
         grouped = combined.select(
             "doc_id",

@@ -180,6 +180,64 @@ def ingest(raw_events: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame
     return encode_versions(assign_sequence(raw_events), cfg)
 
 
+def first_epoch_deltas_sql(
+    raw: DataFrame, versions: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Pure-SQL (HOF) twin of the delta encoder for base-successor rows.
+
+    The engine's encoder is a grouped-map UDF because deltas chain against
+    LOSSY reconstructions (SURVEY.md §7 risk 1) — inherently sequential per
+    content. But for every delta whose predecessor is a BASE, the
+    reconstruction equals the stored base exactly, so the encode is a pure
+    column expression over (current raw, base embedding):
+
+    - ``diff = zip_with(cur, base, (a, b) -> a - b)`` (float64, bitwise
+      identical to the numpy subtraction);
+    - kept dims: ``abs(diff) >= sparsity_threshold`` (>=, reference
+      ``core/delta_computer.py:65``);
+    - ``magnitude`` = L2 of the RAW diff (``core/delta_computer.py:74``) —
+      the SQL left-fold sum may differ from numpy's pairwise summation in
+      the last ulp, so cross-checks compare within 1e-12.
+
+    Returns (content_id, seq, sparse_idx, sparse_val, magnitude,
+    n_changed) for exactly the delta rows with ``from_seq`` a base —
+    an independent whole-stage-codegen cross-check of the UDF encoder.
+    """
+    thr = float(cfg.sparsity_threshold)
+    bases = versions.where(F.col("kind") == "base").select(
+        "content_id",
+        F.col("seq").alias("from_seq"),
+        F.col("embedding").alias("base_emb"),
+    )
+    succ = versions.where(F.col("kind") == "delta").select(
+        "content_id", "seq", F.col("from_seq").alias("_fs")
+    )
+    cur = raw.select("content_id", "seq", F.col("embedding").alias("cur_emb"))
+    return (
+        succ.join(bases, (succ.content_id == bases.content_id) & (succ._fs == bases.from_seq))
+        .drop(bases.content_id)
+        .join(cur, ["content_id", "seq"])
+        .withColumn("diff", F.expr("zip_with(cur_emb, base_emb, (a, b) -> a - b)"))
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(transform(diff, (x, i) -> struct(i as i, x as x)),"
+                f" s -> abs(s.x) >= {thr!r})"
+            ),
+        )
+        .select(
+            "content_id",
+            "seq",
+            F.expr("transform(kept, s -> s.i)").alias("sparse_idx"),
+            F.expr("transform(kept, s -> s.x)").alias("sparse_val"),
+            F.sqrt(F.expr("aggregate(diff, 0D, (acc, x) -> acc + x * x)")).alias(
+                "magnitude"
+            ),
+            F.size("kept").alias("n_changed"),
+        )
+    )
+
+
 def timeline_state(versions: DataFrame) -> DataFrame:
     """Per-content encoder state from a stored ``versions`` table:
     (last_seq, last_base_seq, reconstruction of the latest version).

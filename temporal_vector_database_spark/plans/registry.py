@@ -41,6 +41,22 @@ def _fix(sf_dir: str, name: str):
 
 
 def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``versions`` table. ``SPARK_GRAFT_BUCKETED=1`` opts into the
+    bucketed catalog-table layout (zero-exchange window plans — the
+    cluster-scale posture, where the saved exchange is network I/O);
+    default is the plain fixture parquet, which measures faster on a
+    single node (the in-memory exchange is cheap and AQE keeps choosing
+    partition sizes downstream — see SCALE.md). Results are identical
+    either way; only the physical plan differs."""
+    if os.environ.get("SPARK_GRAFT_BUCKETED", "0") == "1":
+        try:
+            from temporal_vector_database_spark.sources.fixtures import (
+                ensure_bucketed_versions,
+            )
+
+            return ensure_bucketed_versions(spark, sf_dir)
+        except Exception:
+            pass  # no writable warehouse (or Hive-less session) → parquet
     return spark.read.parquet(_fix(sf_dir, "versions"))
 
 

@@ -360,3 +360,29 @@ def ensure_fixtures(sf_dir: str) -> str:
         if os.path.exists(tmp) and tmp != out:
             shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def bucketed_table_name(sf_dir: str) -> str:
+    """Catalog name for the bucketed ``versions`` table of one sf."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    return f"tvdb_versions_{sf}_{FIXTURE_VERSION}"
+
+
+def ensure_bucketed_versions(spark, sf_dir: str, buckets: int = 32):
+    """The engine's production layout for ``versions``: bucketed by
+    ``content_id``, sorted by ``(content_id, seq)`` (idempotent build from
+    the fixture parquet; see ``sources.tables.write_versions_bucketed``).
+
+    Every temporal operator windows/groups/joins on ``content_id`` — the
+    bucketed layout lets Catalyst drop the hash exchange from those plans
+    entirely (plan-verified in tests). The fixture parquet stays the
+    interchange format; this is the table a deployment would actually
+    serve queries from.
+    """
+    from temporal_vector_database_spark.sources.tables import write_versions_bucketed
+
+    name = bucketed_table_name(sf_dir)
+    if not spark.catalog.tableExists(name):
+        df = spark.read.parquet(os.path.join(ensure_fixtures(sf_dir), "versions.parquet"))
+        write_versions_bucketed(df, name, buckets=buckets)
+    return spark.table(name)

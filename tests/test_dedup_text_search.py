@@ -55,6 +55,17 @@ def test_ngram_jaccard_exactness(docs):
     assert r02.n_inter == r02.n_union * r02.jaccard  # exact integer ratio
 
 
+def test_minhash_signature_impls_agree(docs):
+    from temporal_vector_database_spark.operators.dedup import minhash_signatures
+
+    def as_map(df):
+        return {r.doc_id: tuple(r[f"mh_{h}"] for h in range(8)) for r in df.collect()}
+
+    assert as_map(minhash_signatures(docs, impl="pandas")) == as_map(
+        minhash_signatures(docs, impl="sql")
+    )
+
+
 def test_minhash_near_pairs_verify_strategies_agree(docs):
     from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
 

@@ -122,3 +122,24 @@ def test_force_base_mid_stream(spark):
     enc = {r.seq: r.kind for r in ingest(raw, FIXTURE_CONFIG).collect()}
     # forced base at 3 (reference force_base_snapshot param); 1 is always base
     assert enc == {1: "base", 2: "delta", 3: "base", 4: "delta", 5: "delta"}
+
+
+def test_first_epoch_deltas_sql_twin(versions_raw, versions):
+    """The pure-HOF encoder must reproduce the UDF encoder exactly on every
+    delta whose predecessor is a base (there the chained reconstruction is
+    the stored base itself, so the encode is a pure column expression)."""
+    from temporal_vector_database_spark.operators.ingest import first_epoch_deltas_sql
+
+    v = versions.where(~F.col("content_id").startswith("corrupt"))
+    raw = versions_raw.where(~F.col("content_id").startswith("corrupt"))
+    sql_side = first_epoch_deltas_sql(raw, v, FIXTURE_CONFIG).alias("s")
+    stored = v.where(F.col("kind") == "delta").alias("d")
+    joined = sql_side.join(stored, ["content_id", "seq"], "inner")
+    assert joined.count() == sql_side.count() > 0
+    bad = joined.where(
+        (F.to_json(F.col("s.sparse_idx")) != F.to_json(F.col("d.sparse_idx")))
+        | (F.to_json(F.col("s.sparse_val")) != F.to_json(F.col("d.sparse_val")))
+        | (F.col("s.n_changed") != F.col("d.n_changed"))
+        | (F.abs(F.col("s.magnitude") - F.col("d.magnitude")) > 1e-12)
+    ).count()
+    assert bad == 0
