@@ -332,14 +332,48 @@ def _token_hash32_expr(tok_col: str) -> str:
     return _hash32_from_digest_expr(f"md5({tok_col})")
 
 
-def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", impl: str = "pandas"
+) -> DataFrame:
     """Per-document 32-bit SimHash over whitespace tokens.
 
     Classic Charikar simhash: each token votes its hash bits (+1 if set,
     -1 if clear); signature bit b is 1 iff the vote is strictly positive.
-    One explode + one groupBy(doc_id) with 32 partially-aggregated sums —
-    map-side combine keeps the shuffle at O(docs × 32 ints).
+
+    ``impl="pandas"`` (default): per-doc hashing + bit votes in one narrow
+    ``mapInPandas`` — no token explode, no 32-sum aggregation shuffle.
+    ``impl="sql"``: explode + partially-aggregated vote sums, the
+    DuckDB-oracle-portable form. Both are bit-equal (token md5 and the
+    little-endian nibble hash are engine-portable; pinned in tests).
     """
+    if impl == "pandas":
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def fn(batches):
+            for pdf in batches:
+                ids, sigs = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                    votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                    for tok in text.split(" "):
+                        d = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                        h = sum(int(c, 16) * (16**p) for p, c in enumerate(d[:8]))
+                        bits = (h >> np.arange(SIMHASH_BITS)) & 1
+                        votes += 2 * bits - 1
+                    ids.append(doc_id)
+                    sigs.append(
+                        int(((votes > 0).astype(np.int64) << np.arange(SIMHASH_BITS)).sum())
+                    )
+                yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        return _spread(docs.select("doc_id", text_col)).mapInPandas(
+            fn, schema=f"doc_id {id_type}, simhash bigint"
+        )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.expr(_token_hash32_expr("tok")).cast("long"))
@@ -358,14 +392,90 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def _simhash_bucket_verify_fn(max_hamming: int, chunk_rows: int):
+    """Grouped-map verifier: per-bucket pairwise Hamming distance via
+    xor + 16-bit-LUT popcount; first-band emission (band values are
+    recomputed from the signature inside the worker, so nothing extra
+    rides along)."""
+    import numpy as np
+    import pandas as pd
+
+    lut = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        nb = len(ids)
+        if nb < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": ids[:0],
+                    "b_id": ids[:0],
+                    "hamming": np.array([], dtype=np.int32),
+                }
+            )
+        band_id = int(pdf["band_id"].iloc[0])
+        sims = pdf["simhash"].to_numpy().astype(np.int64)
+        prev = [(sims >> (8 * j)) & 255 for j in range(band_id)]
+        out_a, out_b, out_h = [], [], []
+        for s in range(0, nb, chunk_rows):
+            e = min(s + chunk_rows, nb)
+            keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            for codes in prev:
+                keep2d &= codes[s:e, None] != codes[None, :]
+            loc, j = np.nonzero(keep2d)
+            i = loc + s
+            x = sims[i] ^ sims[j]
+            ham = (lut[x & 0xFFFF] + lut[(x >> 16) & 0xFFFF]).astype(np.int32)
+            keep = ham <= max_hamming
+            i, j, ham = i[keep], j[keep], ham[keep]
+            a, b = ids[i], ids[j]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_h.append(ham)
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return fn
+
+
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 6
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 6,
+    verify: str = "matrix",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 8-bit band buckets (4 bands — a pair
     within Hamming distance 6 of a 32-bit hash must agree on ≥1 full byte
     when distance < 4; banding is the recall heuristic, Hamming is the
-    verifier), then exact ``bit_count(xor)`` filter."""
+    verifier), then exact Hamming-distance filter.
+
+    ``verify="matrix"`` (default) scores each band bucket in one
+    grouped-map pass (xor + LUT popcount, first-band emission) — no bucket
+    self-join, no pair shuffle. ``verify="join"`` keeps the join +
+    ``bit_count(xor)`` plan (cross-checked equal in tests)."""
     sig = simhash_signatures(docs, text_col)
+    if verify == "matrix":
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        grouped = sig.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(*[F.expr(f"(simhash div {1 << (8 * i)}) % 256") for i in range(4)])
+            ).alias("band_id", "band_val"),
+        )
+        return grouped.groupBy("band_id", "band_val").applyInPandas(
+            _simhash_bucket_verify_fn(max_hamming, chunk_rows),
+            schema=f"a_id {id_type}, b_id {id_type}, hamming int",
+        )
     bucket = sig.select(
         "doc_id",
         "simhash",
@@ -614,6 +724,77 @@ def ngram_jaccard_pairs(
 # Embedding-cosine near-dup (sign-bit LSH)
 # ---------------------------------------------------------------------------
 
+def _embedding_bucket_verify_fn(
+    bands: int, dims_per_band: int, min_cosine: float, chunk_rows: int
+):
+    """Grouped-map verifier: per-bucket pairwise cosine via one float64
+    BLAS gram matrix; first-band emission (band sign patterns are
+    recomputed from the vectors inside the worker).
+
+    Bit-parity note: on the engine's quantized embedding grid (dyadic
+    1/1024 steps) every product and partial sum is exactly representable
+    in float64, so the BLAS dot equals the SQL left-fold bit-for-bit. On
+    arbitrary float data the two can differ in the last ulp (documented;
+    the strategies-agree test runs on grid data, like the oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        nb = len(ids)
+        if nb < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": ids[:0],
+                    "b_id": ids[:0],
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        band_id = int(pdf["band_id"].iloc[0])
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        dim = m.shape[1]
+
+        def band_codes(bid: int) -> np.ndarray:
+            code = np.zeros(nb, dtype=np.int64)
+            for j in range(dims_per_band):
+                d = bid * dims_per_band + j
+                if d < dim:  # SQL element_at OOB → NULL → bit stays 0
+                    code += (m[:, d] >= 0).astype(np.int64) << j
+            return code
+
+        prev = [band_codes(j) for j in range(band_id)]
+        nrm = np.sqrt((m * m).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, nb, chunk_rows):
+            e = min(s + chunk_rows, nb)
+            c = m[s:e] @ m.T
+            keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            for codes in prev:
+                keep2d &= codes[s:e, None] != codes[None, :]
+            loc, j = np.nonzero(keep2d)
+            i = loc + s
+            denom = nrm[i] * nrm[j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, c[loc, j] / denom, 0.0)
+            keep = sim >= min_cosine
+            i, j, sim = i[keep], j[keep], sim[keep]
+            a, b = ids[i], ids[j]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_s.append(sim)
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return fn
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -621,6 +802,8 @@ def embedding_near_duplicates(
     bands: int = 4,
     dims_per_band: int = 4,
     min_cosine: float = 0.8,
+    verify: str = "matrix",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via sign-bit LSH + exact cosine.
 
@@ -630,17 +813,49 @@ def embedding_near_duplicates(
     pattern; survivors are verified with exact cosine ≥ ``min_cosine``.
     Recall for cos≈0.8 with 4×4-bit bands ≈ 0.87; more/narrower bands trade
     shuffle volume for recall (documented approximation, like any LSH).
+
+    ``verify="matrix"`` (default) scores each sign bucket in one
+    grouped-map BLAS pass (`_embedding_bucket_verify_fn`) — each vector
+    moves once per band instead of once per candidate pair. When the
+    vector dimension doesn't cover every band (bands beyond the dimension
+    hash everything to pattern 0), the degenerate full-population buckets
+    make the pair-join plan quadratic in shuffle volume; the grouped pass
+    keeps it local. ``verify="join"``: bucket self-join + per-pair HOF
+    cosine (cross-checked equal in tests).
     """
     from temporal_vector_database_spark.functions.vector import cosine
 
     def band_val(i: int):
+        # try_element_at: out-of-range dims contribute bit 0 (NULL >= 0 is
+        # false) — matches DuckDB's NULL list indexing in the oracle and
+        # keeps short vectors legal under ANSI mode
         bits = [
-            F.when(F.element_at(F.col("emb"), i * dims_per_band + j + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(
+                F.try_element_at(F.col("emb"), F.lit(i * dims_per_band + j + 1)) >= 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
             for j in range(dims_per_band)
         ]
         return sum(bits)
 
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
+    if verify == "matrix":
+        id_type = next(
+            f.dataType.simpleString()
+            for f in embeddings.schema.fields
+            if f.name == id_col
+        )
+        grouped = e.select(
+            "vid",
+            "emb",
+            F.posexplode(F.array(*[band_val(i).cast("int") for i in range(bands)])).alias(
+                "band_id", "band_val"
+            ),
+        )
+        return grouped.groupBy("band_id", "band_val").applyInPandas(
+            _embedding_bucket_verify_fn(bands, dims_per_band, min_cosine, chunk_rows),
+            schema=f"a_id {id_type}, b_id {id_type}, sim double",
+        )
     bucket = e.select(
         "vid",
         F.posexplode(F.array(*[band_val(i).cast("int") for i in range(bands)])).alias(

@@ -55,6 +55,12 @@ def test_ngram_jaccard_exactness(docs):
     assert r02.n_inter == r02.n_union * r02.jaccard  # exact integer ratio
 
 
+def test_simhash_signature_impls_agree(docs):
+    a = {r.doc_id: r.simhash for r in simhash_signatures(docs, impl="pandas").collect()}
+    b = {r.doc_id: r.simhash for r in simhash_signatures(docs, impl="sql").collect()}
+    assert a == b and len(a) > 0
+
+
 def test_minhash_signature_impls_agree(docs):
     from temporal_vector_database_spark.operators.dedup import minhash_signatures
 
@@ -77,6 +83,32 @@ def test_minhash_near_pairs_verify_strategies_agree(docs):
     )
     join = as_map(near_duplicate_pairs(docs, bands=4, min_jaccard_est=0.0, verify="join"))
     assert mat == join and len(mat) > 0
+
+
+def test_simhash_near_pairs_verify_strategies_agree(docs):
+    def as_map(df):
+        return {(r.a_id, r.b_id): r.hamming for r in df.collect()}
+
+    mat = as_map(simhash_near_pairs(docs, max_hamming=32, verify="matrix", chunk_rows=2))
+    join = as_map(simhash_near_pairs(docs, max_hamming=32, verify="join"))
+    assert mat == join and len(mat) > 0
+
+
+def test_embedding_near_dup_verify_strategies_agree(spark):
+    # dim 8 < bands*dims_per_band exercises the degenerate all-zero bands
+    # (out-of-range dims), incl. quantized-grid values like the oracle's
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 1024.0 * (64 if d % 2 else 1) for d in range(8)])
+        for i in range(30)
+    ] + [(100, [1.0] * 8), (101, [1.0] * 8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def as_map(d):
+        return {(r.a_id, r.b_id): r.sim for r in d.collect()}
+
+    mat = as_map(embedding_near_duplicates(df, min_cosine=0.3, verify="matrix", chunk_rows=4))
+    join = as_map(embedding_near_duplicates(df, min_cosine=0.3, verify="join"))
+    assert mat == join and (100, 101) in mat
 
 
 def test_ngram_jaccard_verify_strategies_agree(docs):
