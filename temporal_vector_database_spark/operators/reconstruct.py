@@ -164,6 +164,78 @@ def reconstruct_all(versions: DataFrame) -> DataFrame:
     return _fold_deltas(targets, tagged)
 
 
+def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
+    """O7 twin of `reconstruct_all`: one grouped-map cumulative fold.
+
+    Same output (schema and values) as ``reconstruct_all``, different
+    physical plan: ONE shuffle on ``content_id``, then each timeline is
+    replayed sequentially in numpy (`np.add.at` per delta, prefix
+    snapshots emitted per version) — versus the declarative plan's
+    window + epoch join + explode + two aggregations + three joins.
+    Equality is pinned in tests (embeddings are exact — per-index
+    addition over the fixture's dyadic grid commutes; the chain-average
+    columns agree to float tolerance, as their summation order differs).
+
+    Scale posture: identical to ingest (`encode_versions`) — shuffle once
+    by the partition key, then a narrow Arrow pass; state per task is one
+    timeline (≤ interval × dim floats). Preferable when reconstructing
+    ALL versions; the declarative form remains better for sparse target
+    sets (it prunes to the governing epochs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        content_id = pdf["content_id"].iloc[0]
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "content_id", "target_seq", "base_seq", "cost", "avg_magnitude",
+                "avg_sparsity", "deltas_applied", "embedding",
+            )
+        }
+        recon = None
+        base_seq = None
+        mags: list[float] = []
+        spars: list[float] = []
+        applied: list[str] = []
+        for row in pdf.itertuples(index=False):
+            if row.kind == "base":
+                recon = np.asarray(row.embedding, dtype=np.float64).copy()
+                base_seq = int(row.seq)
+                mags, spars, applied = [], [], []
+            else:
+                if recon is None:
+                    continue  # delta before any base: not reconstructable
+                idx = np.asarray(row.sparse_idx, dtype=np.int64)
+                val = np.asarray(row.sparse_val, dtype=np.float64)
+                recon = recon.copy()
+                np.add.at(recon, idx, val)
+                mags.append(float(row.magnitude))
+                spars.append(float(row.n_changed) / float(row.total_dims))
+                applied.append(row.version_id)
+            out["content_id"].append(content_id)
+            out["target_seq"].append(int(row.seq))
+            out["base_seq"].append(base_seq)
+            out["cost"].append(len(applied))
+            out["avg_magnitude"].append(float(np.mean(mags)) if mags else None)
+            out["avg_sparsity"].append(float(np.mean(spars)) if spars else None)
+            out["deltas_applied"].append(list(applied))
+            out["embedding"].append(recon)
+        return pd.DataFrame(out)
+
+    id_type = versions.schema["content_id"].dataType.simpleString()
+    return versions.groupBy("content_id").applyInPandas(
+        fold,
+        schema=(
+            f"content_id {id_type}, target_seq int, base_seq int, cost int,"
+            " avg_magnitude double, avg_sparsity double,"
+            " deltas_applied array<string>, embedding array<double>"
+        ),
+    )
+
+
 def reconstruct_range(versions: DataFrame, start_seq: int, end_seq: int) -> DataFrame:
     """O7: reconstruct sequences in ``[start_seq, end_seq]`` per content
     (``storage/temporal_database.py:255-272``; ascending order guaranteed by

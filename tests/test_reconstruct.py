@@ -112,3 +112,26 @@ def test_quality_columns(versions):
     assert rows[1].quality_score == 1.0 and rows[1].error_bound == 0.0
     assert 0.0 < rows[10].quality_score <= 1.0
     assert rows[10].error_bound > rows[7].error_bound
+
+
+def test_reconstruct_all_folded_twin(versions):
+    """The grouped-map fold must reproduce the declarative reconstruct_all:
+    exact embeddings/cost/provenance, chain averages to float tolerance."""
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all,
+        reconstruct_all_folded,
+    )
+
+    key = lambda r: (r.content_id, r.target_seq)  # noqa: E731
+    a = {key(r): r for r in reconstruct_all(versions).collect()}
+    b = {key(r): r for r in reconstruct_all_folded(versions).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k, ra in a.items():
+        rb = b[k]
+        assert ra.base_seq == rb.base_seq and ra.cost == rb.cost, k
+        assert ra.deltas_applied == rb.deltas_applied, k
+        assert ra.embedding == rb.embedding, k  # exact: dyadic-grid sums
+        for fa, fb in ((ra.avg_magnitude, rb.avg_magnitude), (ra.avg_sparsity, rb.avg_sparsity)):
+            assert (fa is None) == (fb is None), k
+            if fa is not None:
+                assert abs(fa - fb) < 1e-12, k
