@@ -48,6 +48,8 @@ HEADLINE = (
     "frame_sample",
     "tpch_q1",
     "tpch_q3_top10",
+    "tpch_q10",
+    "tpch_q18",
     "top_orders_per_customer",
     "events_sessionize",
 )

@@ -535,6 +535,77 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter, top 20. Fact-fact join shuffles on the order key, dims
+    broadcast; deterministic tiebreak (custkey) so the LIMIT cut is
+    oracle-stable."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders (HAVING over a fact self-agg,
+    then re-join the fact). The aggregate is partial+final on l_orderkey;
+    the big-order key set is tiny → broadcast back against orders."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+def q_revenue_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping combinations
+    in one pass (grouping-sets coverage; ROLLUP is `revenue_rollup`)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .select("l_returnflag", "l_linestatus", "revenue", "n_items")
+    )
+
+
 def q_top_orders_per_customer(spark, sf_dir):
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1470,6 +1541,41 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
 """
 
+ORACLES["tpch_q10"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["tpch_q18"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["revenue_cube"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 ORACLES["top_orders_per_customer"] = """
 SELECT o_custkey, o_orderkey, rank FROM (
   SELECT o_custkey, o_orderkey,
@@ -1635,6 +1741,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q14": q_tpch_q14,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
+    "revenue_cube": q_revenue_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
     "events_type_stats": q_events_type_stats,
