@@ -88,6 +88,82 @@ def score_candidates(
     return scored
 
 
+def score_candidates_pandas(
+    bases: DataFrame,
+    queries: DataFrame,
+    id_cols: tuple[str, ...] = ("content_id", "seq"),
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """BLAS twin of `score_candidates`: the query batch is collected
+    (a search batch is small by design — the reference searches one vector
+    at a time) and broadcast; each candidate partition scores all queries
+    with one float64 matrix product in a narrow ``mapInPandas`` — no
+    cross-join, no interpreted higher-order-function fold (Spark evaluates
+    HOF lambdas per element; that interpretation is the measured cost of
+    the SQL form).
+
+    Bit parity with `score_candidates`: on the engine's dyadic-grid
+    embeddings every dot product is exactly representable, norms/divisions
+    are computed in the same operand order, so the sims are identical
+    (pinned in tests). On arbitrary floats the two may differ in the last
+    ulp — use ``impl="sql"`` when oracle-exactness on non-grid data
+    matters.
+    """
+    import numpy as np
+
+    has_k = "k" in queries.columns
+    qrows = queries.select(
+        "query_id", emb_col, *(["k"] if has_k else [])
+    ).collect()
+    qids = [r["query_id"] for r in qrows]
+    qks = [int(r["k"]) for r in qrows] if has_k else None
+    if qrows:
+        qm = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in qrows])
+        qn = np.sqrt((qm * qm).sum(axis=1))
+    else:
+        qm = np.zeros((0, 0))
+        qn = np.zeros(0)
+    sc = bases.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qm, qn, qks))
+
+    id_cols = tuple(id_cols)
+
+    def fn(batches):
+        import pandas as pd
+
+        qids_, qm_, qn_, qks_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0 or nq == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            bn = np.sqrt((m * m).sum(axis=1))
+            s = m @ qm_.T  # (nb, nq)
+            denom = qn_[None, :] * bn[:, None]  # same order as nq·nc in SQL
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where((qn_[None, :] > 0) & (bn[:, None] > 0), s / denom, 0.0)
+            qidx = np.tile(np.arange(nq), nb)
+            bidx = np.repeat(np.arange(nb), nq)
+            out = {"query_id": [qids_[i] for i in qidx]}
+            for c in id_cols:
+                out[c] = pdf[c].to_numpy()[bidx]
+            if qks_ is not None:
+                out["k"] = [qks_[i] for i in qidx]
+            out["sim"] = sims[bidx, qidx]
+            yield pd.DataFrame(out)
+
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    id_types = ", ".join(
+        f"{c} {bases.schema[c].dataType.simpleString()}" for c in id_cols
+    )
+    schema = f"query_id {qid_type}, {id_types}"
+    if has_k:
+        schema += ", k int"
+    schema += ", sim double"
+    return bases.select(*id_cols, emb_col).mapInPandas(fn, schema=schema)
+
+
 def _local_topk(id_cols: tuple[str, ...], max_k: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -107,14 +183,21 @@ def topk_cosine(
     id_cols: tuple[str, ...] = ("content_id", "seq"),
     emb_col: str = "embedding",
     prereduce: bool = True,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Per-query top-k by cosine, ``sim > 0`` only.
 
     ``k`` defaults to the per-query ``k`` column (reference default 5,
     ``storage/storage_engine.py:441``). Output: query_id, id_cols…, sim,
     rank (1-based, ties broken by id_cols).
+
+    ``impl="pandas"`` (default) scores with the BLAS twin
+    (`score_candidates_pandas`); ``impl="sql"`` uses the broadcast-join +
+    HOF-fold plan (`score_candidates`) — bit-equal on grid embeddings,
+    cross-checked in tests.
     """
-    scored = score_candidates(bases, queries, id_cols=id_cols, emb_col=emb_col)
+    score = score_candidates_pandas if impl == "pandas" else score_candidates
+    scored = score(bases, queries, id_cols=id_cols, emb_col=emb_col)
     has_k_col = "k" in scored.columns
     if k is not None:
         scored = scored.withColumn("k", F.lit(int(k)))
@@ -155,6 +238,7 @@ def ivf_assign(
     centroid_rem: int = 7,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    impl: str = "pandas",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: deterministic centroid seeding + nearest-centroid
     assignment.
@@ -165,6 +249,11 @@ def ivf_assign(
     identical either way). Returns (centroids, assignment) where
     assignment maps every vector to its argmax-cosine centroid
     (ties → lowest centroid_id).
+
+    ``impl="pandas"`` (default): centroids broadcast, one BLAS argmax per
+    partition — the |vectors| × |centroids| interpreted HOF fold of the
+    SQL form is the measured cost. ``impl="sql"``: broadcast cross-join +
+    window. Bit-equal on grid embeddings (tests).
     """
     from pyspark.sql import Window
 
@@ -180,6 +269,50 @@ def ivf_assign(
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
+    if impl == "pandas":
+        import numpy as np
+
+        # sorted by centroid_id so np.argmax's first-match tiebreak
+        # reproduces the SQL (desc sim, asc centroid_id) ordering
+        crows = cents.orderBy("centroid_id").collect()
+        cids = [r["centroid_id"] for r in crows]
+        cm = (
+            np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in crows])
+            if crows
+            else np.zeros((0, 0))
+        )
+        cn = np.sqrt((cm * cm).sum(axis=1)) if crows else np.zeros(0)
+        bc = embeddings.sparkSession.sparkContext.broadcast((cids, cm, cn))
+
+        def fn(batches):
+            import pandas as pd
+
+            cids_, cm_, cn_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0 or not cids_:
+                    continue
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+                bn = np.sqrt((m * m).sum(axis=1))
+                s = m @ cm_.T
+                denom = bn[:, None] * cn_[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where((bn[:, None] > 0) & (cn_[None, :] > 0), s / denom, 0.0)
+                best = sims.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"].to_numpy(),
+                        "emb": pdf["emb"],
+                        "nrm": bn,
+                        "centroid_id": [cids_[i] for i in best],
+                    }
+                )
+
+        vid_t = e.schema["vid"].dataType.simpleString()
+        emb_t = e.schema["emb"].dataType.simpleString()
+        assign = e.select("vid", "emb").mapInPandas(
+            fn, schema=f"vid {vid_t}, emb {emb_t}, nrm double, centroid_id {vid_t}"
+        )
+        return cents, assign
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vid", "emb", "nrm", "centroid_id", _guarded_sim("emb", "c_emb", "nrm", "c_nrm").alias("c_sim")
     )

@@ -139,3 +139,30 @@ def test_hof_and_pandas_kernels_agree(spark, versions):
         assert abs(r.d_hof - r.d_np) < 1e-12 * max(1.0, abs(r.d_hof))
         assert abs(r.n_hof - r.n_np) < 1e-12 * max(1.0, abs(r.n_hof))
         assert abs(r.c_hof - r.c_np) < 1e-12
+
+
+def test_topk_impls_bit_equal(versions, queries_vec):
+    from temporal_vector_database_spark.operators.search import topk_cosine
+    from pyspark.sql import functions as F
+
+    bases = versions.where(F.col("kind") == "base")
+
+    def as_map(df):
+        return {(r.query_id, r.rank): (r.content_id, r.seq, r.sim) for r in df.collect()}
+
+    a = as_map(topk_cosine(bases, queries_vec, impl="pandas"))
+    b = as_map(topk_cosine(bases, queries_vec, impl="sql"))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_assign_impls_agree(spark):
+    rows = [(i, [((i * 13 + d * 7) % 21 - 10) / 1024.0 for d in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from temporal_vector_database_spark.operators.search import ivf_assign
+
+    def as_map(assign):
+        return {r.vid: (r.centroid_id, r.nrm) for r in assign.collect()}
+
+    _, pa = ivf_assign(df, impl="pandas")
+    _, sq = ivf_assign(df, impl="sql")
+    assert as_map(pa) == as_map(sq) and len(as_map(pa)) == 120
