@@ -182,17 +182,24 @@ def _minhash_bucket_verify_fn(num_hashes: int, min_jaccard_est: float, chunk_row
         band_id = int(pdf["band_id"].iloc[0])
         prev = [pd.factorize(pdf[f"band_{j}"])[0] for j in range(band_id)]
         mh = [pd.factorize(pdf[f"mh_{h}"])[0] for h in range(num_hashes)]
+        # integer prefilter equivalent to est >= min_est (exact float filter
+        # re-applied after selection); matrix-wide equality sums beat
+        # per-pair gathers at the near-100% pair density of LSH buckets
+        min_match = int(np.ceil(min_jaccard_est * num_hashes - 1e-9))
         out_a, out_b, out_m, out_e = [], [], [], []
         for s in range(0, nb, chunk_rows):
             e = min(s + chunk_rows, nb)
             keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            keep2d &= _cell_mask2d(pdf, s, e)
             for codes in prev:  # pair already emitted by an earlier band
                 keep2d &= codes[s:e, None] != codes[None, :]
+            nm2d = np.zeros((e - s, nb), dtype=np.uint8)
+            for codes in mh:
+                nm2d += codes[s:e, None] == codes[None, :]
+            keep2d &= nm2d >= min_match
             loc, j = np.nonzero(keep2d)
             i = loc + s
-            n_match = np.zeros(len(i), dtype=np.int32)
-            for codes in mh:
-                n_match += codes[i] == codes[j]
+            n_match = nm2d[loc, j].astype(np.int32)
             est = n_match / float(num_hashes)
             keep = est >= min_jaccard_est
             i, j, n_match, est = i[keep], j[keep], n_match[keep], est[keep]
@@ -265,7 +272,9 @@ def near_duplicate_pairs(
         id_type = next(
             f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
         )
-        return grouped.groupBy("band_id", "band_hash").applyInPandas(
+        return _apply_per_bucket(
+            grouped,
+            ["band_id", "band_hash"],
             _minhash_bucket_verify_fn(num_hashes, min_jaccard_est, chunk_rows),
             schema=f"a_id {id_type}, b_id {id_type}, n_match int, est_jaccard double",
         )
@@ -420,6 +429,7 @@ def _simhash_bucket_verify_fn(max_hamming: int, chunk_rows: int):
         for s in range(0, nb, chunk_rows):
             e = min(s + chunk_rows, nb)
             keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            keep2d &= _cell_mask2d(pdf, s, e)
             for codes in prev:
                 keep2d &= codes[s:e, None] != codes[None, :]
             loc, j = np.nonzero(keep2d)
@@ -472,7 +482,9 @@ def simhash_near_pairs(
                 F.array(*[F.expr(f"(simhash div {1 << (8 * i)}) % 256") for i in range(4)])
             ).alias("band_id", "band_val"),
         )
-        return grouped.groupBy("band_id", "band_val").applyInPandas(
+        return _apply_per_bucket(
+            grouped,
+            ["band_id", "band_val"],
             _simhash_bucket_verify_fn(max_hamming, chunk_rows),
             schema=f"a_id {id_type}, b_id {id_type}, hamming int",
         )
@@ -509,6 +521,101 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (over LSH candidates)
 # ---------------------------------------------------------------------------
+
+def _apply_per_bucket(
+    grouped: DataFrame,
+    keys: list[str],
+    bucket_fn,
+    schema: str,
+    id_col: str = "doc_id",
+    tiles: int = 8,
+    tile_threshold: int = 1024,
+) -> DataFrame:
+    """Run ``bucket_fn`` (a per-bucket pandas verifier) over every bucket,
+    many buckets per task: repartition on the bucket key, then ONE
+    ``mapInPandas`` per partition with an in-worker pandas groupby.
+
+    LSH bucketing yields tens of thousands of tiny groups; Spark's
+    ``groupBy().applyInPandas`` pays ~ms of plan/Arrow machinery per
+    group, which dominates end-to-end (measured 5.2 s → ~1 s at sf0.1).
+    Partition memory = the partition's share of the signature table (plus
+    its largest bucket) — governed by ``spark.sql.shuffle.partitions``,
+    exactly like any shuffle.
+
+    THE skew hazard of LSH on a self-similar corpus is the mega bucket
+    (thousands of near-identical docs sharing one band hash) — a single
+    task doing quadratic work. Buckets larger than ``tile_threshold`` are
+    triangle-tiled: each doc gets a deterministic salt in ``[0, tiles)``
+    and is replicated to every grid cell ``(min(salt,c), max(salt,c))``;
+    each cell is an independent group, and a pair is owned by exactly ONE
+    cell (the one matching its salt pair — enforced via `_cell_mask2d`
+    inside the verifier), so the mega bucket's pair work spreads over
+    ``tiles·(tiles+1)/2`` parallel tasks with no duplicate emission."""
+    import pandas as pd
+
+    w = Window.partitionBy(*keys)
+    salted = (
+        grouped.withColumn("_bcnt", F.count("*").over(w))
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_bcnt") > tile_threshold,
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(tiles)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.when(
+                    F.col("_bcnt") > tile_threshold,
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(0, {tiles - 1}),"
+                            " c -> struct(least(_salt, c) as a, greatest(_salt, c) as b))"
+                        )
+                    ),
+                ).otherwise(F.expr("array(struct(0 as a, 0 as b))"))
+            ),
+        )
+        .withColumn("_cell_a", F.col("_cell.a"))
+        .withColumn("_cell_b", F.col("_cell.b"))
+        .drop("_cell", "_bcnt")
+    )
+    keys2 = [*keys, "_cell_a", "_cell_b"]
+
+    def runner(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        outs = []
+        for _, g in pdf.groupby(keys2, sort=False):
+            if len(g) < 2:
+                continue
+            out = bucket_fn(g)
+            if len(out):
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return salted.repartition(*[F.col(k) for k in keys2]).mapInPandas(
+        runner, schema=schema
+    )
+
+
+def _cell_mask2d(pdf, s: int, e: int):
+    """Pair-ownership mask for triangle tiling (see `_apply_per_bucket`):
+    keep (i, j) iff (min(salt_i, salt_j), max(salt_i, salt_j)) equals this
+    group's cell. Untiled groups are all-salt-0 in cell (0, 0) → all-true."""
+    import numpy as np
+
+    salt = pdf["_salt"].to_numpy()
+    ca = int(pdf["_cell_a"].iloc[0])
+    cb = int(pdf["_cell_b"].iloc[0])
+    sa = salt[s:e, None]
+    sb = salt[None, :]
+    return (np.minimum(sa, sb) == ca) & (np.maximum(sa, sb) == cb)
+
 
 def _bucket_verify_fn(min_jaccard: float, chunk_rows: int):
     """Grouped-map verifier: exact pairwise Jaccard within one LSH bucket.
@@ -552,6 +659,7 @@ def _bucket_verify_fn(min_jaccard: float, chunk_rows: int):
             c = m[s:e] @ m.T  # (e-s, nb) pairwise intersection counts
             # keep (i, j) with global i = s + local row and j > i
             keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            keep2d &= _cell_mask2d(pdf, s, e)
             for codes in prev:  # pair already emitted by an earlier band
                 keep2d &= codes[s:e, None] != codes[None, :]
             loc, j = np.nonzero(keep2d)
@@ -663,7 +771,9 @@ def ngram_jaccard_pairs(
         id_type = next(
             f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
         )
-        return grouped.groupBy("band_id", "band_hash").applyInPandas(
+        return _apply_per_bucket(
+            grouped,
+            ["band_id", "band_hash"],
             _bucket_verify_fn(min_jaccard, chunk_rows),
             schema=(
                 f"a_id {id_type}, b_id {id_type}, n_inter bigint,"
@@ -770,6 +880,7 @@ def _embedding_bucket_verify_fn(
             e = min(s + chunk_rows, nb)
             c = m[s:e] @ m.T
             keep2d = np.triu(np.ones((e - s, nb), dtype=bool), k=s + 1)
+            keep2d &= _cell_mask2d(pdf, s, e)
             for codes in prev:
                 keep2d &= codes[s:e, None] != codes[None, :]
             loc, j = np.nonzero(keep2d)
@@ -852,9 +963,12 @@ def embedding_near_duplicates(
                 "band_id", "band_val"
             ),
         )
-        return grouped.groupBy("band_id", "band_val").applyInPandas(
+        return _apply_per_bucket(
+            grouped,
+            ["band_id", "band_val"],
             _embedding_bucket_verify_fn(bands, dims_per_band, min_cosine, chunk_rows),
             schema=f"a_id {id_type}, b_id {id_type}, sim double",
+            id_col="vid",
         )
     bucket = e.select(
         "vid",
