@@ -14,14 +14,18 @@
 - near-dup (embedding cosine): sign-bit LSH bucketing over embedding dims,
   verified by exact cosine.
 
-Scale posture: signatures are one explode + one groupBy(doc) — shuffle
-size is bounded by docs × H strings. LSH banding turns the quadratic
-all-pairs comparison into an equi-join on (band, band_hash) buckets;
-only bucket-colliding pairs are scored. At 100 TB, band-bucket skew
-(very common shingles) is the known hot spot — AQE skew-join handles
-moderate skew; salting hot buckets is the escape hatch. Signature tables
-are tiny relative to the corpus (docs × a few ints) — the verify joins
-broadcast them when they fit, else AQE picks sort-merge.
+Scale posture: signatures are built in ONE narrow Arrow pass over the
+corpus (`_doc_digest_fn` — no shingle explode, no aggregation shuffle);
+the SQL explode+aggregate builds remain as oracle-portable twins. LSH
+banding bounds the quadratic all-pairs comparison to bucket-colliding
+pairs, and verification is bucket-grouped (`_apply_per_bucket`): each
+doc's signature/set moves once per band instead of once per candidate
+pair, scored with vectorized numpy/BLAS per bucket. Band-bucket skew —
+the mega bucket of near-identical docs, THE hot spot at 100 TB on
+self-similar corpora — is handled by triangle tiling: oversized buckets
+split into salt-grid cells that parallelize the pairwise work with
+exactly-once pair ownership. Every matrix verifier has a join-based SQL
+twin cross-checked for equality in tests.
 """
 
 from __future__ import annotations
