@@ -80,10 +80,15 @@ def main() -> None:
             pass
 
     # JVM/codegen + Arrow/pandas-UDF warmup on tiny inputs, so the first
-    # measured query doesn't absorb JIT and Python-worker startup costs
+    # measured query doesn't absorb JIT and Python-worker startup costs.
+    # The mapInPandas warmup runs one partition per core so the WHOLE
+    # Python-worker pool is spawned (a 2-row warmup only forks 1-2 workers
+    # and the first real Arrow query then pays ~30 process spawns).
     spark.range(1000).selectExpr("sum(id)").collect()
-    import pandas as pd  # noqa: PLC0415
-
+    ncores = spark.sparkContext.defaultParallelism
+    spark.range(0, ncores, 1, ncores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
     warm = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
     warm.groupBy("k").applyInPandas(lambda p: p, schema="k int, v double").collect()
     spark.sql(

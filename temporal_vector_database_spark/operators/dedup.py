@@ -112,6 +112,12 @@ def _spread(docs: DataFrame) -> DataFrame:
     1–4 partitions; a 100 TB corpus already has thousands — then this is a
     no-op and the digest map stays narrow)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
+    # inputFiles() is ~free; df.rdd materializes the plan's RDD (~0.2 s/call).
+    # File count LOWER-bounds partition count (large files split further), so
+    # it can only prove "already parallel enough" — never trigger a spurious
+    # shuffle of a big corpus. Below target, confirm with the exact probe.
+    if len(docs.inputFiles()) >= target:
+        return docs
     if docs.rdd.getNumPartitions() < target:
         return docs.repartition(target)
     return docs

@@ -25,7 +25,7 @@ def get_spark(app_name: str = "tvdb-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("TVDB_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("TVDB_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
