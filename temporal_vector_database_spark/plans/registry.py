@@ -716,6 +716,26 @@ def q_events_json_props(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Batch form of ``streaming.relational.stream_interval_join``: every
+    'view' within 24 hours AFTER each 'click' of the same user. The
+    streaming twin runs the identical plan with watermarks
+    (``tests/test_streaming_relational.py`` pins stream==batch)."""
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.relational import stream_interval_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    left = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    right = ev.where(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    res = stream_interval_join(left, right, key="user_id", upper="24 hours")
+    return res.select(
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_millis("r_ts") - F.unix_millis("l_ts")).alias("gap_ms"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
@@ -1644,6 +1664,21 @@ SELECT l.user_id, l.ts_ms, l.event_id,
 FROM l ASOF LEFT JOIN ded d ON l.user_id = d.user_id AND l.ts_ms >= d.ts_ms
 """
 
+ORACLES["events_interval_join"] = """
+WITH l AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id
+  FROM events WHERE event_type = 'view'
+)
+SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+       l.user_id AS user_id, r.ts_ms - l.ts_ms AS gap_ms
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 86400000
+"""
+
 ORACLES["events_sessionize"] = """
 WITH g AS (
   -- order by millisecond-truncated time to mirror the Spark side, which
@@ -1749,6 +1784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_stats": q_events_type_stats,
     "events_tumbling": q_events_tumbling,
     "events_asof_join": q_events_asof_join,
+    "events_interval_join": q_events_interval_join,
     "events_json_props": q_events_json_props,
     "customers_without_orders": q_customers_without_orders,
     "revenue_rollup": q_revenue_rollup,
