@@ -15,6 +15,8 @@ Storage is append-only parquet; "opening a DB" is pointing at a directory.
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from datetime import datetime
 from typing import Any, Sequence
@@ -50,6 +52,72 @@ class TemporalVectorDatabase:
         self.cfg = cfg
         self._index: DataFrame | None = None  # materialized search index
 
+    # -- config persistence --------------------------------------------------
+    # The reference persists dimension/thresholds as HDF5 file attrs
+    # (``storage/storage_engine.py:70-81``) so a reopened DB keeps its
+    # policy. Here the table directory carries a ``_tvdb_meta.json``
+    # sidecar — underscore-prefixed files are invisible to Spark's parquet
+    # scans (same convention as ``_SUCCESS``). Local-path I/O below; on a
+    # cluster store this becomes one tiny object PUT next to the table.
+
+    _META_NAME = "_tvdb_meta.json"
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.table_path, self._META_NAME)
+
+    def _persist_meta(self, encoded: DataFrame) -> None:
+        if os.path.exists(self._meta_path):
+            return
+        dim_row = (
+            encoded.where(F.col("kind") == "base").select(F.size("embedding").alias("d")).first()
+        )
+        meta = {
+            "format_version": 1,
+            "embedding_dim": int(dim_row["d"]) if dim_row else None,
+            "config": dataclasses.asdict(self.cfg),
+        }
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+
+    @classmethod
+    def open(
+        cls, spark: SparkSession, table_path: str, cfg: TVDBConfig | None = None
+    ) -> "TemporalVectorDatabase":
+        """Reopen an existing DB with the configuration it was created
+        with (reference: config attrs read back from the HDF5 file). An
+        explicit ``cfg`` overrides; a table without a sidecar (pre-meta or
+        foreign) falls back to defaults."""
+        meta_path = os.path.join(table_path, cls._META_NAME)
+        if cfg is None and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            known = {fld.name for fld in dataclasses.fields(TVDBConfig)}
+            cfg = TVDBConfig(
+                **{k: v for k, v in stored.get("config", {}).items() if k in known}
+            )
+        return cls(spark, table_path, cfg or DEFAULT_CONFIG)
+
+    @property
+    def embedding_dim(self) -> int | None:
+        """Stored embedding dimensionality (reference DB-level constant,
+        ``storage/storage_engine.py:50``): from the sidecar when present,
+        else measured from the table."""
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                d = json.load(f).get("embedding_dim")
+            if d is not None:
+                return int(d)
+        if not self._exists:
+            return None
+        row = (
+            self.versions()
+            .where(F.col("kind") == "base")
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
+        return int(row["d"]) if row else None
+
     # -- storage ------------------------------------------------------------
 
     @property
@@ -83,6 +151,7 @@ class TemporalVectorDatabase:
         encoded = encoded.localCheckpoint(eager=True)  # freeze before append
         n = encoded.count()
         encoded.write.mode("append").parquet(self.table_path)
+        self._persist_meta(encoded)
         self._invalidate_index()
         return n
 

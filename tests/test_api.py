@@ -145,3 +145,34 @@ def test_facade_compact_and_truncate(db, spark):
     assert removed > 0
     still = db.get_latest_version("lc")
     assert still["embedding"] == latest_before["embedding"]
+
+
+def test_config_persists_across_sessions(db, spark, tmp_path):
+    """Reference parity: a reopened DB keeps the policy it was created
+    with (HDF5 attrs, storage/storage_engine.py:70-81) — here via the
+    _tvdb_meta.json table sidecar."""
+    db.add_versions(_raw(spark, n=12, dim=16))
+
+    reopened = TemporalVectorDatabase.open(spark, db.table_path)
+    assert reopened.cfg == CFG  # interval-5 survived, not the default 10
+    assert reopened.embedding_dim == 16
+
+    # appends through the reopened handle keep the stored interval:
+    # seq 13..16 with interval 5 → base at 16 ((16-1) % 5 == 0)
+    reopened.add_versions(_raw(spark, contents=("a",), n=4, start_seq=13))
+    kinds = {
+        r.seq: r.kind
+        for r in reopened.versions().where(F.col("content_id") == "a").collect()
+    }
+    assert kinds[16] == "base" and kinds[13] == kinds[14] == kinds[15] == "delta"
+
+    # an explicit cfg still overrides; a sidecar-less table falls back to defaults
+    assert TemporalVectorDatabase.open(spark, db.table_path, TVDBConfig()).cfg == TVDBConfig()
+    bare = str(tmp_path / "bare")
+    TemporalVectorDatabase(spark, bare, TVDBConfig()).add_versions(
+        _raw(spark, contents=("z",), n=2)
+    )
+    import os
+
+    os.remove(os.path.join(bare, "_tvdb_meta.json"))
+    assert TemporalVectorDatabase.open(spark, bare).cfg == TVDBConfig()
