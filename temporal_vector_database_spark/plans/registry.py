@@ -590,6 +590,120 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape: order count per priority for orders with at least
+    one LATE line item (EXISTS → left-semi join; the driver tables have no
+    commitdate, so "late" = shipped > 90 days after the order date). The
+    semi join carries only the key — no fact-fact row blowup."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-conditional aggregation after a fact-fact
+    join — high- vs low-priority order counts per return flag for 1996
+    shipments (no l_shipmode in the driver tables; l_returnflag plays the
+    grouping role)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join
+    so zero-order customers keep count 0, then a second aggregation over
+    the counts. Two shuffles (custkey, then count) — both partial+final."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part class, with a
+    NOT IN exclusion subquery (→ left-anti join against negative-balance
+    suppliers; lineitem is the part↔supplier association — the driver has
+    no partsupp table)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).where(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_size").isin(1, 4, 9, 14, 19, 23))
+    )
+    s_bad = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).where(
+        F.col("s_acctbal") < 0
+    )
+    assoc = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(s_bad), li.l_suppkey == s_bad.s_suppkey, "left_anti"
+    )
+    return (
+        assoc.join(p, assoc.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (global average balance of
+    positive-balance customers) as a filter threshold, then an anti join
+    against orders — rich customers who never ordered, per nation. The
+    scalar aggregate broadcasts as a 1-row cross join. "Never ordered"
+    is scoped to the table's final quarter — the driver's order
+    generator covers every customer over the full range."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        F.col("o_orderdate") >= F.lit("1998-09-01")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_revenue_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all four grouping combinations
     in one pass (grouping-sets coverage; ROLLUP is `revenue_rollup`)."""
@@ -1588,6 +1702,65 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+ORACLES["tpch_q4_shape"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o.o_orderkey
+      AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+ORACLES["tpch_q12_shape"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+ORACLES["tpch_q13_shape"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN (
+    SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+ORACLES["tpch_q16_shape"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["tpch_q22_shape"] = """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c.c_custkey AND o_orderdate >= TIMESTAMP '1998-09-01'
+  )
+GROUP BY c_nationkey
+"""
+
 ORACLES["revenue_cube"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1778,6 +1951,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q4_shape": q_tpch_q4_shape,
+    "tpch_q12_shape": q_tpch_q12_shape,
+    "tpch_q13_shape": q_tpch_q13_shape,
+    "tpch_q16_shape": q_tpch_q16_shape,
+    "tpch_q22_shape": q_tpch_q22_shape,
     "revenue_cube": q_revenue_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
