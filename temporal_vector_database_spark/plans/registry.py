@@ -850,6 +850,25 @@ def q_events_interval_join(spark, sf_dir):
     )
 
 
+def q_events_session_window(spark, sf_dir):
+    """Native ``session_window`` sessionization (vs ``events_sessionize``'s
+    hand-rolled gaps-and-islands): same 30-minute gap, verified against
+    the DuckDB lag/cumsum form. Boundary semantics pinned: an event
+    exactly ``gap`` after the previous one MERGES (split strictly >)."""
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.analytics import session_window_stats
+
+    ev = load_events(spark, sf_dir).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    res = session_window_stats(ev, gap="30 minutes")
+    return res.select(
+        "user_id",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
@@ -1852,6 +1871,31 @@ FROM l JOIN r ON l.user_id = r.user_id
   AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 86400000
 """
 
+ORACLES["events_session_window"] = """
+WITH g AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_ms, value,
+         CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS new_sess
+  FROM g
+),
+c AS (
+  SELECT user_id, ts_ms, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+)
+SELECT user_id,
+       min(ts_ms) AS session_start_ms,
+       max(ts_ms) + 1800000 AS session_end_ms,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM c GROUP BY user_id, session_id
+"""
+
 ORACLES["events_sessionize"] = """
 WITH g AS (
   -- order by millisecond-truncated time to mirror the Spark side, which
@@ -1959,6 +2003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_cube": q_revenue_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "events_type_stats": q_events_type_stats,
     "events_tumbling": q_events_tumbling,
     "events_asof_join": q_events_asof_join,

@@ -46,3 +46,38 @@ def windowed_event_stats(
             "approx_users",
         )
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per key: a session extends while events arrive
+    within ``gap`` of the previous one; ``session_end`` is last event +
+    gap (Spark ``session_window`` semantics).
+
+    Dual batch/stream like ``windowed_event_stats``; on a stream the
+    watermark closes sessions once event time passes ``session_end +
+    watermark``, bounding state. Batch results are oracle-expressible as
+    gaps-and-islands SQL — the ``events_session_window`` queries() entry
+    pins Spark's session assignment against DuckDB's lag/cumsum form.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -105,3 +105,31 @@ def test_streaming_search_matches_batch(spark, tmp_path, versions, queries_vec):
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     want = {tuple(r) for r in topk_cosine_indexed(idx, queries_vec).collect()}
     assert got == want and len(want) > 0
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    from temporal_vector_database_spark.streaming.analytics import session_window_stats
+
+    rows = _rows()
+    in_dir = str(tmp_path / "sw_in")
+    os.makedirs(in_dir)
+    _events(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    q = (
+        session_window_stats(stream, gap="10 minutes", key_col="user_id")
+        .writeStream.format("memory")
+        .queryName("sw")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sw").collect()}
+    want = {
+        tuple(r)
+        for r in session_window_stats(
+            _events(spark, rows), gap="10 minutes", key_col="user_id"
+        ).collect()
+    }
+    assert got == want and len(want) >= 7  # every user sessions identically
