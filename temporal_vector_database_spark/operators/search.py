@@ -489,3 +489,92 @@ def mllib_lsh_neighbors(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as a PARTITIONED table: one parquet partition
+    per inverted list (``lists/centroid_id=<c>/``) plus the tiny centroid
+    table. This is the batch-index-build half of the north-star approach —
+    build once, serve many query batches, each reading only its probed
+    lists via static partition pruning (``ivf_topk_persisted``).
+
+    At 100 TB the layout IS the index: a probe touches ~nprobe/n_centroids
+    of the files, and the scan's ``PartitionFilters`` (asserted in tests)
+    is the proof the rest is never read.
+    """
+    import os
+
+    cents, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "lists")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine against a ``write_ivf_index`` layout.
+
+    Probe routing happens driver-side: the distinct probed centroid ids
+    (bounded by |queries| × nprobe — a handful of ints; this is a query
+    router, not a data collect) become a literal ``IN`` filter on the
+    partition column, so the lists scan prunes to the probed directories
+    before any file is opened. Scoring and tie-breaks are identical to
+    ``ivf_topk`` — results are bit-equal on the same data.
+    """
+    import os
+
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    q = queries.select(
+        F.col("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        l2_norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "q_emb", "q_nrm", "centroid_id",
+        _guarded_sim("q_emb", "c_emb", "q_nrm", "c_nrm").alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_nrm", "centroid_id")
+    )
+    probe_ids = sorted(
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    )
+    cid_type = cents.schema["centroid_id"].dataType.simpleString()
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .where(F.col("centroid_id").isin(probe_ids))
+        # partition-column type is re-inferred from directory names on
+        # read; cast back so the probe join and output schema match the
+        # in-memory path exactly
+        .withColumn("centroid_id", F.col("centroid_id").cast(cid_type))
+    )
+    cands = probes.join(lists, "centroid_id").select(
+        "query_id", "vid", _guarded_sim("q_emb", "emb", "q_nrm", "nrm").alias("sim")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        cands.where(F.col("sim") > 0)
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias(id_col), "sim")
+    )

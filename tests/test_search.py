@@ -166,3 +166,38 @@ def test_ivf_assign_impls_agree(spark):
     _, pa = ivf_assign(df, impl="pandas")
     _, sq = ivf_assign(df, impl="sql")
     assert as_map(pa) == as_map(sq) and len(as_map(pa)) == 120
+
+
+def test_persisted_ivf_matches_in_memory_and_prunes(spark, tmp_path):
+    from temporal_vector_database_spark.operators.search import (
+        ivf_topk,
+        ivf_topk_persisted,
+        write_ivf_index,
+    )
+
+    rows = [(i, [((i * 13 + d * 7) % 21 - 10) / 1024.0 for d in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qrows = [(j, [((j * 11 + d * 5) % 19 - 9) / 1024.0 for d in range(16)]) for j in range(4)]
+    queries = spark.createDataFrame(qrows, ["query_id", "embedding"])
+
+    idx_path = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx_path)
+
+    got = ivf_topk_persisted(spark, idx_path, queries, k=5, nprobe=2)
+    want = ivf_topk(emb, queries, k=5, nprobe=2)
+
+    def as_map(df):
+        return {(r.query_id, r.rank): (r.vec_id, r.sim) for r in df.collect()}
+
+    assert as_map(got) == as_map(want) and len(as_map(want)) > 0
+
+    # the lists scan must prune to the probed partitions BEFORE reading
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("centroid_id" in ln and " IN " in ln for ln in pf), plan
