@@ -146,3 +146,68 @@ def sample_frames(decoded: DataFrame, every_k: int = 4) -> DataFrame:
         "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_id"),
     ).where((F.col("frame_id") % every_k) == 0)
+
+
+def resize_plan(decoded: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving thumbnail planning over decoded dimensions —
+    the resize step's Spark-side half, pure integer column math (never
+    upscale; fit the long edge). The byte-level resample needs an image
+    library: plug it in as ``decode_payload(..., decoder=...)``-style
+    pandas stages downstream; every dimension decision happens here,
+    JVM-side, before any payload bytes move.
+    """
+    w, h = F.col("width"), F.col("height")
+    fits = (w <= max_w) & (h <= max_h)
+    height_bound = (w * max_h) <= (h * max_w)
+    out_w = F.when(fits, w).otherwise(
+        F.when(height_bound, F.expr(f"div(width * {max_h}, height)")).otherwise(F.lit(max_w))
+    )
+    out_h = F.when(fits, h).otherwise(
+        F.when(height_bound, F.lit(max_h)).otherwise(F.expr(f"div(height * {max_w}, width)"))
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+        (w * h > max_w * max_h).alias("downsampled"),
+    )
+
+
+def payload_features(
+    payloads: DataFrame,
+    dim: int = 8,
+    extractor: Callable[[bytes], list] | None = None,
+) -> DataFrame:
+    """Feature extraction: payload bytes → fixed-dim float vector, the
+    bridge from multimodal ingest into the ANN/dedup surface (the output
+    feeds ``embedding_near_duplicates`` / ``ann_brute_force`` directly).
+
+    The default extractor is the deterministic fake (md5 16-bit slices
+    scaled to [0, 1] — mirrored in the DuckDB oracle); a real CLIP-style
+    encoder plugs in via ``extractor`` and everything downstream is
+    unchanged. Requires ``dim <= 8`` for the fake (md5 is 128 bits).
+    """
+    if extractor is None and dim > 8:
+        raise ValueError("md5 fake extractor yields at most 8 16-bit slices")
+
+    def fake(payload: bytes) -> list:
+        hx = hashlib.md5(payload).hexdigest()
+        return [int(hx[4 * i : 4 * i + 4], 16) / 65535.0 for i in range(dim)]
+
+    ext = extractor or fake
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": [ext(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    id_type = payloads.schema["doc_id"].dataType.simpleString()
+    return payloads.select("doc_id", "payload").mapInPandas(
+        fn, schema=f"doc_id {id_type}, embedding array<double>"
+    )

@@ -410,6 +410,33 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(decode_payload(with_payload(docs)), every_k=4)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    from temporal_vector_database_spark.operators.multimodal import (
+        decode_payload,
+        resize_plan,
+        with_payload,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return resize_plan(decode_payload(with_payload(docs)), max_w=256, max_h=256)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Feature vectors from payloads, summarized per doc (sum + first dim)
+    so the oracle hashes scalars, not arrays."""
+    from temporal_vector_database_spark.operators.multimodal import (
+        payload_features,
+        with_payload,
+    )
+
+    feats = payload_features(with_payload(spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))))
+    return feats.select(
+        "doc_id",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 9).alias("feat_sum"),
+        F.round(F.element_at("embedding", 1), 9).alias("feat_0"),
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroid — the vector-aggregate building block
     (class prototypes / IVF training step). posexplode → per-dim avg is
@@ -1603,6 +1630,41 @@ FROM documents
 
 ORACLES["multimodal_decode"] = _DECODE_CTE + "SELECT * FROM dec"
 
+ORACLES["multimodal_resize"] = (
+    _DECODE_CTE
+    + """
+SELECT doc_id, width, height,
+       CAST(CASE WHEN width <= 256 AND height <= 256 THEN width
+                 WHEN width * 256 <= height * 256 THEN (width * 256) // height
+                 ELSE 256 END AS INTEGER) AS out_w,
+       CAST(CASE WHEN width <= 256 AND height <= 256 THEN height
+                 WHEN width * 256 <= height * 256 THEN 256
+                 ELSE (height * 256) // width END AS INTEGER) AS out_h,
+       width * height > 65536 AS downsampled
+FROM dec
+"""
+)
+
+
+def _hex4(i: int) -> str:
+    # 16-bit slice i of the md5 hex digest (1-based char positions)
+    return f"({_hexpair(4 * i + 1, 4 * i + 2)} * 256 + {_hexpair(4 * i + 3, 4 * i + 4)})"
+
+
+ORACLES["multimodal_features"] = f"""
+WITH p AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+f AS (
+  SELECT doc_id, {", ".join(f"{_hex4(i)} / 65535.0 AS f{i}" for i in range(8))}
+  FROM p
+)
+SELECT doc_id,
+       round(f0 + f1 + f2 + f3 + f4 + f5 + f6 + f7, 9) AS feat_sum,
+       round(f0, 9) AS feat_0
+FROM f
+"""
+
 ORACLES["frame_sample"] = (
     _DECODE_CTE
     + """
@@ -1985,6 +2047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
     "label_centroids": q_label_centroids,
     "price_quantiles": q_price_quantiles,
