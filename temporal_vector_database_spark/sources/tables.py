@@ -67,3 +67,40 @@ def write_versions_bucketed(
         .sortBy("content_id", "seq")
         .saveAsTable(table_name)
     )
+
+
+VERSIONS_FORMATS = ("parquet", "orc", "json")
+
+
+def write_versions_as(versions: DataFrame, path: str, format: str = "parquet") -> None:
+    """Persist a ``versions`` table in any supported format.
+
+    Parquet is the primary layout (columnar, predicate pushdown, the
+    bucketed variant above). ORC is the drop-in columnar alternative
+    (same pushdown story). JSON is the interchange/debug sink — row
+    oriented, no pushdown, but the nested arrays and the metadata map
+    survive round-trips losslessly given the schema on read. CSV is
+    deliberately unsupported: flat text cannot carry array<double>
+    columns without inventing an encoding.
+    """
+    if format not in VERSIONS_FORMATS:
+        raise ValueError(f"unsupported versions format: {format!r} (use {VERSIONS_FORMATS})")
+    versions.write.mode("overwrite").format(format).save(path)
+
+
+def read_versions_as(
+    spark: SparkSession, path: str, format: str = "parquet", schema=None
+) -> DataFrame:
+    """Read a ``versions`` table written by ``write_versions_as``.
+
+    JSON needs the explicit schema to keep exact types (int vs long,
+    timestamp vs string); self-describing formats ignore it.
+    """
+    if format not in VERSIONS_FORMATS:
+        raise ValueError(f"unsupported versions format: {format!r} (use {VERSIONS_FORMATS})")
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif format == "json":
+        raise ValueError("JSON read requires the versions schema (types are not self-describing)")
+    return reader.load(path)

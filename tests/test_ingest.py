@@ -143,3 +143,28 @@ def test_first_epoch_deltas_sql_twin(versions_raw, versions):
         | (F.abs(F.col("s.magnitude") - F.col("d.magnitude")) > 1e-12)
     ).count()
     assert bad == 0
+
+
+def test_versions_orc_json_roundtrip(spark, versions, tmp_path):
+    from temporal_vector_database_spark.sources.tables import (
+        read_versions_as,
+        write_versions_as,
+    )
+
+    def canon(df):
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        return sorted((repr(sorted(d.items(), key=lambda kv: kv[0]))) for d in rows)
+
+    want = canon(versions)
+    for fmt in ("orc", "json"):
+        p = str(tmp_path / fmt)
+        write_versions_as(versions, p, format=fmt)
+        got = read_versions_as(spark, p, format=fmt, schema=versions.schema)
+        assert canon(got.select(*versions.columns)) == want, fmt
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_versions_as(versions, str(tmp_path / "bad"), format="csv")
+    with pytest.raises(ValueError):
+        read_versions_as(spark, str(tmp_path / "orc"), format="json")
