@@ -410,6 +410,15 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(decode_payload(with_payload(docs)), every_k=4)
 
 
+def q_version_rollup(spark, sf_dir):
+    """Hypertable-style daily rollup of the versions table (read-side
+    report over mergeable partial state; incremental-merge exactness is
+    pinned in tests/test_rollup.py)."""
+    from temporal_vector_database_spark.operators.rollup import rollup_report, version_rollup
+
+    return rollup_report(version_rollup(_versions(spark, sf_dir), bucket="day"))
+
+
 def q_multimodal_resize(spark, sf_dir):
     from temporal_vector_database_spark.operators.multimodal import (
         decode_payload,
@@ -1630,6 +1639,20 @@ FROM documents
 
 ORACLES["multimodal_decode"] = _DECODE_CTE + "SELECT * FROM dec"
 
+ORACLES["version_rollup"] = f"""
+SELECT content_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       count(*) AS n_versions,
+       sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS n_bases,
+       sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS n_deltas,
+       round(sum(CASE WHEN kind = 'delta' THEN magnitude END)
+             / sum(CASE WHEN kind = 'delta' THEN 1 END), 9) AS avg_magnitude,
+       round(max(CASE WHEN kind = 'delta' THEN magnitude END), 9) AS max_magnitude,
+       round(CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS DOUBLE)
+             / sum(CASE WHEN kind = 'delta' THEN 1 END), 9) AS avg_dims_changed
+FROM {_V}
+GROUP BY content_id, date_trunc('day', ts)
+"""
+
 ORACLES["multimodal_resize"] = (
     _DECODE_CTE
     + """
@@ -2048,6 +2071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
+    "version_rollup": q_version_rollup,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
     "label_centroids": q_label_centroids,

@@ -1,0 +1,52 @@
+"""Continuous-aggregate rollup: incremental merge must equal a full
+rebuild, on any split of the input into append batches."""
+
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.rollup import (
+    rollup_merge,
+    rollup_report,
+    version_rollup,
+)
+
+
+def _canon(report_df):
+    return {
+        (r.content_id, r.bucket_start): tuple(
+            r[c]
+            for c in (
+                "n_versions",
+                "n_bases",
+                "n_deltas",
+                "avg_magnitude",
+                "max_magnitude",
+                "avg_dims_changed",
+            )
+        )
+        for r in report_df.collect()
+    }
+
+
+def test_incremental_merge_equals_full_rebuild(versions):
+    full = _canon(rollup_report(version_rollup(versions)))
+    assert len(full) > 0
+
+    # split by sequence: initial load = seq <= 6, appended batch = rest —
+    # the merge path sees partially-filled buckets on both sides
+    first = versions.where(F.col("seq") <= 6)
+    rest = versions.where(F.col("seq") > 6)
+    incr = rollup_merge(version_rollup(first), rest)
+    assert _canon(rollup_report(incr)) == full
+
+    # three-way split, merged twice (associativity of the state)
+    a = versions.where(F.col("seq") <= 3)
+    b = versions.where((F.col("seq") > 3) & (F.col("seq") <= 9))
+    c = versions.where(F.col("seq") > 9)
+    incr2 = rollup_merge(rollup_merge(version_rollup(a), b), c)
+    assert _canon(rollup_report(incr2)) == full
+
+
+def test_base_only_buckets_have_null_delta_stats(versions):
+    rep = rollup_report(version_rollup(versions.where(F.col("kind") == "base")))
+    for r in rep.collect():
+        assert r.n_deltas == 0 and r.avg_magnitude is None and r.max_magnitude is None
