@@ -740,6 +740,177 @@ def q_tpch_q22_shape(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship-year. Supplier nation comes off lineitem, customer nation off
+    orders; the two nation lookups broadcast, the fact-fact join shuffles
+    on the order key. The symmetric nation-pair disjunction stays a
+    single join predicate so Catalyst can still push both equi-keys."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    n1 = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share of ECONOMY-part revenue
+    inside one region, by order-year. The share is a conditional-sum /
+    total-sum ratio per year; seven tables, four of them broadcast dims.
+    Customer nation scopes the market (region), supplier nation is the
+    share subject — same asymmetry as the real Q8."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).where(
+        F.col("p_type") == "ECONOMY"
+    )
+    n1 = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).where(
+        F.col("r_name") == "ASIA"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier(s) by quarterly revenue — an
+    aggregate view joined against its own MAX (scalar subquery → 1-row
+    broadcast cross join). Revenue is rounded to cents BEFORE the max
+    comparison so the equality is exact in both engines."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+    a correlated per-part average (l_quantity < 0.2 * avg over that part)
+    decorrelated into a groupBy + broadcast join. Quantities are whole
+    numbers, so the per-part avg is an exact-integer-sum / count and the
+    threshold is order-of-summation independent."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    )
+    part_avg = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of three conjunctive brand/size/
+    quantity bands spanning both join sides. The shared `p_partkey =
+    l_partkey` equi-key still drives the (broadcast) join; the OR-of-ANDs
+    residual is evaluated post-join, and the common `l_quantity <= 30`
+    envelope is pushed to the lineitem scan."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 def q_revenue_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all four grouping combinations
     in one pass (grouping-sets coverage; ROLLUP is `revenue_rollup`)."""
@@ -1806,6 +1977,86 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+ORACLES["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q17"] = """
+WITH pa AS (
+  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_size < 15
+  GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN pa ON l_partkey = a_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLES["tpch_q19"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
 ORACLES["tpch_q4_shape"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -2082,6 +2333,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": q_tpch_q6,
     "tpch_q14": q_tpch_q14,
     "tpch_q10": q_tpch_q10,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
     "tpch_q18": q_tpch_q18,
     "tpch_q4_shape": q_tpch_q4_shape,
     "tpch_q12_shape": q_tpch_q12_shape,

@@ -34,17 +34,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's ``events.parquet`` stores ``ts`` as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it as a
-    raw nanosecond long (legacy flag) and expose ``ts_ns`` (long) plus a
-    millisecond-truncated ``ts_ms`` — all downstream time math is integer
-    and therefore oracle-exact."""
+    """Load ``events.parquet`` and expose integer time columns ``ts_ns`` /
+    ``ts_ms`` (nanoseconds / milliseconds since epoch) so all downstream
+    time math is integer and therefore oracle-exact.
+
+    The driver has generated ``ts`` as parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader only accepts as a raw long via the legacy
+    flag) in some rounds and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) in
+    others — adapt to whichever physical type is on disk. The session
+    timezone is pinned UTC (session.py), so interpreting the naive NTZ
+    values as UTC matches DuckDB's ``epoch_ms(ts)`` on the same file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts_ms", F.expr("ts div 1000000").cast("long")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        ns = F.col("ts")
+    else:
+        t = F.col("ts").cast("timestamp") if ts_type == "timestamp_ntz" else F.col("ts")
+        ns = F.unix_micros(t) * F.lit(1000)
+    return df.withColumn("ts_ns", ns.cast("long")).withColumn(
+        "ts_ms", F.expr("ts_ns div 1000000").cast("long")
     )
 
 
