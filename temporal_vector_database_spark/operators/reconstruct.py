@@ -2,16 +2,18 @@
 
 The reference reconstructs one version at a time: find the nearest base at
 or before the target, then sequentially fold sparse deltas onto it
-(``core/delta_computer.py:90-135``). Key insight (SURVEY.md §7): per-index
-delta addition COMMUTES (``core/data_structures.py:117-119`` is ``+=``), so
-the fold is an ``explode → groupBy(idx) → sum → merge`` — a fully
-distributed plan with no per-row Python.
+(``core/delta_computer.py:90-135``). Here the whole delta chain of each
+target is collected in one aggregation and folded with array/map HOF
+expressions (map_zip_with merge per delta, in delta_seq order — the
+reference's exact application order), entirely JVM-side.
 
 Scale posture: every join/aggregate here is keyed by ``content_id`` (and
 the governing-base epoch), so a 1000-executor cluster shuffles once and
-each timeline is processed where it lands. The epoch tag bounds the
-targets×deltas join to ``interval²`` rows per epoch instead of ``N²`` per
-content.
+each timeline is processed where it lands; the epoch-tagged frame is
+checkpointed after that one shuffle and every downstream branch reuses
+its partitioning (zero further exchanges — pinned in tests/test_plans.py).
+The epoch tag bounds the targets×deltas join to ``interval²`` rows per
+epoch instead of ``N²`` per content.
 
 Semantics preserved (SURVEY.md §2.3):
 - nearest base looks BACKWARD only (``core/data_structures.py:245-250``);
@@ -54,7 +56,21 @@ def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
     onto the governing base embedding.
 
     ``targets`` must have columns (content_id, target_seq, base_seq);
-    ``tagged`` is ``with_governing_base(versions)``.
+    ``tagged`` is ``with_governing_base(versions)`` — callers should pass it
+    MATERIALIZED (``localCheckpoint``) so every branch below reuses the one
+    content_id exchange instead of re-scanning + re-windowing per branch.
+
+    Single-aggregation design: the whole delta chain of a target is
+    collected once (``collect_list`` → ``array_sort`` by delta_seq), and
+    cost / chain averages / applied-ids / the sparse-sum map are all HOF
+    projections over that sorted array. With the checkpointed input
+    partitioned by ``content_id``, the epoch join, the chain aggregation
+    and the base join are ALL subset-compatible with that partitioning —
+    the entire fold runs with zero additional hash exchanges (pinned in
+    ``tests/test_plans.py``). The sequential in-order fold over the chain
+    also reproduces the reference's delta-application order exactly
+    (``core/delta_computer.py:128-133``).
+
     Output: content_id, target_seq, base_seq, cost, avg_magnitude,
     avg_sparsity, deltas_applied, embedding.
     """
@@ -79,26 +95,53 @@ def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
         F.col("delta_seq") <= F.col("target_seq")
     )
     keys = ["content_id", "target_seq", "base_seq"]
-    stats = jd.groupBy(*keys).agg(
-        F.count("*").cast("int").alias("cost"),
-        F.avg("magnitude").alias("avg_magnitude"),
-        F.avg(F.col("n_changed").cast("double") / F.col("total_dims")).alias("avg_sparsity"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("delta_seq", "version_id"))),
-            lambda s: s["version_id"],
-        ).alias("deltas_applied"),
+    chain = jd.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "delta_seq",
+                    "version_id",
+                    "magnitude",
+                    "n_changed",
+                    "total_dims",
+                    "sparse_idx",
+                    "sparse_val",
+                )
+            )
+        ).alias("chain")
     )
-    sums = (
-        jd.select(*keys, F.explode(F.arrays_zip("sparse_idx", "sparse_val")).alias("e"))
-        .groupBy(*keys, F.col("e.sparse_idx").alias("idx"))
-        .agg(F.sum("e.sparse_val").alias("dval"))
-        .groupBy(*keys)
-        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "dval"))).alias("dmap"))
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<double>")
+    )
+    n = F.size("chain").cast("double")
+    merged = chain.select(
+        *keys,
+        F.size("chain").cast("int").alias("cost"),
+        (F.aggregate("chain", F.lit(0.0), lambda a, d: a + d["magnitude"]) / n).alias(
+            "avg_magnitude"
+        ),
+        (
+            F.aggregate(
+                "chain",
+                F.lit(0.0),
+                lambda a, d: a + d["n_changed"].cast("double") / d["total_dims"],
+            )
+            / n
+        ).alias("avg_sparsity"),
+        F.transform("chain", lambda d: d["version_id"]).alias("deltas_applied"),
+        F.aggregate(
+            "chain",
+            empty_map,
+            lambda acc, d: F.map_zip_with(
+                acc,
+                F.map_from_arrays(d["sparse_idx"], d["sparse_val"].cast("array<double>")),
+                lambda _, v1, v2: F.coalesce(v1, F.lit(0.0)) + F.coalesce(v2, F.lit(0.0)),
+            ),
+        ).alias("dmap"),
     )
     out = (
         targets.join(bases, ["content_id", "base_seq"])
-        .join(stats, keys, "left")
-        .join(sums, keys, "left")
+        .join(merged, keys, "left")
         .withColumn(
             "embedding",
             F.when(F.col("dmap").isNull(), F.col("base_embedding")).otherwise(
@@ -118,7 +161,9 @@ def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
     return out
 
 
-def reconstruct_at(versions: DataFrame, targets: DataFrame) -> DataFrame:
+def reconstruct_at(
+    versions: DataFrame, targets: DataFrame, materialize: bool = True
+) -> DataFrame:
     """O5: reconstruct each (content_id, target_seq) pair in ``targets``.
 
     Batch generalization of ``reconstruct_embedding_from_nearest``
@@ -131,10 +176,18 @@ def reconstruct_at(versions: DataFrame, targets: DataFrame) -> DataFrame:
     dropped row) can never reconstruct. Such targets produce no output
     row here — ``integrity.invalid_reconstruction_targets`` reports them
     with reasons for callers wanting strict errors.
+
+    ``materialize`` checkpoints the epoch-tagged frame after its one
+    content_id shuffle; all downstream branches (stored-target probe,
+    nearest-base, chain fold, base join) reuse that partitioning with no
+    further exchange. At cluster scale this is the difference between
+    scanning + shuffling the versions table once and six times.
     """
     tagged = with_governing_base(versions)
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=True)
     stored = targets.join(
-        versions.select("content_id", F.col("seq").alias("target_seq")),
+        tagged.select("content_id", F.col("seq").alias("target_seq")),
         ["content_id", "target_seq"],
         "left_semi",
     )
@@ -149,7 +202,7 @@ def reconstruct_at(versions: DataFrame, targets: DataFrame) -> DataFrame:
     return _fold_deltas(tb, tagged)
 
 
-def reconstruct_all(versions: DataFrame) -> DataFrame:
+def reconstruct_all(versions: DataFrame, materialize: bool = True) -> DataFrame:
     """O7 (superior batch form): reconstruct EVERY stored version in one pass.
 
     The reference's ``get_version_range``/``batch_reconstruct`` loop point
@@ -158,6 +211,8 @@ def reconstruct_all(versions: DataFrame) -> DataFrame:
     epoch-tagged target of the same fold.
     """
     tagged = with_governing_base(versions)
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=True)
     targets = tagged.where(F.col("base_seq").isNotNull()).select(
         "content_id", F.col("seq").alias("target_seq"), "base_seq"
     )
@@ -236,11 +291,15 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
     )
 
 
-def reconstruct_range(versions: DataFrame, start_seq: int, end_seq: int) -> DataFrame:
+def reconstruct_range(
+    versions: DataFrame, start_seq: int, end_seq: int, materialize: bool = True
+) -> DataFrame:
     """O7: reconstruct sequences in ``[start_seq, end_seq]`` per content
     (``storage/temporal_database.py:255-272``; ascending order guaranteed by
     the ``target_seq`` column, ``core/reconstruction_service.py:177``)."""
     tagged = with_governing_base(versions)
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=True)
     targets = tagged.where(
         (F.col("seq") >= start_seq) & (F.col("seq") <= end_seq) & F.col("base_seq").isNotNull()
     ).select("content_id", F.col("seq").alias("target_seq"), "base_seq")

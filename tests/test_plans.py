@@ -1,0 +1,109 @@
+"""Plan-shape regression tests: the 100 TB posture is only real if the
+physical plans keep their load-bearing properties — filters pushed to the
+parquet scan, unused columns pruned out of the scan, small dimensions
+broadcast (never shuffled or cartesian-joined), and the per-content
+pipeline paying at most one hash exchange.
+
+These assert on plan text, not timings, so they are stable on any host.
+Bounds are intentionally one-sided (>= / <=) to stay robust across Spark
+upgrades while still catching the regressions that matter at scale.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("TVDB_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def formatted_plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(jqe, "formatted")
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    from temporal_vector_database_spark.plans.registry import query_map
+
+    return query_map()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, qmap):
+    plan = formatted_plan(qmap["tpch_q1"](spark, SF_DIR))
+    # the date predicate must reach the parquet reader, not run post-scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # columns the query never touches must not be read at all
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_tpch_q6_all_filters_pushed(spark, qmap):
+    plan = formatted_plan(qmap["tpch_q6"](spark, SF_DIR))
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}"
+    assert "l_returnflag" not in plan  # pruned
+
+
+def test_tpch_q10_broadcasts_and_date_pushdown(spark, qmap):
+    plan = formatted_plan(qmap["tpch_q10"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # orders (filtered), customer, nation all broadcast — the only shuffle
+    # left is the final aggregation
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+    assert "l_tax" not in plan  # lineitem scan pruned
+
+
+def test_tpch_q5_no_cartesian_dims_broadcast(spark, qmap):
+    plan = formatted_plan(qmap["tpch_q5"](spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_search_never_shuffles_base_table(spark, qmap):
+    plan = physical_plan(qmap["topk_search"](spark, SF_DIR))
+    # the query batch rides the task closure (BLAS twin) or broadcasts —
+    # either way the base table is scanned in place; the only exchange is
+    # the per-query top-k window, and the kind='base' predicate reaches
+    # the parquet reader
+    assert ("MapInPandas" in plan) or ("BroadcastExchange" in plan)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_reconstruct_all_single_content_exchange(spark, qmap):
+    plan = physical_plan(qmap["reconstruct_all"](spark, SF_DIR))
+    # the epoch-tagged frame is checkpointed after its one content_id
+    # shuffle; the epoch join, chain aggregation and base join must reuse
+    # that partitioning (subset-compatible) rather than re-shuffling —
+    # anything above 2 means a branch dropped the partitioning and would
+    # shuffle the full versions table again at 100 TB
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"unexpected exchange count {n_exchanges}"
+
+
+def test_ingest_encode_is_narrow_after_window(spark, qmap):
+    plan = physical_plan(qmap["ingest_encode"](spark, SF_DIR))
+    # encode is lag()+column math: exactly the content_id window exchange,
+    # no join, no extra shuffle
+    assert "Join" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"encode pipeline shuffles too much: {n_exchanges}"
+
+
+def test_events_scan_prunes_props(spark, qmap):
+    plan = formatted_plan(qmap["events_type_stats"](spark, SF_DIR))
+    # the JSON props blob is the widest events column; stats never touch it
+    assert "props" not in plan
