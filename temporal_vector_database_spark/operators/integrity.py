@@ -72,29 +72,52 @@ def validate_timeline_integrity(versions: DataFrame, gap_flag: int = 20) -> Data
     """V2: one row per content — counts, missing/dangling counts, max base
     gap, ``valid`` flag (missing or dangling ⇒ invalid; a large gap is an
     issue but does NOT flip ``valid`` in the reference,
-    ``core/reconstruction_service.py:345-356``)."""
-    summary = versions.groupBy("content_id").agg(
+    ``core/reconstruction_service.py:345-356``).
+
+    Single-pass form: ONE groupBy(content_id) collects the per-timeline
+    sequence/base/delta structure, then every check is an array expression
+    over it — missing = ``array_except(sequence(1,max), present)``,
+    dangling = deltas whose ``from_seq`` is absent from ``present``, base
+    gaps = pairwise differences of the sorted base list. The previous form
+    scanned the versions table six times and hash-joined four branches;
+    timelines are interval-bounded (tens of versions), so the collected
+    arrays are small and the whole report is one shuffle."""
+    g = versions.groupBy("content_id").agg(
         F.max("seq").cast("int").alias("max_sequence"),
         F.sum(F.when(F.col("kind") == "base", 1).otherwise(0)).cast("int").alias("base_snapshots"),
         F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0)).cast("int").alias("deltas"),
+        F.sort_array(F.collect_list("seq")).alias("_present"),
+        F.sort_array(F.collect_list(F.when(F.col("kind") == "base", F.col("seq")))).alias(
+            "_bases"
+        ),
+        F.collect_list(
+            F.when(F.col("kind") == "delta", F.struct("seq", "from_seq"))
+        ).alias("_dpairs"),
     )
-    miss = missing_sequences(versions).groupBy("content_id").agg(
-        F.count("*").cast("int").alias("n_missing"),
-        F.sort_array(F.collect_list("seq")).alias("missing_seqs"),
+    missing = F.array_except(F.sequence(F.lit(1), F.col("max_sequence")), F.col("_present"))
+    dangling = F.sort_array(
+        F.transform(
+            F.filter(
+                "_dpairs", lambda d: ~F.array_contains(F.col("_present"), d["from_seq"])
+            ),
+            lambda d: d["seq"],
+        )
     )
-    dang = dangling_deltas(versions).groupBy("content_id").agg(
-        F.count("*").cast("int").alias("n_dangling"),
-        F.sort_array(F.collect_list("seq")).alias("dangling_seqs"),
+    nb = F.size("_bases")
+    gap_list = F.zip_with(
+        F.slice("_bases", F.lit(2), nb - 1),
+        F.slice("_bases", F.lit(1), nb - 1),
+        lambda a, b: a - b,
     )
-    gaps = base_gaps(versions)
     out = (
-        summary.join(miss, "content_id", "left")
-        .join(dang, "content_id", "left")
-        .join(gaps, "content_id", "left")
-        .withColumn("n_missing", F.coalesce("n_missing", F.lit(0).cast("int")))
-        .withColumn("n_dangling", F.coalesce("n_dangling", F.lit(0).cast("int")))
+        g.withColumn("missing_seqs", F.when(F.size(missing) > 0, missing))
+        .withColumn("n_missing", F.coalesce(F.size("missing_seqs"), F.lit(0)).cast("int"))
+        .withColumn("dangling_seqs", F.when(F.size(dangling) > 0, dangling))
+        .withColumn("n_dangling", F.coalesce(F.size("dangling_seqs"), F.lit(0)).cast("int"))
+        .withColumn("max_base_gap", F.when(nb >= 2, F.array_max(gap_list)).cast("int"))
         .withColumn("valid", (F.col("n_missing") == 0) & (F.col("n_dangling") == 0))
         .withColumn("large_gap", F.coalesce(F.col("max_base_gap") > gap_flag, F.lit(False)))
+        .drop("_present", "_bases", "_dpairs")
     )
     return out
 

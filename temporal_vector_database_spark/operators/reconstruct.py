@@ -179,25 +179,25 @@ def reconstruct_at(
 
     ``materialize`` checkpoints the epoch-tagged frame after its one
     content_id shuffle; all downstream branches (stored-target probe,
-    nearest-base, chain fold, base join) reuse that partitioning with no
-    further exchange. At cluster scale this is the difference between
-    scanning + shuffling the versions table once and six times.
+    chain fold, base join) reuse that partitioning with no further
+    exchange. At cluster scale this is the difference between scanning +
+    shuffling the versions table once and six times.
+
+    The stored-target probe IS the nearest-base lookup: a stored row's
+    ``base_seq`` tag already names its governing base, so one inner join
+    against the tagged frame replaces the reference's separate
+    ``find_nearest_base_snapshot`` scan (``core/data_structures.py:229-252``).
     """
     tagged = with_governing_base(versions)
     if materialize:
         tagged = tagged.localCheckpoint(eager=True)
-    stored = targets.join(
-        tagged.select("content_id", F.col("seq").alias("target_seq")),
-        ["content_id", "target_seq"],
-        "left_semi",
-    )
     tb = (
-        tagged.where(F.col("kind") == "base")
-        .select("content_id", F.col("seq").alias("bseq"))
-        .join(stored, "content_id")
-        .where(F.col("bseq") <= F.col("target_seq"))
-        .groupBy("content_id", "target_seq")
-        .agg(F.max("bseq").alias("base_seq"))
+        targets.join(
+            tagged.select("content_id", F.col("seq").alias("target_seq"), "base_seq"),
+            ["content_id", "target_seq"],
+        )
+        .where(F.col("base_seq").isNotNull())
+        .select("content_id", "target_seq", "base_seq")
     )
     return _fold_deltas(tb, tagged)
 
@@ -312,8 +312,24 @@ def latest_targets(versions: DataFrame) -> DataFrame:
     return versions.groupBy("content_id").agg(F.max("seq").alias("target_seq"))
 
 
-def reconstruct_latest(versions: DataFrame) -> DataFrame:
-    return reconstruct_at(versions, latest_targets(versions))
+def reconstruct_latest(versions: DataFrame, materialize: bool = True) -> DataFrame:
+    """O8: reconstruct the max-seq version of every content.
+
+    The latest row per content is picked off the checkpointed epoch-tagged
+    frame with a desc row_number — the window, the target pick, the chain
+    fold and the base join all share the one content_id partitioning (no
+    second scan of the versions table, unlike the generic
+    ``reconstruct_at(latest_targets(...))`` composition)."""
+    tagged = with_governing_base(versions)
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=True)
+    w = Window.partitionBy("content_id").orderBy(F.desc("seq"))
+    targets = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & F.col("base_seq").isNotNull())
+        .select("content_id", F.col("seq").alias("target_seq"), "base_seq")
+    )
+    return _fold_deltas(targets, tagged)
 
 
 def asof_resolve(versions: DataFrame, probes: DataFrame) -> DataFrame:
