@@ -175,9 +175,126 @@ def encode_versions(raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFra
     return raw.groupBy("content_id").applyInPandas(encode, schema=schema)
 
 
-def ingest(raw_events: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Full write path: O1 sequence assignment then O2/O3 encoding."""
-    return encode_versions(assign_sequence(raw_events), cfg)
+def encode_versions_streamed(
+    raw: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG, assume_partitioned: bool = False
+) -> DataFrame:
+    """O2+O3 twin of ``encode_versions``: one Python call per Arrow batch
+    instead of one per content group.
+
+    ``applyInPandas`` invokes the UDF once per content (one Arrow batch +
+    one pandas frame per ~interval-sized group); with millions of short
+    timelines that per-group overhead dominates the actual ~µs/row encode
+    loop. This twin partitions by ``content_id``, sorts each partition by
+    ``(content_id, seq)`` so every timeline is contiguous, and streams
+    whole partitions through ``mapInPandas`` — the sequential encoder
+    state (reconstruction, last base) resets on content change and carries
+    across Arrow batch boundaries. Bit-equality with ``encode_versions``
+    is pinned in ``tests/test_ingest.py``.
+    """
+    threshold = cfg.sparsity_threshold
+    promo = cfg.base_promotion_sparsity_threshold
+    gap_factor = cfg.base_gap_factor
+    default_interval = cfg.base_snapshot_interval
+
+    cols = set(raw.columns)
+    if "force_base" not in cols:
+        raw = raw.withColumn("force_base", F.lit(False))
+    if "base_interval" not in cols:
+        raw = raw.withColumn("base_interval", F.lit(default_interval).cast("int"))
+    schema = _versions_schema(raw.schema)
+
+    def encode_stream(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        cur_id = None
+        interval = default_interval
+        recon: np.ndarray | None = None
+        last_base_seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: dict[str, list] = {k: [] for k in (
+                "content_id", "seq", "ts", "kind", "embedding", "sparse_idx",
+                "sparse_val", "from_seq", "magnitude", "n_changed", "total_dims",
+                "version_id", "metadata",
+            )}
+            metas = pdf["metadata"] if "metadata" in pdf.columns else [None] * len(pdf)
+            for content_id, seq, ts, emb, force, row_interval, meta in zip(
+                pdf["content_id"], pdf["seq"], pdf["ts"], pdf["embedding"],
+                pdf["force_base"], pdf["base_interval"], metas,
+            ):
+                if content_id != cur_id:
+                    cur_id = content_id
+                    interval = int(row_interval)
+                    recon = None
+                    last_base_seq = 0
+                seq = int(seq)
+                raw_vec = np.asarray(emb, dtype=np.float64)
+                dim = raw_vec.shape[0]
+                if seq == 1 or bool(force):
+                    is_base, diff, changed = True, None, None
+                else:
+                    diff = raw_vec - recon
+                    changed = np.abs(diff) >= threshold
+                    ratio = float(changed.sum()) / dim
+                    is_base = (
+                        ((seq - 1) % interval == 0)
+                        or (ratio > promo)
+                        or ((seq - last_base_seq) > gap_factor * interval)
+                    )
+                out["content_id"].append(content_id)
+                out["seq"].append(seq)
+                out["ts"].append(ts)
+                out["total_dims"].append(dim)
+                if is_base:
+                    out["kind"].append("base")
+                    out["embedding"].append(raw_vec)
+                    out["sparse_idx"].append(None)
+                    out["sparse_val"].append(None)
+                    out["from_seq"].append(None)
+                    out["magnitude"].append(None)
+                    out["n_changed"].append(None)
+                    out["version_id"].append(
+                        f"{content_id}_{int(pd.Timestamp(ts).value // 1000)}"
+                    )
+                    out["metadata"].append(_user_meta(meta) or None)
+                    recon = raw_vec.copy()
+                    last_base_seq = seq
+                else:
+                    idx = np.nonzero(changed)[0]
+                    vals = diff[idx]
+                    out["kind"].append("delta")
+                    out["embedding"].append(None)
+                    out["sparse_idx"].append(idx.astype(np.int32))
+                    out["sparse_val"].append(vals)
+                    out["from_seq"].append(seq - 1)
+                    out["magnitude"].append(float(math.sqrt(float((diff * diff).sum()))))
+                    out["n_changed"].append(int(idx.shape[0]))
+                    out["version_id"].append(f"{content_id}_v{seq}")
+                    out["metadata"].append(
+                        _delta_meta(_user_meta(meta), int(idx.shape[0]), dim)
+                    )
+                    recon = recon.copy()
+                    recon[idx] += vals
+            yield pd.DataFrame(out)
+
+    # ``assume_partitioned``: the caller guarantees all rows of a content
+    # already share a partition (e.g. straight off assign_sequence's
+    # window) — only the contiguity sort is needed, no second exchange.
+    part = raw if assume_partitioned else raw.repartition("content_id")
+    part = part.sortWithinPartitions("content_id", "seq")
+    return part.mapInPandas(encode_stream, schema=schema)
+
+
+def ingest(
+    raw_events: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG, grouped: bool = False
+) -> DataFrame:
+    """Full write path: O1 sequence assignment then O2/O3 encoding.
+
+    Default is the streamed encoder (one Python call per Arrow batch);
+    ``grouped=True`` selects the per-content ``applyInPandas`` twin."""
+    seqd = assign_sequence(raw_events)
+    if grouped:
+        return encode_versions(seqd, cfg)
+    return encode_versions_streamed(seqd, cfg, assume_partitioned=True)
 
 
 def first_epoch_deltas_sql(

@@ -29,7 +29,7 @@ from temporal_vector_database_spark.functions.vector import cosine, dot, l2_norm
 from temporal_vector_database_spark.operators import integrity as I
 from temporal_vector_database_spark.operators import reconstruct as R
 from temporal_vector_database_spark.operators import stats as S
-from temporal_vector_database_spark.operators.ingest import encode_versions
+from temporal_vector_database_spark.operators.ingest import encode_versions_streamed
 from temporal_vector_database_spark.operators.search import topk_cosine
 from temporal_vector_database_spark.sources.fixtures import ensure_fixtures, fixture_dir
 
@@ -76,7 +76,7 @@ def q_ingest_encode(spark, sf_dir):
     raw = spark.read.parquet(_fix(sf_dir, "versions_raw")).where(
         ~F.col("content_id").startswith("corrupt")
     )
-    enc = encode_versions(raw, FIXTURE_CONFIG)
+    enc = encode_versions_streamed(raw, FIXTURE_CONFIG)
     return enc.select(
         "content_id",
         "seq",

@@ -82,6 +82,50 @@ def test_encode_matches_fixture_exactly(versions_raw, versions):
     assert diff == 0
 
 
+def test_streamed_encoder_bit_equal(versions_raw):
+    """`encode_versions_streamed` (one Python call per Arrow batch) must be
+    bit-identical to the per-group `encode_versions` twin — kinds, chains,
+    sparse contents, magnitudes, version ids and metadata all compared via
+    canonical JSON."""
+    from temporal_vector_database_spark.operators.ingest import encode_versions_streamed
+
+    def canon(df):
+        return {
+            (r["content_id"], r["seq"]): (
+                r["kind"], r["from_seq"], r["magnitude"], r["n_changed"],
+                r["total_dims"], r["version_id"],
+                tuple(r["sparse_idx"] or []), tuple(r["sparse_val"] or []),
+                tuple(r["embedding"] or []),
+                tuple(sorted((r["metadata"] or {}).items())),
+            )
+            for r in df.collect()
+        }
+
+    a = canon(encode_versions(versions_raw, FIXTURE_CONFIG))
+    b = canon(encode_versions_streamed(versions_raw, FIXTURE_CONFIG))
+    assert a == b
+
+
+def test_streamed_encoder_survives_batch_boundaries(spark, versions_raw):
+    """Force tiny Arrow batches so content timelines straddle batch
+    boundaries — encoder state must carry across them."""
+    from temporal_vector_database_spark.operators.ingest import encode_versions_streamed
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        enc = encode_versions_streamed(versions_raw, FIXTURE_CONFIG)
+        rows = (
+            enc.where((F.col("content_id") == "c00000") & (F.col("kind") == "base"))
+            .select("seq")
+            .orderBy("seq")
+            .collect()
+        )
+        assert [r.seq for r in rows] == [1, 6, 11]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_bucketed_layout_removes_window_exchange(spark, versions):
     from temporal_vector_database_spark.operators.reconstruct import with_governing_base
     from temporal_vector_database_spark.sources.tables import write_versions_bucketed
