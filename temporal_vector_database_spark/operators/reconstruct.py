@@ -51,7 +51,9 @@ def with_governing_base(versions: DataFrame) -> DataFrame:
     )
 
 
-def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
+def _fold_deltas(
+    targets: DataFrame, tagged: DataFrame, with_embedding: bool = True
+) -> DataFrame:
     """Shared core: merge summed sparse deltas in ``(base_seq, target_seq]``
     onto the governing base embedding.
 
@@ -95,27 +97,19 @@ def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
         F.col("delta_seq") <= F.col("target_seq")
     )
     keys = ["content_id", "target_seq", "base_seq"]
+    # stats-only callers (with_embedding=False) skip the sparse payload in
+    # the chain collection AND the base-embedding join entirely
+    chain_fields = ["delta_seq", "version_id", "magnitude", "n_changed", "total_dims"]
+    if with_embedding:
+        chain_fields += ["sparse_idx", "sparse_val"]
     chain = jd.groupBy(*keys).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "delta_seq",
-                    "version_id",
-                    "magnitude",
-                    "n_changed",
-                    "total_dims",
-                    "sparse_idx",
-                    "sparse_val",
-                )
-            )
-        ).alias("chain")
+        F.array_sort(F.collect_list(F.struct(*chain_fields))).alias("chain")
     )
     empty_map = F.map_from_arrays(
         F.array().cast("array<int>"), F.array().cast("array<double>")
     )
     n = F.size("chain").cast("double")
-    merged = chain.select(
-        *keys,
+    merged_cols = [
         F.size("chain").cast("int").alias("cost"),
         (F.aggregate("chain", F.lit(0.0), lambda a, d: a + d["magnitude"]) / n).alias(
             "avg_magnitude"
@@ -129,20 +123,28 @@ def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
             / n
         ).alias("avg_sparsity"),
         F.transform("chain", lambda d: d["version_id"]).alias("deltas_applied"),
-        F.aggregate(
-            "chain",
-            empty_map,
-            lambda acc, d: F.map_zip_with(
-                acc,
-                F.map_from_arrays(d["sparse_idx"], d["sparse_val"].cast("array<double>")),
-                lambda _, v1, v2: F.coalesce(v1, F.lit(0.0)) + F.coalesce(v2, F.lit(0.0)),
-            ),
-        ).alias("dmap"),
-    )
-    out = (
-        targets.join(bases, ["content_id", "base_seq"])
-        .join(merged, keys, "left")
-        .withColumn(
+    ]
+    if with_embedding:
+        merged_cols.append(
+            F.aggregate(
+                "chain",
+                empty_map,
+                lambda acc, d: F.map_zip_with(
+                    acc,
+                    F.map_from_arrays(
+                        d["sparse_idx"], d["sparse_val"].cast("array<double>")
+                    ),
+                    lambda _, v1, v2: F.coalesce(v1, F.lit(0.0))
+                    + F.coalesce(v2, F.lit(0.0)),
+                ),
+            ).alias("dmap")
+        )
+    merged = chain.select(*keys, *merged_cols)
+    joined = (
+        targets.join(bases, ["content_id", "base_seq"]) if with_embedding else targets
+    ).join(merged, keys, "left")
+    if with_embedding:
+        joined = joined.withColumn(
             "embedding",
             F.when(F.col("dmap").isNull(), F.col("base_embedding")).otherwise(
                 F.transform(
@@ -150,13 +152,13 @@ def _fold_deltas(targets: DataFrame, tagged: DataFrame) -> DataFrame:
                     lambda x, i: x + F.coalesce(F.element_at(F.col("dmap"), i), F.lit(0.0)),
                 )
             ),
-        )
-        .withColumn("cost", F.coalesce(F.col("cost"), F.lit(0).cast("int")))
+        ).drop("dmap", "base_embedding")
+    out = (
+        joined.withColumn("cost", F.coalesce(F.col("cost"), F.lit(0).cast("int")))
         .withColumn(
             "deltas_applied",
             F.coalesce(F.col("deltas_applied"), F.array().cast("array<string>")),
         )
-        .drop("dmap", "base_embedding")
     )
     return out
 
@@ -202,7 +204,9 @@ def reconstruct_at(
     return _fold_deltas(tb, tagged)
 
 
-def reconstruct_all(versions: DataFrame, materialize: bool = True) -> DataFrame:
+def reconstruct_all(
+    versions: DataFrame, materialize: bool = True, with_embedding: bool = True
+) -> DataFrame:
     """O7 (superior batch form): reconstruct EVERY stored version in one pass.
 
     The reference's ``get_version_range``/``batch_reconstruct`` loop point
@@ -216,7 +220,7 @@ def reconstruct_all(versions: DataFrame, materialize: bool = True) -> DataFrame:
     targets = tagged.where(F.col("base_seq").isNotNull()).select(
         "content_id", F.col("seq").alias("target_seq"), "base_seq"
     )
-    return _fold_deltas(targets, tagged)
+    return _fold_deltas(targets, tagged, with_embedding=with_embedding)
 
 
 def reconstruct_all_folded(versions: DataFrame) -> DataFrame:

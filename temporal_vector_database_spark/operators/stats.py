@@ -71,7 +71,7 @@ def reconstruction_statistics(versions: DataFrame, cfg: TVDBConfig = DEFAULT_CON
     (the reference strides to ~10 samples, ``:375``): per-content cost /
     base-distance / quality aggregates + promotion flag (max cost > 15)."""
     rec = with_quality_columns(
-        reconstruct_all(versions).drop("embedding", "deltas_applied"), cfg
+        reconstruct_all(versions, with_embedding=False).drop("deltas_applied"), cfg
     )
     return rec.groupBy("content_id").agg(
         F.count("*").cast("int").alias("versions_analyzed"),
@@ -111,7 +111,9 @@ def optimize_content_bases(versions: DataFrame, max_cost: int | None = None,
     reconstruction cost exceeds ``max_cost`` becomes a promotion
     recommendation."""
     bar = cfg.advisor_max_cost if max_cost is None else max_cost
-    rec = with_cost_estimate(reconstruct_all(versions).drop("embedding", "deltas_applied"), cfg)
+    rec = with_cost_estimate(
+        reconstruct_all(versions, with_embedding=False).drop("deltas_applied"), cfg
+    )
     return (
         rec.where((F.col("cost") > bar))
         .select(
