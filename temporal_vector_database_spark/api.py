@@ -190,18 +190,24 @@ class TemporalVectorDatabase:
 
     def get_version(self, content_id: str, sequence_number: int) -> dict | None:
         """O5 point reconstruction (``get_version``,
-        ``storage/temporal_database.py:180-195``)."""
+        ``storage/temporal_database.py:180-195``). The literal content id
+        is pushed to the scan (partition-pruned filter) BEFORE the fold,
+        so a point read touches one timeline, not the table."""
         targets = self.spark.createDataFrame(
             [(content_id, sequence_number)], "content_id string, target_seq int"
         )
-        rows = self.reconstruct(targets).collect()
+        v = self.versions().where(F.col("content_id") == content_id)
+        rows = R.with_quality_columns(R.reconstruct_at(v, targets), self.cfg).collect()
         return _result_dict(rows[0]) if rows else None
 
     def get_version_by_id(self, version_id: str) -> dict | None:
-        """O9 (``get_version_by_id``, ``storage/temporal_database.py:197-220``)."""
-        ids = self.spark.createDataFrame([(version_id,)], "version_id string")
-        rows = R.reconstruct_by_version_id(self.versions(), ids).collect()
-        return _result_dict(rows[0]) if rows else None
+        """O9 (``get_version_by_id``, ``storage/temporal_database.py:197-220``).
+        The id is parsed driver-side exactly like the reference
+        (``rsplit("_v", 1)``) so the content filter reaches the scan."""
+        content_id, _, seq = version_id.rpartition("_v")
+        if not content_id or not seq.isdigit():
+            return None
+        return self.get_version(content_id, int(seq))
 
     def get_latest_version(self, content_id: str) -> dict | None:
         """O8 (``get_latest_version``, ``storage/temporal_database.py:222-236``)."""
@@ -215,7 +221,8 @@ class TemporalVectorDatabase:
         probes = self.spark.createDataFrame(
             [(0, content_id, timestamp)], "probe_id int, content_id string, t timestamp"
         )
-        rows = R.reconstruct_asof(self.versions(), probes).collect()
+        v = self.versions().where(F.col("content_id") == content_id)
+        rows = R.reconstruct_asof(v, probes).collect()
         return _result_dict(rows[0]) if rows else None
 
     def get_version_range(self, content_id: str, start_seq: int, end_seq: int) -> DataFrame:

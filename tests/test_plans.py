@@ -103,6 +103,23 @@ def test_ingest_encode_is_narrow_after_window(spark, qmap):
     assert n_exchanges <= 2, f"encode pipeline shuffles too much: {n_exchanges}"
 
 
+def test_point_read_pushes_content_filter(spark, versions):
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.reconstruct import reconstruct_at
+
+    targets = spark.createDataFrame(
+        [("c00000", 7)], "content_id string, target_seq int"
+    )
+    df = reconstruct_at(
+        versions.where(F.col("content_id") == "c00000"), targets, materialize=False
+    )
+    plan = formatted_plan(df)
+    # a facade point read must touch ONE timeline: the literal content id
+    # reaches the parquet reader as a pushed (partition-prunable) filter
+    assert "EqualTo(content_id,c00000)" in plan
+
+
 def test_events_scan_prunes_props(spark, qmap):
     plan = formatted_plan(qmap["events_type_stats"](spark, SF_DIR))
     # the JSON props blob is the widest events column; stats never touch it
