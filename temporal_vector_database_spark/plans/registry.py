@@ -1103,6 +1103,45 @@ def q_events_type_stats(spark, sf_dir):
     )
 
 
+def q_events_moving_stats(spark, sf_dir):
+    """Window-frame coverage: sliding moving average (ROWS 3 PRECEDING),
+    lead gap to the next event, dense rank within user — per-user frames
+    over integer-ms event time. One content_id-free window family keyed by
+    user_id: a single hash exchange, everything else frame-local. Output
+    down-sampled to rank ≤ 5 per user to keep the row count bounded."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    frame = w.rowsBetween(-3, 0)
+    return (
+        ev.withColumn("moving_avg", F.round(F.avg("value").over(frame), 6))
+        .withColumn("next_gap_ms", F.lead("ts_ms").over(w) - F.col("ts_ms"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("user_id", "rnk", "event_id", "ts_ms", "moving_avg", "next_gap_ms")
+    )
+
+
+def q_lineitem_stat_aggs(spark, sf_dir):
+    """Statistical aggregates per return flag: sample stddev/variance of
+    quantity, correlation and covariance of (quantity, linenumber).
+    Integer-valued inputs keep the co-moment sums exact in double, so the
+    merge-order of partial states cannot move the rounded outputs."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_linenumber"), 6).alias("qty_line_corr"),
+            F.round(F.covar_samp("l_quantity", "l_linenumber"), 6).alias("qty_line_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect; fixture tables by absolute path, driver tables
 # by pre-registered view name). {FIX} is replaced with the fixture dir.
@@ -1977,6 +2016,29 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+ORACLES["events_moving_stats"] = """
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)
+SELECT user_id, rnk, event_id, ts_ms, moving_avg, next_gap_ms FROM (
+  SELECT user_id, event_id, ts_ms,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms
+           AS next_gap_ms,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+           AS INTEGER) AS rnk
+  FROM e)
+WHERE rnk <= 5
+"""
+
+ORACLES["lineitem_stat_aggs"] = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(corr(l_quantity, l_linenumber), 6) AS qty_line_corr,
+       round(covar_samp(l_quantity, l_linenumber), 6) AS qty_line_covar
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["tpch_q7"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -2338,6 +2400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "events_moving_stats": q_events_moving_stats,
+    "lineitem_stat_aggs": q_lineitem_stat_aggs,
     "tpch_q18": q_tpch_q18,
     "tpch_q4_shape": q_tpch_q4_shape,
     "tpch_q12_shape": q_tpch_q12_shape,
