@@ -269,8 +269,11 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
                     continue  # delta before any base: not reconstructable
                 idx = np.asarray(row.sparse_idx, dtype=np.int64)
                 val = np.asarray(row.sparse_val, dtype=np.float64)
+                # reference quirk #9: indices >= dim are silently skipped
+                # (core/data_structures.py:117-119) — np.add.at would raise
+                ok = idx < recon.shape[0]
                 recon = recon.copy()
-                np.add.at(recon, idx, val)
+                np.add.at(recon, idx[ok], val[ok])
                 mags.append(float(row.magnitude))
                 spars.append(float(row.n_changed) / float(row.total_dims))
                 applied.append(row.version_id)

@@ -135,3 +135,33 @@ def test_reconstruct_all_folded_twin(versions):
             assert (fa is None) == (fb is None), k
             if fa is not None:
                 assert abs(fa - fb) < 1e-12, k
+
+
+def test_out_of_range_sparse_indices_silently_dropped(spark):
+    """Reference quirk #9 (core/data_structures.py:117-119): a delta entry
+    whose dimension index is >= the embedding dimension is silently
+    ignored by apply_to_embedding. Both reconstruction paths must
+    reproduce that — no error, in-range entries still applied."""
+    from datetime import datetime
+
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all,
+        reconstruct_all_folded,
+    )
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        ("oob", 1, t0, "base", [1.0, 2.0, 3.0, 4.0], None, None, None, None, None, 4, "oob_1", None),
+        ("oob", 2, t0, "delta", None, [1, 10], [0.5, 9.9], 1, 1.0, 2, 4, "oob_v2", None),
+    ]
+    schema = (
+        "content_id string, seq int, ts timestamp, kind string,"
+        " embedding array<double>, sparse_idx array<int>, sparse_val array<double>,"
+        " from_seq int, magnitude double, n_changed int, total_dims int,"
+        " version_id string, metadata map<string,string>"
+    )
+    versions = spark.createDataFrame(rows, schema)
+    for fn in (reconstruct_all, reconstruct_all_folded):
+        got = {r.target_seq: r.embedding for r in fn(versions).collect()}
+        assert got[1] == [1.0, 2.0, 3.0, 4.0]
+        assert got[2] == [1.0, 2.5, 3.0, 4.0]  # idx 10 dropped, idx 1 applied
