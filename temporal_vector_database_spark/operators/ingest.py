@@ -400,7 +400,13 @@ def append_versions(
         new_raw = new_raw.withColumn(
             "base_interval", F.lit(default_interval).cast("int")
         )
-    state = timeline_state(versions)
+    # continue-from state is only needed for contents present in THIS
+    # batch — semi-join first so a small append against a huge table
+    # reconstructs a handful of timelines, not all of them
+    touched = versions.join(
+        new_raw.select("content_id").distinct(), "content_id", "left_semi"
+    )
+    state = timeline_state(touched)
     staged = new_raw.join(state, "content_id", "left")
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
