@@ -322,12 +322,20 @@ def latest_targets(versions: DataFrame) -> DataFrame:
 def reconstruct_latest(versions: DataFrame, materialize: bool = True) -> DataFrame:
     """O8: reconstruct the max-seq version of every content.
 
-    The latest row per content is picked off the checkpointed epoch-tagged
-    frame with a desc row_number — the window, the target pick, the chain
-    fold and the base join all share the one content_id partitioning (no
-    second scan of the versions table, unlike the generic
-    ``reconstruct_at(latest_targets(...))`` composition)."""
+    The latest row per content is picked off the epoch-tagged frame with a
+    desc row_number — the window, the target pick, the chain fold and the
+    base join all share the one content_id partitioning (no second scan
+    of the versions table, unlike the generic
+    ``reconstruct_at(latest_targets(...))`` composition). Only the FINAL
+    epoch of each timeline can matter for its latest version, so the
+    frame is pruned to rows at-or-after the last base before it is
+    materialized — the checkpoint holds ≤ interval rows per content
+    regardless of timeline length."""
     tagged = with_governing_base(versions)
+    wmax = Window.partitionBy("content_id")
+    tagged = tagged.withColumn("_maxb", F.max("base_seq").over(wmax)).where(
+        F.col("base_seq").isNull() | (F.col("base_seq") == F.col("_maxb"))
+    ).drop("_maxb")
     if materialize:
         tagged = tagged.localCheckpoint(eager=True)
     w = Window.partitionBy("content_id").orderBy(F.desc("seq"))
