@@ -911,6 +911,69 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q11_shape(spark, sf_dir):
+    """TPC-H Q11 shape: group value vs a global-scalar threshold — per-
+    supplier revenue kept only when above a fraction of TOTAL revenue
+    (the driver tables lack partsupp, so lineitem revenue plays the
+    part-stock-value role). The global total is a 1-row broadcast; the
+    per-supplier aggregate reuses the same shuffled pass."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer-cents threshold math: rounding each group to cents first
+    # makes the share comparison immune to partial-sum order, so the
+    # boundary membership is identical in Spark and the oracle
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev) * 100).cast("long").alias("supp_cents")
+    )
+    total = per_supp.agg(
+        F.sum("supp_cents").alias("total_cents"),
+        F.count("*").alias("n_supp"),
+    )
+    # scale-free predicate: share > 1.05x the average supplier share
+    # (supp/total > 1.05/n  ⇔  supp*n*100 > 105*total, all integer)
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(F.col("supp_cents") * F.col("n_supp") * 100 > 105 * F.col("total_cents"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("supp_cents") / 100.0, 2).alias("supp_value"),
+        )
+        .orderBy(F.desc("supp_value"), "s_suppkey")
+    )
+
+
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H Q20 shape: nested aggregate feeding a semi-join chain —
+    suppliers who shipped more than 600 units of PROMO parts in 1996,
+    surfaced per nation (no partsupp/availqty in the driver tables; the
+    shipped-quantity aggregate plays the half-of-availqty role). The
+    inner aggregate's qualifying key set is tiny → broadcast semi."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).where(
+        F.col("p_type") == "PROMO"
+    )
+    s = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .where(F.col("promo_qty") > 600)
+    )
+    return (
+        s.join(F.broadcast(heavy.select("l_suppkey")), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_revenue_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all four grouping combinations
     in one pass (grouping-sets coverage; ROLLUP is `revenue_rollup`)."""
@@ -2119,6 +2182,36 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 20 AND 30)
 """
 
+ORACLES["tpch_q11_shape"] = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           AS supp_cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(supp_cents / 100.0, 2) AS supp_value
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_cents * (SELECT count(*) FROM per_supp) * 100
+      > 105 * (SELECT sum(supp_cents) FROM per_supp)
+ORDER BY supp_value DESC, s_suppkey
+"""
+
+ORACLES["tpch_q20_shape"] = """
+WITH heavy AS (
+  SELECT l_suppkey, sum(l_quantity) AS promo_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 600
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY s_suppkey
+"""
+
 ORACLES["tpch_q4_shape"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -2400,6 +2493,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "tpch_q11_shape": q_tpch_q11_shape,
+    "tpch_q20_shape": q_tpch_q20_shape,
     "events_moving_stats": q_events_moving_stats,
     "lineitem_stat_aggs": q_lineitem_stat_aggs,
     "tpch_q18": q_tpch_q18,
