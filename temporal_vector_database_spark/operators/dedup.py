@@ -1006,3 +1006,89 @@ def embedding_near_duplicates(
         .where(F.col("sim") >= min_cosine)
         .select("a_id", "b_id", "sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round a node adopts the minimum label among itself and its neighbors,
+    converging to the component's minimum id.
+
+    Scale posture: the classic large-graph pattern — each round is one
+    shuffled join + min-aggregate keyed by node id, and the label frame is
+    localCheckpoint'ed per round so lineage stays flat. Rounds needed =
+    graph diameter (LSH near-dup graphs are clique-like, typically 2-3);
+    ``max_iter`` bounds pathological chains. The only driver-side values
+    are the per-round changed-row counts (a scalar), never the data.
+
+    Output: (id, comp) — comp is the minimum id reachable from ``id``.
+    """
+    edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    sym = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("s").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.d == labels.id)
+            .groupBy(F.col("s").alias("nid"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.nid, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    width: int = 3,
+    min_jaccard_est: float = 0.75,
+) -> DataFrame:
+    """End of the dedup pipeline: decide which documents SURVIVE.
+
+    MinHash-LSH near-dup pairs above ``min_jaccard_est`` form an
+    undirected similarity graph; its connected components are duplicate
+    clusters; the canonical (minimum doc_id) of each cluster survives,
+    every other member is dropped. Documents in no qualifying pair are
+    their own canonical. Output: (doc_id, canonical_id, is_survivor) —
+    a full assignment table the downstream pipeline can anti-join on.
+    """
+    pairs = near_duplicate_pairs(
+        docs, text_col, num_hashes, bands, width, min_jaccard_est=min_jaccard_est
+    ).where(F.col("est_jaccard") >= min_jaccard_est)
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
+    )

@@ -275,6 +275,13 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup_survivors(docs).orderBy("doc_id")
+
+
 def q_token_stats(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import token_stats
 
@@ -1678,6 +1685,57 @@ FROM scored WHERE CAST(n_match AS DOUBLE) / 8.0 >= 0.5
 """
 )
 
+ORACLES["dedup_survivors"] = (
+    # the label-propagation member makes the whole WITH recursive
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, banded AS (
+  SELECT *,
+         md5(mh_0 || '|' || mh_1) AS band_0, md5(mh_2 || '|' || mh_3) AS band_1,
+         md5(mh_4 || '|' || mh_5) AS band_2, md5(mh_6 || '|' || mh_7) AS band_3
+  FROM sig
+),
+bucket AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+         unnest([band_0, band_1, band_2, band_3]) AS band_hash
+  FROM banded
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT p.a_id, p.b_id
+  FROM cand_pairs p JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id
+  WHERE ((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END)
+       + (CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END)) / 8.0 >= 0.75
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM cand
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM cand
+),
+lp AS (
+  SELECT DISTINCT s AS id, s AS lbl FROM edges
+  UNION
+  SELECT e.d AS id, lp.lbl FROM lp JOIN edges e ON lp.id = e.s
+),
+comp AS (SELECT id, min(lbl) AS canonical FROM lp GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.canonical, d.doc_id) AS canonical_id,
+       d.doc_id = coalesce(c.canonical, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id
+"""
+)
+
 # --- simhash (SQL generated to mirror operators/dedup.py bit-for-bit) ------
 
 from temporal_vector_database_spark.operators.dedup import _token_hash32_expr  # noqa: E402
@@ -2493,6 +2551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
+    "dedup_survivors": q_dedup_survivors,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q20_shape": q_tpch_q20_shape,
     "events_moving_stats": q_events_moving_stats,

@@ -164,3 +164,31 @@ def test_ivf_matches_brute_force_when_probing_own_list(spark):
     ivf_rows = {(r.query_id, r.rank): r.vec_id for r in ivf.collect()}
     brute_rows = {(r.query_id, r.rank): r.vec_id for r in brute.collect()}
     assert ivf_rows == brute_rows
+
+
+def test_connected_components_chain_and_isolate(spark):
+    """Min-label propagation: a chain {a-b, b-c} collapses to canonical
+    'a' (two hops — exercises multi-round convergence), an isolated pair
+    {x-y} keeps 'x', and nodes absent from pairs are not emitted."""
+    from temporal_vector_database_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "a_id string, b_id string"
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_survivors_assignment(spark, sf_dir):
+    """Survivor table invariants: one row per document, every canonical is
+    itself a survivor, and canonical_id <= doc_id (min-id convention)."""
+    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    surv = dedup_survivors(docs).collect()
+    assert len(surv) == docs.count()
+    canon = {r.canonical_id for r in surv}
+    survivors = {r.doc_id for r in surv if r.is_survivor}
+    assert canon == survivors
+    assert all(r.canonical_id <= r.doc_id for r in surv)
+    assert len(survivors) < len(surv)  # the corpus does contain near-dups
