@@ -981,6 +981,23 @@ def q_tpch_q20_shape(spark, sf_dir):
     )
 
 
+def q_revenue_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the non-cube/rollup form): per-returnflag
+    and per-linestatus marginals in ONE pass — Catalyst expands to a
+    single Expand + hash aggregate, not two scans + union."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 def q_revenue_cube(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all four grouping combinations
     in one pass (grouping-sets coverage; ROLLUP is `revenue_rollup`)."""
@@ -2137,6 +2154,14 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+ORACLES["revenue_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
 ORACLES["events_moving_stats"] = """
 WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)
 SELECT user_id, rnk, event_id, ts_ms, moving_avg, next_gap_ms FROM (
@@ -2552,6 +2577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
     "dedup_survivors": q_dedup_survivors,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q20_shape": q_tpch_q20_shape,
     "events_moving_stats": q_events_moving_stats,
