@@ -201,3 +201,33 @@ def test_persisted_ivf_matches_in_memory_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("centroid_id" in ln and " IN " in ln for ln in pf), plan
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF is an approximation governed by nprobe: recall@10 vs exact
+    brute force must be monotone non-decreasing in nprobe (probe sets are
+    nested) and EXACT (1.0) when every inverted list is probed. Pinning
+    the property rather than one noisy recall number."""
+    from temporal_vector_database_spark.operators.search import ann_brute_force, ivf_topk
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    n_centroids = emb.where(F.col("vec_id") % 20 == 7).count()
+    want: dict[int, set] = {}
+    for r in ann_brute_force(emb, queries, k=10).collect():
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(nprobe):
+        got: dict[int, set] = {}
+        for r in ivf_topk(emb, queries, k=10, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        rs = [len(want[q] & got.get(q, set())) / len(want[q]) for q in want]
+        return sum(rs) / len(rs)
+
+    r2, r8, rall = recall(2), recall(8), recall(n_centroids)
+    assert r2 > 0.2  # probing 2 lists already finds a meaningful share
+    assert r2 <= r8 + 1e-9 <= rall + 2e-9  # nested probe sets
+    assert rall == 1.0  # all lists probed == exact search
