@@ -30,12 +30,10 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality: length and stopword-ratio signals.
-
-    quality = min(1, n_tokens/100) * (0.3 + 0.7 * min(stop_ratio*5, 1)) —
-    exact rational arithmetic, bit-stable across engines.
-    """
+def _quality_exprs(text_col: str) -> dict[str, "F.Column"]:
+    """The quality-signal column expressions, shared by ``quality_score``
+    and the single-scan ``with_text_stats`` so the pipeline filter is
+    bit-identical to the oracle-verified standalone query."""
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks).cast("int")
@@ -48,13 +46,29 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     quality = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(100.0)) * (
         F.lit(0.3) + F.lit(0.7) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     )
+    return {
+        "n_tokens": n_tokens,
+        "n_stop": n_stop,
+        "stop_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality_r": F.round(quality, 9),
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length and stopword-ratio signals.
+
+    quality = min(1, n_tokens/100) * (0.3 + 0.7 * min(stop_ratio*5, 1)) —
+    exact rational arithmetic, bit-stable across engines.
+    """
+    e = _quality_exprs(text_col)
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stop"),
-        stop_ratio.alias("stop_ratio"),
-        mean_tok_len.alias("mean_token_len"),
-        F.round(quality, 9).alias("quality_r"),
+        e["n_tokens"].alias("n_tokens"),
+        e["n_stop"].alias("n_stop"),
+        e["stop_ratio"].alias("stop_ratio"),
+        e["mean_token_len"].alias("mean_token_len"),
+        e["quality_r"].alias("quality_r"),
     )
 
 
@@ -83,11 +97,9 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: score = count of token occurrences matching
-    each language's marker list; prediction = argmax score (ties → 'und'
-    if all zero, else lexicographically-first language). Pure column
-    expressions — one pass, no shuffle beyond the source scan."""
+def _language_exprs(text_col: str) -> tuple[dict[str, "F.Column"], "F.Column"]:
+    """(per-language score expressions, argmax prediction expression) —
+    shared by ``language_id`` and ``with_text_stats``."""
     toks = F.split(F.col(text_col), " ")
     scores = {
         lang: F.size(
@@ -106,8 +118,33 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
             )
     pred = F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))
+    return scores, pred
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = count of token occurrences matching
+    each language's marker list; prediction = argmax score (ties → 'und'
+    if all zero, else lexicographically-first language). Pure column
+    expressions — one pass, no shuffle beyond the source scan."""
+    scores, pred = _language_exprs(text_col)
     return docs.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_PROFILES)],
+        pred.alias("predicted_lang"),
+    )
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_tokens``, ``quality_r``, ``predicted_lang`` to every input
+    column in ONE narrow pass — the enrichment stage of the curation
+    pipeline. Same expressions as the standalone oracle-verified queries
+    (``quality_score`` / ``language_id``), so downstream threshold filters
+    agree bit-for-bit with the DuckDB side."""
+    q = _quality_exprs(text_col)
+    _, pred = _language_exprs(text_col)
+    return docs.select(
+        "*",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_r"].alias("quality_r"),
         pred.alias("predicted_lang"),
     )

@@ -1,0 +1,64 @@
+"""Skew-resistant relational helpers (beyond-reference, 100 TB posture).
+
+``top_k_per_key`` via a single window is the textbook plan — but
+``Window.partitionBy(key)`` routes EVERY row of a hot key through one
+task. On a skewed 100 TB corpus (one user with 10^9 events, one crawl
+domain with 10^8 pages) that task is the job. The two-phase salted
+variant bounds any task's input at ~|rows(key)| / n_salt and the final
+pass at k * n_salt rows per key — exact same result, no hotspot.
+
+Salts are derived from a deterministic column hash (never ``rand()``):
+task retries and speculative attempts must re-derive identical salts or
+the shuffle is non-deterministic under failure.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_topk(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    salt_col: str | Column = None,
+    n_salt: int = 16,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Exact per-key top-k, skew-proof: partial top-k per (key, salt), then
+    final top-k per key over the surviving ≤ k * n_salt rows.
+
+    Correctness: the global top-k of a key is contained in the union of
+    per-salt top-ks (any row outside every partial top-k is beaten by k
+    rows in its own salt bucket, hence by ≥ k rows globally). ``order_cols``
+    MUST be a total order (include a tiebreaker) so ranks are
+    deterministic and engine-portable.
+
+    ``salt_col``: any deterministic expression that varies WITHIN a key (a
+    row id column is ideal). Defaults to a hash of every input column —
+    deterministic under task retry, unlike ``rand()``.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    if salt_col is None:
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), n_salt)
+    elif isinstance(salt_col, str):
+        salt = F.pmod(F.hash(F.col(salt_col)), n_salt)
+    else:
+        salt = F.pmod(F.hash(salt_col), n_salt)
+    salted = df.withColumn("_salt", salt)
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    partial = (
+        salted.withColumn("_prank", F.row_number().over(w1))
+        .where(F.col("_prank") <= k)
+        .drop("_prank", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        partial.withColumn(rank_name, F.row_number().over(w2))
+        .where(F.col(rank_name) <= k)
+    )

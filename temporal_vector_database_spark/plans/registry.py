@@ -282,6 +282,13 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(docs).orderBy("doc_id")
 
 
+def q_training_pipeline(spark, sf_dir):
+    from temporal_vector_database_spark.operators.pipeline import curation_report
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return curation_report(docs)
+
+
 def q_token_stats(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import token_stats
 
@@ -1024,6 +1031,23 @@ def q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def q_top_events_per_user_salted(spark, sf_dir):
+    """Skew-proof per-key top-k: two-phase salted variant of the window
+    top-k (same result set, bounded per-task input on hot keys)."""
+    from temporal_vector_database_spark.operators.relational import two_phase_topk
+
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    e = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    return two_phase_topk(
+        e,
+        ["user_id"],
+        [F.desc("value"), F.asc("event_id")],
+        k=3,
+        salt_col="event_id",
+    ).select("user_id", "event_id", "value", F.col("rank").cast("int").alias("rank"))
+
+
 def q_customers_without_orders(spark, sf_dir):
     c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
@@ -1702,10 +1726,11 @@ FROM scored WHERE CAST(n_match AS DOUBLE) / 8.0 >= 0.5
 """
 )
 
-ORACLES["dedup_survivors"] = (
-    # the label-propagation member makes the whole WITH recursive
-    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """
+# LSH banding → candidate pairs → 0.75-Jaccard edges → connected components
+# (recursive min-label propagation) → per-cluster canonical. Shared by the
+# standalone survivors oracle and the composed training-pipeline oracle;
+# reads from `sig` (minhash signatures of whatever relation fed it).
+_CLUSTER_CTES = """
 , banded AS (
   SELECT *,
          md5(mh_0 || '|' || mh_1) AS band_0, md5(mh_2 || '|' || mh_3) AS band_1,
@@ -1745,11 +1770,67 @@ lp AS (
   SELECT e.d AS id, lp.lbl FROM lp JOIN edges e ON lp.id = e.s
 ),
 comp AS (SELECT id, min(lbl) AS canonical FROM lp GROUP BY id)
+"""
+
+ORACLES["dedup_survivors"] = (
+    # the label-propagation member makes the whole WITH recursive
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _CLUSTER_CTES
+    + """
 SELECT d.doc_id,
        coalesce(c.canonical, d.doc_id) AS canonical_id,
        d.doc_id = coalesce(c.canonical, d.doc_id) AS is_survivor
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ORDER BY d.doc_id
+"""
+)
+
+ORACLES["training_pipeline"] = (
+    """
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, text, source, n_chars, string_split(text, ' ') AS toks FROM documents
+), t1 AS (
+  SELECT doc_id, text, source, n_chars,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS INTEGER) AS n_stop,
+         CAST(len(list_filter(toks, x -> x IN ('der','die','und','nicht','ist'))) AS INTEGER) AS score_de,
+         CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS INTEGER) AS score_en,
+         CAST(len(list_filter(toks, x -> x IN ('el','la','que','los','es'))) AS INTEGER) AS score_es,
+         CAST(len(list_filter(toks, x -> x IN ('le','la','les','est','une'))) AS INTEGER) AS score_fr,
+         CAST(len(list_filter(toks, x -> x IN ('de5','shi4','bu4','le5','zai4'))) AS INTEGER) AS score_zh
+  FROM t0
+), scored AS (
+  SELECT *,
+         round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+               * (0.3 + 0.7 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)), 9) AS quality_r,
+         CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+              WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+              WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+              WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+              WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM t1
+), kept AS (
+  SELECT * FROM scored WHERE quality_r >= 0.15 AND predicted_lang <> 'und'
+)"""
+    + _SHINGLES_CTE.replace("WITH sh AS", ", sh AS", 1).replace("FROM documents", "FROM kept", 1)
+    + _CLUSTER_CTES
+    + """
+, surv AS (
+  SELECT k.*, (coalesce(c.canonical, k.doc_id) = k.doc_id) AS is_survivor
+  FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+)
+SELECT predicted_lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN is_survivor THEN n_tokens ELSE 0 END) AS BIGINT) AS survivor_tokens,
+       CAST(sum(CASE WHEN is_survivor THEN n_chars ELSE 0 END) AS BIGINT) AS survivor_chars,
+       CAST(sum(CASE WHEN is_survivor THEN CAST(round(quality_r * 1000000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS survivor_quality_e9,
+       CASE WHEN sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) > 0 THEN
+         round((CAST(sum(CASE WHEN is_survivor THEN CAST(round(quality_r * 1000000000.0) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000000.0)
+               / CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS DOUBLE), 9)
+       END AS avg_survivor_quality_r
+FROM surv GROUP BY 1, 2
 """
 )
 
@@ -2370,6 +2451,14 @@ SELECT o_custkey, o_orderkey, rank FROM (
 ) WHERE rank <= 3
 """
 
+ORACLES["top_events_per_user_salted"] = """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
 ORACLES["customers_without_orders"] = """
 SELECT c_custkey, c_name, c_nationkey
 FROM customer
@@ -2577,6 +2666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
     "dedup_survivors": q_dedup_survivors,
+    "training_pipeline": q_training_pipeline,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "tpch_q11_shape": q_tpch_q11_shape,
     "tpch_q20_shape": q_tpch_q20_shape,
@@ -2590,6 +2680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22_shape": q_tpch_q22_shape,
     "revenue_cube": q_revenue_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "top_events_per_user_salted": q_top_events_per_user_salted,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_type_stats": q_events_type_stats,

@@ -192,3 +192,38 @@ def test_dedup_survivors_assignment(spark, sf_dir):
     assert canon == survivors
     assert all(r.canonical_id <= r.doc_id for r in surv)
     assert len(survivors) < len(surv)  # the corpus does contain near-dups
+
+
+def test_training_pipeline_funnel(spark, sf_dir):
+    """Curation funnel consistency: the report's per-group counts tie out
+    against the stage outputs it composes — filtered count, survivor
+    count from dedup_survivors on the SAME filtered set, and exact
+    integer token/quality mass."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.functions.text import with_text_stats
+    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+    from temporal_vector_database_spark.operators.pipeline import curation_report
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    rep = curation_report(docs).collect()
+
+    kept = with_text_stats(docs).where(
+        (F.col("quality_r") >= 0.15) & (F.col("predicted_lang") != "und")
+    )
+    n_kept = kept.count()
+    assert sum(r.n_docs for r in rep) == n_kept
+    assert 0 < n_kept < docs.count()  # the filter actually drops something
+
+    surv = dedup_survivors(kept)
+    n_surv = surv.where("is_survivor").count()
+    assert sum(r.n_survivors for r in rep) == n_surv
+    assert 0 < n_surv < n_kept  # the filtered corpus still has near-dups
+
+    for r in rep:
+        assert r.n_survivors <= r.n_docs
+        if r.n_survivors:
+            approx = r.survivor_quality_e9 / 1e9 / r.n_survivors
+            assert abs(r.avg_survivor_quality_r - approx) < 1e-9
+        else:
+            assert r.avg_survivor_quality_r is None
