@@ -41,6 +41,7 @@ HEADLINE = (
     "ngram_jaccard",
     "embedding_near_dup",
     "ivf_topk",
+    "pq_topk",
     "training_pipeline",
     "token_stats",
     "text_quality",

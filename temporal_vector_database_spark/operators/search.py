@@ -578,3 +578,144 @@ def ivf_topk_persisted(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", F.col("vid").alias(id_col), "sim")
     )
+
+
+# --- product quantization (PQ / ADC) ---------------------------------------
+#
+# The third ANN tier for the 100 TB story: brute force (exact) → IVF
+# (prune to nprobe lists) → PQ (compress vectors to m small codes and
+# score against a per-query lookup table). A PQ codes table is m integers
+# per vector instead of dim floats — at dim 768 / m 8 that's ~1.5% of the
+# scan bytes — and scoring is m map lookups per pair via a BROADCAST LUT,
+# so the big side never shuffles. Codebooks are data-seeded
+# deterministically (rows with id % codeword_mod == codeword_rem), same
+# convention as ivf_assign: k-means would converge on real data, but a
+# deterministic seeding keeps every engine (and the DuckDB oracle)
+# bit-reproducible.
+
+
+def _sqdist(a, b):
+    """||a-b||² decomposed as dot(a,a) - 2·dot(a,b) + dot(b,b) — three
+    index-ordered folds combined left-to-right, so Spark and the oracle
+    compute identical doubles."""
+    from temporal_vector_database_spark.functions.vector import dot
+
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def _subspaces(df: DataFrame, id_col: str, id_alias: str, emb_col: str, m: int) -> DataFrame:
+    """(id, subspace, sub) — the m contiguous dim/m-wide slices of each
+    embedding. Narrow (explode of a fixed-size sequence, no shuffle)."""
+    sub_len = (F.size(F.col("_e")) / m).cast("int")
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        F.col(emb_col).alias("_e"),
+    ).select(
+        id_alias,
+        "subspace",
+        F.slice(F.col("_e"), F.col("subspace") * sub_len + 1, sub_len).alias("sub"),
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    codeword_mod: int = 20,
+    codeword_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(subspace, codeword_id, cw): the per-subspace codebook — subvectors
+    of the deterministically seeded codeword rows. Tiny (m × n/mod rows):
+    always broadcast."""
+    seeds = embeddings.where((F.col(id_col) % codeword_mod) == codeword_rem).select(
+        F.col(id_col), F.col(emb_col)
+    )
+    return _subspaces(seeds, id_col, "codeword_id", emb_col, m).select(
+        "subspace", "codeword_id", F.col("sub").alias("cw")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes, wide: (vid, code_0..code_{m-1}) — per subspace the
+    codeword minimizing L2 distance (ties → lowest codeword_id).
+
+    Plan: broadcast-join the subvector stream against the codebook, one
+    row_number window per (vid, subspace) — the only shuffle is the window
+    hash by vid, and the output is m ints per vector."""
+    vs = _subspaces(embeddings.select(id_col, emb_col), id_col, "vid", emb_col, m)
+    scored = vs.join(F.broadcast(codebooks), "subspace").select(
+        "vid",
+        "subspace",
+        "codeword_id",
+        _sqdist(F.col("sub"), F.col("cw")).alias("d2"),
+    )
+    w = Window.partitionBy("vid", "subspace").orderBy(F.asc("d2"), F.asc("codeword_id"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return best.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("subspace") == s, F.col("codeword_id"))).alias(f"code_{s}")
+            for s in range(m)
+        ]
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    codeword_mod: int = 20,
+    codeword_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): inner
+    product estimated as the sum over subspaces of dot(q_sub, codeword of
+    v's code) — m map lookups per (query, vector) against a broadcast
+    per-query lookup table, summed in fixed subspace order (engine-exact).
+
+    Output: (query_id, vec_id, adc_score, rank ≤ k). Scores are raw inner
+    product estimates (not normalized cosine) — rank fidelity is what ADC
+    is for; exact re-ranking of the shortlist composes with
+    ``topk_cosine`` if true scores are needed."""
+    cb = pq_codebooks(embeddings, m, codeword_mod, codeword_rem, id_col, emb_col)
+    codes = pq_encode(embeddings, cb, m, id_col, emb_col)
+    qs = _subspaces(queries.select("query_id", emb_col), "query_id", "query_id", emb_col, m)
+    from temporal_vector_database_spark.functions.vector import dot
+
+    lut_long = qs.join(F.broadcast(cb), "subspace").select(
+        "query_id",
+        "subspace",
+        "codeword_id",
+        dot(F.col("sub"), F.col("cw")).alias("pdot"),
+    )
+    luts = lut_long.groupBy("query_id").agg(
+        *[
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("subspace") == s, F.struct("codeword_id", "pdot"))
+                )
+            ).alias(f"lut_{s}")
+            for s in range(m)
+        ]
+    )
+    adc = F.element_at(F.col("lut_0"), F.col("code_0"))
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}"))
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id", "vid", adc.alias("adc_score")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
+    )

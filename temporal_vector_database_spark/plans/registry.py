@@ -392,6 +392,18 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nprobe=2)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (third ANN tier after brute force
+    and IVF): m=4 subspaces over the dim-8 fixture embeddings."""
+    from temporal_vector_database_spark.operators.search import pq_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, k=10, m=4)
+
+
 def q_language_id(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import language_id
 
@@ -2011,6 +2023,62 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 )
 
+ORACLES["pq_topk"] = (
+    _QEMB_CTE
+    + """
+, sgrid AS (SELECT unnest([0, 1, 2, 3]) AS s),
+cwsub AS (
+  SELECT vec_id AS codeword_id, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS cw
+  FROM en CROSS JOIN sgrid WHERE vec_id % 20 = 7
+),
+vsub AS (
+  SELECT vec_id AS vid, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS sub
+  FROM en CROSS JOIN sgrid
+),
+codes AS (
+  SELECT vid, s, codeword_id FROM (
+    SELECT v.vid, v.s, c.codeword_id,
+           row_number() OVER (PARTITION BY v.vid, v.s ORDER BY
+             (list_dot_product(v.sub, v.sub) - 2 * list_dot_product(v.sub, c.cw) + list_dot_product(c.cw, c.cw)) ASC,
+             c.codeword_id ASC) AS rn
+    FROM vsub v JOIN cwsub c ON v.s = c.s
+  ) WHERE rn = 1
+),
+codes_w AS (
+  SELECT vid,
+         max(CASE WHEN s = 0 THEN codeword_id END) AS code_0,
+         max(CASE WHEN s = 1 THEN codeword_id END) AS code_1,
+         max(CASE WHEN s = 2 THEN codeword_id END) AS code_2,
+         max(CASE WHEN s = 3 THEN codeword_id END) AS code_3
+  FROM codes GROUP BY vid
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb FROM en WHERE vec_id % 50 = 0),
+lut AS (
+  SELECT q.query_id, c.s, c.codeword_id,
+         list_dot_product(list_slice(q.emb, c.s * (len(q.emb) // 4) + 1, (c.s + 1) * (len(q.emb) // 4)), c.cw) AS pdot
+  FROM q CROSS JOIN cwsub c
+),
+scored AS (
+  SELECT l0.query_id, w.vid,
+         l0.pdot + l1.pdot + l2.pdot + l3.pdot AS adc_score
+  FROM codes_w w
+  CROSS JOIN (SELECT DISTINCT query_id FROM q) qq
+  JOIN lut l0 ON l0.query_id = qq.query_id AND l0.s = 0 AND l0.codeword_id = w.code_0
+  JOIN lut l1 ON l1.query_id = qq.query_id AND l1.s = 1 AND l1.codeword_id = w.code_1
+  JOIN lut l2 ON l2.query_id = qq.query_id AND l2.s = 2 AND l2.codeword_id = w.code_2
+  JOIN lut l3 ON l3.query_id = qq.query_id AND l3.s = 3 AND l3.codeword_id = w.code_3
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, adc_score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10
+"""
+)
+
 from temporal_vector_database_spark.functions.text import LANG_PROFILES  # noqa: E402
 
 _LANG_SCORES = ", ".join(
@@ -2646,6 +2714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,

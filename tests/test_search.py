@@ -231,3 +231,59 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert r2 > 0.2  # probing 2 lists already finds a meaningful share
     assert r2 <= r8 + 1e-9 <= rall + 2e-9  # nested probe sets
     assert rall == 1.0  # all lists probed == exact search
+
+
+def test_pq_adc_exact_for_codeword_vectors(spark, sf_dir):
+    """ADC identity: a vector that IS a codeword row encodes to subvectors
+    equal to its own codewords (some codeword at distance 0 — possibly a
+    duplicate, but with identical values), so its ADC score against any
+    query equals the EXACT inner product. Grid-quantized fixtures make
+    both sides bit-exact."""
+    from temporal_vector_database_spark.functions.vector import dot
+    from temporal_vector_database_spark.operators.search import pq_topk
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    adc = pq_topk(emb, queries, k=n, m=4)  # k=n: keep every pair
+    seeds = adc.join(
+        emb.where(F.col("vec_id") % 20 == 7), "vec_id"
+    )  # pairs whose vector is a codeword row
+    exact = seeds.join(
+        queries.select("query_id", F.col("embedding").alias("q_emb")), "query_id"
+    ).select(
+        "query_id", "vec_id", "adc_score", dot(F.col("q_emb"), F.col("embedding")).alias("true_dot")
+    )
+    rows = exact.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.adc_score == r.true_dot, (r.query_id, r.vec_id)
+
+
+def test_pq_rank_fidelity_vs_brute_force(spark, sf_dir):
+    """PQ is approximate — but on this corpus the ADC top-10 must overlap
+    the exact inner-product top-10 well above chance (10/N ≈ 2%)."""
+    from temporal_vector_database_spark.operators.search import pq_topk
+    from temporal_vector_database_spark.functions.vector import dot
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+    from pyspark.sql import Window
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    pairs = emb.crossJoin(
+        queries.select("query_id", F.col("embedding").alias("q_emb"))
+    ).select("query_id", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("ip"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    want: dict[int, set] = {}
+    for r in pairs.withColumn("rn", F.row_number().over(w)).where("rn <= 10").collect():
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+    got: dict[int, set] = {}
+    for r in pq_topk(emb, queries, k=10, m=4).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    rs = [len(want[q] & got.get(q, set())) / 10 for q in want]
+    assert sum(rs) / len(rs) > 0.2
