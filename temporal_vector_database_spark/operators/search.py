@@ -667,6 +667,39 @@ def pq_encode(
     )
 
 
+
+def _pq_luts(queries: DataFrame, codebooks: DataFrame, m: int, emb_col: str) -> DataFrame:
+    """Per-query ADC lookup tables: one map<codeword_id, dot(q_sub, cw)>
+    per subspace, wide (lut_0..lut_{m-1}). |queries| rows — broadcast it."""
+    from temporal_vector_database_spark.functions.vector import dot
+
+    qs = _subspaces(queries.select("query_id", emb_col), "query_id", "query_id", emb_col, m)
+    lut_long = qs.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "codeword_id",
+        dot(F.col("sub"), F.col("cw")).alias("pdot"),
+    )
+    return lut_long.groupBy("query_id").agg(
+        *[
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(F.col("subspace") == s, F.struct("codeword_id", "pdot"))
+                )
+            ).alias(f"lut_{s}")
+            for s in range(m)
+        ]
+    )
+
+
+def _adc_expr(m: int):
+    """ADC score: m LUT lookups summed left-to-right (fixed order)."""
+    adc = F.element_at(F.col("lut_0"), F.col("code_0"))
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}"))
+    return adc
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -688,30 +721,69 @@ def pq_topk(
     ``topk_cosine`` if true scores are needed."""
     cb = pq_codebooks(embeddings, m, codeword_mod, codeword_rem, id_col, emb_col)
     codes = pq_encode(embeddings, cb, m, id_col, emb_col)
-    qs = _subspaces(queries.select("query_id", emb_col), "query_id", "query_id", emb_col, m)
-    from temporal_vector_database_spark.functions.vector import dot
-
-    lut_long = qs.join(F.broadcast(cb), "subspace").select(
-        "query_id",
-        "subspace",
-        "codeword_id",
-        dot(F.col("sub"), F.col("cw")).alias("pdot"),
-    )
-    luts = lut_long.groupBy("query_id").agg(
-        *[
-            F.map_from_entries(
-                F.collect_list(
-                    F.when(F.col("subspace") == s, F.struct("codeword_id", "pdot"))
-                )
-            ).alias(f"lut_{s}")
-            for s in range(m)
-        ]
-    )
-    adc = F.element_at(F.col("lut_0"), F.col("code_0"))
-    for s in range(1, m):
-        adc = adc + F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}"))
+    luts = _pq_luts(queries, cb, m, emb_col)
     scored = codes.crossJoin(F.broadcast(luts)).select(
-        "query_id", "vid", adc.alias("adc_score")
+        "query_id", "vid", _adc_expr(m).alias("adc_score")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    codeword_mod: int = 20,
+    codeword_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale composition — probe the nprobe
+    nearest inverted lists (IVF pruning), then score ONLY those candidates
+    by ADC against the broadcast lookup tables (PQ compression).
+
+    At 100 TB this is the plan that works: the per-query work is
+    ~(nprobe/n_centroids) of the codes table (m ints per vector), no
+    embedding bytes move, and both the centroid table and the LUTs are
+    broadcast. With nprobe = n_centroids the candidate set is everything
+    and the result is bit-equal to ``pq_topk`` (pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    cents, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
+    cb = pq_codebooks(embeddings, m, codeword_mod, codeword_rem, id_col, emb_col)
+    codes = pq_encode(embeddings, cb, m, id_col, emb_col)
+    q = queries.select(
+        F.col("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        l2_norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "centroid_id",
+        _guarded_sim("q_emb", "c_emb", "q_nrm", "c_nrm").alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cands = probes.join(assign.select("vid", "centroid_id"), "centroid_id").select(
+        "query_id", "vid"
+    )
+    luts = _pq_luts(queries, cb, m, emb_col)
+    scored = cands.join(codes, "vid").join(F.broadcast(luts), "query_id").select(
+        "query_id", "vid", _adc_expr(m).alias("adc_score")
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vid"))
     return (

@@ -287,3 +287,29 @@ def test_pq_rank_fidelity_vs_brute_force(spark, sf_dir):
         got.setdefault(r.query_id, set()).add(r.vec_id)
     rs = [len(want[q] & got.get(q, set())) / 10 for q in want]
     assert sum(rs) / len(rs) > 0.2
+
+
+def test_ivfpq_all_probes_equals_pq(spark, sf_dir):
+    """IVF-PQ with every inverted list probed scores the full corpus →
+    bit-equal to plain PQ ADC. With nprobe=2 the result is a subset of
+    the corpus-wide ADC ranking (same scores where present)."""
+    from temporal_vector_database_spark.operators.search import ivfpq_topk, pq_topk
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    n_centroids = emb.where(F.col("vec_id") % 20 == 7).count()
+    full = {(r.query_id, r.vec_id, r.adc_score, r.rank)
+            for r in pq_topk(emb, queries, k=10, m=4).collect()}
+    all_probed = {(r.query_id, r.vec_id, r.adc_score, r.rank)
+                  for r in ivfpq_topk(emb, queries, k=10, nprobe=n_centroids, m=4).collect()}
+    assert all_probed == full
+
+    pq_scores = {(q, v): s for q, v, s, _ in full}
+    pruned = ivfpq_topk(emb, queries, k=10, nprobe=2, m=4).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        if (r.query_id, r.vec_id) in pq_scores:
+            assert r.adc_score == pq_scores[(r.query_id, r.vec_id)]
