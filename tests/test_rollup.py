@@ -50,3 +50,30 @@ def test_base_only_buckets_have_null_delta_stats(versions):
     rep = rollup_report(version_rollup(versions.where(F.col("kind") == "base")))
     for r in rep.collect():
         assert r.n_deltas == 0 and r.avg_magnitude is None and r.max_magnitude is None
+
+
+def test_streaming_rollup_equals_full_rebuild(spark, versions, tmp_path):
+    """Stream the versions table file-by-file (maxFilesPerTrigger=1 →
+    multiple micro-batches); the maintained state must equal a one-shot
+    full rebuild over the same rows."""
+    from temporal_vector_database_spark.streaming.rollup import run_rollup_stream
+
+    src = str(tmp_path / "src")
+    # three append batches, distinct files, partially overlapping buckets
+    versions.where(F.col("seq") <= 4).coalesce(1).write.mode("append").parquet(src)
+    versions.where((F.col("seq") > 4) & (F.col("seq") <= 8)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    versions.where(F.col("seq") > 8).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(versions.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    run_rollup_stream(stream, state, str(tmp_path / "ckpt"))
+
+    got = _canon(rollup_report(spark.read.parquet(state)))
+    want = _canon(rollup_report(version_rollup(versions)))
+    assert got == want and len(got) > 0
