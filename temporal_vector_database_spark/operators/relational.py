@@ -62,3 +62,40 @@ def two_phase_topk(
         partial.withColumn(rank_name, F.row_number().over(w2))
         .where(F.col(rank_name) <= k)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    n_salt: int = 16,
+    salt_col: str | Column = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: identical rows to ``fact.join(dim, on, how)``.
+
+    The fact side gets a deterministic salt in [0, n_salt); the dim side is
+    replicated n_salt times; the join key becomes (on…, salt) — a hot fact
+    key's rows now land on n_salt reducers instead of one. Use when the
+    dim side is too big to broadcast AND the fact side is skewed on the
+    key (the case AQE's skew-join handles only per-plan; this is the
+    portable explicit form). Dim replication costs n_salt × |dim| shuffle
+    rows — keep n_salt modest.
+
+    Only inner/left joins are meaningful here (``how="right"``/"outer"
+    would emit one row per replica for dim keys with no fact match).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+    keys = list(on)
+    if salt_col is None:
+        salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), n_salt)
+    elif isinstance(salt_col, str):
+        salt = F.pmod(F.hash(F.col(salt_col)), n_salt)
+    else:
+        salt = F.pmod(F.hash(salt_col), n_salt)
+    fact_s = fact.withColumn("_salt", salt)
+    dim_r = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return fact_s.join(dim_r, [*keys, "_salt"], how).drop("_salt")

@@ -1060,6 +1060,29 @@ def q_top_events_per_user_salted(spark, sf_dir):
     ).select("user_id", "event_id", "value", F.col("rank").cast("int").alias("rank"))
 
 
+def q_salted_revenue_by_priority(spark, sf_dir):
+    """Skew-proof fact×dim equi-join (lineitem ⋈ orders on a salted key)
+    feeding an exact integer-cents aggregate — row-identical to the plain
+    join, so the oracle is the unsalted SQL."""
+    from temporal_vector_database_spark.operators.relational import salted_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, ["l_orderkey"], n_salt=8, salt_col="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).where(
@@ -2519,6 +2542,14 @@ SELECT o_custkey, o_orderkey, rank FROM (
 ) WHERE rank <= 3
 """
 
+ORACLES["salted_revenue_by_priority"] = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
 ORACLES["top_events_per_user_salted"] = """
 SELECT user_id, event_id, value, rank FROM (
   SELECT user_id, event_id, value,
@@ -2750,6 +2781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_cube": q_revenue_cube,
     "top_orders_per_customer": q_top_orders_per_customer,
     "top_events_per_user_salted": q_top_events_per_user_salted,
+    "salted_revenue_by_priority": q_salted_revenue_by_priority,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_type_stats": q_events_type_stats,

@@ -124,3 +124,32 @@ def test_events_scan_prunes_props(spark, qmap):
     plan = formatted_plan(qmap["events_type_stats"](spark, SF_DIR))
     # the JSON props blob is the widest events column; stats never touch it
     assert "props" not in plan
+
+
+def test_pq_topk_broadcasts_luts_and_codebook(spark, qmap):
+    plan = formatted_plan(qmap["pq_topk"](spark, SF_DIR))
+    # the codebook join (encode) and the LUT join (scoring) must both be
+    # broadcasts — the codes table side never shuffles for the join
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    # label column of the embeddings table is never used
+    assert "label" not in plan
+
+
+def test_training_pipeline_prunes_documents_scan(spark, qmap):
+    plan = formatted_plan(qmap["training_pipeline"](spark, SF_DIR))
+    # documents.lang (ground-truth column) is never consulted — the scan
+    # must not read it
+    assert "ReadSchema" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_salted_topk_two_windows_no_global_hotspot(spark, qmap):
+    plan = physical_plan(qmap["top_events_per_user_salted"](spark, SF_DIR))
+    # phase 1 partitions by (user_id, _salt): the hot key is spread; the
+    # final window only ever sees <= k rows per (key, salt)
+    assert "_salt" in plan
+    assert plan.count("Window") >= 2

@@ -56,3 +56,36 @@ def test_two_phase_topk_hot_key(spark):
     hot = sorted(by_key["hot"])
     assert [h[2] for h in hot] == [96.0, 96.0]
     assert hot[0][1] == 96 and hot[1][1] == 193
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    import os
+
+    from temporal_vector_database_spark.operators.relational import salted_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = {tuple(r) for r in li.join(o, "l_orderkey").collect()}
+    for n_salt in (1, 8):
+        got = {
+            tuple(r)
+            for r in salted_join(li, o, ["l_orderkey"], n_salt=n_salt).collect()
+        }
+        assert got == plain and len(got) > 0
+
+
+def test_salted_left_join_keeps_unmatched_once(spark):
+    from temporal_vector_database_spark.operators.relational import salted_join
+
+    fact = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, rid long"
+    )
+    dim = spark.createDataFrame([("a", "dim-a")], "k string, attr string")
+    got = sorted(
+        tuple(r) for r in salted_join(fact, dim, ["k"], n_salt=4, how="left").collect()
+    )
+    assert got == [("a", 1, "dim-a"), ("a", 2, "dim-a"), ("b", 3, None)]
