@@ -1092,3 +1092,84 @@ def dedup_survivors(
         )
         .withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
     )
+
+
+def incremental_near_duplicate_pairs(
+    existing_sigs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    width: int = 3,
+    min_jaccard_est: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental dedup: near-dup pairs INVOLVING A NEW DOC, against a
+    persisted signature corpus — the daily-crawl pattern at 100 TB: the
+    historical corpus is never re-shingled, only its (tiny) signature
+    table is read; per-batch cost is |new| shingling + an LSH bucket join
+    that is new-vs-all, not all-vs-all.
+
+    ``existing_sigs``: a prior ``minhash_signatures`` output (same
+    num_hashes). Returns ``(pairs, new_sigs)`` — append ``new_sigs`` to
+    the signature store after the batch commits. Pair schema and scoring
+    are identical to ``near_duplicate_pairs`` (a_id < b_id, n_match,
+    est_jaccard); old-old pairs are intentionally absent (they were
+    reported when their younger member arrived).
+    """
+    new_sigs = minhash_signatures(new_docs, text_col, num_hashes, width).localCheckpoint(
+        eager=True
+    )
+    all_sigs = existing_sigs.unionByName(new_sigs)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+    def bucketed(sig: DataFrame) -> DataFrame:
+        return sig.select("doc_id", *band_cols).select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+                "band_id", "band_hash"
+            ),
+        )
+
+    bnew = bucketed(new_sigs)
+    ball = bucketed(all_sigs)
+    pairs = (
+        bnew.alias("n")
+        .join(
+            ball.alias("m"),
+            (F.col("n.band_id") == F.col("m.band_id"))
+            & (F.col("n.band_hash") == F.col("m.band_hash"))
+            & (F.col("n.doc_id") != F.col("m.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("m.doc_id")).alias("a_id"),
+            F.greatest(F.col("n.doc_id"), F.col("m.doc_id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    a_sig = all_sigs.select(
+        F.col("doc_id").alias("a_id"), *[F.col(f"mh_{h}").alias(f"a_mh_{h}") for h in range(num_hashes)]
+    )
+    b_sig = all_sigs.select(
+        F.col("doc_id").alias("b_id"), *[F.col(f"mh_{h}").alias(f"b_mh_{h}") for h in range(num_hashes)]
+    )
+    scored = (
+        pairs.join(a_sig, "a_id")
+        .join(b_sig, "b_id")
+        .withColumn(
+            "n_match",
+            sum(
+                F.when(F.col(f"a_mh_{h}") == F.col(f"b_mh_{h}"), 1).otherwise(0)
+                for h in range(num_hashes)
+            ).cast("int"),
+        )
+        .withColumn("est_jaccard", F.col("n_match").cast("double") / F.lit(float(num_hashes)))
+        .where(F.col("est_jaccard") >= min_jaccard_est)
+        .select("a_id", "b_id", "n_match", "est_jaccard")
+    )
+    return scored, new_sigs

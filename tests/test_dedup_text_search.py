@@ -227,3 +227,35 @@ def test_training_pipeline_funnel(spark, sf_dir):
             assert abs(r.avg_survivor_quality_r - approx) < 1e-9
         else:
             assert r.avg_survivor_quality_r is None
+
+
+def test_incremental_near_dup_matches_full_recompute(spark, sf_dir):
+    """Split the corpus into an 'existing' half (signatures persisted) and
+    a 'new' batch. Incremental pairs == full-recompute pairs restricted
+    to those touching a new doc; old-old pairs never reappear."""
+    from temporal_vector_database_spark.operators.dedup import (
+        incremental_near_duplicate_pairs,
+        minhash_signatures,
+        near_duplicate_pairs,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    split = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    old = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    old_sigs = minhash_signatures(old).localCheckpoint(eager=True)
+    inc, new_sigs = incremental_near_duplicate_pairs(old_sigs, new)
+    got = {(r.a_id, r.b_id, r.n_match, r.est_jaccard) for r in inc.collect()}
+
+    full = near_duplicate_pairs(docs, verify="join")
+    want = {
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in full.collect()
+        if r.a_id in new_ids or r.b_id in new_ids
+    }
+    assert got == want and len(got) > 0
+    assert all(a in new_ids or b in new_ids for a, b, _, _ in got)
+    # the returned new_sigs are exactly the batch's signature rows
+    assert new_sigs.count() == new.count()
