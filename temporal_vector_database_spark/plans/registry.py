@@ -324,6 +324,23 @@ def q_dedup_near_pairs(spark, sf_dir):
     return near_duplicate_pairs(docs, num_hashes=8, bands=4)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup gate: 'new batch' = doc_id % 5 == 0, 'corpus' =
+    the rest (signatures only). Oracle = the full-recompute pair SQL
+    restricted to pairs touching a new doc — the operator's exactness
+    guarantee stated as SQL."""
+    from temporal_vector_database_spark.operators.dedup import (
+        incremental_near_duplicate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    pairs, _ = incremental_near_duplicate_pairs(minhash_signatures(old), new, bands=4)
+    return pairs
+
+
 def q_ann_topk(spark, sf_dir):
     from temporal_vector_database_spark.operators.search import topk_cosine
 
@@ -1807,6 +1824,12 @@ lp AS (
 comp AS (SELECT id, min(lbl) AS canonical FROM lp GROUP BY id)
 """
 
+
+ORACLES["dedup_incremental"] = (
+    ORACLES["dedup_near_pairs"]
+    + " AND (a_id % 5 = 0 OR b_id % 5 = 0)"
+)
+
 ORACLES["dedup_survivors"] = (
     # the label-propagation member makes the whole WITH recursive
     _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -2738,6 +2761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_signature": q_minhash_signature,
     "dedup_near_pairs": q_dedup_near_pairs,
+    "dedup_incremental": q_dedup_incremental,
     "simhash_signature": q_simhash_signature,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
