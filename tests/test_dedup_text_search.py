@@ -259,3 +259,39 @@ def test_incremental_near_dup_matches_full_recompute(spark, sf_dir):
     assert all(a in new_ids or b in new_ids for a, b, _, _ in got)
     # the returned new_sigs are exactly the batch's signature rows
     assert new_sigs.count() == new.count()
+
+
+def test_streaming_dedup_emits_each_pair_once(spark, sf_dir, tmp_path):
+    """Stream the corpus in three file-batches: the union of emitted pairs
+    equals a one-shot full recompute, with no duplicates — every pair is
+    reported exactly once, when its younger member arrives."""
+    from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
+    from temporal_vector_database_spark.streaming.dedup import run_dedup_stream
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    tercile = docs.agg(
+        F.expr("percentile(doc_id, 0.33)"), F.expr("percentile(doc_id, 0.66)")
+    ).first()
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < tercile[0]).coalesce(1).write.mode("append").parquet(src)
+    docs.where(
+        (F.col("doc_id") >= tercile[0]) & (F.col("doc_id") < tercile[1])
+    ).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= tercile[1]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "pairs")
+    run_dedup_stream(stream, str(tmp_path / "sigs"), out, str(tmp_path / "ckpt"))
+
+    emitted = [
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert len(emitted) == len(set(emitted))  # exactly-once per pair
+    want = {
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in near_duplicate_pairs(docs, verify="join").collect()
+    }
+    assert set(emitted) == want and len(want) > 0
