@@ -791,3 +791,51 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
     )
+
+
+def pq_topk_reranked(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    codeword_mod: int = 20,
+    codeword_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ with exact re-ranking: ADC produces a ``shortlist`` of
+    candidates per query; only those rows' true embeddings are fetched
+    (semi-join against the corpus) and re-scored with the exact inner
+    product; final top-k by true score.
+
+    This is how PQ is deployed: the compressed scan bounds the candidate
+    set, the expensive exact math touches ``shortlist`` rows per query.
+    With shortlist >= |corpus| the result is the exact brute-force
+    inner-product top-k (pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.functions.vector import dot
+
+    short = pq_topk(
+        embeddings, queries, shortlist, m, codeword_mod, codeword_rem, id_col, emb_col
+    ).select("query_id", id_col)
+    exact = (
+        short.join(embeddings.select(id_col, F.col(emb_col).alias("_v_emb")), id_col)
+        .join(
+            F.broadcast(queries.select("query_id", F.col(emb_col).alias("_q_emb"))),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            id_col,
+            dot(F.col("_q_emb"), F.col("_v_emb")).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

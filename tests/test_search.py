@@ -313,3 +313,36 @@ def test_ivfpq_all_probes_equals_pq(spark, sf_dir):
     for r in pruned:
         if (r.query_id, r.vec_id) in pq_scores:
             assert r.adc_score == pq_scores[(r.query_id, r.vec_id)]
+
+
+def test_pq_rerank_full_shortlist_is_exact(spark, sf_dir):
+    """Re-ranked PQ with shortlist >= corpus == exact inner-product
+    top-k; with a small shortlist, every reported score is still the TRUE
+    inner product (ADC only selects, never scores the output)."""
+    from temporal_vector_database_spark.functions.vector import dot
+    from temporal_vector_database_spark.operators.search import pq_topk_reranked
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+    from pyspark.sql import Window
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    pairs = emb.crossJoin(
+        queries.select("query_id", F.col("embedding").alias("q_emb"))
+    ).select("query_id", "vec_id", dot(F.col("q_emb"), F.col("embedding")).alias("ip"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    want = {
+        (r.query_id, r.vec_id, r.ip, r.rn)
+        for r in pairs.withColumn("rn", F.row_number().over(w)).where("rn <= 10").collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in pq_topk_reranked(emb, queries, k=10, shortlist=n).collect()
+    }
+    assert got == want
+
+    truth = {(r.query_id, r.vec_id): r.ip for r in pairs.collect()}
+    for r in pq_topk_reranked(emb, queries, k=10, shortlist=30).collect():
+        assert r.score == truth[(r.query_id, r.vec_id)]
