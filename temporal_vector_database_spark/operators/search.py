@@ -647,21 +647,35 @@ def pq_encode(
     """PQ codes, wide: (vid, code_0..code_{m-1}) — per subspace the
     codeword minimizing L2 distance (ties → lowest codeword_id).
 
-    Plan: broadcast-join the subvector stream against the codebook, one
-    row_number window per (vid, subspace) — the only shuffle is the window
-    hash by vid, and the output is m ints per vector."""
-    vs = _subspaces(embeddings.select(id_col, emb_col), id_col, "vid", emb_col, m)
-    scored = vs.join(F.broadcast(codebooks), "subspace").select(
+    Plan: broadcast-join the subvector stream against the codebook, then
+    ONE hash aggregate per vid — ``min_by`` over the (d2, codeword_id)
+    struct is the argmin (lexicographic struct order = distance then
+    lowest id, exactly the window tiebreak) and partial-aggregates
+    map-side, so the |vectors| × |codewords| scored stream reduces to m
+    codes per vector before the only shuffle."""
+    from temporal_vector_database_spark.functions.vector import dot
+
+    # hoist the self-dots to each side pre-join: the |vectors|×|codewords|
+    # pair stream pays ONE fold (dot(sub, cw)), not three — same doubles,
+    # same scalar combination order as _sqdist
+    vs = _subspaces(embeddings.select(id_col, emb_col), id_col, "vid", emb_col, m).withColumn(
+        "sub_ss", dot(F.col("sub"), F.col("sub"))
+    )
+    cb2 = codebooks.withColumn("cw_ss", dot(F.col("cw"), F.col("cw")))
+    scored = vs.join(F.broadcast(cb2), "subspace").select(
         "vid",
         "subspace",
         "codeword_id",
-        _sqdist(F.col("sub"), F.col("cw")).alias("d2"),
+        (F.col("sub_ss") - 2 * dot(F.col("sub"), F.col("cw")) + F.col("cw_ss")).alias("d2"),
     )
-    w = Window.partitionBy("vid", "subspace").orderBy(F.asc("d2"), F.asc("codeword_id"))
-    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    return best.groupBy("vid").agg(
+    return scored.groupBy("vid").agg(
         *[
-            F.max(F.when(F.col("subspace") == s, F.col("codeword_id"))).alias(f"code_{s}")
+            F.min_by(
+                F.when(F.col("subspace") == s, F.col("codeword_id")),
+                F.when(
+                    F.col("subspace") == s, F.struct(F.col("d2"), F.col("codeword_id"))
+                ),
+            ).alias(f"code_{s}")
             for s in range(m)
         ]
     )
