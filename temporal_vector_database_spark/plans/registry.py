@@ -409,6 +409,16 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nprobe=2)
 
 
+def q_pq_codes(spark, sf_dir):
+    """PQ codes table gate: the m-int compressed representation itself
+    (argmin codeword per subspace, ties -> lowest codeword id)."""
+    from temporal_vector_database_spark.operators.search import pq_codebooks, pq_encode
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    cb = pq_codebooks(emb, 4)
+    return pq_encode(emb, cb, 4).withColumnRenamed("vid", "vec_id")
+
+
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (third ANN tier after brute force
     and IVF): m=4 subspaces over the dim-8 fixture embeddings."""
@@ -2069,6 +2079,41 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 )
 
+ORACLES["pq_codes"] = (
+    _QEMB_CTE
+    + """
+, sgrid AS (SELECT unnest([0, 1, 2, 3]) AS s),
+cwsub AS (
+  SELECT vec_id AS codeword_id, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS cw
+  FROM en CROSS JOIN sgrid WHERE vec_id % 20 = 7
+),
+vsub AS (
+  SELECT vec_id AS vid, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS sub
+  FROM en CROSS JOIN sgrid
+),
+codes AS (
+  SELECT vid, s, codeword_id FROM (
+    SELECT v.vid, v.s, c.codeword_id,
+           row_number() OVER (PARTITION BY v.vid, v.s ORDER BY
+             (list_dot_product(v.sub, v.sub) - 2 * list_dot_product(v.sub, c.cw) + list_dot_product(c.cw, c.cw)) ASC,
+             c.codeword_id ASC) AS rn
+    FROM vsub v JOIN cwsub c ON v.s = c.s
+  ) WHERE rn = 1
+),
+codes_w AS (
+  SELECT vid,
+         max(CASE WHEN s = 0 THEN codeword_id END) AS code_0,
+         max(CASE WHEN s = 1 THEN codeword_id END) AS code_1,
+         max(CASE WHEN s = 2 THEN codeword_id END) AS code_2,
+         max(CASE WHEN s = 3 THEN codeword_id END) AS code_3
+  FROM codes GROUP BY vid
+)
+SELECT vid AS vec_id, code_0, code_1, code_2, code_3 FROM codes_w
+"""
+)
+
 ORACLES["pq_topk"] = (
     _QEMB_CTE
     + """
@@ -2770,6 +2815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
+    "pq_codes": q_pq_codes,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
