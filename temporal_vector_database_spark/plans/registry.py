@@ -409,6 +409,17 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nprobe=2)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """Three-tier composition gate: IVF probe pruning + PQ ADC scoring."""
+    from temporal_vector_database_spark.operators.search import ivfpq_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, k=10, nprobe=2, m=4)
+
+
 def q_pq_codes(spark, sf_dir):
     """PQ codes table gate: the m-int compressed representation itself
     (argmin codeword per subspace, ties -> lowest codeword id)."""
@@ -2079,6 +2090,91 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 )
 
+
+ORACLES["ivfpq_topk"] = (
+    _QEMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, centroid_id FROM (
+    SELECT en.vec_id AS vid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb, nrm FROM en WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (CASE WHEN q.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(q.emb, c.c_emb) / (q.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+sgrid AS (SELECT unnest([0, 1, 2, 3]) AS s),
+cwsub AS (
+  SELECT vec_id AS codeword_id, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS cw
+  FROM en CROSS JOIN sgrid WHERE vec_id % 20 = 7
+),
+vsub AS (
+  SELECT vec_id AS vid, s,
+         list_slice(emb, s * (len(emb) // 4) + 1, (s + 1) * (len(emb) // 4)) AS sub
+  FROM en CROSS JOIN sgrid
+),
+codes AS (
+  SELECT vid, s, codeword_id FROM (
+    SELECT v.vid, v.s, c.codeword_id,
+           row_number() OVER (PARTITION BY v.vid, v.s ORDER BY
+             (list_dot_product(v.sub, v.sub) - 2 * list_dot_product(v.sub, c.cw) + list_dot_product(c.cw, c.cw)) ASC,
+             c.codeword_id ASC) AS rn
+    FROM vsub v JOIN cwsub c ON v.s = c.s
+  ) WHERE rn = 1
+),
+codes_w AS (
+  SELECT vid,
+         max(CASE WHEN s = 0 THEN codeword_id END) AS code_0,
+         max(CASE WHEN s = 1 THEN codeword_id END) AS code_1,
+         max(CASE WHEN s = 2 THEN codeword_id END) AS code_2,
+         max(CASE WHEN s = 3 THEN codeword_id END) AS code_3
+  FROM codes GROUP BY vid
+),
+lut AS (
+  SELECT q.query_id, c.s, c.codeword_id,
+         list_dot_product(list_slice(q.emb, c.s * (len(q.emb) // 4) + 1, (c.s + 1) * (len(q.emb) // 4)), c.cw) AS pdot
+  FROM q CROSS JOIN cwsub c
+),
+cand AS (
+  SELECT p.query_id, a.vid FROM probes p JOIN assign a USING (centroid_id)
+),
+scored AS (
+  SELECT c.query_id, c.vid,
+         l0.pdot + l1.pdot + l2.pdot + l3.pdot AS adc_score
+  FROM cand c
+  JOIN codes_w w ON w.vid = c.vid
+  JOIN lut l0 ON l0.query_id = c.query_id AND l0.s = 0 AND l0.codeword_id = w.code_0
+  JOIN lut l1 ON l1.query_id = c.query_id AND l1.s = 1 AND l1.codeword_id = w.code_1
+  JOIN lut l2 ON l2.query_id = c.query_id AND l2.s = 2 AND l2.codeword_id = w.code_2
+  JOIN lut l3 ON l3.query_id = c.query_id AND l3.s = 3 AND l3.codeword_id = w.code_3
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, adc_score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10
+"""
+)
+
 ORACLES["pq_codes"] = (
     _QEMB_CTE
     + """
@@ -2816,6 +2912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
     "pq_codes": q_pq_codes,
+    "ivfpq_topk": q_ivfpq_topk,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
