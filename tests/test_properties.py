@@ -100,3 +100,43 @@ def test_structural_invariants(spark, rows):
                 assert (r.seq - 1) % interval != 0  # interval rule would have promoted
             else:
                 assert r.sparse_idx is None and r.embedding is not None
+
+
+@st.composite
+def keyed_rows(draw):
+    """Rows over a tiny key space (forces heavy keys) with ties in the
+    score column (stresses the tiebreaker)."""
+    n = draw(st.integers(5, 60))
+    rows = []
+    for i in range(n):
+        key = draw(st.sampled_from(["a", "b", "c"]))
+        score = float(draw(st.integers(0, 5)))  # few distinct → many ties
+        rows.append((key, i, score))
+    return rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(keyed_rows(), st.integers(1, 4), st.sampled_from([1, 3, 16]))
+def test_two_phase_topk_property(spark, rows, k, n_salt):
+    """For ANY keyed data (hot keys, score ties), any k and any salt
+    count, the salted two-phase top-k equals the single-window top-k."""
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.operators.relational import two_phase_topk
+
+    df = spark.createDataFrame(rows, "key string, rid long, score double")
+    order = [F.desc("score"), F.asc("rid")]
+    w = Window.partitionBy("key").orderBy(*order)
+    want = {
+        (r.key, r.rid, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .collect()
+    }
+    got = {
+        (r.key, r.rid, r.rank)
+        for r in two_phase_topk(
+            df, ["key"], order, k=k, salt_col="rid", n_salt=n_salt
+        ).collect()
+    }
+    assert got == want
