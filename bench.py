@@ -42,6 +42,7 @@ HEADLINE = (
     "embedding_near_dup",
     "ivf_topk",
     "pq_topk",
+    "ivfpq_topk",
     "training_pipeline",
     "token_stats",
     "text_quality",
