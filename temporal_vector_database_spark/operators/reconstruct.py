@@ -59,7 +59,7 @@ def _fold_deltas(
 
     ``targets`` must have columns (content_id, target_seq, base_seq);
     ``tagged`` is ``with_governing_base(versions)`` — callers should pass it
-    MATERIALIZED (``localCheckpoint``) so every branch below reuses the one
+    MATERIALIZED (``persist``) so every branch below reuses the one
     content_id exchange instead of re-scanning + re-windowing per branch.
 
     Single-aggregation design: the whole delta chain of a target is
@@ -192,7 +192,11 @@ def reconstruct_at(
     """
     tagged = with_governing_base(versions)
     if materialize:
-        tagged = tagged.localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint: the checkpoint's LogicalRDD scan
+        # reports unknown outputPartitioning, so Catalyst re-shuffles every
+        # downstream join/agg; the InMemoryRelation keeps the window's
+        # hash(content_id) partitioning visible (pinned in tests/test_plans.py).
+        tagged = tagged.persist()
     tb = (
         targets.join(
             tagged.select("content_id", F.col("seq").alias("target_seq"), "base_seq"),
@@ -216,7 +220,11 @@ def reconstruct_all(
     """
     tagged = with_governing_base(versions)
     if materialize:
-        tagged = tagged.localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint: the checkpoint's LogicalRDD scan
+        # reports unknown outputPartitioning, so Catalyst re-shuffles every
+        # downstream join/agg; the InMemoryRelation keeps the window's
+        # hash(content_id) partitioning visible (pinned in tests/test_plans.py).
+        tagged = tagged.persist()
     targets = tagged.where(F.col("base_seq").isNotNull()).select(
         "content_id", F.col("seq").alias("target_seq"), "base_seq"
     )
@@ -306,7 +314,11 @@ def reconstruct_range(
     the ``target_seq`` column, ``core/reconstruction_service.py:177``)."""
     tagged = with_governing_base(versions)
     if materialize:
-        tagged = tagged.localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint: the checkpoint's LogicalRDD scan
+        # reports unknown outputPartitioning, so Catalyst re-shuffles every
+        # downstream join/agg; the InMemoryRelation keeps the window's
+        # hash(content_id) partitioning visible (pinned in tests/test_plans.py).
+        tagged = tagged.persist()
     targets = tagged.where(
         (F.col("seq") >= start_seq) & (F.col("seq") <= end_seq) & F.col("base_seq").isNotNull()
     ).select("content_id", F.col("seq").alias("target_seq"), "base_seq")
@@ -337,7 +349,11 @@ def reconstruct_latest(versions: DataFrame, materialize: bool = True) -> DataFra
         F.col("base_seq").isNull() | (F.col("base_seq") == F.col("_maxb"))
     ).drop("_maxb")
     if materialize:
-        tagged = tagged.localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint: the checkpoint's LogicalRDD scan
+        # reports unknown outputPartitioning, so Catalyst re-shuffles every
+        # downstream join/agg; the InMemoryRelation keeps the window's
+        # hash(content_id) partitioning visible (pinned in tests/test_plans.py).
+        tagged = tagged.persist()
     w = Window.partitionBy("content_id").orderBy(F.desc("seq"))
     targets = (
         tagged.withColumn("_rn", F.row_number().over(w))

@@ -29,13 +29,17 @@ _STATE_COLS = (
     "n_versions",
     "n_bases",
     "n_deltas",
-    "mag_sum",
+    "mag_sum_e9",
     "mag_max",
     "changed_sum",
 )
 
 
 def _partials(versions: DataFrame, bucket: str) -> DataFrame:
+    # magnitude is a sqrt (off any dyadic grid), so a double sum is
+    # order-dependent under partial aggregation; sum exact integer
+    # nano-units instead (same technique as curation_report's
+    # survivor_quality_e9) so the rollup hash is partition-order-proof.
     is_delta = F.col("kind") == "delta"
     return versions.groupBy(
         "content_id", F.date_trunc(bucket, "ts").alias("bucket_start")
@@ -43,7 +47,11 @@ def _partials(versions: DataFrame, bucket: str) -> DataFrame:
         F.count("*").alias("n_versions"),
         F.sum(F.when(~is_delta, 1).otherwise(0)).cast("long").alias("n_bases"),
         F.sum(F.when(is_delta, 1).otherwise(0)).cast("long").alias("n_deltas"),
-        F.sum(F.when(is_delta, F.col("magnitude"))).alias("mag_sum"),
+        F.sum(
+            F.when(is_delta, F.round(F.col("magnitude") * F.lit(1000000000.0), 0).cast("long"))
+        )
+        .cast("long")
+        .alias("mag_sum_e9"),
         F.max(F.when(is_delta, F.col("magnitude"))).alias("mag_max"),
         F.sum(F.when(is_delta, F.col("n_changed"))).cast("long").alias("changed_sum"),
     )
@@ -66,7 +74,7 @@ def rollup_merge(rollup: DataFrame, new_versions: DataFrame, bucket: str = "day"
         F.sum("n_versions").cast("long").alias("n_versions"),
         F.sum("n_bases").cast("long").alias("n_bases"),
         F.sum("n_deltas").cast("long").alias("n_deltas"),
-        F.sum("mag_sum").alias("mag_sum"),
+        F.sum("mag_sum_e9").cast("long").alias("mag_sum_e9"),
         F.max("mag_max").alias("mag_max"),
         F.sum("changed_sum").cast("long").alias("changed_sum"),
     )
@@ -80,7 +88,11 @@ def rollup_report(rollup: DataFrame) -> DataFrame:
         "content_id",
         "bucket_start",
         *(_c for _c in ("n_versions", "n_bases", "n_deltas")),
-        F.round(F.col("mag_sum") / F.col("n_deltas"), 9).alias("avg_magnitude"),
+        F.round(
+            (F.col("mag_sum_e9").cast("double") / F.lit(1000000000.0))
+            / F.col("n_deltas").cast("double"),
+            9,
+        ).alias("avg_magnitude"),
         F.round("mag_max", 9).alias("max_magnitude"),
         F.round(F.col("changed_sum") / F.col("n_deltas"), 9).alias("avg_dims_changed"),
     )

@@ -2328,8 +2328,10 @@ SELECT content_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
        count(*) AS n_versions,
        sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS n_bases,
        sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS n_deltas,
-       round(sum(CASE WHEN kind = 'delta' THEN magnitude END)
-             / sum(CASE WHEN kind = 'delta' THEN 1 END), 9) AS avg_magnitude,
+       round((CAST(sum(CASE WHEN kind = 'delta'
+                       THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS DOUBLE)
+              / 1000000000.0)
+             / CAST(sum(CASE WHEN kind = 'delta' THEN 1 END) AS DOUBLE), 9) AS avg_magnitude,
        round(max(CASE WHEN kind = 'delta' THEN magnitude END), 9) AS max_magnitude,
        round(CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS DOUBLE)
              / sum(CASE WHEN kind = 'delta' THEN 1 END), 9) AS avg_dims_changed
@@ -2877,7 +2879,47 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 
 
+# The driver verifies entries in insertion order (r01 covered exactly the
+# first 50), so ordering is a correctness-coverage decision: queries WITHOUT
+# a CORRECTNESS_r01 row come first, then the formerly-red version_rollup,
+# then new this-round queries, then the r01-green remainder.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- no driver CORRECTNESS row yet (r01 cap) ---
+    "tpch_q8": q_tpch_q8,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "dedup_survivors": q_dedup_survivors,
+    "training_pipeline": q_training_pipeline,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
+    "tpch_q11_shape": q_tpch_q11_shape,
+    "tpch_q20_shape": q_tpch_q20_shape,
+    "events_moving_stats": q_events_moving_stats,
+    "lineitem_stat_aggs": q_lineitem_stat_aggs,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q4_shape": q_tpch_q4_shape,
+    "tpch_q12_shape": q_tpch_q12_shape,
+    "tpch_q13_shape": q_tpch_q13_shape,
+    "tpch_q16_shape": q_tpch_q16_shape,
+    "tpch_q22_shape": q_tpch_q22_shape,
+    "revenue_cube": q_revenue_cube,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "top_events_per_user_salted": q_top_events_per_user_salted,
+    "salted_revenue_by_priority": q_salted_revenue_by_priority,
+    "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
+    "events_type_stats": q_events_type_stats,
+    "events_tumbling": q_events_tumbling,
+    "events_asof_join": q_events_asof_join,
+    "events_interval_join": q_events_interval_join,
+    "events_json_props": q_events_json_props,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_rollup": q_revenue_rollup,
+    "part_setops": q_part_setops,
+    # --- red in r01, fixed this round (exact e9 magnitude sums) ---
+    "version_rollup": q_version_rollup,
+    # --- new this round ---
+    # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -2916,7 +2958,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
-    "version_rollup": q_version_rollup,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
     "label_centroids": q_label_centroids,
@@ -2928,37 +2969,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q10": q_tpch_q10,
     "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q19": q_tpch_q19,
-    "dedup_survivors": q_dedup_survivors,
-    "training_pipeline": q_training_pipeline,
-    "revenue_grouping_sets": q_revenue_grouping_sets,
-    "tpch_q11_shape": q_tpch_q11_shape,
-    "tpch_q20_shape": q_tpch_q20_shape,
-    "events_moving_stats": q_events_moving_stats,
-    "lineitem_stat_aggs": q_lineitem_stat_aggs,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q4_shape": q_tpch_q4_shape,
-    "tpch_q12_shape": q_tpch_q12_shape,
-    "tpch_q13_shape": q_tpch_q13_shape,
-    "tpch_q16_shape": q_tpch_q16_shape,
-    "tpch_q22_shape": q_tpch_q22_shape,
-    "revenue_cube": q_revenue_cube,
-    "top_orders_per_customer": q_top_orders_per_customer,
-    "top_events_per_user_salted": q_top_events_per_user_salted,
-    "salted_revenue_by_priority": q_salted_revenue_by_priority,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
-    "events_type_stats": q_events_type_stats,
-    "events_tumbling": q_events_tumbling,
-    "events_asof_join": q_events_asof_join,
-    "events_interval_join": q_events_interval_join,
-    "events_json_props": q_events_json_props,
-    "customers_without_orders": q_customers_without_orders,
-    "revenue_rollup": q_revenue_rollup,
-    "part_setops": q_part_setops,
 }
 
 

@@ -24,6 +24,11 @@ def get_spark(app_name: str = "tvdb-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # joins between frames already hash-partitioned on a PREFIX of the
+        # join keys (e.g. everything keyed by content_id in reconstruct)
+        # should reuse that partitioning instead of re-shuffling on the
+        # full key set; default=true re-shuffles both sides.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("TVDB_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
