@@ -35,6 +35,7 @@ def curate_documents(
     bands: int = 4,
     width: int = 3,
     min_jaccard_est: float = 0.75,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The curation funnel up to (and including) near-dup clustering.
 
@@ -42,10 +43,23 @@ def curate_documents(
     ``n_tokens``/``quality_r``/``predicted_lang`` and the dedup verdict
     (``canonical_id``, ``is_survivor``). Downstream keeps
     ``is_survivor`` rows.
+
+    ``sigs``: the persisted MinHash signature store (one row per doc in
+    ``docs``, same num_hashes/width) that ingest maintains incrementally.
+    When given, the funnel never re-shingles text: the store is
+    semi-joined down to the post-filter survivors (signatures are
+    doc-local, so filtering the signature table is exactly equivalent to
+    signing the filtered corpus) and dedup runs on those rows only.
     """
     kept = with_text_stats(docs, text_col).where(F.col("quality_r") >= min_quality)
     if drop_unknown_lang:
         kept = kept.where(F.col("predicted_lang") != "und")
+    # kept feeds BOTH the dedup branch and the final enrichment join —
+    # persist so the corpus scan + text stats run once, not per branch.
+    kept = kept.persist()
+    kept_sigs = (
+        sigs.join(kept.select("doc_id"), "doc_id") if sigs is not None else None
+    )
     surv = dedup_survivors(
         kept,
         text_col,
@@ -53,6 +67,7 @@ def curate_documents(
         bands=bands,
         width=width,
         min_jaccard_est=min_jaccard_est,
+        sigs=kept_sigs,
     )
     return kept.join(surv, "doc_id")
 
@@ -69,6 +84,7 @@ def curation_report(
     nano-units (``survivor_quality_e9``) — order-independent — and the
     published average is derived from that exact sum."""
     c = curate_documents(docs, text_col, min_quality=min_quality, **dedup_kwargs)
+    # (pass sigs=<signature store> through dedup_kwargs to skip shingling)
     is_surv = F.col("is_survivor")
     rep = c.groupBy("predicted_lang", "source").agg(
         F.count("*").cast("long").alias("n_docs"),
