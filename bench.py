@@ -35,6 +35,7 @@ HEADLINE = (
     "ann_topk",
     "dedup_exact",
     "minhash_signature",
+    "minhash_signature_prod",
     "dedup_near_pairs",
     "simhash_signature",
     "simhash_near_pairs",

@@ -143,7 +143,39 @@ def minhash_signatures(
     ~6× faster than the SQL build at sf0.1. ``impl="sql"``: explode +
     ``min`` aggregate, the DuckDB-oracle-portable form (both impls are
     slice-for-slice equal, pinned in tests).
+
+    ``impl="xxhash64"``: the PRODUCTION hash path — the shingle array is
+    materialized once per doc, then each hash function is a JVM-side
+    ``array_min(transform(shingles, s -> xxhash64(s, h)))``: zero
+    shuffle, zero Python workers, no per-shingle ``hashlib`` call, all
+    codegen. Signature columns are ``bigint`` (``mh_0..mh_{k-1}``); the
+    LSH band/verify machinery accepts either dtype. This family is not
+    expressible in ANSI SQL, so the md5 impls stay as the
+    DuckDB-gateable twins; xxhash64 correctness is pinned in tests by
+    bit-equality against an independent plan shape (explode +
+    min-aggregate of the same hash calls) plus a family-overlap check
+    on the derived near-dup pairs.
     """
+    if impl == "xxhash64":
+        sh_arr = F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+            f" i -> substring({text_col}, i, {width}))"
+        )
+
+        def hasher(h):  # NB: a 2-arg lambda would receive (element, index)
+            return lambda s: F.xxhash64(s, F.lit(h))
+
+        return (
+            _spread(docs.select("doc_id", text_col))
+            .withColumn("_sh", sh_arr)
+            .select(
+                "doc_id",
+                *[
+                    F.array_min(F.transform("_sh", hasher(h))).alias(f"mh_{h}")
+                    for h in range(num_hashes)
+                ],
+            )
+        )
     if num_hashes > 8:
         raise ValueError("md5 yields 32 hex chars → at most 8 16-bit slices")
     if impl == "pandas":

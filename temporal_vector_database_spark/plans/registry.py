@@ -332,6 +332,19 @@ def q_minhash_signature(spark, sf_dir):
     return minhash_signatures(docs, num_hashes=8)
 
 
+def q_minhash_signature_prod(spark, sf_dir):
+    """Production-hash-family MinHash build (JVM xxhash64, whole-stage
+    codegen, map-side min-combine — no Python worker in the path). The
+    xxhash64 family is not expressible in ANSI SQL, so this entry has no
+    DuckDB oracle (driver records rows-only); its correctness is pinned
+    in tests by bit-equality against an independent HOF plan shape
+    (tests/test_dedup_text_search.py)."""
+    from temporal_vector_database_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_signatures(docs, num_hashes=8, impl="xxhash64")
+
+
 def q_dedup_near_pairs(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
 
@@ -2936,6 +2949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- red in r01, fixed this round (exact e9 magnitude sums) ---
     "version_rollup": q_version_rollup,
     # --- new this round ---
+    "minhash_signature_prod": q_minhash_signature_prod,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

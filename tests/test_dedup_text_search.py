@@ -72,6 +72,44 @@ def test_minhash_signature_impls_agree(docs):
     )
 
 
+def test_minhash_xxhash64_matches_independent_plan_shape(docs):
+    """The production (JVM xxhash64) signature build is pinned by
+    bit-equality against a second, structurally independent plan:
+    explode every shingle and min-aggregate the same hash calls. Same
+    values from two disjoint execution paths ⇒ the shingling, hash
+    calls and min-combine are right."""
+    from temporal_vector_database_spark.operators.dedup import _shingles, minhash_signatures
+
+    width, k = 3, 8
+    got = {
+        r.doc_id: tuple(r[f"mh_{h}"] for h in range(k))
+        for r in minhash_signatures(docs, impl="xxhash64", num_hashes=k, width=width).collect()
+    }
+    agg = _shingles(docs, "text", width).groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("sh"), F.lit(h))).alias(f"mh_{h}") for h in range(k)]
+    )
+    want = {r.doc_id: tuple(r[f"mh_{h}"] for h in range(k)) for r in agg.collect()}
+    assert got == want and len(got) == 4
+
+
+def test_minhash_xxhash64_family_finds_same_near_dups(docs):
+    """Different hash family ⇒ different est_jaccard noise, same verdicts
+    on clear cases: the exact-dup pair estimates 1.0 in both families and
+    the unrelated doc pairs nowhere near it."""
+    from temporal_vector_database_spark.operators.dedup import (
+        minhash_signatures,
+        near_duplicate_pairs,
+    )
+
+    sigs = minhash_signatures(docs, impl="xxhash64")
+    pairs = {
+        (r.a_id, r.b_id): r.est_jaccard
+        for r in near_duplicate_pairs(docs, bands=4, min_jaccard_est=0.0, sigs=sigs).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert all(e < 0.75 for (a, b), e in pairs.items() if 3 in (a, b))
+
+
 def test_minhash_near_pairs_verify_strategies_agree(docs):
     from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
 
