@@ -472,6 +472,35 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, queries, k=10, m=4)
 
 
+def q_pq_topk_reranked(spark, sf_dir):
+    """PQ + exact re-rank: ADC shortlist (50/query), true inner-product
+    rescore of shortlist rows only, final top-10 by true score — the
+    deployed PQ shape (compressed scan bounds candidates, exact math
+    touches only the shortlist)."""
+    from temporal_vector_database_spark.operators.search import pq_topk_reranked
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return pq_topk_reranked(emb, queries, k=10, shortlist=50, m=4)
+
+
+def q_topk_search_indexed(spark, sf_dir):
+    """S1 against the PREBUILT search index (materialized norms table,
+    the reference's build-once FAISS analogue) — bit-identical output to
+    `topk_search`, different physical path; same oracle gates both."""
+    from temporal_vector_database_spark.operators.search import (
+        build_search_index,
+        topk_cosine_indexed,
+    )
+
+    v = _versions(spark, sf_dir)
+    queries = spark.read.parquet(_fix(sf_dir, "queries_vec"))
+    res = topk_cosine_indexed(build_search_index(v), queries)
+    return res.select("query_id", "rank", "content_id", "seq", "sim")
+
+
 def q_language_id(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import language_id
 
@@ -2240,9 +2269,9 @@ SELECT vid AS vec_id, code_0, code_1, code_2, code_3 FROM codes_w
 """
 )
 
-ORACLES["pq_topk"] = (
-    _QEMB_CTE
-    + """
+# shared ADC body (codebook -> codes -> per-query LUT -> ADC ranking);
+# consumed by both the plain pq_topk gate and the exact-rerank gate
+_PQ_ADC_BODY = """
 , sgrid AS (SELECT unnest([0, 1, 2, 3]) AS s),
 cwsub AS (
   SELECT vec_id AS codeword_id, s,
@@ -2292,9 +2321,35 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vid) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10
+"""
+
+ORACLES["pq_topk"] = (
+    _QEMB_CTE
+    + _PQ_ADC_BODY
+    + "SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10"
+)
+
+ORACLES["pq_topk_reranked"] = (
+    _QEMB_CTE
+    + _PQ_ADC_BODY
+    + """
+, short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 50),
+exact AS (
+  SELECT s.query_id, s.vec_id, list_dot_product(q.emb, v.emb) AS score
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN en v ON v.vec_id = s.vec_id
+),
+rr AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+  FROM exact
+)
+SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 10
 """
 )
+
+ORACLES["topk_search_indexed"] = ORACLES["topk_search"]
 
 from temporal_vector_database_spark.functions.text import LANG_PROFILES  # noqa: E402
 
@@ -2950,6 +3005,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "version_rollup": q_version_rollup,
     # --- new this round ---
     "minhash_signature_prod": q_minhash_signature_prod,
+    "pq_topk_reranked": q_pq_topk_reranked,
+    "topk_search_indexed": q_topk_search_indexed,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
