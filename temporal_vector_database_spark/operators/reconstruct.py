@@ -278,8 +278,13 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
                 idx = np.asarray(row.sparse_idx, dtype=np.int64)
                 val = np.asarray(row.sparse_val, dtype=np.float64)
                 # reference quirk #9: indices >= dim are silently skipped
-                # (core/data_structures.py:117-119) — np.add.at would raise
-                ok = idx < recon.shape[0]
+                # (core/data_structures.py:117-119). Negative indices are
+                # ALSO dropped — a deliberate deviation from the reference,
+                # whose `if idx < len` check lets Python wrap them around;
+                # wrapping corrupt data is never intended, and dropping
+                # keeps this twin bit-equal to the declarative fold (whose
+                # map lookup only probes keys 0..dim-1). Pinned in tests.
+                ok = (idx >= 0) & (idx < recon.shape[0])
                 recon = recon.copy()
                 np.add.at(recon, idx[ok], val[ok])
                 mags.append(float(row.magnitude))

@@ -605,17 +605,29 @@ def _sqdist(a, b):
 
 def _subspaces(df: DataFrame, id_col: str, id_alias: str, emb_col: str, m: int) -> DataFrame:
     """(id, subspace, sub) — the m contiguous dim/m-wide slices of each
-    embedding. Narrow (explode of a fixed-size sequence, no shuffle)."""
+    embedding. Narrow (explode of a fixed-size sequence, no shuffle).
+
+    Rejects rows whose dim is not divisible by m (raise_error inside the
+    slice expression — dim is data, so the check can't happen at plan
+    time): a silent floor would exclude the trailing dims from codes and
+    ADC scores, an accuracy loss no gate would catch."""
     sub_len = (F.size(F.col("_e")) / m).cast("int")
+    sliced = F.when(
+        F.size(F.col("_e")) % m == 0,
+        F.slice(F.col("_e"), F.col("subspace") * sub_len + 1, sub_len),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"PQ requires embedding dim divisible by m={m}; got dim="),
+                F.size(F.col("_e")).cast("string"),
+            )
+        )
+    )
     return df.select(
         F.col(id_col).alias(id_alias),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
         F.col(emb_col).alias("_e"),
-    ).select(
-        id_alias,
-        "subspace",
-        F.slice(F.col("_e"), F.col("subspace") * sub_len + 1, sub_len).alias("sub"),
-    )
+    ).select(id_alias, "subspace", sliced.alias("sub"))
 
 
 def pq_codebooks(

@@ -6,23 +6,92 @@ seen so far via ``incremental_near_duplicate_pairs`` — only the batch is
 shingled, history participates as its stored MinHash signatures. Each
 near-dup pair is emitted exactly once: when its younger member arrives.
 
+Idempotent under foreachBatch's at-least-once replay: every batch writes
+its pairs and signatures to per-batch partitions (``batch=<id>/``) in
+OVERWRITE mode, and reads of the store exclude the current batch id — a
+replayed batch therefore recomputes against exactly the pre-batch store
+and overwrites its own previous (possibly partial) output instead of
+appending duplicates. On a production lake the same body would be a
+transactional MERGE keyed by batch id.
+
 This composes the two scale patterns the batch operators establish:
 signature-store incrementality (per-batch cost ∝ batch) and LSH banding
-(new-vs-all, never all-vs-all). The state directory is an append-only
-signature table — on a production lake, a partitioned table the stream
-appends to.
+(new-vs-all, never all-vs-all).
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.dedup import (
     incremental_near_duplicate_pairs,
-    minhash_signatures,
 )
+
+
+def _has_batches(path: str) -> bool:
+    return os.path.isdir(path) and any(d.startswith("batch=") for d in os.listdir(path))
+
+
+def read_signature_store(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current signature store (all committed batches; ``batch`` column =
+    the micro-batch that contributed each row). None if empty."""
+    if not _has_batches(state_dir):
+        return None
+    return spark.read.option("basePath", state_dir).parquet(
+        os.path.join(state_dir, "batch=*")
+    )
+
+
+def process_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    output_dir: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    width: int = 3,
+    min_jaccard_est: float = 0.5,
+) -> None:
+    """One micro-batch: emit pairs vs the store, append signatures.
+    Safe to re-invoke with the same ``batch_id`` (replay) — outputs are
+    per-batch overwritten partitions and the store read excludes this
+    batch's own (possibly partial) prior attempt."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    store = read_signature_store(spark, state_dir)
+    if store is not None:
+        existing = store.where(F.col("batch") != batch_id).drop("batch")
+    else:
+        from temporal_vector_database_spark.operators.dedup import minhash_signatures
+
+        existing = minhash_signatures(batch_df.limit(0), text_col, num_hashes, width)
+    pairs, new_sigs = incremental_near_duplicate_pairs(
+        existing,
+        batch_df,
+        text_col,
+        num_hashes,
+        bands,
+        width,
+        min_jaccard_est,
+    )
+    pairs.write.mode("overwrite").parquet(os.path.join(output_dir, f"batch={batch_id}"))
+    new_sigs.write.mode("overwrite").parquet(os.path.join(state_dir, f"batch={batch_id}"))
+
+
+def read_emitted_pairs(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    """All pairs emitted so far (union over committed batches)."""
+    if not _has_batches(output_dir):
+        return None
+    return (
+        spark.read.option("basePath", output_dir)
+        .parquet(os.path.join(output_dir, "batch=*"))
+        .drop("batch")
+    )
 
 
 def run_dedup_stream(
@@ -40,27 +109,21 @@ def run_dedup_stream(
     emit near-dup pairs vs the signature store to ``output_dir`` and
     append the batch's signatures to ``state_dir``. After the drain, the
     union of emitted pairs equals a one-shot ``near_duplicate_pairs`` over
-    every document streamed (pinned in tests)."""
+    every document streamed (pinned in tests), including across replays
+    (idempotency pinned in tests)."""
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            existing = spark.read.parquet(state_dir)
-        else:
-            existing = minhash_signatures(batch_df.limit(0), text_col, num_hashes, width)
-        pairs, new_sigs = incremental_near_duplicate_pairs(
-            existing,
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_dedup_batch(
             batch_df,
+            batch_id,
+            state_dir,
+            output_dir,
             text_col,
             num_hashes,
             bands,
             width,
             min_jaccard_est,
         )
-        pairs.write.mode("append").parquet(output_dir)
-        new_sigs.write.mode("append").parquet(state_dir)
 
     q = (
         doc_stream.writeStream.foreachBatch(process)

@@ -323,11 +323,52 @@ def test_streaming_dedup_emits_each_pair_once(spark, sf_dir, tmp_path):
     out = str(tmp_path / "pairs")
     run_dedup_stream(stream, str(tmp_path / "sigs"), out, str(tmp_path / "ckpt"))
 
+    from temporal_vector_database_spark.streaming.dedup import read_emitted_pairs
+
     emitted = [
         (r.a_id, r.b_id, r.n_match, r.est_jaccard)
-        for r in spark.read.parquet(out).collect()
+        for r in read_emitted_pairs(spark, out).collect()
     ]
     assert len(emitted) == len(set(emitted))  # exactly-once per pair
+    want = {
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in near_duplicate_pairs(docs, verify="join").collect()
+    }
+    assert set(emitted) == want and len(want) > 0
+
+
+def test_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-invoking a micro-batch with the same batch_id (foreachBatch
+    at-least-once replay) must neither duplicate emitted pairs nor
+    double-append signatures (which would multiply later batches'
+    scored joins)."""
+    from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
+    from temporal_vector_database_spark.streaming.dedup import (
+        process_dedup_batch,
+        read_emitted_pairs,
+        read_signature_store,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words here entirely unrelated content"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    state, out = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    b0 = docs.where(F.col("doc_id") <= 1)
+    b1 = docs.where(F.col("doc_id") > 1)
+    process_dedup_batch(b0, 0, state, out)
+    process_dedup_batch(b1, 1, state, out)
+    process_dedup_batch(b1, 1, state, out)  # replay
+    sigs = read_signature_store(spark, state)
+    assert sigs.count() == 4  # one signature row per doc, not doubled
+    emitted = [
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in read_emitted_pairs(spark, out).collect()
+    ]
+    assert len(emitted) == len(set(emitted))
     want = {
         (r.a_id, r.b_id, r.n_match, r.est_jaccard)
         for r in near_duplicate_pairs(docs, verify="join").collect()

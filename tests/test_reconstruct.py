@@ -165,3 +165,33 @@ def test_out_of_range_sparse_indices_silently_dropped(spark):
         got = {r.target_seq: r.embedding for r in fn(versions).collect()}
         assert got[1] == [1.0, 2.0, 3.0, 4.0]
         assert got[2] == [1.0, 2.5, 3.0, 4.0]  # idx 10 dropped, idx 1 applied
+
+
+def test_negative_sparse_indices_dropped_in_both_paths(spark):
+    """Deliberate deviation from the reference: its `if idx < len` check
+    lets Python WRAP negative indices; both paths here DROP them (corrupt
+    data should never silently wrap), so the twins stay bit-equal on any
+    input (ADVICE r01)."""
+    from datetime import datetime
+
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all,
+        reconstruct_all_folded,
+    )
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        ("neg", 1, t0, "base", [1.0, 2.0, 3.0, 4.0], None, None, None, None, None, 4, "neg_1", None),
+        ("neg", 2, t0, "delta", None, [-1, 2], [9.9, 0.5], 1, 1.0, 2, 4, "neg_v2", None),
+    ]
+    schema = (
+        "content_id string, seq int, ts timestamp, kind string,"
+        " embedding array<double>, sparse_idx array<int>, sparse_val array<double>,"
+        " from_seq int, magnitude double, n_changed int, total_dims int,"
+        " version_id string, metadata map<string,string>"
+    )
+    versions = spark.createDataFrame(rows, schema)
+    for fn in (reconstruct_all, reconstruct_all_folded):
+        got = {r.target_seq: r.embedding for r in fn(versions).collect()}
+        # idx -1 dropped (NOT wrapped onto the last dim), idx 2 applied
+        assert got[2] == [1.0, 2.0, 3.5, 4.0], fn.__name__

@@ -74,6 +74,28 @@ def test_streaming_rollup_equals_full_rebuild(spark, versions, tmp_path):
     state = str(tmp_path / "state")
     run_rollup_stream(stream, state, str(tmp_path / "ckpt"))
 
-    got = _canon(rollup_report(spark.read.parquet(state)))
+    from temporal_vector_database_spark.streaming.rollup import read_rollup_state
+
+    got = _canon(rollup_report(read_rollup_state(spark, state)))
+    want = _canon(rollup_report(version_rollup(versions)))
+    assert got == want and len(got) > 0
+
+
+def test_rollup_batch_replay_is_idempotent(spark, versions, tmp_path):
+    """foreachBatch is at-least-once: re-invoking a batch with the same
+    batch_id (crash-before-checkpoint replay) must not double-merge, and
+    the pre-batch state version must survive until the batch commits."""
+    from temporal_vector_database_spark.streaming.rollup import (
+        process_rollup_batch,
+        read_rollup_state,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = versions.where(F.col("seq") <= 6)
+    b1 = versions.where(F.col("seq") > 6)
+    process_rollup_batch(b0, 0, state)
+    process_rollup_batch(b1, 1, state)
+    process_rollup_batch(b1, 1, state)  # replay of committed batch: no-op
+    got = _canon(rollup_report(read_rollup_state(spark, state)))
     want = _canon(rollup_report(version_rollup(versions)))
     assert got == want and len(got) > 0

@@ -233,6 +233,23 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert rall == 1.0  # all lists probed == exact search
 
 
+def test_pq_rejects_indivisible_dim(spark):
+    """dim % m != 0 must raise, not silently truncate the trailing dims
+    out of codes and ADC scores (ADVICE r01): dim=7 with m=4."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from temporal_vector_database_spark.operators.search import pq_codebooks, pq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(d + i) for d in range(7)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(Exception, match="divisible"):
+        cb = pq_codebooks(emb, m=4)
+        pq_encode(emb, cb, m=4).collect()
+
+
 def test_pq_adc_exact_for_codeword_vectors(spark, sf_dir):
     """ADC identity: a vector that IS a codeword row encodes to subvectors
     equal to its own codewords (some codeword at distance 0 — possibly a
