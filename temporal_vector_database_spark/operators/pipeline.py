@@ -51,17 +51,26 @@ def curate_documents(
     doc-local, so filtering the signature table is exactly equivalent to
     signing the filtered corpus) and dedup runs on those rows only.
     """
-    kept = with_text_stats(docs, text_col).where(F.col("quality_r") >= min_quality)
-    if drop_unknown_lang:
-        kept = kept.where(F.col("predicted_lang") != "und")
-    # kept feeds BOTH the dedup branch and the final enrichment join —
-    # persist so the corpus scan + text stats run once, not per branch.
-    kept = kept.persist()
-    kept_sigs = (
-        sigs.join(kept.select("doc_id"), "doc_id") if sigs is not None else None
+    # The text-stat expressions + threshold filter feed several branches
+    # (signature semi-join, dedup input, final enrichment join). Persist
+    # ONLY the tiny stats projection — caching the full enriched frame
+    # would freeze every corpus column into the cache and defeat column
+    # pruning on the documents scan (the final join re-reads the corpus
+    # with exactly the columns downstream consumes; pinned in
+    # tests/test_plans.py).
+    stats = (
+        with_text_stats(docs.select("doc_id", text_col), text_col)
+        .where(F.col("quality_r") >= min_quality)
+        .select("doc_id", "n_tokens", "quality_r", "predicted_lang")
     )
+    if drop_unknown_lang:
+        stats = stats.where(F.col("predicted_lang") != "und")
+    stats = stats.persist()
+    kept_ids = stats.select("doc_id")
+    kept_sigs = sigs.join(kept_ids, "doc_id") if sigs is not None else None
+    dedup_input = docs.select("doc_id", text_col).join(kept_ids, "doc_id")
     surv = dedup_survivors(
-        kept,
+        dedup_input,
         text_col,
         num_hashes=num_hashes,
         bands=bands,
@@ -69,7 +78,7 @@ def curate_documents(
         min_jaccard_est=min_jaccard_est,
         sigs=kept_sigs,
     )
-    return kept.join(surv, "doc_id")
+    return docs.join(stats, "doc_id").join(surv, "doc_id")
 
 
 def curation_report(
