@@ -85,3 +85,50 @@ def test_stream_matches_batch_across_microbatches(spark, tmp_path):
         r.seq for r in streamed.where((F.col("content_id") == "s0") & (F.col("kind") == "base")).collect()
     )
     assert bases == [1, 6, 11]
+
+
+def test_streaming_search_equals_batch_ivf(spark, tmp_path):
+    """Queries streamed in micro-batches against the persisted IVF index
+    must produce, in union, exactly the one-shot ivf_topk results; a
+    replayed batch must not duplicate rows."""
+    from temporal_vector_database_spark.operators.search import ivf_topk, write_ivf_index
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+    from temporal_vector_database_spark.streaming.search import (
+        process_search_batch,
+        read_search_results,
+        run_search_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx)
+
+    # stream the queries file-by-file (two files -> two micro-batches)
+    src = str(tmp_path / "qsrc")
+    queries.where(F.col("query_id") < 25).coalesce(1).write.mode("append").parquet(src)
+    queries.where(F.col("query_id") >= 25).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(queries.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "res")
+    run_search_stream(stream, idx, out, str(tmp_path / "ckpt"), k=5, nprobe=2)
+
+    # replay one batch manually: must overwrite, not append
+    replay = queries.where(F.col("query_id") < 25)
+    process_search_batch(replay, 0, idx, out, k=5, nprobe=2)
+
+    got = {
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in read_search_results(spark, out).collect()
+    }
+    got_n = read_search_results(spark, out).count()
+    want = {
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in ivf_topk(emb, queries, k=5, nprobe=2).collect()
+    }
+    assert got == want and len(want) > 0
+    assert got_n == len(want)  # no duplicate rows after replay
