@@ -361,13 +361,14 @@ def q_dedup_incremental(spark, sf_dir):
     guarantee stated as SQL."""
     from temporal_vector_database_spark.operators.dedup import (
         incremental_near_duplicate_pairs,
-        minhash_signatures,
     )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    old = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    pairs, _ = incremental_near_duplicate_pairs(minhash_signatures(old), new, bands=4)
+    # corpus side from the persisted signature store (production layout;
+    # signatures are doc-local so filtering the store == signing `old`)
+    old_sigs = _minhash_store(spark, sf_dir).where(F.col("doc_id") % 5 != 0)
+    pairs, _ = incremental_near_duplicate_pairs(old_sigs, new, bands=4)
     return pairs
 
 
