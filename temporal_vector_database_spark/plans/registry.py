@@ -440,6 +440,28 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, nprobe=2)
 
 
+def q_ivf_topk_persisted(spark, sf_dir):
+    """IVF against the PERSISTED partitioned index layout (one parquet
+    dir per inverted list; probes prune to their directories before any
+    file opens) — bit-equal to `ivf_topk`, so the same oracle gates
+    both. The index build is idempotent and lives with the fixtures
+    (production: build once, serve many query batches)."""
+    from temporal_vector_database_spark.operators.search import (
+        ivf_topk_persisted,
+        write_ivf_index,
+    )
+    from temporal_vector_database_spark.sources.fixtures import fixture_dir
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    idx = os.path.join(fixture_dir(sf_dir), "ivf_index")
+    if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+        write_ivf_index(emb, idx)
+    return ivf_topk_persisted(spark, idx, queries, k=10, nprobe=2)
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """Three-tier composition gate: IVF probe pruning + PQ ADC scoring."""
     from temporal_vector_database_spark.operators.search import ivfpq_topk
@@ -2351,6 +2373,7 @@ SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 10
 )
 
 ORACLES["topk_search_indexed"] = ORACLES["topk_search"]
+ORACLES["ivf_topk_persisted"] = ORACLES["ivf_topk"]
 
 from temporal_vector_database_spark.functions.text import LANG_PROFILES  # noqa: E402
 
@@ -3008,6 +3031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signature_prod": q_minhash_signature_prod,
     "pq_topk_reranked": q_pq_topk_reranked,
     "topk_search_indexed": q_topk_search_indexed,
+    "ivf_topk_persisted": q_ivf_topk_persisted,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
