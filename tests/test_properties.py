@@ -140,3 +140,48 @@ def test_two_phase_topk_property(spark, rows, k, n_salt):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_property(spark, edges):
+    """Contraction-based CC must agree with a plain union-find on ANY
+    edge list: same partition into components, each labeled by its
+    minimum node id. Random graphs cover shapes the LSH fixtures don't
+    (long paths, stars, multi-edges, both edge orientations)."""
+    from temporal_vector_database_spark.operators.dedup import connected_components
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    # expected: node -> min(component)
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a_id long, b_id long"
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == want
