@@ -30,29 +30,29 @@ _STATE_COLS = (
     "n_bases",
     "n_deltas",
     "mag_sum_e9",
-    "mag_max",
+    "mag_max_e9",
     "changed_sum",
 )
 
 
 def _partials(versions: DataFrame, bucket: str) -> DataFrame:
-    # magnitude is a sqrt (off any dyadic grid), so a double sum is
-    # order-dependent under partial aggregation; sum exact integer
-    # nano-units instead (same technique as curation_report's
-    # survivor_quality_e9) so the rollup hash is partition-order-proof.
+    # magnitude is a sqrt (off any dyadic grid): double sums are
+    # order-dependent under partial aggregation, and decimal ROUNDING of
+    # raw sqrt doubles differs between engines' round() implementations
+    # (BigDecimal half-up vs multiply/std::round). Hold the state in
+    # exact integer nano-units (same technique as curation_report's
+    # survivor_quality_e9) so sums/maxes are partition-order-proof and
+    # every published double is integer/1e9 — bit-identical everywhere.
     is_delta = F.col("kind") == "delta"
+    mag_e9 = F.round(F.col("magnitude") * F.lit(1000000000.0), 0).cast("long")
     return versions.groupBy(
         "content_id", F.date_trunc(bucket, "ts").alias("bucket_start")
     ).agg(
         F.count("*").alias("n_versions"),
         F.sum(F.when(~is_delta, 1).otherwise(0)).cast("long").alias("n_bases"),
         F.sum(F.when(is_delta, 1).otherwise(0)).cast("long").alias("n_deltas"),
-        F.sum(
-            F.when(is_delta, F.round(F.col("magnitude") * F.lit(1000000000.0), 0).cast("long"))
-        )
-        .cast("long")
-        .alias("mag_sum_e9"),
-        F.max(F.when(is_delta, F.col("magnitude"))).alias("mag_max"),
+        F.sum(F.when(is_delta, mag_e9)).cast("long").alias("mag_sum_e9"),
+        F.max(F.when(is_delta, mag_e9)).alias("mag_max_e9"),
         F.sum(F.when(is_delta, F.col("n_changed"))).cast("long").alias("changed_sum"),
     )
 
@@ -75,7 +75,7 @@ def rollup_merge(rollup: DataFrame, new_versions: DataFrame, bucket: str = "day"
         F.sum("n_bases").cast("long").alias("n_bases"),
         F.sum("n_deltas").cast("long").alias("n_deltas"),
         F.sum("mag_sum_e9").cast("long").alias("mag_sum_e9"),
-        F.max("mag_max").alias("mag_max"),
+        F.max("mag_max_e9").cast("long").alias("mag_max_e9"),
         F.sum("changed_sum").cast("long").alias("changed_sum"),
     )
 
@@ -84,15 +84,27 @@ def rollup_report(rollup: DataFrame) -> DataFrame:
     """Read-side projection: derived averages over the mergeable state
     (avg = sum/count at read time — storing averages would make the
     state unmergeable)."""
+    # published doubles are (rounded-to-integer nano-units) / 1e9: the
+    # integer round happens on an integer/integer quotient, and the final
+    # division is one IEEE op — no decimal round() of an irrational
+    # double anywhere, so any engine reproduces the exact bits.
+    avg_mag_e9 = F.round(
+        F.col("mag_sum_e9").cast("double") / F.col("n_deltas").cast("double"), 0
+    ).cast("long")
     return rollup.select(
         "content_id",
         "bucket_start",
         *(_c for _c in ("n_versions", "n_bases", "n_deltas")),
-        F.round(
-            (F.col("mag_sum_e9").cast("double") / F.lit(1000000000.0))
-            / F.col("n_deltas").cast("double"),
-            9,
-        ).alias("avg_magnitude"),
-        F.round("mag_max", 9).alias("max_magnitude"),
-        F.round(F.col("changed_sum") / F.col("n_deltas"), 9).alias("avg_dims_changed"),
+        (avg_mag_e9.cast("double") / F.lit(1000000000.0)).alias("avg_magnitude"),
+        (F.col("mag_max_e9").cast("double") / F.lit(1000000000.0)).alias("max_magnitude"),
+        (
+            F.round(
+                F.col("changed_sum").cast("double")
+                * F.lit(1000000000.0)
+                / F.col("n_deltas").cast("double"),
+                0,
+            ).cast("long")
+            .cast("double")
+            / F.lit(1000000000.0)
+        ).alias("avg_dims_changed"),
     )

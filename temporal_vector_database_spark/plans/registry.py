@@ -2432,20 +2432,32 @@ FROM documents
 
 ORACLES["multimodal_decode"] = _DECODE_CTE + "SELECT * FROM dec"
 
+# Every published double is (integer nano-units)/1e9: sums/maxes happen
+# on exact BIGINTs (partition-order-proof) and the only decimal round()
+# is on an integer-valued or integer-quotient double — engines whose
+# round() implementations differ on raw sqrt doubles (BigDecimal half-up
+# vs multiply/std::round) still agree bit-for-bit here.
 ORACLES["version_rollup"] = f"""
-SELECT content_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
-       count(*) AS n_versions,
-       sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS n_bases,
-       sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS n_deltas,
-       round((CAST(sum(CASE WHEN kind = 'delta'
-                       THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS DOUBLE)
-              / 1000000000.0)
-             / CAST(sum(CASE WHEN kind = 'delta' THEN 1 END) AS DOUBLE), 9) AS avg_magnitude,
-       round(max(CASE WHEN kind = 'delta' THEN magnitude END), 9) AS max_magnitude,
-       round(CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS DOUBLE)
-             / sum(CASE WHEN kind = 'delta' THEN 1 END), 9) AS avg_dims_changed
-FROM {_V}
-GROUP BY content_id, date_trunc('day', ts)
+WITH st AS (
+  SELECT content_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         count(*) AS n_versions,
+         sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS n_bases,
+         sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS n_deltas,
+         CAST(sum(CASE WHEN kind = 'delta'
+                  THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS BIGINT) AS mag_sum_e9,
+         CAST(max(CASE WHEN kind = 'delta'
+                  THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS BIGINT) AS mag_max_e9,
+         CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS BIGINT) AS changed_sum
+  FROM {_V}
+  GROUP BY content_id, date_trunc('day', ts)
+)
+SELECT content_id, bucket_start, n_versions, n_bases, n_deltas,
+       CAST(round(CAST(mag_sum_e9 AS DOUBLE) / CAST(n_deltas AS DOUBLE)) AS BIGINT)
+         / 1000000000.0 AS avg_magnitude,
+       CAST(mag_max_e9 AS DOUBLE) / 1000000000.0 AS max_magnitude,
+       CAST(round(CAST(changed_sum AS DOUBLE) * 1000000000.0 / CAST(n_deltas AS DOUBLE)) AS BIGINT)
+         / 1000000000.0 AS avg_dims_changed
+FROM st
 """
 
 ORACLES["multimodal_resize"] = (
