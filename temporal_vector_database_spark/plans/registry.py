@@ -304,6 +304,25 @@ def q_training_pipeline(spark, sf_dir):
     return curation_report(docs, sigs=_minhash_store(spark, sf_dir))
 
 
+def q_training_pipeline_strict(spark, sf_dir):
+    """Strict-threshold curation funnel (min_quality=0.3, exact-signature
+    clusters only: min_jaccard_est=1.0). Exists so the funnel is
+    oracle-verifiable at BENCH scale too: at the default thresholds the
+    sf0.1 near-dup graph is so dense that the oracle's recursive closure
+    is quadratic-in-component-size and infeasible; exact-signature
+    components stay tiny, keeping the sf0.1 oracle under ~10 s
+    (verified via scripts/check_oracle.py /root/testdata/sf0.1)."""
+    from temporal_vector_database_spark.operators.pipeline import curation_report
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return curation_report(
+        docs,
+        min_quality=0.3,
+        min_jaccard_est=1.0,
+        sigs=_minhash_store(spark, sf_dir),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import token_stats
 
@@ -1995,6 +2014,13 @@ FROM surv GROUP BY 1, 2
 """
 )
 
+# strict-threshold funnel: same SQL with the two thresholds swapped in —
+# the ONLY differences from the default funnel are the quality bar and
+# exact-signature (est == 1.0) clustering
+ORACLES["training_pipeline_strict"] = ORACLES["training_pipeline"].replace(
+    "quality_r >= 0.15", "quality_r >= 0.3"
+).replace(">= 0.75", ">= 1.0")
+
 # --- simhash (SQL generated to mirror operators/dedup.py bit-for-bit) ------
 
 from temporal_vector_database_spark.operators.dedup import _token_hash32_expr  # noqa: E402
@@ -3044,6 +3070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk_reranked": q_pq_topk_reranked,
     "topk_search_indexed": q_topk_search_indexed,
     "ivf_topk_persisted": q_ivf_topk_persisted,
+    "training_pipeline_strict": q_training_pipeline_strict,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
