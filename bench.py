@@ -42,9 +42,13 @@ HEADLINE = (
     "ngram_jaccard",
     "embedding_near_dup",
     "ivf_topk",
+    "ivf_topk_persisted",
     "pq_topk",
+    "pq_topk_reranked",
     "ivfpq_topk",
+    "topk_search_indexed",
     "training_pipeline",
+    "training_pipeline_strict",
     "token_stats",
     "text_quality",
     "language_id",
