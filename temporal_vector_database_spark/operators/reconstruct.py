@@ -231,7 +231,7 @@ def reconstruct_all(
     return _fold_deltas(targets, tagged, with_embedding=with_embedding)
 
 
-def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
+def reconstruct_all_folded(versions: DataFrame, emit: str = "all") -> DataFrame:
     """O7 twin of `reconstruct_all`: one grouped-map cumulative fold.
 
     Same output (schema and values) as ``reconstruct_all``, different
@@ -243,6 +243,10 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
     addition over the fixture's dyadic grid commutes; the chain-average
     columns agree to float tolerance, as their summation order differs).
 
+    ``emit="last"`` keeps the replay but emits ONLY each timeline's final
+    state — the O8 latest-version twin: one shuffle, one narrow pass, no
+    window/cache stages at all (same rows as ``reconstruct_latest``).
+
     Scale posture: identical to ingest (`encode_versions`) — shuffle once
     by the partition key, then a narrow Arrow pass; state per task is one
     timeline (≤ interval × dim floats). Preferable when reconstructing
@@ -251,6 +255,10 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
+
+    if emit not in ("all", "last"):
+        raise ValueError(f"emit must be 'all' or 'last', got {emit!r}")
+    emit_all = emit == "all"
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq")
@@ -262,8 +270,20 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
                 "avg_sparsity", "deltas_applied", "embedding",
             )
         }
+
+        def emit_row(seq, base_seq, recon, mags, spars, applied):
+            out["content_id"].append(content_id)
+            out["target_seq"].append(seq)
+            out["base_seq"].append(base_seq)
+            out["cost"].append(len(applied))
+            out["avg_magnitude"].append(float(np.mean(mags)) if mags else None)
+            out["avg_sparsity"].append(float(np.mean(spars)) if spars else None)
+            out["deltas_applied"].append(list(applied))
+            out["embedding"].append(recon)
+
         recon = None
         base_seq = None
+        last_seq = None
         mags: list[float] = []
         spars: list[float] = []
         applied: list[str] = []
@@ -290,14 +310,11 @@ def reconstruct_all_folded(versions: DataFrame) -> DataFrame:
                 mags.append(float(row.magnitude))
                 spars.append(float(row.n_changed) / float(row.total_dims))
                 applied.append(row.version_id)
-            out["content_id"].append(content_id)
-            out["target_seq"].append(int(row.seq))
-            out["base_seq"].append(base_seq)
-            out["cost"].append(len(applied))
-            out["avg_magnitude"].append(float(np.mean(mags)) if mags else None)
-            out["avg_sparsity"].append(float(np.mean(spars)) if spars else None)
-            out["deltas_applied"].append(list(applied))
-            out["embedding"].append(recon)
+            last_seq = int(row.seq)
+            if emit_all:
+                emit_row(last_seq, base_seq, recon, mags, spars, applied)
+        if not emit_all and recon is not None:
+            emit_row(last_seq, base_seq, recon, mags, spars, applied)
         return pd.DataFrame(out)
 
     id_type = versions.schema["content_id"].dataType.simpleString()

@@ -195,3 +195,27 @@ def test_negative_sparse_indices_dropped_in_both_paths(spark):
         got = {r.target_seq: r.embedding for r in fn(versions).collect()}
         # idx -1 dropped (NOT wrapped onto the last dim), idx 2 applied
         assert got[2] == [1.0, 2.0, 3.5, 4.0], fn.__name__
+
+
+def test_folded_last_equals_declarative_latest(spark, versions):
+    """`reconstruct_all_folded(emit='last')` (one shuffle + narrow pass)
+    must emit exactly the declarative `reconstruct_latest` rows,
+    bit-for-bit, including timelines with no base (no row) and
+    mid-timeline base promotions."""
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all_folded,
+        reconstruct_latest,
+    )
+
+    def canon(df):
+        return {
+            r.content_id: (
+                r.target_seq, r.base_seq, r.cost, r.avg_magnitude,
+                r.avg_sparsity, tuple(r.deltas_applied), tuple(r.embedding),
+            )
+            for r in df.collect()
+        }
+
+    a = canon(reconstruct_latest(versions))
+    b = canon(reconstruct_all_folded(versions, emit="last"))
+    assert a == b and len(a) > 0
