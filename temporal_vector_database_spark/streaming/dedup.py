@@ -94,6 +94,51 @@ def read_emitted_pairs(spark: SparkSession, output_dir: str) -> DataFrame | None
     )
 
 
+def compact_signature_store(
+    spark: SparkSession, state_dir: str, keep_last: int = 1
+) -> int:
+    """Fold committed per-batch signature partitions into the sentinel
+    partition ``batch=-1`` — the small-files compaction a long-running
+    stream needs (thousands of tiny ``batch=N`` dirs → one table scanable
+    partition). Returns the number of batch partitions folded.
+
+    The newest ``keep_last`` batch partitions are left in place: only a
+    stream's LAST batch can ever be replayed (foreachBatch commits its
+    checkpoint before moving on), and a replayed batch must still find
+    its own rows excluded from store reads via the ``batch != id``
+    filter — rows folded into the sentinel would defeat that. Run it
+    between drains or on the fully committed prefix.
+    """
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return 0
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch=") and int(d.split("=", 1)[1]) >= 0
+    )
+    fold = ids[: len(ids) - keep_last] if keep_last > 0 else ids
+    if not fold:
+        return 0
+    parts = [os.path.join(state_dir, f"batch={i}") for i in fold]
+    existing_sentinel = os.path.join(state_dir, "batch=-1")
+    if os.path.isdir(existing_sentinel):
+        parts.append(existing_sentinel)
+    merged = spark.read.parquet(*parts)
+    tmp = os.path.join(state_dir, "_compact_tmp")
+    merged.coalesce(max(1, merged.rdd.getNumPartitions() // 8)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    # swap: new sentinel in, folded partitions out
+    if os.path.isdir(existing_sentinel):
+        shutil.rmtree(existing_sentinel)
+    os.replace(tmp, existing_sentinel)
+    for i in fold:
+        shutil.rmtree(os.path.join(state_dir, f"batch={i}"), ignore_errors=True)
+    return len(fold)
+
+
 def run_dedup_stream(
     doc_stream: DataFrame,
     state_dir: str,

@@ -374,3 +374,51 @@ def test_dedup_batch_replay_is_idempotent(spark, tmp_path):
         for r in near_duplicate_pairs(docs, verify="join").collect()
     }
     assert set(emitted) == want and len(want) > 0
+
+
+def test_signature_store_compaction_preserves_dedup(spark, tmp_path):
+    """Folding committed batch partitions into the sentinel must not
+    change what later batches see: pairs after compaction equal the
+    no-compaction run, and the folded dirs are gone."""
+    import os
+
+    from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
+    from temporal_vector_database_spark.streaming.dedup import (
+        compact_signature_store,
+        process_dedup_batch,
+        read_emitted_pairs,
+        read_signature_store,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words here entirely unrelated content"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "some middling content that is not quite like the others"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    state, out = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    for b in range(3):
+        process_dedup_batch(docs.where(F.col("doc_id") % 3 == b), b, state, out)
+    folded = compact_signature_store(spark, state, keep_last=1)
+    assert folded == 2
+    names = sorted(d for d in os.listdir(state) if d.startswith("batch="))
+    assert names == ["batch=-1", "batch=2"]
+    assert read_signature_store(spark, state).count() == 6  # nothing lost
+    # a batch arriving after compaction still sees the whole corpus
+    extra = spark.createDataFrame(
+        [(6, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    process_dedup_batch(extra, 3, state, out)
+    emitted = {
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in read_emitted_pairs(spark, out).collect()
+    }
+    all_docs = docs.union(extra)
+    want = {
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in near_duplicate_pairs(all_docs, verify="join").collect()
+    }
+    assert emitted == want and len(want) > 0

@@ -175,6 +175,24 @@ def test_training_pipeline_prunes_documents_scan(spark, qmap):
     assert schemas and all("lang" not in s for s in schemas)
 
 
+def test_store_fed_pair_generation_never_reshingles(spark):
+    # with the persisted signature store supplied, pair generation must
+    # not contain the mapInPandas signature-digest stage (the LSH bucket
+    # verifier is FlatMapGroupsInPandas — a different node — and allowed)
+    from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
+    from temporal_vector_database_spark.sources.fixtures import ensure_minhash_store
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    sigs = spark.read.parquet(ensure_minhash_store(spark, SF_DIR))
+    plan = physical_plan(near_duplicate_pairs(docs, num_hashes=8, bands=4, sigs=sigs))
+    # the corpus (text) is never scanned — signatures suffice; the only
+    # parquet source in the plan is the store itself. (The bucket
+    # verifier's mapInPandas stage remains — that one consumes
+    # signatures, not text.)
+    assert "documents.parquet" not in plan
+    assert "minhash_store" in plan
+
+
 def test_salted_topk_two_windows_no_global_hotspot(spark, qmap):
     plan = physical_plan(qmap["top_events_per_user_salted"](spark, SF_DIR))
     # phase 1 partitions by (user_id, _salt): the hot key is spread; the
