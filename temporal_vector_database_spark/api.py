@@ -200,6 +200,31 @@ class TemporalVectorDatabase:
         rows = R.with_quality_columns(R.reconstruct_at(v, targets), self.cfg).collect()
         return _result_dict(rows[0]) if rows else None
 
+    def get_version_at_sequence(
+        self, content_id: str, sequence_number: int
+    ) -> tuple | None:
+        """Reference micro-behavior parity (``get_version_at_sequence``,
+        ``core/data_structures.py:204-211``): a METADATA-ONLY stored-row
+        probe — ``(embedding, version_id, True)`` for a base row,
+        ``(None, version_id, False)`` for a delta row (no reconstruction
+        is performed), ``None`` for a missing sequence. One pruned scan
+        of the single timeline; the fold never runs."""
+        rows = (
+            self.versions()
+            .where(
+                (F.col("content_id") == content_id)
+                & (F.col("seq") == sequence_number)
+            )
+            .select("kind", "embedding", "version_id")
+            .collect()
+        )
+        if not rows:
+            return None
+        r = rows[0]
+        if r.kind == "base":
+            return (list(r.embedding), r.version_id, True)
+        return (None, r.version_id, False)
+
     def get_version_by_id(self, version_id: str) -> dict | None:
         """O9 (``get_version_by_id``, ``storage/temporal_database.py:197-220``).
         The id is parsed driver-side exactly like the reference

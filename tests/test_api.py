@@ -176,3 +176,18 @@ def test_config_persists_across_sessions(db, spark, tmp_path):
 
     os.remove(os.path.join(bare, "_tvdb_meta.json"))
     assert TemporalVectorDatabase.open(spark, bare).cfg == TVDBConfig()
+
+
+def test_get_version_at_sequence_metadata_only(db, spark):
+    """Reference parity (core/data_structures.py:204-211): base rows
+    return (embedding, version_id, True); delta rows return
+    (None, version_id, False) WITHOUT reconstructing; missing → None."""
+    db.add_versions(_raw(spark, n=12))
+    emb, vid, is_base = db.get_version_at_sequence("a", 6)  # base (interval 5)
+    # base ids are {content}_{timestamp} (reference data_structures.py:39),
+    # delta ids are {content}_v{seq} (:104)
+    assert is_base and vid.startswith("a_") and "_v" not in vid and len(emb) > 0
+    emb7, vid7, is_base7 = db.get_version_at_sequence("a", 7)  # delta row
+    assert emb7 is None and vid7 == "a_v7" and not is_base7
+    assert db.get_version_at_sequence("a", 99) is None
+    assert db.get_version_at_sequence("nope", 1) is None
