@@ -323,6 +323,37 @@ def q_training_pipeline_strict(spark, sf_dir):
     )
 
 
+def q_sample_docs(spark, sf_dir):
+    """Deterministic 25% corpus sample (md5-threshold membership — a
+    property of the doc_id, reproducible in any engine/run)."""
+    from temporal_vector_database_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return deterministic_sample(docs, 0.25).select("doc_id", "source")
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment (hash-bucketed —
+    leak-proof across reruns)."""
+    from temporal_vector_database_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return split_assign(docs).select("doc_id", "split")
+
+
+def q_token_chunks(spark, sf_dir):
+    """Contiguous token-budget sharding: chunk_id = floor(running tokens
+    before this doc / 2000) per source, doc_id order."""
+    from temporal_vector_database_spark.functions.text import with_text_stats
+    from temporal_vector_database_spark.operators.sampling import token_budget_chunks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    enriched = with_text_stats(docs).select("doc_id", "source", "n_tokens")
+    return token_budget_chunks(enriched, budget=2000).select(
+        "doc_id", "source", "n_tokens", "tokens_before", "chunk_id"
+    )
+
+
 def q_token_stats(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import token_stats
 
@@ -2014,6 +2045,61 @@ FROM surv GROUP BY 1, 2
 """
 )
 
+# --- deterministic sampling / splitting / sharding -------------------------
+
+# uniform 32-bit hash from the first 8 hex chars of md5(doc_id-as-string),
+# parsed nibble-by-nibble so the identical expression runs in DuckDB
+_U32_SQL = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+_U32_CTE = f"""
+WITH hashed AS (
+  SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+u AS (
+  SELECT *, CAST({_U32_SQL} AS BIGINT) AS u32 FROM hashed
+)
+"""
+
+ORACLES["sample_docs"] = (
+    _U32_CTE + f"SELECT doc_id, source FROM u WHERE u32 < {int(0.25 * 2**32)}"
+)
+
+ORACLES["split_assign"] = (
+    _U32_CTE
+    + f"""
+SELECT doc_id,
+       CASE WHEN u32 < {int(0.9 * 2**32)} THEN 'train'
+            WHEN u32 < {int(0.95 * 2**32)} THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+)
+
+ORACLES["token_chunks"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, tokens_before,
+       CAST(floor(tokens_before / 2000.0) AS BIGINT) AS chunk_id
+FROM c
+"""
+
 # strict-threshold funnel: same SQL with the two thresholds swapped in —
 # the ONLY differences from the default funnel are the quality bar and
 # exact-signature (est == 1.0) clustering
@@ -3071,6 +3157,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_search_indexed": q_topk_search_indexed,
     "ivf_topk_persisted": q_ivf_topk_persisted,
     "training_pipeline_strict": q_training_pipeline_strict,
+    "sample_docs": q_sample_docs,
+    "split_assign": q_split_assign,
+    "token_chunks": q_token_chunks,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
