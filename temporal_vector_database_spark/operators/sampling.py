@@ -41,6 +41,28 @@ def deterministic_sample(
     return df.where(_u32(F.col(key_col)) < F.lit(int(fraction * _U32_SPAN)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-rebalancing step
+    of a training mix (e.g. downsample boilerplate-heavy sources, keep
+    all of a rare one). Same key-hash membership as
+    ``deterministic_sample``, but the threshold is looked up per stratum
+    from the (broadcast-literal) ``fractions`` map; strata absent from
+    the map get ``default_fraction``. Still subset-stable per key."""
+    u = _u32(F.col(key_col))
+    thr = F.lit(int(default_fraction * _U32_SPAN))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == F.lit(stratum), F.lit(int(frac * _U32_SPAN))
+        ).otherwise(thr)
+    return df.where(u < thr)
+
+
 def split_assign(
     df: DataFrame,
     weights: tuple[float, ...] = (0.9, 0.05, 0.05),

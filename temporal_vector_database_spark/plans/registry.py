@@ -354,6 +354,19 @@ def q_token_chunks(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-source deterministic rebalancing: keep 60% of src0, all of
+    src1, 20% of src2, and 10% of every other source."""
+    from temporal_vector_database_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return stratified_sample(
+        docs,
+        {"src0": 0.6, "src1": 1.0, "src2": 0.2},
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
 def q_token_stats(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import token_stats
 
@@ -2100,6 +2113,18 @@ SELECT doc_id, source, n_tokens, tokens_before,
 FROM c
 """
 
+ORACLES["stratified_sample"] = (
+    _U32_CTE
+    + f"""
+SELECT doc_id, source FROM u
+WHERE u32 < CASE source
+  WHEN 'src0' THEN {int(0.6 * 2**32)}
+  WHEN 'src1' THEN {int(1.0 * 2**32)}
+  WHEN 'src2' THEN {int(0.2 * 2**32)}
+  ELSE {int(0.1 * 2**32)} END
+"""
+)
+
 # strict-threshold funnel: same SQL with the two thresholds swapped in —
 # the ONLY differences from the default funnel are the quality bar and
 # exact-signature (est == 1.0) clustering
@@ -3160,6 +3185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_docs": q_sample_docs,
     "split_assign": q_split_assign,
     "token_chunks": q_token_chunks,
+    "stratified_sample": q_stratified_sample,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

@@ -63,3 +63,21 @@ def test_token_chunks_budget_bound(spark):
     # chunk ids are dense and ordered by doc within each source
     for r in res:
         assert r.chunk_id == r.tokens_before // 100
+
+
+def test_stratified_sample_per_stratum_thresholds(spark):
+    from temporal_vector_database_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark)
+    kept = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, default_fraction=0.5
+    ).collect()
+    by_src: dict = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    n0 = docs.where(F.col("source") == "src0").count()
+    assert len(by_src.get("src0", set())) == n0  # fraction 1.0 keeps all
+    assert "src1" not in by_src  # fraction 0.0 keeps none
+    # default stratum behaves like deterministic_sample at the same rate
+    want = {r.doc_id for r in deterministic_sample(docs.where(F.col("source") == "src2"), 0.5).collect()}
+    assert by_src.get("src2", set()) == want
