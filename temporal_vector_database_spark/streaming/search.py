@@ -1,18 +1,24 @@
-"""Streaming ANN query serving against a persisted IVF index
-(beyond-reference, SURVEY.md §7.5).
+"""Streaming similarity-query serving (beyond-reference, SURVEY.md §7.5).
 
-Queries arrive as a stream; each micro-batch is routed against the
-``write_ivf_index`` layout (centroid table broadcast, probed inverted
-lists read via partition pruning) and the batch's top-k results land in
-a per-batch output partition. This is the serving half of the
-build-once/serve-many pattern: the index build is a batch job, the
-query path never rescans or reshuffles the corpus — per batch it reads
-only the probed ``centroid_id=`` directories.
+Queries arrive as a stream; each micro-batch is scored against a STATIC
+index via ``foreachBatch`` — the standard Spark pattern for
+stream-vs-static operations that need full batch semantics (per-query
+top-k windows aren't expressible as an incremental streaming aggregate).
 
-Idempotent under foreachBatch's at-least-once replay: results are
-written to ``batch=<id>/`` in OVERWRITE mode, so a replayed batch
-rewrites its own output instead of duplicating rows (same scheme as
-``streaming.dedup``).
+Two index forms, one entry point:
+
+- ``index`` as a **DataFrame**: the materialized exact-cosine index
+  (``operators/search.build_search_index``) — every batch pays one
+  broadcast join, bit-identical to batch ``topk_cosine_indexed``.
+- ``index`` as a **path**: the persisted partitioned IVF layout
+  (``operators/search.write_ivf_index``) — probes prune to their
+  ``centroid_id=`` directories; approximate, bit-identical to batch
+  ``ivf_topk`` on the same data.
+
+Idempotent under foreachBatch's at-least-once replay: results land in
+per-batch ``batch=<id>/`` partitions in OVERWRITE mode (same scheme as
+``streaming.dedup``), so a replayed batch rewrites its own output
+instead of duplicating rows.
 """
 
 from __future__ import annotations
@@ -25,9 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 def process_search_batch(
     batch_df: DataFrame,
     batch_id: int,
-    index_path: str,
+    index: DataFrame | str,
     output_dir: str,
-    k: int = 10,
+    k: int | None = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -36,17 +42,22 @@ def process_search_batch(
     Safe to re-invoke with the same ``batch_id`` (replay overwrites)."""
     if batch_df.isEmpty():
         return
-    from temporal_vector_database_spark.operators.search import ivf_topk_persisted
+    if isinstance(index, str):
+        from temporal_vector_database_spark.operators.search import ivf_topk_persisted
 
-    res = ivf_topk_persisted(
-        batch_df.sparkSession,
-        index_path,
-        batch_df,
-        k=k,
-        nprobe=nprobe,
-        id_col=id_col,
-        emb_col=emb_col,
-    )
+        res = ivf_topk_persisted(
+            batch_df.sparkSession,
+            index,
+            batch_df,
+            k=k if k is not None else 10,
+            nprobe=nprobe,
+            id_col=id_col,
+            emb_col=emb_col,
+        )
+    else:
+        from temporal_vector_database_spark.operators.search import topk_cosine_indexed
+
+        res = topk_cosine_indexed(index, batch_df, k=k)
     res.write.mode("overwrite").parquet(os.path.join(output_dir, f"batch={batch_id}"))
 
 
@@ -66,22 +77,22 @@ def read_search_results(spark: SparkSession, output_dir: str) -> DataFrame | Non
 
 def run_search_stream(
     query_stream: DataFrame,
-    index_path: str,
+    index: DataFrame | str,
     output_dir: str,
     checkpoint_dir: str,
-    k: int = 10,
+    k: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> None:
     """Drain available query batches (Trigger.AvailableNow) against the
-    persisted IVF index. After the drain, the union of served results
-    equals a one-shot ``ivf_topk`` over every query streamed (pinned in
-    tests — the persisted path is bit-equal to the in-memory one)."""
+    static index (exact-cosine DataFrame or persisted-IVF path). After
+    the drain, the union of served results equals the one-shot batch
+    query over every query streamed (pinned in tests for both modes)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_search_batch(
-            batch_df, batch_id, index_path, output_dir, k, nprobe, id_col, emb_col
+            batch_df, batch_id, index, output_dir, k, nprobe, id_col, emb_col
         )
 
     q = (

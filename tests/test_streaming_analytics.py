@@ -102,8 +102,12 @@ def test_streaming_search_matches_batch(spark, tmp_path, versions, queries_vec):
     stream = spark.readStream.schema(queries_vec.schema).parquet(in_dir)
     run_search_stream(stream, idx, out_dir, ckpt)
 
-    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
-    want = {tuple(r) for r in topk_cosine_indexed(idx, queries_vec).collect()}
+    from temporal_vector_database_spark.streaming.search import read_search_results
+
+    res = read_search_results(spark, out_dir)
+    want_df = topk_cosine_indexed(idx, queries_vec)
+    got = {tuple(r) for r in res.select(*want_df.columns).collect()}
+    want = {tuple(r) for r in want_df.collect()}
     assert got == want and len(want) > 0
 
 
