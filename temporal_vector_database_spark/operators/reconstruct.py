@@ -315,6 +315,12 @@ def reconstruct_all_folded(versions: DataFrame, emit: str = "all") -> DataFrame:
                 emit_row(last_seq, base_seq, recon, mags, spars, applied)
         if not emit_all and recon is not None:
             emit_row(last_seq, base_seq, recon, mags, spars, applied)
+        # a timeline with no reconstructable row (all deltas precede any
+        # base) emits nothing — build the empty frame with object dtype,
+        # else pandas defaults the columns to float64 and Arrow refuses
+        # the float64→list<...> conversion for deltas_applied/embedding
+        if not out["content_id"]:
+            return pd.DataFrame({k: pd.Series(v, dtype=object) for k, v in out.items()})
         return pd.DataFrame(out)
 
     id_type = versions.schema["content_id"].dataType.simpleString()

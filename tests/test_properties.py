@@ -185,3 +185,59 @@ def test_connected_components_property(spark, edges):
     )
     got = {r.id: r.comp for r in connected_components(pairs).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["base", "delta"]),
+            st.lists(st.integers(-2, 6), min_size=0, max_size=3),  # sparse idx (incl. bad)
+            st.lists(st.integers(-8, 8), min_size=0, max_size=3),  # sparse val numerators
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_reconstruction_twins_agree_on_any_timeline(spark, data):
+    """The declarative fold and the grouped-map numpy fold must agree
+    bit-for-bit on ARBITRARY timelines: deltas before any base,
+    out-of-range and negative sparse indices, repeated bases,
+    mismatched idx/val lengths truncated to the shorter."""
+    from datetime import datetime, timedelta
+
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all,
+        reconstruct_all_folded,
+    )
+
+    dim = 4
+    t0 = datetime(2025, 1, 1)
+    rows = []
+    for i, (kind, idxs, vals) in enumerate(data, start=1):
+        n = min(len(idxs), len(vals))
+        idxs, vals = idxs[:n], [v / 4.0 for v in vals[:n]]
+        if kind == "base":
+            emb = [float((i + d) % 5) / 4.0 for d in range(dim)]
+            rows.append(("p", i, t0 + timedelta(days=i), "base", emb, None, None,
+                         None, None, None, dim, f"p_{i}", None))
+        else:
+            rows.append(("p", i, t0 + timedelta(days=i), "delta", None, idxs, vals,
+                         i - 1, 0.5, n, dim, f"p_v{i}", None))
+    schema = (
+        "content_id string, seq int, ts timestamp, kind string,"
+        " embedding array<double>, sparse_idx array<int>, sparse_val array<double>,"
+        " from_seq int, magnitude double, n_changed int, total_dims int,"
+        " version_id string, metadata map<string,string>"
+    )
+    versions = spark.createDataFrame(rows, schema)
+
+    def canon(df):
+        return {
+            r.target_seq: (r.base_seq, r.cost, tuple(r.deltas_applied), tuple(r.embedding))
+            for r in df.collect()
+        }
+
+    a = canon(reconstruct_all(versions))
+    b = canon(reconstruct_all_folded(versions))
+    assert a == b
