@@ -25,21 +25,43 @@ def asof_join(
     by: list[str] | tuple[str, ...],
     value_cols: list[str] | tuple[str, ...],
     suffix: str = "_asof",
+    tolerance: float | int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the ``value_cols`` of the LATEST right row
-    with the same ``by`` keys and ``right.on <= left.on`` (inclusive, like
-    the reference's as-of resolve). Left rows with no earlier right row get
-    NULLs.
+    """For every left row, attach the ``value_cols`` of the nearest right
+    row with the same ``by`` keys — ``direction="backward"`` (default)
+    takes the LATEST right row with ``right.on <= left.on`` (inclusive,
+    like the reference's as-of resolve); ``direction="forward"`` takes
+    the EARLIEST right row with ``right.on >= left.on``. Left rows with
+    no qualifying right row get NULLs.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): a match farther than
+    ``tolerance`` from the left time is discarded (NULLs instead).
+    Interpreted in the units of ``on`` for numeric columns and in
+    SECONDS for timestamp columns.
 
     ``right`` should be deterministic per (by, on) — dedupe first if the
     event time is not unique (ties are otherwise order-dependent).
+
+    Plan shape: union-tag + one ordered window per direction — a single
+    shuffle on ``by``, linear in |left| + |right|, no inequality join.
     """
+    from pyspark.sql.types import TimestampType
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     by = list(by)
     lcols = left.columns
+    # sort position of right vs left at EQUAL time decides inclusivity:
+    # backward looks over (.., current] so right must sort first;
+    # forward looks over [current, ..) so right must sort last.
+    r_side = 0 if backward else 2
     tagged_r = right.select(
         *by,
         F.col(on).alias("_t"),
-        F.lit(0).alias("_side"),  # right sorts BEFORE left at equal time → inclusive
+        F.lit(r_side).alias("_side"),
+        F.col(on).alias("_mt"),  # matched-time carrier (for tolerance)
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != on],
     )
@@ -47,25 +69,44 @@ def asof_join(
         *by,
         F.col(on).alias("_t"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[on].dataType).alias("_mt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
         *[F.col(c) for c in lcols if c not in by and c != on],
     )
     unioned = tagged_r.unionByName(tagged_l)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if backward:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
+        pick("_mt").alias("_f__mt"),
+        *[pick(f"{c}{suffix}").alias(f"_f_{c}") for c in value_cols],
     )
+    out_vals = [F.col(f"_f_{c}") for c in value_cols]
+    if tolerance is not None:
+        if isinstance(left.schema[on].dataType, TimestampType):
+            delta_units = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_f__mt"))
+            tol = int(tolerance * 1_000_000)
+        else:
+            delta_units = F.col("_t") - F.col("_f__mt")
+            tol = tolerance
+        delta = delta_units if backward else -delta_units
+        ok = delta <= F.lit(tol)
+        out_vals = [F.when(ok, v).otherwise(F.lit(None)) for v in out_vals]
     return filled.where(F.col("_side") == 1).select(
         *by,
         F.col("_t").alias(on),
         *[c for c in lcols if c not in by and c != on],
-        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[v.alias(f"{c}{suffix}") for c, v in zip(value_cols, out_vals)],
     )

@@ -1346,6 +1346,54 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def q_events_asof_tolerance(spark, sf_dir):
+    """As-of join with a max-staleness bound (pandas merge_asof
+    `tolerance`): matches older than 1h are discarded to NULL."""
+    from temporal_vector_database_spark.operators.temporal import asof_join
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    types = sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+    left = ev.where(F.col("event_type") == types[0]).select("user_id", "ts_ms", "event_id")
+    right = (
+        ev.where(F.col("event_type") == types[-1])
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("r_event_id"), F.max("value").alias("r_value"))
+    )
+    res = asof_join(
+        left, right, on="ts_ms", by=("user_id",),
+        value_cols=("r_event_id", "r_value"), tolerance=3600000,
+    )
+    return res.select(
+        "user_id", "ts_ms", "event_id", "r_event_id_asof",
+        F.round("r_value_asof", 6).alias("r_value_asof"),
+    )
+
+
+def q_events_asof_forward(spark, sf_dir):
+    """Forward-direction as-of join (earliest right row at-or-after the
+    left time — pandas merge_asof direction='forward')."""
+    from temporal_vector_database_spark.operators.temporal import asof_join
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    types = sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+    left = ev.where(F.col("event_type") == types[0]).select("user_id", "ts_ms", "event_id")
+    right = (
+        ev.where(F.col("event_type") == types[-1])
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("r_event_id"), F.max("value").alias("r_value"))
+    )
+    res = asof_join(
+        left, right, on="ts_ms", by=("user_id",),
+        value_cols=("r_event_id", "r_value"), direction="forward",
+    )
+    return res.select(
+        "user_id", "ts_ms", "event_id", "r_event_id_asof",
+        F.round("r_value_asof", 6).alias("r_value_asof"),
+    )
+
+
 def q_events_json_props(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
@@ -3042,6 +3090,38 @@ SELECT l.user_id, l.ts_ms, l.event_id,
 FROM l ASOF LEFT JOIN ded d ON l.user_id = d.user_id AND l.ts_ms >= d.ts_ms
 """
 
+ORACLES["events_asof_tolerance"] = """
+WITH ded AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         max(event_id) AS r_event_id, max(value) AS r_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+l AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.user_id, l.ts_ms, l.event_id,
+       CASE WHEN l.ts_ms - d.ts_ms <= 3600000 THEN d.r_event_id END AS r_event_id_asof,
+       CASE WHEN l.ts_ms - d.ts_ms <= 3600000 THEN round(d.r_value, 6) END AS r_value_asof
+FROM l ASOF LEFT JOIN ded d ON l.user_id = d.user_id AND l.ts_ms >= d.ts_ms
+"""
+
+ORACLES["events_asof_forward"] = """
+WITH ded AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         max(event_id) AS r_event_id, max(value) AS r_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+l AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.user_id, l.ts_ms, l.event_id,
+       d.r_event_id AS r_event_id_asof,
+       round(d.r_value, 6) AS r_value_asof
+FROM l ASOF LEFT JOIN ded d ON l.user_id = d.user_id AND l.ts_ms <= d.ts_ms
+"""
+
 ORACLES["events_interval_join"] = """
 WITH l AS (
   SELECT event_id, epoch_ms(ts) AS ts_ms, user_id
@@ -3186,6 +3266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "token_chunks": q_token_chunks,
     "stratified_sample": q_stratified_sample,
+    "events_asof_tolerance": q_events_asof_tolerance,
+    "events_asof_forward": q_events_asof_forward,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
