@@ -124,6 +124,27 @@ def _fold_deltas(
         ).alias("avg_sparsity"),
         F.transform("chain", lambda d: d["version_id"]).alias("deltas_applied"),
     ]
+    def _delta_map(d):
+        # map_from_arrays raises on duplicate keys, but the reference
+        # ACCUMULATES duplicate sparse indices (`arr[idx] += v` per entry,
+        # core/data_structures.py:117-119) — as does the numpy twin via
+        # np.add.at. Fast path for well-formed deltas; entry-by-entry
+        # fold (summing) only when duplicates are present.
+        idx = d["sparse_idx"]
+        vals = d["sparse_val"].cast("array<double>")
+        entry_fold = F.aggregate(
+            F.zip_with(idx, vals, lambda i, v: F.struct(i.alias("i"), v.alias("v"))),
+            empty_map,
+            lambda acc, s: F.map_zip_with(
+                acc,
+                F.map_from_arrays(F.array(s["i"]), F.array(s["v"])),
+                lambda _, v1, v2: F.coalesce(v1, F.lit(0.0)) + F.coalesce(v2, F.lit(0.0)),
+            ),
+        )
+        return F.when(
+            F.size(idx) == F.size(F.array_distinct(idx)), F.map_from_arrays(idx, vals)
+        ).otherwise(entry_fold)
+
     if with_embedding:
         merged_cols.append(
             F.aggregate(
@@ -131,9 +152,7 @@ def _fold_deltas(
                 empty_map,
                 lambda acc, d: F.map_zip_with(
                     acc,
-                    F.map_from_arrays(
-                        d["sparse_idx"], d["sparse_val"].cast("array<double>")
-                    ),
+                    _delta_map(d),
                     lambda _, v1, v2: F.coalesce(v1, F.lit(0.0))
                     + F.coalesce(v2, F.lit(0.0)),
                 ),

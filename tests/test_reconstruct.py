@@ -219,3 +219,32 @@ def test_folded_last_equals_declarative_latest(spark, versions):
     a = canon(reconstruct_latest(versions))
     b = canon(reconstruct_all_folded(versions, emit="last"))
     assert a == b and len(a) > 0
+
+
+def test_duplicate_sparse_indices_accumulate_in_both_paths(spark):
+    """Reference semantics: `arr[idx] += v` per ENTRY, so a duplicated
+    index accumulates (core/data_structures.py:117-119). map_from_arrays
+    would raise DUPLICATED_MAP_KEY — the declarative path must fall back
+    to the entry-fold; found by the twins property test."""
+    from datetime import datetime
+
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all,
+        reconstruct_all_folded,
+    )
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        ("dup", 1, t0, "base", [1.0, 2.0, 3.0, 4.0], None, None, None, None, None, 4, "dup_1", None),
+        ("dup", 2, t0, "delta", None, [0, 0, 2], [0.25, 0.25, 0.5], 1, 1.0, 2, 4, "dup_v2", None),
+    ]
+    schema = (
+        "content_id string, seq int, ts timestamp, kind string,"
+        " embedding array<double>, sparse_idx array<int>, sparse_val array<double>,"
+        " from_seq int, magnitude double, n_changed int, total_dims int,"
+        " version_id string, metadata map<string,string>"
+    )
+    versions = spark.createDataFrame(rows, schema)
+    for fn in (reconstruct_all, reconstruct_all_folded):
+        got = {r.target_seq: r.embedding for r in fn(versions).collect()}
+        assert got[2] == [1.5, 2.0, 3.5, 4.0], fn.__name__  # 0.25 applied twice
