@@ -142,7 +142,7 @@ def test_two_phase_topk_property(spark, rows, k, n_salt):
     assert got == want
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
@@ -187,7 +187,7 @@ def test_connected_components_property(spark, edges):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     data=st.lists(
         st.tuples(
