@@ -52,6 +52,11 @@ HEADLINE = (
     "token_stats",
     "text_quality",
     "language_id",
+    "decontaminate",
+    "repetition_stats",
+    "segment_dedup",
+    "pii_scrub",
+    "semantic_dedup",
     "multimodal_decode",
     "frame_sample",
     "tpch_q1",

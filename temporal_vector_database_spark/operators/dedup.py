@@ -1238,3 +1238,70 @@ def incremental_near_duplicate_pairs(
         .select("a_id", "b_id", "n_match", "est_jaccard")
     )
     return scored, new_sigs
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    min_cosine: float = 0.5,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus
+    (nearest-centroid assignment), compare embeddings PAIRWISE ONLY
+    WITHIN a cluster, and drop the higher-id member of every pair with
+    cosine >= ``min_cosine``.
+
+    Per vector: its cluster, how many LOWER-id near-duplicates it has in
+    that cluster, and ``is_survivor`` (no lower-id near-dup — the
+    deterministic stand-in for SemDeDup's keep-one-per-group choice).
+
+    Scale posture: the quadratic comparison is bounded per cluster —
+    cost is sum(cluster_size²), not corpus²; the number of centroids is
+    the knob that caps cluster size (SemDeDup runs ~100k clusters at
+    web scale). Assignment reuses ``ivf_assign`` (broadcast centroids,
+    one BLAS argmax pass); the pair join is an equi-join on centroid_id
+    co-partitioning both sides once. Quantized-grid embeddings keep the
+    dot products exact, so the threshold compare is engine-portable.
+    """
+    from temporal_vector_database_spark.operators.search import ivf_assign
+
+    _, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
+    a = assign.select(
+        "centroid_id",
+        F.col("vid").alias("a_vid"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assign.select(
+        "centroid_id",
+        F.col("vid").alias("b_vid"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.when(
+        (F.col("a_nrm") > 0) & (F.col("b_nrm") > 0),
+        F.aggregate(
+            F.zip_with("a_emb", "b_emb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a_nrm") * F.col("b_nrm")),
+    ).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("a_vid") < F.col("b_vid"))
+        .select("centroid_id", "a_vid", "b_vid", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(float(min_cosine)))
+    )
+    near_lower = pairs.groupBy("b_vid").agg(F.count("*").cast("bigint").alias("n_near_lower"))
+    return (
+        assign.join(near_lower, assign["vid"] == near_lower["b_vid"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            F.coalesce("n_near_lower", F.lit(0)).cast("bigint").alias("n_near_lower"),
+            (F.coalesce("n_near_lower", F.lit(0)) == 0).alias("is_survivor"),
+        )
+    )

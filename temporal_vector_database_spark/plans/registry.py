@@ -3217,6 +3217,256 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-curation family (operators/curation.py): decontamination,
+# repetition signals, corpus-level segment dedup, PII scrub.
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination gate: eval set = every 97th doc_id (a
+    small held-out "benchmark"), train = the rest; word-3-gram overlap,
+    contaminated at >= 2 shared n-grams. Eval n-grams broadcast."""
+    from temporal_vector_database_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=3,
+        min_hits=2,
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    from temporal_vector_database_spark.operators.curation import repetition_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return repetition_stats(docs)
+
+
+def q_segment_dedup(spark, sf_dir):
+    from temporal_vector_database_spark.operators.curation import segment_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return segment_dedup(docs, width=4)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub gate. The fixture corpus contains no PII, so the query
+    injects deterministic synthetic PII (email / IPv4 / phone derived
+    from doc_id) into the text on BOTH engines before scrubbing — the
+    operator itself is generic; the injection makes the gate
+    non-vacuous."""
+    from temporal_vector_database_spark.operators.curation import pii_scrub
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@mail.example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" ip 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    ((d * 7) % 256).cast("string"),
+                    F.lit(" logged"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" call +491"), F.lpad((d % 100000).cast("string"), 8, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup gate: cluster-bucketed pairwise cosine (within
+    nearest-centroid clusters only), drop the higher id of each pair at
+    cosine >= 0.5."""
+    from temporal_vector_database_spark.operators.dedup import semantic_dedup
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return semantic_dedup(emb, min_cosine=0.5)
+
+
+ORACLES["semantic_dedup"] = (
+    _QEMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, nrm, centroid_id FROM (
+    SELECT en.vec_id AS vid, en.emb, en.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vid AS a_vid, b.vid AS b_vid,
+         CASE WHEN a.nrm > 0 AND b.nrm > 0
+              THEN list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+              ELSE 0.0 END AS cos
+  FROM assign a JOIN assign b USING (centroid_id)
+  WHERE a.vid < b.vid
+),
+hits AS (SELECT b_vid, CAST(count(*) AS BIGINT) AS n FROM pairs WHERE cos >= 0.5 GROUP BY 1)
+SELECT a.vid AS vec_id, a.centroid_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_near_lower,
+       COALESCE(h.n, 0) = 0 AS is_survivor
+FROM assign a LEFT JOIN hits h ON a.vid = h.b_vid
+"""
+)
+
+
+_WORDS_CTE = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+)
+"""
+
+ORACLES["decontaminate"] = (
+    _WORDS_CTE
+    + """
+, ng AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ng
+  FROM w, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+),
+eng AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+tng AS (SELECT doc_id, ng FROM ng WHERE doc_id % 97 <> 0),
+per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(count(e.ng) AS BIGINT) AS n_contaminated
+  FROM tng t LEFT JOIN eng e ON t.ng = e.ng GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN COALESCE(p.n_ngrams, 0) > 0
+            THEN CAST(p.n_contaminated AS DOUBLE) / CAST(p.n_ngrams AS DOUBLE)
+            ELSE 0.0 END AS contamination_frac,
+       COALESCE(p.n_contaminated, 0) >= 2 AS is_contaminated
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+WHERE d.doc_id % 97 <> 0
+"""
+)
+
+ORACLES["repetition_stats"] = (
+    _WORDS_CTE
+    + """
+, uni AS (SELECT doc_id, 'w:' || x AS g FROM w, unnest(w) AS t(x)),
+bi AS (
+  SELECT doc_id, 'b:' || array_to_string(w[i:i+1], ' ') AS g
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN g LIKE 'w:%' THEN c END) AS BIGINT) AS n_words,
+         CAST(count(CASE WHEN g LIKE 'w:%' THEN 1 END) AS BIGINT) AS n_distinct_words,
+         CAST(max(CASE WHEN g LIKE 'w:%' THEN c END) AS BIGINT) AS top_word_count,
+         CAST(COALESCE(max(CASE WHEN g NOT LIKE 'w:%' THEN c END), 0) AS BIGINT) AS top_bigram_count,
+         CAST(COALESCE(sum(CASE WHEN g NOT LIKE 'w:%' THEN c END), 0) AS BIGINT) AS n_bigrams
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_words, n_distinct_words,
+       CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS distinct_word_frac,
+       top_word_count,
+       CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       top_bigram_count,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac,
+       (CAST(top_word_count AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.2
+       AND (CASE WHEN n_bigrams > 0
+                 THEN CAST(top_bigram_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                 ELSE 0.0 END) <= 0.18 AS passes_repetition
+FROM agg
+"""
+)
+
+# first-occurrence key: doc_id * 1e6 + seg_idx is order-isomorphic to the
+# Spark side's min(struct(doc_id, seg_idx)) for nonneg seg_idx < 1e6
+# (fixture docs are <= ~150 words -> seg_idx <= ~40).
+ORACLES["segment_dedup"] = (
+    _WORDS_CTE
+    + """
+, segs AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+         array_to_string(w[i*4+1:i*4+4], ' ') AS seg
+  FROM w, unnest(range(0, greatest(CAST(ceil(len(w) / 4.0) AS BIGINT), 0))) AS t(i)
+  WHERE len(w) > 0
+),
+first_at AS (SELECT seg, min(doc_id * 1000000 + seg_idx) AS fk FROM segs GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg
+  FROM segs s JOIN first_at f ON s.seg = f.seg
+  WHERE s.doc_id * 1000000 + s.seg_idx = f.fk
+),
+rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM kept GROUP BY 1
+),
+totals AS (
+  SELECT doc_id, CAST(CASE WHEN len(w) > 0 THEN CAST(ceil(len(w) / 4.0) AS BIGINT) ELSE 0 END AS BIGINT) AS n_segments
+  FROM w
+)
+SELECT t.doc_id, t.n_segments,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS clean_len,
+       md5(COALESCE(r.clean_text, '')) AS clean_hash
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+)
+
+ORACLES["pii_scrub"] = """
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@mail.example.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) || ' logged' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +491' || lpad((doc_id % 100000)::VARCHAR, 8, '0') ELSE '' END AS text
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+         CAST(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ips,
+         CAST(len(regexp_extract_all(text, '\\+[0-9]{7,12}')) AS INTEGER) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           '\\+[0-9]{7,12}', '<PHONE>', 'g') AS redacted
+  FROM inj
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_hash
+FROM scrub
+"""
+
+
 # The driver verifies entries in insertion order (r01 covered exactly the
 # first 50), so ordering is a correctness-coverage decision: queries WITHOUT
 # a CORRECTNESS_r01 row come first, then the formerly-red version_rollup,
@@ -3268,6 +3518,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "events_asof_tolerance": q_events_asof_tolerance,
     "events_asof_forward": q_events_asof_forward,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "segment_dedup": q_segment_dedup,
+    "pii_scrub": q_pii_scrub,
+    "semantic_dedup": q_semantic_dedup,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

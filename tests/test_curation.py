@@ -1,0 +1,129 @@
+"""Edge-case pins for the corpus-curation operators (decontamination,
+repetition signals, segment dedup, PII scrub). The sf0.01 oracle gate
+covers bulk parity; these pin the boundary semantics the fixture corpus
+may not exercise."""
+
+import hashlib
+
+from temporal_vector_database_spark.operators.curation import (
+    decontaminate,
+    pii_scrub,
+    repetition_stats,
+    segment_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_decontaminate_flags_shared_ngrams_and_short_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 2 eval 3-grams
+            (2, "zeta eta theta iota"),  # shares none
+            (3, "one two"),  # < n words -> zero n-grams
+        ],
+    )
+    ev = _docs(spark, [(100, "alpha beta gamma delta")])
+    out = {r["doc_id"]: r.asDict() for r in decontaminate(train, ev, n=3).collect()}
+    assert out[1]["n_ngrams"] == 3
+    assert out[1]["n_contaminated"] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert out[1]["is_contaminated"] is True
+    assert out[2]["n_contaminated"] == 0 and out[2]["is_contaminated"] is False
+    assert out[3] == {
+        "doc_id": 3,
+        "n_ngrams": 0,
+        "n_contaminated": 0,
+        "contamination_frac": 0.0,
+        "is_contaminated": False,
+    }
+
+
+def test_repetition_stats_counts_and_degenerate_docs(spark):
+    docs = _docs(spark, [(1, "a a a b"), (2, "solo")])
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_distinct_words"], r1["top_word_count"]) == (4, 2, 3)
+    assert r1["top_word_frac"] == 0.75
+    # bigrams: 'a a' x2, 'a b' -> top 2 of 3
+    assert (r1["top_bigram_count"], r1["top_bigram_frac"]) == (2, 2 / 3)
+    assert r1["passes_repetition"] is False
+    r2 = out[2]
+    assert (r2["n_words"], r2["top_bigram_count"], r2["top_bigram_frac"]) == (1, 0, 0.0)
+    assert r2["passes_repetition"] is False  # top_word_frac == 1.0
+
+
+def test_segment_dedup_first_occurrence_and_reassembly(spark):
+    # width=2 segments: doc1 = [p q][r s], doc2 = [p q][x y], doc3 = [r s]
+    docs = _docs(spark, [(1, "p q r s"), (2, "p q x y"), (3, "r s")])
+    out = {r["doc_id"]: r.asDict() for r in segment_dedup(docs, width=2).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_hash"] == hashlib.md5(b"p q r s").hexdigest()
+    # doc2 loses its first segment (doc1 owns 'p q'), keeps 'x y'
+    assert out[2]["n_kept"] == 1
+    assert out[2]["clean_hash"] == hashlib.md5(b"x y").hexdigest()
+    # doc3 loses everything -> empty rebuild
+    assert out[3]["n_kept"] == 0 and out[3]["clean_len"] == 0
+    assert out[3]["clean_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    docs = _docs(spark, [(1, "a b c d e")])
+    row = segment_dedup(docs, width=2).collect()[0]
+    assert row["n_segments"] == 3  # [a b][c d][e]
+    assert row["clean_hash"] == hashlib.md5(b"a b c d e").hexdigest()
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at bob.smith+x@corp.example.org or 192.168.0.1 then +4917012345"),
+            (2, "clean text with no pii at all"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    expect = "mail me at <EMAIL> or <IP> then <PHONE>"
+    assert out[1]["redacted_hash"] == hashlib.md5(expect.encode()).hexdigest()
+    assert out[1]["redacted_len"] == len(expect)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_scrub_original_text_untouched_columns(spark):
+    # the scrubbed output must not leak the raw text column
+    docs = _docs(spark, [(1, "a@b.co x")])
+    assert set(pii_scrub(docs).columns) == {
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "redacted_len",
+        "redacted_hash",
+    }
+
+
+def test_semantic_dedup_cluster_bucketed(spark):
+    from temporal_vector_database_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),   # centroid A
+        (1, [1.0, 0.0]),   # dup of 0 (cos 1.0)
+        (2, [0.0, 1.0]),   # centroid B
+        (3, [0.9, 0.1]),   # near 0/1 (cos ~0.99)
+        (4, [0.0, 2.0]),   # cluster B, dup of 2
+        (5, [-1.0, 0.0]),  # cluster B (cos 0 beats cos -1), no near-dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(emb, min_cosine=0.9, centroid_mod=2, centroid_rem=0).collect()
+    }
+    assert out[0]["centroid_id"] == 0 and out[0]["is_survivor"] is True
+    assert out[1]["n_near_lower"] == 1 and out[1]["is_survivor"] is False
+    assert out[3]["n_near_lower"] == 2 and out[3]["is_survivor"] is False  # near 0 and 1
+    assert out[2]["is_survivor"] is True
+    assert out[4]["centroid_id"] == 2 and out[4]["is_survivor"] is False
+    assert out[5]["centroid_id"] == 2 and out[5]["is_survivor"] is True
