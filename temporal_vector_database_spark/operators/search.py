@@ -239,16 +239,19 @@ def ivf_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     impl: str = "pandas",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: deterministic centroid seeding + nearest-centroid
     assignment.
 
     Centroids are the vectors with ``id % centroid_mod == centroid_rem`` —
-    a training-free, engine-portable seeding (at real scale you'd run
-    k-means|| on a sample; the assignment/probe machinery below is
-    identical either way). Returns (centroids, assignment) where
-    assignment maps every vector to its argmax-cosine centroid
-    (ties → lowest centroid_id).
+    a training-free, engine-portable seeding (run ``kmeans_refine`` over
+    these seeds for trained lists; the assignment/probe machinery below
+    is identical either way). ``centroids`` overrides the seeding with an
+    explicit (centroid_id, c_emb) table — how k-means-refined centroids
+    feed back into this same assignment plan. Returns (centroids,
+    assignment) where assignment maps every vector to its argmax-cosine
+    centroid (ties → lowest centroid_id).
 
     ``impl="pandas"`` (default): centroids broadcast, one BLAS argmax per
     partition — the |vectors| × |centroids| interpreted HOF fold of the
@@ -264,11 +267,24 @@ def ivf_assign(
         F.col(emb_col).alias("emb"),
         l2_norm(F.col(emb_col)).alias("nrm"),
     )
-    cents = e.where(F.col("vid") % centroid_mod == centroid_rem).select(
-        F.col("vid").alias("centroid_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    if centroids is not None:
+        from temporal_vector_database_spark.functions.vector import l2_norm as _nrm
+
+        cents = centroids.select(
+            "centroid_id",
+            "c_emb",
+            (
+                F.col("c_nrm")
+                if "c_nrm" in centroids.columns
+                else _nrm(F.col("c_emb")).alias("c_nrm")
+            ),
+        )
+    else:
+        cents = e.where(F.col("vid") % centroid_mod == centroid_rem).select(
+            F.col("vid").alias("centroid_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
     if impl == "pandas":
         import numpy as np
 
@@ -323,6 +339,83 @@ def ivf_assign(
         .select("vid", "emb", "nrm", "centroid_id")
     )
     return cents, assign
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One Lloyd iteration in long form: nearest-centroid assignment
+    (``ivf_assign``) followed by the per-cluster per-dimension mean —
+    the update half of k-means, exposed as a gateable DataFrame.
+
+    Output: (centroid_id, dim, centroid_r, n) — the refined centroid
+    coordinates (rounded to 9 dp) and cluster sizes. posexplode → avg is
+    fully partial-aggregatable (map-side combine), so a giant cluster
+    reduces map-side instead of funnelling through one task; on the
+    quantized grid the sums are exact, making avg order-independent and
+    the gate hash-stable.
+    """
+    _, assign = ivf_assign(
+        embeddings, centroid_mod, centroid_rem, id_col, emb_col, centroids=centroids
+    )
+    return (
+        assign.select("centroid_id", F.posexplode("emb").alias("dim", "x"))
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.round(F.avg("x"), 9).alias("centroid_r"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_iter: int = 3,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``n_iter`` Lloyd iterations from the deterministic modulo seeds:
+    assign → recompute means → reassign. Returns the final centroid
+    table (centroid_id, c_emb) ready for ``ivf_assign(centroids=...)`` /
+    ``ivf_topk``-style probing.
+
+    The centroid table is k rows — driver-side materialization per
+    iteration is the standard k-means shape (Spark MLlib does the same
+    reduce-to-driver per step); the DATA never moves to the driver, each
+    iteration is one broadcast-assignment pass + one partial-aggregated
+    mean over the corpus. Clusters that lose all members keep their
+    previous centroid (standard Lloyd convention).
+    """
+    spark = embeddings.sparkSession
+    seeds, _ = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
+    rows = {
+        r["centroid_id"]: [float(x) for x in r["c_emb"]]
+        for r in seeds.select("centroid_id", "c_emb").collect()
+    }
+    cents = spark.createDataFrame(
+        sorted(rows.items()), "centroid_id bigint, c_emb array<double>"
+    )
+    for _ in range(max(n_iter, 0)):
+        step = kmeans_step(
+            embeddings, centroid_mod, centroid_rem, id_col, emb_col, centroids=cents
+        )
+        for r in (
+            step.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_r"))).alias("dims"))
+            .collect()
+        ):
+            rows[r["centroid_id"]] = [d["centroid_r"] for d in r["dims"]]
+        cents = spark.createDataFrame(
+            sorted(rows.items()), "centroid_id bigint, c_emb array<double>"
+        )
+    return cents
 
 
 def ivf_topk(

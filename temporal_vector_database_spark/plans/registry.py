@@ -3299,6 +3299,43 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, min_cosine=0.5)
 
 
+def q_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration from the deterministic modulo seeds: the
+    assignment half reuses ivf_assign, the update half is the
+    partial-aggregatable per-cluster per-dim mean (same shape as
+    label_centroids, but keyed by LEARNED cluster, not label)."""
+    from temporal_vector_database_spark.operators.search import kmeans_step
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return kmeans_step(emb)
+
+
+ORACLES["kmeans_step"] = (
+    _QEMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, nrm, centroid_id FROM (
+    SELECT en.vec_id AS vid, en.emb, en.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT centroid_id, CAST(i - 1 AS INTEGER) AS dim,
+       round(avg(emb[i]), 9) AS centroid_r,
+       CAST(count(*) AS BIGINT) AS n
+FROM assign, unnest(range(1, len(emb) + 1)) AS t(i)
+GROUP BY 1, 2
+"""
+)
+
+
 ORACLES["semantic_dedup"] = (
     _QEMB_CTE
     + """
@@ -3523,6 +3560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "pii_scrub": q_pii_scrub,
     "semantic_dedup": q_semantic_dedup,
+    "kmeans_step": q_kmeans_step,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

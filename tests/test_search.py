@@ -3,6 +3,7 @@ sim > 0 filter, k cap, base-snapshots-only scope
 (storage/storage_engine.py:439-469)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.search import search_similar_snapshots
@@ -363,3 +364,64 @@ def test_pq_rerank_full_shortlist_is_exact(spark, sf_dir):
     truth = {(r.query_id, r.vec_id): r.ip for r in pairs.collect()}
     for r in pq_topk_reranked(emb, queries, k=10, shortlist=30).collect():
         assert r.score == truth[(r.query_id, r.vec_id)]
+
+
+def test_kmeans_step_means_and_sizes(spark):
+    from temporal_vector_database_spark.operators.search import kmeans_step
+
+    # centroid_mod=2/rem=0 -> seeds are ids 0 and 2
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.5, 0.0]),   # -> cluster 0
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.25]),  # -> cluster 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        (r["centroid_id"], r["dim"]): (r["centroid_r"], r["n"])
+        for r in kmeans_step(emb, centroid_mod=2, centroid_rem=0).collect()
+    }
+    assert out[(0, 0)] == (0.75, 2) and out[(0, 1)] == (0.0, 2)
+    assert out[(2, 0)] == (0.0, 2) and out[(2, 1)] == (0.625, 2)
+
+
+def test_kmeans_refine_converges_and_feeds_assignment(spark):
+    from temporal_vector_database_spark.operators.search import ivf_assign, kmeans_refine
+
+    # two tight direction-groups around the seeds (ids 0 and 2)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.1, 1.0]),
+        (5, [0.9, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_refine(emb, n_iter=2, centroid_mod=2, centroid_rem=0)
+    got = {r["centroid_id"]: r["c_emb"] for r in cents.collect()}
+    assert set(got) == {0, 2}
+    # cluster 0 mean over {0,1,5}, cluster 2 mean over {2,3}; iteration 2
+    # reproduces the same assignment (fixed point) so means are stable
+    assert got[0] == [pytest.approx((1.0 + 1.0 + 0.9) / 3), pytest.approx(0.05)]
+    assert got[2] == [pytest.approx(0.05), pytest.approx(1.0)]
+    # refined centroids feed straight back into the assignment plan
+    _, assign = ivf_assign(emb, centroids=cents)
+    by_vid = {r["vid"]: r["centroid_id"] for r in assign.collect()}
+    assert by_vid == {0: 0, 1: 0, 5: 0, 2: 2, 3: 2}
+
+
+def test_kmeans_refine_carries_empty_cluster_forward(spark):
+    from temporal_vector_database_spark.operators.search import kmeans_refine
+
+    # seed 2 is the zero vector: every guarded cosine involving it is 0,
+    # so even its own row tie-breaks to centroid 0 — cluster 2 is empty
+    # after the first assignment and must keep its previous centroid.
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["centroid_id"]: r["c_emb"]
+        for r in kmeans_refine(emb, n_iter=1, centroid_mod=2, centroid_rem=0).collect()
+    }
+    assert set(got) == {0, 2}
+    assert got[2] == [0.0, 0.0]
+    assert got[0] == [pytest.approx(2 / 3), pytest.approx(0.1 / 3)]
