@@ -199,3 +199,33 @@ def test_salted_topk_two_windows_no_global_hotspot(spark, qmap):
     # final window only ever sees <= k rows per (key, salt)
     assert "_salt" in plan
     assert plan.count("Window") >= 2
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark, qmap):
+    plan = formatted_plan(qmap["decontaminate"](spark, SF_DIR))
+    # the benchmark side must broadcast — a 100 TB train corpus can never
+    # shuffle on the n-gram key
+    assert "BroadcastHashJoin" in plan
+    # the n-gram join itself must not sort-merge (doc_id restore join may)
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_segment_dedup_has_no_segment_window(spark, qmap):
+    plan = formatted_plan(qmap["segment_dedup"](spark, SF_DIR))
+    # first-occurrence selection must be the combiner-friendly aggregate,
+    # never a window partitioned by the (skewable) segment key
+    assert "Window" not in plan, plan
+
+
+def test_repetition_stats_single_gram_shuffle(spark, qmap):
+    plan = formatted_plan(qmap["repetition_stats"](spark, SF_DIR))
+    # one tagged-gram stream -> partial then final aggregate; no join, no window
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_pii_scrub_is_narrow(spark, qmap):
+    plan = formatted_plan(qmap["pii_scrub"](spark, SF_DIR))
+    # pure column expressions: no exchange at all beyond the scan
+    assert "Exchange" not in plan, plan
