@@ -241,3 +241,57 @@ def test_reconstruction_twins_agree_on_any_timeline(spark, data):
     a = canon(reconstruct_all(versions))
     b = canon(reconstruct_all_folded(versions))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# curation invariants: for ANY corpus, segment dedup conserves segments and
+# a duplicated document always loses all its segments to the original;
+# decontamination of a corpus against itself flags everything (and against
+# a disjoint vocabulary flags nothing).
+# ---------------------------------------------------------------------------
+
+_words_st = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(_words_st, min_size=1, max_size=6))
+def test_segment_dedup_conserves_and_dedups_clones(spark, word_lists):
+    from temporal_vector_database_spark.operators.curation import segment_dedup
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    # append an exact clone of doc 0 with a higher id
+    clone_id = len(docs)
+    docs.append((clone_id, docs[0][1]))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df, width=2).collect()}
+    # conservation: every kept segment is kept exactly once corpus-wide
+    assert all(0 <= r["n_kept"] <= r["n_segments"] for r in out.values())
+    # the clone keeps nothing: every one of its segments occurred earlier
+    assert out[clone_id]["n_kept"] == 0
+    # doc 0 keeps all ITS segments unless an earlier... there is none: id 0 is first
+    assert out[0]["n_kept"] == out[0]["n_segments"]
+    # rebuilt doc 0 is the original text
+    import hashlib
+
+    assert out[0]["clean_hash"] == hashlib.md5(docs[0][1].encode()).hexdigest()
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(_words_st.filter(lambda ws: len(ws) >= 3), min_size=1, max_size=5))
+def test_decontaminate_self_and_disjoint(spark, word_lists):
+    from temporal_vector_database_spark.operators.curation import decontaminate
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    # vs itself: every doc's n-grams are all contaminated
+    self_out = decontaminate(df, df, n=3, min_hits=1).collect()
+    assert all(r["n_contaminated"] == r["n_ngrams"] for r in self_out)
+    assert all(r["is_contaminated"] for r in self_out if r["n_ngrams"] > 0)
+    # vs a disjoint vocabulary: nothing flagged
+    other = spark.createDataFrame([(99, "one two three four")], "doc_id bigint, text string")
+    dis_out = decontaminate(df, other, n=3, min_hits=1).collect()
+    assert all(r["n_contaminated"] == 0 and not r["is_contaminated"] for r in dis_out)
