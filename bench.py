@@ -49,6 +49,8 @@ HEADLINE = (
     "topk_search_indexed",
     "training_pipeline",
     "training_pipeline_strict",
+    "training_pipeline_full",
+    "kmeans_step",
     "token_stats",
     "text_quality",
     "language_id",

@@ -117,3 +117,106 @@ def curation_report(
             ),
         ),
     )
+
+
+def full_curation_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    max_top_word_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    decontam_n: int = 5,
+    decontam_min_hits: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    width: int = 3,
+    min_jaccard_est: float = 1.0,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """The COMPLETE curation funnel with per-stage attrition accounting:
+
+        quality/language filter → repetition filter (Gopher-style)
+          → benchmark decontamination → near-dup survivor selection
+          → per-(language, source) attrition + yield report
+
+    Stage verdicts are computed as independent boolean flags and ANDed
+    progressively in the aggregate, so the report shows how many
+    documents each stage removes per group (``n_docs → n_quality →
+    n_repetition_ok → n_clean → n_survivors``) from ONE pass over the
+    flag table. Only documents passing every filter reach the LSH
+    clustering — on a real crawl the expensive stage never sees
+    boilerplate, contaminated, or degenerate-repetition documents.
+
+    Scale posture: quality/language are narrow expressions; repetition
+    is one (doc_id, gram)-keyed aggregate; decontamination broadcasts
+    the eval set; dedup sees only the eligible subset (and skips
+    shingling entirely when ``sigs`` — the persisted signature store —
+    is supplied). Quality mass aggregates as exact integer nano-units.
+    """
+    from temporal_vector_database_spark.operators.curation import (
+        decontaminate,
+        repetition_stats,
+    )
+
+    slim = docs.select("doc_id", text_col)
+    stats = with_text_stats(slim, text_col).select(
+        "doc_id", "n_tokens", "quality_r", "predicted_lang"
+    )
+    rep = repetition_stats(
+        slim, text_col, max_top_word_frac, max_top_bigram_frac
+    ).select("doc_id", "passes_repetition")
+    dec = decontaminate(
+        slim, eval_docs.select("doc_id", text_col), text_col,
+        n=decontam_n, min_hits=decontam_min_hits,
+    ).select("doc_id", "is_contaminated")
+    flags = (
+        stats.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .withColumn("q_ok", (F.col("quality_r") >= min_quality) & (F.col("predicted_lang") != "und"))
+        .withColumn("rep_ok", F.coalesce("passes_repetition", F.lit(False)))
+        .withColumn("clean_ok", ~F.coalesce("is_contaminated", F.lit(True)))
+        .withColumn("eligible", F.col("q_ok") & F.col("rep_ok") & F.col("clean_ok"))
+        .persist()
+    )
+    eligible_ids = flags.where("eligible").select("doc_id")
+    kept_sigs = sigs.join(eligible_ids, "doc_id") if sigs is not None else None
+    surv = dedup_survivors(
+        slim.join(eligible_ids, "doc_id"),
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        width=width,
+        min_jaccard_est=min_jaccard_est,
+        sigs=kept_sigs,
+    ).select("doc_id", "is_survivor")
+    full = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(flags, "doc_id")
+        .join(surv, "doc_id", "left")
+        .withColumn("is_surv", F.coalesce("is_survivor", F.lit(False)))
+    )
+    rep_out = full.groupBy("predicted_lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(F.col("q_ok") & F.col("rep_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_repetition_ok"),
+        F.sum(F.when(F.col("eligible"), 1).otherwise(0)).cast("long").alias("n_clean"),
+        F.sum(F.when(F.col("is_surv"), 1).otherwise(0)).cast("long").alias("n_survivors"),
+        F.sum(F.when(F.col("is_surv"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("survivor_tokens"),
+        F.sum(F.when(F.col("is_surv"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("survivor_chars"),
+        F.sum(
+            F.when(
+                F.col("is_surv"),
+                F.round(F.col("quality_r") * F.lit(1000000000.0), 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("survivor_quality_e9"),
+    )
+    return rep_out

@@ -323,6 +323,22 @@ def q_training_pipeline_strict(spark, sf_dir):
     )
 
 
+def q_training_pipeline_full(spark, sf_dir):
+    """The COMPLETE funnel: quality/language -> repetition (Gopher) ->
+    benchmark decontamination (eval = every 97th doc, word-5-grams,
+    broadcast) -> exact-signature near-dup survivors, with per-stage
+    attrition in the report. Signature store supplied, so the dedup
+    stage never re-shingles."""
+    from temporal_vector_database_spark.operators.pipeline import full_curation_report
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return full_curation_report(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        sigs=_minhash_store(spark, sf_dir),
+    )
+
+
 def q_sample_docs(spark, sf_dir):
     """Deterministic 25% corpus sample (md5-threshold membership — a
     property of the doc_id, reproducible in any engine/run)."""
@@ -2180,6 +2196,117 @@ ORACLES["training_pipeline_strict"] = ORACLES["training_pipeline"].replace(
     "quality_r >= 0.15", "quality_r >= 0.3"
 ).replace(">= 0.75", ">= 1.0")
 
+# the COMPLETE funnel: quality/lang -> repetition -> decontamination ->
+# exact-signature clustering, with per-stage attrition counts. Universe =
+# train docs (doc_id % 97 <> 0); eval = the rest.
+ORACLES["training_pipeline_full"] = (
+    """
+WITH RECURSIVE t0 AS (
+  SELECT doc_id, text, source, n_chars, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 97 <> 0
+), t1 AS (
+  SELECT doc_id, text, source, n_chars,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS INTEGER) AS n_stop,
+         CAST(len(list_filter(toks, x -> x IN ('der','die','und','nicht','ist'))) AS INTEGER) AS score_de,
+         CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS INTEGER) AS score_en,
+         CAST(len(list_filter(toks, x -> x IN ('el','la','que','los','es'))) AS INTEGER) AS score_es,
+         CAST(len(list_filter(toks, x -> x IN ('le','la','les','est','une'))) AS INTEGER) AS score_fr,
+         CAST(len(list_filter(toks, x -> x IN ('de5','shi4','bu4','le5','zai4'))) AS INTEGER) AS score_zh
+  FROM t0
+), scored AS (
+  SELECT *,
+         round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+               * (0.3 + 0.7 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)), 9) AS quality_r,
+         CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+              WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+              WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+              WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+              WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM t1
+),
+wr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents WHERE doc_id % 97 <> 0
+),
+uni AS (SELECT doc_id, 'w:' || x AS g FROM wr, unnest(w) AS t(x)),
+bi AS (
+  SELECT doc_id, 'b:' || array_to_string(w[i:i+1], ' ') AS g
+  FROM wr, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+gcounts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+ragg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN g LIKE 'w:%' THEN c END) AS BIGINT) AS n_words,
+         CAST(max(CASE WHEN g LIKE 'w:%' THEN c END) AS BIGINT) AS twc,
+         CAST(COALESCE(max(CASE WHEN g NOT LIKE 'w:%' THEN c END), 0) AS BIGINT) AS tbc,
+         CAST(COALESCE(sum(CASE WHEN g NOT LIKE 'w:%' THEN c END), 0) AS BIGINT) AS nbg
+  FROM gcounts GROUP BY 1
+),
+rflag AS (
+  SELECT doc_id,
+         (CAST(twc AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.2
+         AND (CASE WHEN nbg > 0 THEN CAST(tbc AS DOUBLE) / CAST(nbg AS DOUBLE) ELSE 0.0 END) <= 0.18 AS rep_ok
+  FROM ragg
+),
+aw AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents),
+ng5 AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS ng
+  FROM aw, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)
+),
+eng AS (SELECT DISTINCT ng FROM ng5 WHERE doc_id % 97 = 0),
+cont AS (
+  SELECT t.doc_id, CAST(count(e.ng) AS BIGINT) AS n_cont
+  FROM (SELECT doc_id, ng FROM ng5 WHERE doc_id % 97 <> 0) t
+  LEFT JOIN eng e ON t.ng = e.ng GROUP BY 1
+),
+flags AS (
+  SELECT s.*,
+         (s.quality_r >= 0.3 AND s.predicted_lang <> 'und') AS q_ok,
+         COALESCE(r.rep_ok, FALSE) AS rep_ok,
+         COALESCE(c.n_cont, 0) < 2 AS clean_ok
+  FROM scored s
+  LEFT JOIN rflag r ON s.doc_id = r.doc_id
+  LEFT JOIN cont c ON s.doc_id = c.doc_id
+),
+kept AS (SELECT * FROM flags WHERE q_ok AND rep_ok AND clean_ok),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substring(text, i, 3))) AS sh
+  FROM kept
+),
+sig AS (
+  SELECT doc_id,
+         min(substring(md5(sh), 1, 4)) AS mh_0, min(substring(md5(sh), 5, 4)) AS mh_1,
+         min(substring(md5(sh), 9, 4)) AS mh_2, min(substring(md5(sh), 13, 4)) AS mh_3,
+         min(substring(md5(sh), 17, 4)) AS mh_4, min(substring(md5(sh), 21, 4)) AS mh_5,
+         min(substring(md5(sh), 25, 4)) AS mh_6, min(substring(md5(sh), 29, 4)) AS mh_7
+  FROM sh GROUP BY doc_id
+)"""
+    + _CLUSTER_CTES.replace(">= 0.75", ">= 1.0")
+    + """
+, surv AS (
+  SELECT f.*,
+         (f.q_ok AND f.rep_ok AND f.clean_ok
+          AND coalesce(c.canonical, f.doc_id) = f.doc_id) AS is_surv
+  FROM flags f LEFT JOIN comp c ON f.doc_id = c.id
+)
+SELECT predicted_lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN q_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_ok,
+       CAST(sum(CASE WHEN q_ok AND rep_ok AND clean_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN is_surv THEN n_tokens ELSE 0 END) AS BIGINT) AS survivor_tokens,
+       CAST(sum(CASE WHEN is_surv THEN n_chars ELSE 0 END) AS BIGINT) AS survivor_chars,
+       CAST(sum(CASE WHEN is_surv THEN CAST(round(quality_r * 1000000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS survivor_quality_e9
+FROM surv GROUP BY 1, 2
+"""
+)
+
 # --- simhash (SQL generated to mirror operators/dedup.py bit-for-bit) ------
 
 from temporal_vector_database_spark.operators.dedup import _token_hash32_expr  # noqa: E402
@@ -3561,6 +3688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "semantic_dedup": q_semantic_dedup,
     "kmeans_step": q_kmeans_step,
+    "training_pipeline_full": q_training_pipeline_full,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

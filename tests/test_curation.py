@@ -127,3 +127,40 @@ def test_semantic_dedup_cluster_bucketed(spark):
     assert out[2]["is_survivor"] is True
     assert out[4]["centroid_id"] == 2 and out[4]["is_survivor"] is False
     assert out[5]["centroid_id"] == 2 and out[5]["is_survivor"] is True
+
+
+def test_full_curation_report_stage_attrition(spark):
+    from temporal_vector_database_spark.operators.pipeline import full_curation_report
+
+    base = [f"w{i}" for i in range(30)]
+    stops = ["the", "and", "of", "to", "is"] * 2
+    good = " ".join(base + stops)                      # passes everything
+    rep_fail = " ".join(["the"] * 50)                  # quality ok, repetition fail
+    contaminated = " ".join(
+        [f"x{i}" for i in range(30)] + stops + ["q1", "q2", "q3", "q4", "q5", "q6"]
+    )                                                  # shares 2 eval 5-grams
+    rows = [
+        (1, good, "src", len(good)),
+        (2, "tiny text", "src", 9),                    # quality fail ('und' too)
+        (3, rep_fail, "src", len(rep_fail)),
+        (4, contaminated, "src", len(contaminated)),
+        (5, good, "src", len(good)),                   # exact dup of 1
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string, source string, n_chars bigint")
+    ev = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6", "eval", 17)],
+        "doc_id bigint, text string, source string, n_chars bigint",
+    )
+    out = {
+        (r["predicted_lang"], r["source"]): r.asDict()
+        for r in full_curation_report(train, ev).collect()
+    }
+    en = out[("en", "src")]
+    assert en["n_docs"] == 4           # docs 1, 3, 4, 5
+    assert en["n_quality"] == 4
+    assert en["n_repetition_ok"] == 3  # doc 3 dropped
+    assert en["n_clean"] == 2          # doc 4 dropped (contaminated)
+    assert en["n_survivors"] == 1      # doc 5 deduped against doc 1
+    assert en["survivor_tokens"] == 40
+    und = out[("und", "src")]
+    assert (und["n_docs"], und["n_quality"], und["n_survivors"]) == (1, 0, 0)
