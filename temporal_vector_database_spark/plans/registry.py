@@ -1516,6 +1516,48 @@ def q_events_moving_stats(spark, sf_dir):
     )
 
 
+def q_events_range_frame(spark, sf_dir):
+    """Window-frame coverage, RANGE edition: per-user 60-second trailing
+    window defined by VALUE (ts_ms), not row count — ties are peers, so
+    the frame is deterministic under duplicate timestamps. The summed
+    measure is pre-quantized to integer micro-units because windowed
+    float summation order differs between engines (Spark runs the frame
+    sequentially, DuckDB uses segment trees) — integer sums are
+    merge-order-proof."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "v_e6", F.round(F.col("value") * 1000000.0, 0).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms").rangeBetween(-60000, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.count("*").over(w).cast("long").alias("n_60s"),
+        F.sum("v_e6").over(w).cast("long").alias("sum_v_e6"),
+    )
+
+
+def q_events_rank_functions(spark, sf_dir):
+    """Rank-function family over one window: dense_rank, percent_rank,
+    cume_dist, ntile(4) per event_type ordered by (value, event_id) —
+    the tie-break makes every output deterministic; percent_rank and
+    cume_dist are exact small-integer ratios, identical in any engine."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.dense_rank().over(w).cast("int").alias("d_rank"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
 def q_lineitem_stat_aggs(spark, sf_dir):
     """Statistical aggregates per return flag: sample stddev/variance of
     quantity, correlation and covariance of (quantity, linenumber).
@@ -2947,6 +2989,30 @@ SELECT user_id, rnk, event_id, ts_ms, moving_avg, next_gap_ms FROM (
 WHERE rnk <= 5
 """
 
+ORACLES["events_range_frame"] = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT user_id, event_id, ts_ms,
+       CAST(count(*) OVER w AS BIGINT) AS n_60s,
+       CAST(sum(v_e6) OVER w AS BIGINT) AS sum_v_e6
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["events_rank_functions"] = """
+SELECT event_type, event_id,
+       CAST(dense_rank() OVER w AS INTEGER) AS d_rank,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
 ORACLES["lineitem_stat_aggs"] = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        round(stddev_samp(l_quantity), 6) AS qty_stddev,
@@ -3689,6 +3755,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_step": q_kmeans_step,
     "training_pipeline_full": q_training_pipeline_full,
+    "events_range_frame": q_events_range_frame,
+    "events_rank_functions": q_events_rank_functions,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
