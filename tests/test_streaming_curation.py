@@ -1,0 +1,108 @@
+"""Streaming curation funnel: stream == batch for exact-signature
+clustering, exactly-once survivor emission, and replay idempotency."""
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id bigint, text string, source string, n_chars bigint"
+
+
+def _corpus(spark):
+    base = [f"w{i}" for i in range(30)]
+    stops = ["the", "and", "of", "to", "is"] * 2
+    good_a = " ".join(base + stops)
+    good_b = " ".join([f"y{i}" for i in range(30)] + stops)
+    good_c = " ".join([f"z{i}" for i in range(30)] + stops)
+    contaminated = " ".join(
+        [f"x{i}" for i in range(30)] + stops + ["q1", "q2", "q3", "q4", "q5", "q6"]
+    )
+    rep_fail = " ".join(["the"] * 50)
+    rows = [
+        # batch 0
+        (1, good_a, "src1", len(good_a)),
+        (2, "tiny text", "src1", 9),
+        (4, contaminated, "src2", len(contaminated)),
+        (7, good_b, "src2", len(good_b)),
+        # batch 1
+        (5, good_a, "src1", len(good_a)),   # dup of 1, arrives later
+        (3, rep_fail, "src2", len(rep_fail)),
+        (8, good_c, "src1", len(good_c)),
+        (9, good_b, "src2", len(good_b)),   # dup of 7, arrives later
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    ev = spark.createDataFrame([(100, "q1 q2 q3 q4 q5 q6", "eval", 17)], DOC_SCHEMA)
+    return docs, ev
+
+
+def test_stream_equals_batch_funnel(spark, tmp_path):
+    from temporal_vector_database_spark.operators.pipeline import full_curation_report
+    from temporal_vector_database_spark.streaming.curation import (
+        read_stream_reports,
+        read_stream_survivors,
+        run_curation_stream,
+    )
+
+    docs, ev = _corpus(spark)
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id").isin(1, 2, 4, 7)).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id").isin(5, 3, 8, 9)).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out, state = str(tmp_path / "out"), str(tmp_path / "sigs")
+    run_curation_stream(stream, ev, state, out, str(tmp_path / "ckpt"))
+
+    surv = read_stream_survivors(spark, out)
+    got_ids = sorted(r["doc_id"] for r in surv.collect())
+    assert got_ids == [1, 7, 8]  # dups 5/9 dropped, 2/3/4 filtered
+
+    # per-group survivor counts equal the one-shot batch funnel
+    want = {
+        (r["predicted_lang"], r["source"]): r["n_survivors"]
+        for r in full_curation_report(docs, ev).collect()
+    }
+    got = {
+        (r["predicted_lang"], r["source"]): r["cnt"]
+        for r in surv.groupBy("predicted_lang", "source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert {k: v for k, v in want.items() if v > 0} == got
+
+    # per-stage attrition sums across batch reports match the batch funnel
+    rep = read_stream_reports(spark, out)
+    sums = (
+        rep.groupBy("predicted_lang", "source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_quality").alias("n_quality"),
+            F.sum("n_clean").alias("n_clean"),
+        )
+        .collect()
+    )
+    batch = {
+        (r["predicted_lang"], r["source"]): (r["n_docs"], r["n_quality"], r["n_clean"])
+        for r in full_curation_report(docs, ev).collect()
+    }
+    for r in sums:
+        assert batch[(r["predicted_lang"], r["source"])] == (
+            r["n_docs"], r["n_quality"], r["n_clean"],
+        )
+
+
+def test_curation_batch_replay_is_idempotent(spark, tmp_path):
+    from temporal_vector_database_spark.streaming.curation import (
+        process_curation_batch,
+        read_stream_survivors,
+    )
+    from temporal_vector_database_spark.streaming.dedup import read_signature_store
+
+    docs, ev = _corpus(spark)
+    out, state = str(tmp_path / "out"), str(tmp_path / "sigs")
+    b0 = docs.where(F.col("doc_id").isin(1, 2, 4, 7))
+    b1 = docs.where(F.col("doc_id").isin(5, 3, 8, 9))
+    process_curation_batch(b0, 0, state, out, ev)
+    process_curation_batch(b1, 1, state, out, ev)
+    process_curation_batch(b1, 1, state, out, ev)  # replay
+    surv = sorted(r["doc_id"] for r in read_stream_survivors(spark, out).collect())
+    assert surv == [1, 7, 8]
+    # store holds one signature row per ELIGIBLE doc, never doubled
+    sigs = read_signature_store(spark, state)
+    assert sigs.count() == 5  # eligible docs: 1, 7 (b0) and 5, 8, 9 (b1)
