@@ -339,6 +339,25 @@ def q_training_pipeline_full(spark, sf_dir):
     )
 
 
+def q_quality_percentile_filter(spark, sf_dir):
+    """Relative quality gate: keep each source's top half by quality
+    (percent_rank with full tie-break) — the filter pipelines reach for
+    when absolute thresholds drift across heterogeneous sources. One
+    window keyed by source; quality itself is the oracle-exact rational
+    from text_quality."""
+    from temporal_vector_database_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = quality_score(docs).select("doc_id", "quality_r")
+    w = Window.partitionBy("source").orderBy(F.desc("quality_r"), F.asc("doc_id"))
+    ranked = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .withColumn("pr", F.percent_rank().over(w))
+    )
+    return ranked.where(F.col("pr") <= 0.5).select("doc_id", "source", "quality_r", "pr")
+
+
 def q_sample_docs(spark, sf_dir):
     """Deterministic 25% corpus sample (md5-threshold membership — a
     property of the doc_id, reproducible in any engine/run)."""
@@ -1986,6 +2005,27 @@ SELECT doc_id, n_tokens, n_stop,
        round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
              * (0.3 + 0.7 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)), 9) AS quality_r
 FROM s
+"""
+
+ORACLES["quality_percentile_filter"] = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS INTEGER) AS n_stop
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+               * (0.3 + 0.7 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)), 9) AS quality_r
+  FROM s
+), ranked AS (
+  SELECT doc_id, source, quality_r,
+         percent_rank() OVER (PARTITION BY source ORDER BY quality_r DESC, doc_id) AS pr
+  FROM q
+)
+SELECT doc_id, source, quality_r, pr FROM ranked WHERE pr <= 0.5
 """
 
 ORACLES["doc_fingerprint"] = """
@@ -3737,10 +3777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- red in r01, fixed this round (exact e9 magnitude sums) ---
     "version_rollup": q_version_rollup,
     # --- new this round ---
-    "minhash_signature_prod": q_minhash_signature_prod,
     "pq_topk_reranked": q_pq_topk_reranked,
-    "topk_search_indexed": q_topk_search_indexed,
-    "ivf_topk_persisted": q_ivf_topk_persisted,
     "training_pipeline_strict": q_training_pipeline_strict,
     "sample_docs": q_sample_docs,
     "split_assign": q_split_assign,
@@ -3757,6 +3794,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline_full": q_training_pipeline_full,
     "events_range_frame": q_events_range_frame,
     "events_rank_functions": q_events_rank_functions,
+    "quality_percentile_filter": q_quality_percentile_filter,
+    # bit-equal twins of r01-green queries (same oracle gates the primary;
+    # physical-path equality is separately test-pinned) — lowest marginal
+    # value of a driver row, so they sort AFTER the genuinely new entries
+    # in case the sweep is capped
+    "minhash_signature_prod": q_minhash_signature_prod,
+    "topk_search_indexed": q_topk_search_indexed,
+    "ivf_topk_persisted": q_ivf_topk_persisted,
     # --- green in r01 ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,
