@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "decontaminate",
+    "doc_chunks",
     "pii_scrub",
     "repetition_stats",
     "segment_dedup",
@@ -229,6 +230,44 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", width: int = 4) -> Da
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_len"),
         F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+    )
+
+
+def doc_chunks(
+    docs: DataFrame, text_col: str = "text", width: int = 64, stride: int = 32
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / training-window prep):
+    word windows of ``width`` starting every ``stride`` words; every
+    start position below the word count emits a chunk, so trailing
+    chunks may be short (the simple deterministic convention — no
+    look-back snapping, identical in any engine).
+
+    One explode, no shuffle at all: chunk identity is (doc_id,
+    chunk_idx) and content ships as md5 + word count, so the output is
+    narrow even when chunks overlap 2× (the text bytes are never
+    duplicated into the exchange).
+    """
+    w = _words(text_col)
+    starts = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(stride)).cast("int") - 1),
+            lambda i: i * stride,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_doc_words"),
+        F.explode(starts).alias("start_word"),
+        w.alias("_w"),
+    ).where(F.col("start_word") < F.col("n_doc_words"))
+    chunk = F.slice(F.col("_w"), F.col("start_word") + 1, width)
+    return chunked.select(
+        "doc_id",
+        (F.col("start_word") / stride).cast("int").alias("chunk_idx"),
+        "start_word",
+        F.size(chunk).cast("int").alias("n_words"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
 
 

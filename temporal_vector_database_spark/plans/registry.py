@@ -3485,6 +3485,36 @@ def q_segment_dedup(spark, sf_dir):
     return segment_dedup(docs, width=4)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking gate: width 16 / stride 8 words over the
+    fixture docs (small enough that every doc yields several overlapping
+    chunks and short tails)."""
+    from temporal_vector_database_spark.operators.curation import doc_chunks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return doc_chunks(docs, width=16, stride=8)
+
+
+ORACLES["doc_chunks"] = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_doc_words,
+         CAST(i * 8 AS INTEGER) AS start_word, w
+  FROM w, unnest(range(0, greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 0))) AS t(i)
+  WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(start_word / 8 AS INTEGER) AS chunk_idx,
+       start_word,
+       CAST(len(w[start_word + 1:start_word + 16]) AS INTEGER) AS n_words,
+       md5(array_to_string(w[start_word + 1:start_word + 16], ' ')) AS chunk_hash
+FROM c WHERE start_word < n_doc_words
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub gate. The fixture corpus contains no PII, so the query
     injects deterministic synthetic PII (email / IPv4 / phone derived
@@ -3795,6 +3825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_frame": q_events_range_frame,
     "events_rank_functions": q_events_rank_functions,
     "quality_percentile_filter": q_quality_percentile_filter,
+    "doc_chunks": q_doc_chunks,
     # bit-equal twins of r01-green queries (same oracle gates the primary;
     # physical-path equality is separately test-pinned) — lowest marginal
     # value of a driver row, so they sort AFTER the genuinely new entries

@@ -164,3 +164,22 @@ def test_full_curation_report_stage_attrition(spark):
     assert en["survivor_tokens"] == 40
     und = out[("und", "src")]
     assert (und["n_docs"], und["n_quality"], und["n_survivors"]) == (1, 0, 0)
+
+
+def test_doc_chunks_overlap_and_tail(spark):
+    from temporal_vector_database_spark.operators.curation import doc_chunks
+
+    docs = _docs(spark, [(1, "a b c d e"), (2, "x")])
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r.asDict()
+        for r in doc_chunks(docs, width=4, stride=2).collect()
+    }
+    # doc 1: starts 0, 2, 4 -> chunks [a b c d], [c d e], [e]
+    assert out[(1, 0)]["n_words"] == 4
+    assert out[(1, 0)]["chunk_hash"] == hashlib.md5(b"a b c d").hexdigest()
+    assert out[(1, 1)]["n_words"] == 3
+    assert out[(1, 1)]["chunk_hash"] == hashlib.md5(b"c d e").hexdigest()
+    assert out[(1, 2)]["n_words"] == 1 and out[(1, 2)]["start_word"] == 4
+    # doc 2: one single-word chunk
+    assert out[(2, 0)]["n_words"] == 1
+    assert len(out) == 4
