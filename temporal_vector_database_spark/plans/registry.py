@@ -1577,6 +1577,63 @@ def q_events_rank_functions(spark, sf_dir):
     )
 
 
+def q_events_outliers(spark, sf_dir):
+    """Z-score anomaly detection per event_type. The measure is
+    quantized to integer milli-units FIRST, so the group sums are exact
+    and every downstream scalar (mean, sample variance, z) is computed
+    from identical numbers by an identical expression in both engines —
+    no merge-order dependence anywhere. Stats table is tiny (one row per
+    type) → broadcast back onto the events. Bound check: sum(v_e3²) ≈
+    3e16 per 100k rows at this value range — the bigint path holds to
+    ~10^7× this scale; beyond that switch the co-moments to decimal."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "ts_ms",
+        F.round(F.col("value") * 1000.0, 0).cast("long").alias("v_e3"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_e3").cast("long").alias("s1"),
+        F.sum(F.col("v_e3") * F.col("v_e3")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - F.lit(1.0))
+    stats = stats.select("event_type", mean.alias("mean_e3"), F.sqrt(var).alias("std_e3"))
+    z = (F.col("v_e3").cast("double") - F.col("mean_e3")) / F.col("std_e3")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z_r", F.round(z, 6))
+        .where(F.abs("z_r") >= 2.5)
+        .select("event_type", "event_id", "ts_ms", "v_e3", "z_r")
+    )
+
+
+def q_events_histogram(spark, sf_dir):
+    """Fixed-width histogram of the event measure per type: bin =
+    floor(v_e3 / 25000) over exact integer milli-units — pure integer
+    math, one partial-aggregated count per (type, bin)."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 1000.0, 0).cast("long").alias("v_e3"),
+    )
+    return (
+        ev.withColumn("bin", F.floor(F.col("v_e3") / 25000).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("v_e3").cast("long").alias("min_e3"),
+            F.max("v_e3").cast("long").alias("max_e3"),
+        )
+    )
+
+
 def q_lineitem_stat_aggs(spark, sf_dir):
     """Statistical aggregates per return flag: sample stddev/variance of
     quantity, correlation and covariance of (quantity, linenumber).
@@ -3053,6 +3110,42 @@ FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
+ORACLES["events_outliers"] = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 1000.0) AS BIGINT) AS v_e3
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_e3) AS BIGINT) AS s1,
+         CAST(sum(v_e3 * v_e3) AS BIGINT) AS s2
+  FROM e GROUP BY 1
+),
+ms AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e3,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS std_e3
+  FROM st
+)
+SELECT e.event_type, e.event_id, e.ts_ms, e.v_e3,
+       round((CAST(e.v_e3 AS DOUBLE) - ms.mean_e3) / ms.std_e3, 6) AS z_r
+FROM e JOIN ms USING (event_type)
+WHERE abs(round((CAST(e.v_e3 AS DOUBLE) - ms.mean_e3) / ms.std_e3, 6)) >= 2.5
+"""
+
+ORACLES["events_histogram"] = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 1000.0) AS BIGINT) AS v_e3 FROM events
+)
+SELECT event_type, CAST(floor(v_e3 / 25000.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v_e3) AS BIGINT) AS min_e3,
+       CAST(max(v_e3) AS BIGINT) AS max_e3
+FROM e GROUP BY 1, 2
+"""
+
 ORACLES["lineitem_stat_aggs"] = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        round(stddev_samp(l_quantity), 6) AS qty_stddev,
@@ -3826,6 +3919,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rank_functions": q_events_rank_functions,
     "quality_percentile_filter": q_quality_percentile_filter,
     "doc_chunks": q_doc_chunks,
+    "events_outliers": q_events_outliers,
+    "events_histogram": q_events_histogram,
     # bit-equal twins of r01-green queries (same oracle gates the primary;
     # physical-path equality is separately test-pinned) — lowest marginal
     # value of a driver row, so they sort AFTER the genuinely new entries
