@@ -220,3 +220,31 @@ def full_curation_report(
         .alias("survivor_quality_e9"),
     )
     return rep_out
+
+
+def write_curated_dataset(
+    curated: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "predicted_lang"),
+) -> None:
+    """Funnel sink: materialize the curated corpus partitioned by the
+    columns training readers filter on (split, language). A reader
+    asking for ``split=train AND predicted_lang=en`` then opens ONLY
+    those directories — partition pruning before any file I/O, the same
+    layout discipline as the persisted IVF index (pruning pinned in
+    tests/test_plans.py's style in tests/test_curation.py)."""
+    curated.write.partitionBy(*list(partition_cols)).mode("overwrite").parquet(path)
+
+
+def read_curated_split(
+    spark, path: str, split: str, predicted_lang: str | None = None
+) -> DataFrame:
+    """Read one training split (optionally one language) from the
+    partitioned curated dataset — the filters land on partition columns,
+    so the scan prunes to the matching directories."""
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias)
+
+    df = spark.read.parquet(path).where(F.col("split") == split)
+    if predicted_lang is not None:
+        df = df.where(F.col("predicted_lang") == predicted_lang)
+    return df

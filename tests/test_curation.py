@@ -183,3 +183,31 @@ def test_doc_chunks_overlap_and_tail(spark):
     # doc 2: one single-word chunk
     assert out[(2, 0)]["n_words"] == 1
     assert len(out) == 4
+
+
+def test_curated_dataset_sink_prunes_partitions(spark, tmp_path):
+    from temporal_vector_database_spark.operators.pipeline import (
+        read_curated_split,
+        write_curated_dataset,
+    )
+    from temporal_vector_database_spark.operators.sampling import split_assign
+
+    rows = [(i, f"text {i}", "en" if i % 2 else "de", 10 + i) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, predicted_lang string, n_tokens bigint")
+    curated = split_assign(docs)  # adds the 'split' column
+    path = str(tmp_path / "curated")
+    write_curated_dataset(curated, path)
+
+    got = read_curated_split(spark, path, "train", "en")
+    want = {r["doc_id"] for r in curated.collect() if r["split"] == "train" and r["predicted_lang"] == "en"}
+    assert {r["doc_id"] for r in got.collect()} == want and want
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("split" in ln and "predicted_lang" in ln for ln in pf), plan

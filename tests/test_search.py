@@ -425,3 +425,32 @@ def test_kmeans_refine_carries_empty_cluster_forward(spark):
     assert set(got) == {0, 2}
     assert got[2] == [0.0, 0.0]
     assert got[0] == [pytest.approx(2 / 3), pytest.approx(0.1 / 3)]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of ~10 lists must keep recall@10 high on
+    clustered data — the quality bar for the approximate tier (the
+    deterministic analogue of the MLlib LSH recall pin)."""
+    from temporal_vector_database_spark.operators.search import ivf_topk, topk_cosine
+
+    rows = []
+    for i in range(400):
+        center = [0.0] * 16
+        center[i % 4 * 4] = 10.0
+        center[(i * 7) % 16] += ((i * 13) % 21 - 10) / 16.0
+        rows.append((i, [x / 1.0 for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 80 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(df, queries, k=10, nprobe=2)
+    brute = topk_cosine(df, queries, k=10, id_cols=("vec_id",))
+    ivf_sets, brute_sets = {}, {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in brute.collect():
+        brute_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(ivf_sets.get(q, set()) & want) / len(want) for q, want in brute_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
