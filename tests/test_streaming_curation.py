@@ -27,6 +27,7 @@ def _corpus(spark):
         (3, rep_fail, "src2", len(rep_fail)),
         (8, good_c, "src1", len(good_c)),
         (9, good_b, "src2", len(good_b)),   # dup of 7, arrives later
+        (11, good_c, "src1", len(good_c)),  # dup of 8, SAME batch -> lower id wins
     ]
     docs = spark.createDataFrame(rows, DOC_SCHEMA)
     ev = spark.createDataFrame([(100, "q1 q2 q3 q4 q5 q6", "eval", 17)], DOC_SCHEMA)
@@ -44,7 +45,7 @@ def test_stream_equals_batch_funnel(spark, tmp_path):
     docs, ev = _corpus(spark)
     src = str(tmp_path / "src")
     docs.where(F.col("doc_id").isin(1, 2, 4, 7)).coalesce(1).write.mode("append").parquet(src)
-    docs.where(F.col("doc_id").isin(5, 3, 8, 9)).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id").isin(5, 3, 8, 9, 11)).coalesce(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
     out, state = str(tmp_path / "out"), str(tmp_path / "sigs")
     run_curation_stream(stream, ev, state, out, str(tmp_path / "ckpt"))
@@ -97,7 +98,7 @@ def test_curation_batch_replay_is_idempotent(spark, tmp_path):
     docs, ev = _corpus(spark)
     out, state = str(tmp_path / "out"), str(tmp_path / "sigs")
     b0 = docs.where(F.col("doc_id").isin(1, 2, 4, 7))
-    b1 = docs.where(F.col("doc_id").isin(5, 3, 8, 9))
+    b1 = docs.where(F.col("doc_id").isin(5, 3, 8, 9, 11))
     process_curation_batch(b0, 0, state, out, ev)
     process_curation_batch(b1, 1, state, out, ev)
     process_curation_batch(b1, 1, state, out, ev)  # replay
@@ -105,4 +106,4 @@ def test_curation_batch_replay_is_idempotent(spark, tmp_path):
     assert surv == [1, 7, 8]
     # store holds one signature row per ELIGIBLE doc, never doubled
     sigs = read_signature_store(spark, state)
-    assert sigs.count() == 5  # eligible docs: 1, 7 (b0) and 5, 8, 9 (b1)
+    assert sigs.count() == 6  # eligible: 1, 7 (b0) and 5, 8, 9, 11 (b1)
