@@ -1305,3 +1305,75 @@ def semantic_dedup(
             (F.coalesce("n_near_lower", F.lit(0)) == 0).alias("is_survivor"),
         )
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dist: int = 3,
+    q: int = 4,
+) -> DataFrame:
+    """Edit-distance similarity join: all pairs with Levenshtein distance
+    <= ``max_dist``, found by q-gram prefix filtering (filter-verify, the
+    compressed-index string-join literature's standard shape — PAPERS.md
+    'Highly Efficient String Similarity Search and Join').
+
+    Soundness: one edit destroys at most ``q`` q-grams, so ed(s,t) <= k
+    implies t's gram set contains all but <= q*k of s's distinct grams —
+    hence at least one of s's (q*k + 1) globally-rarest grams (its
+    "prefix"). Candidates = prefix(x) ⋈ full(y) on the gram, both
+    orientations canonicalized; verify = native ``levenshtein`` plus the
+    |len(a) - len(b)| <= k length filter. Documents with fewer than
+    ``q`` characters generate no grams and are not candidates
+    (documented limitation of q-gram filters).
+
+    Scale posture: the prefix side is (q*k + 1) rows per doc and the
+    join lands on each doc's RAREST grams (global-frequency order), so
+    bucket sizes stay small on natural corpora; verification cost is
+    candidate-bounded. The expensive levenshtein touches only candidate
+    pairs' texts, fetched by semi-join.
+    """
+    pref_len = q * max_dist + 1
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {q - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {q}))"
+                )
+            )
+        ).alias("g"),
+    ).where(F.length("g") == q)
+    freq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    wg = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+    ranked = grams.join(freq, "g").withColumn("rn", F.row_number().over(wg))
+    prefix = ranked.where(F.col("rn") <= pref_len).select("doc_id", "g")
+    cands = (
+        prefix.alias("p")
+        .join(grams.alias("f"), "g")
+        .where(F.col("p.doc_id") != F.col("f.doc_id"))
+        .select(
+            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("a_id"),
+            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col(text_col).alias("a_text"),
+        F.length(text_col).alias("a_len"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col(text_col).alias("b_text"),
+        F.length(text_col).alias("b_len"),
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .where(F.abs(F.col("a_len") - F.col("b_len")) <= max_dist)
+        .withColumn("dist", F.levenshtein("a_text", "b_text").cast("int"))
+        .where(F.col("dist") <= max_dist)
+        .select("a_id", "b_id", "dist")
+    )

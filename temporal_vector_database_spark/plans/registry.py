@@ -3608,6 +3608,60 @@ FROM c WHERE start_word < n_doc_words
 """
 
 
+def q_edit_distance_pairs(spark, sf_dir):
+    """String-similarity join gate: Levenshtein <= 3 via q-gram prefix
+    filtering. The fixture corpus has no near-identical texts (random
+    word soup), so the gate unions in a deterministic ed-2 clone of every
+    83rd document on BOTH engines — the operator is generic; the
+    injection makes the gate exercise candidate recall and verification,
+    not just emptiness."""
+    from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    clones = docs.where(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" z")).alias("text"),
+    )
+    return edit_distance_pairs(docs.unionByName(clones), max_dist=3, q=4)
+
+
+ORACLES["edit_distance_pairs"] = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' z' AS text
+  FROM documents WHERE doc_id % 83 = 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 4) AS g
+  FROM docs2, unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS t(i)
+  WHERE length(substring(text, CAST(i AS INTEGER), 4)) = 4
+),
+freq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+ranked AS (
+  SELECT gr.doc_id, gr.g,
+         row_number() OVER (PARTITION BY gr.doc_id ORDER BY f.df, gr.g) AS rn
+  FROM grams gr JOIN freq f USING (g)
+),
+pref AS (SELECT doc_id, g FROM ranked WHERE rn <= 13),
+cand AS (
+  SELECT DISTINCT least(p.doc_id, f.doc_id) AS a_id, greatest(p.doc_id, f.doc_id) AS b_id
+  FROM pref p JOIN grams f USING (g)
+  WHERE p.doc_id <> f.doc_id
+),
+v AS (
+  SELECT c.a_id, c.b_id, CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
+  FROM cand c
+  JOIN docs2 da ON c.a_id = da.doc_id
+  JOIN docs2 db ON c.b_id = db.doc_id
+  WHERE abs(length(da.text) - length(db.text)) <= 3
+)
+SELECT a_id, b_id, dist FROM v WHERE dist <= 3
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub gate. The fixture corpus contains no PII, so the query
     injects deterministic synthetic PII (email / IPv4 / phone derived
@@ -3921,6 +3975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "events_outliers": q_events_outliers,
     "events_histogram": q_events_histogram,
+    "edit_distance_pairs": q_edit_distance_pairs,
     # bit-equal twins of r01-green queries (same oracle gates the primary;
     # physical-path equality is separately test-pinned) — lowest marginal
     # value of a driver row, so they sort AFTER the genuinely new entries

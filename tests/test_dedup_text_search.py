@@ -422,3 +422,26 @@ def test_signature_store_compaction_preserves_dedup(spark, tmp_path):
         for r in near_duplicate_pairs(all_docs, verify="join").collect()
     }
     assert emitted == want and len(want) > 0
+
+
+def test_edit_distance_pairs_filter_verify(spark):
+    from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base),
+        (2, base + " x"),            # ed 2 (insert ' ', 'x')
+        (3, base.replace("quick", "quack")),  # ed 1 (substitute i->a)
+        (4, "completely different content with no shared grams at all"),
+        (5, base),                   # ed 0 exact clone
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_distance_pairs(docs, max_dist=3, q=4).collect()
+    }
+    assert got[(1, 5)] == 0
+    assert got[(1, 2)] == 2 and got[(2, 5)] == 2
+    assert got[(1, 3)] == 1 and got[(3, 5)] == 1
+    assert got[(2, 3)] == 3
+    assert not any(4 in k for k in got)
