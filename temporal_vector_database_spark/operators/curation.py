@@ -281,6 +281,13 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Redaction order is email → ipv4 → phone; the phone pattern
     (``+`` digits) cannot match inside either placeholder tag, so the
     chain is order-stable.
+
+    Contract note: the per-pattern counts are each computed on the
+    ORIGINAL text, while redaction is chained — when matches overlap
+    (an IPv4-shaped domain inside an email, say), a later pattern's
+    count can exceed its surviving placeholders. Counts answer "how many
+    of each PII shape appeared", not "how many tags were emitted";
+    deterministic and mirrored exactly by the oracle.
     """
     t = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).cast("int")

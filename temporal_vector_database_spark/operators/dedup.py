@@ -1280,15 +1280,9 @@ def semantic_dedup(
         F.col("emb").alias("b_emb"),
         F.col("nrm").alias("b_nrm"),
     )
-    cos = F.when(
-        (F.col("a_nrm") > 0) & (F.col("b_nrm") > 0),
-        F.aggregate(
-            F.zip_with("a_emb", "b_emb", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("a_nrm") * F.col("b_nrm")),
-    ).otherwise(F.lit(0.0))
+    from temporal_vector_database_spark.operators.search import _guarded_sim
+
+    cos = _guarded_sim("a_emb", "b_emb", "a_nrm", "b_nrm")
     pairs = (
         a.join(b, "centroid_id")
         .where(F.col("a_vid") < F.col("b_vid"))

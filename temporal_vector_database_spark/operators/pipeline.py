@@ -177,6 +177,11 @@ def full_curation_report(
         .withColumn("rep_ok", F.coalesce("passes_repetition", F.lit(False)))
         .withColumn("clean_ok", ~F.coalesce("is_contaminated", F.lit(True)))
         .withColumn("eligible", F.col("q_ok") & F.col("rep_ok") & F.col("clean_ok"))
+        # persisted for the duration of the returned plan's execution: the
+        # flag table feeds three branches (signature semi-join, dedup
+        # input, final report) of ONE query, and is a few slim columns per
+        # doc — MEMORY_AND_DISK + LRU eviction bounds the cost across
+        # repeated calls (same precedent as curate_documents' stats cache)
         .persist()
     )
     eligible_ids = flags.where("eligible").select("doc_id")
@@ -242,9 +247,8 @@ def read_curated_split(
     """Read one training split (optionally one language) from the
     partitioned curated dataset — the filters land on partition columns,
     so the scan prunes to the matching directories."""
-    from pyspark.sql import functions as F  # noqa: PLC0415 (local alias)
-
     df = spark.read.parquet(path).where(F.col("split") == split)
     if predicted_lang is not None:
         df = df.where(F.col("predicted_lang") == predicted_lang)
     return df
+

@@ -268,15 +268,13 @@ def ivf_assign(
         l2_norm(F.col(emb_col)).alias("nrm"),
     )
     if centroids is not None:
-        from temporal_vector_database_spark.functions.vector import l2_norm as _nrm
-
         cents = centroids.select(
             "centroid_id",
             "c_emb",
             (
                 F.col("c_nrm")
                 if "c_nrm" in centroids.columns
-                else _nrm(F.col("c_emb")).alias("c_nrm")
+                else l2_norm(F.col("c_emb")).alias("c_nrm")
             ),
         )
     else:

@@ -1600,13 +1600,23 @@ def q_events_outliers(spark, sf_dir):
         F.sum(F.col("v_e3") * F.col("v_e3")).cast("long").alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n").cast("double")
-    var = (
-        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
-    ) / (F.col("n").cast("double") - F.lit(1.0))
-    stats = stats.select("event_type", mean.alias("mean_e3"), F.sqrt(var).alias("std_e3"))
+    # n > 1 guard (sample variance undefined for singleton groups) and a
+    # greatest(·, 0) clamp (float cancellation can go epsilon-negative);
+    # degenerate groups carry std 0 and are excluded by the z filter below
+    var = F.greatest(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n").cast("double")
+        )
+        / (F.col("n").cast("double") - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    stats = stats.where(F.col("n") > 1).select(
+        "event_type", mean.alias("mean_e3"), F.sqrt(var).alias("std_e3")
+    )
     z = (F.col("v_e3").cast("double") - F.col("mean_e3")) / F.col("std_e3")
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(F.broadcast(stats.where(F.col("std_e3") > 0)), "event_type")
         .withColumn("z_r", F.round(z, 6))
         .where(F.abs("z_r") >= 2.5)
         .select("event_type", "event_id", "ts_ms", "v_e3", "z_r")
@@ -3125,14 +3135,15 @@ st AS (
 ms AS (
   SELECT event_type,
          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_e3,
-         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-              / (CAST(n AS DOUBLE) - 1.0)) AS std_e3
-  FROM st
+         sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS std_e3
+  FROM st WHERE n > 1
 )
 SELECT e.event_type, e.event_id, e.ts_ms, e.v_e3,
        round((CAST(e.v_e3 AS DOUBLE) - ms.mean_e3) / ms.std_e3, 6) AS z_r
 FROM e JOIN ms USING (event_type)
-WHERE abs(round((CAST(e.v_e3 AS DOUBLE) - ms.mean_e3) / ms.std_e3, 6)) >= 2.5
+WHERE ms.std_e3 > 0
+  AND abs(round((CAST(e.v_e3 AS DOUBLE) - ms.mean_e3) / ms.std_e3, 6)) >= 2.5
 """
 
 ORACLES["events_histogram"] = """

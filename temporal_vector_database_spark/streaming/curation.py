@@ -9,9 +9,14 @@ deduplicates its ELIGIBLE documents against the signature store of all
 previously accepted documents (``incremental_near_duplicate_pairs`` —
 only the batch is shingled). A batch document is dropped when it
 near-dups anything older: any store partner, or a lower-id partner in
-its own batch. With exact-signature clustering (``min_jaccard_est =
-1.0``) this is provably the batch funnel's min-id-canonical rule applied
-incrementally (identity is transitive), pinned in tests.
+its own batch — i.e. ARRIVAL order decides, a survivor is never
+retracted. With exact-signature clustering (``min_jaccard_est = 1.0``)
+and doc_ids assigned monotonically with arrival (the normal crawl/ingest
+discipline — new documents get new, larger ids), this equals the batch
+funnel's min-id-canonical rule applied incrementally (identity is
+transitive), pinned in tests. If an OLDER id can arrive in a LATER
+batch, the stream keeps the earlier-arriving member where the batch
+funnel would keep the lower id — inherent to any no-retraction stream.
 
 Idempotent under foreachBatch at-least-once replay, same discipline as
 ``streaming/dedup.py``: survivors / per-batch report / signatures all go
@@ -177,8 +182,8 @@ def run_curation_stream(
     """Drain available document batches (Trigger.AvailableNow) through
     the curation funnel. After the drain, the union of surviving doc_ids
     equals the one-shot ``full_curation_report`` survivors over every
-    document streamed, for exact-signature clustering (pinned in
-    tests)."""
+    document streamed, for exact-signature clustering WITH
+    arrival-monotone doc_ids (see module docstring; pinned in tests)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_curation_batch(

@@ -272,12 +272,15 @@ def test_segment_dedup_conserves_and_dedups_clones(spark, word_lists):
     assert all(0 <= r["n_kept"] <= r["n_segments"] for r in out.values())
     # the clone keeps nothing: every one of its segments occurred earlier
     assert out[clone_id]["n_kept"] == 0
-    # doc 0 keeps all ITS segments unless an earlier... there is none: id 0 is first
-    assert out[0]["n_kept"] == out[0]["n_segments"]
-    # rebuilt doc 0 is the original text
+    # doc 0 is first in corpus order, so it keeps exactly the first
+    # occurrence of each of ITS OWN segments (internal repeats drop too)
     import hashlib
 
-    assert out[0]["clean_hash"] == hashlib.md5(docs[0][1].encode()).hexdigest()
+    words0 = word_lists[0]
+    segs0 = [" ".join(words0[i : i + 2]) for i in range(0, len(words0), 2)]
+    keep0 = [s for i, s in enumerate(segs0) if s not in segs0[:i]]
+    assert out[0]["n_kept"] == len(keep0)
+    assert out[0]["clean_hash"] == hashlib.md5(" ".join(keep0).encode()).hexdigest()
 
 
 @settings(max_examples=8, deadline=None, derandomize=True)
