@@ -229,3 +229,25 @@ def test_pii_scrub_is_narrow(spark, qmap):
     plan = formatted_plan(qmap["pii_scrub"](spark, SF_DIR))
     # pure column expressions: no exchange at all beyond the scan
     assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_no_cartesian_and_bucketed_pairs(spark, qmap):
+    plan = formatted_plan(qmap["semantic_dedup"](spark, SF_DIR))
+    # the pairwise stage must be an equi-join on centroid_id, never a
+    # cartesian product over the corpus
+    assert "CartesianProduct" not in plan, plan
+    assert "centroid_id" in plan
+
+
+def test_edit_distance_pairs_no_cartesian(spark, qmap):
+    plan = formatted_plan(qmap["edit_distance_pairs"](spark, SF_DIR))
+    # candidates come from the gram equi-join; verification joins by id
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan
+
+
+def test_events_outliers_broadcasts_stats(spark, qmap):
+    plan = formatted_plan(qmap["events_outliers"](spark, SF_DIR))
+    # the per-type stats table is tiny and must come back as a broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
