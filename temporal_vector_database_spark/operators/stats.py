@@ -129,3 +129,39 @@ def optimize_content_bases(versions: DataFrame, max_cost: int | None = None,
 def list_content_ids(versions: DataFrame) -> DataFrame:
     """O13 (``storage/temporal_database.py:332-352``)."""
     return versions.select("content_id").distinct().orderBy("content_id")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: per-column row/null/exact-distinct counts in
+    ONE pass (beyond-reference; the ingestion-side sanity check every
+    pipeline runs before training on a new drop).
+
+    Multiple exact count-distincts compile to a single Expand + two-phase
+    aggregate — one shuffle total. At 100 TB you would swap
+    ``approx_count_distinct`` in (same plan shape, constant-size HLL
+    state; error bounds pinned in tests/test_approx.py); the exact form
+    is the oracle-checkable twin. Output: one row per profiled column —
+    (column_name, n_rows, n_nulls, n_distinct).
+    """
+    cols = columns if columns is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nulls_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__dist_{c}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.column_name", "r.n_rows", "r.n_nulls", "r.n_distinct"
+    )

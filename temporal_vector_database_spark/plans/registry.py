@@ -3619,6 +3619,38 @@ FROM c WHERE start_word < n_doc_words
 """
 
 
+def q_profile_documents(spark, sf_dir):
+    """Data-quality profile of the documents table: per-column
+    row/null/exact-distinct counts in one pass."""
+    from temporal_vector_database_spark.operators.stats import profile_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+ORACLES["profile_documents"] = """
+SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+"""
+
+
 def q_edit_distance_pairs(spark, sf_dir):
     """String-similarity join gate: Levenshtein <= 3 via q-gram prefix
     filtering. The fixture corpus has no near-identical texts (random
@@ -3987,6 +4019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_outliers": q_events_outliers,
     "events_histogram": q_events_histogram,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "profile_documents": q_profile_documents,
     # bit-equal twins of r01-green queries (same oracle gates the primary;
     # physical-path equality is separately test-pinned) — lowest marginal
     # value of a driver row, so they sort AFTER the genuinely new entries
