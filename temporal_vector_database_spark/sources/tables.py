@@ -115,3 +115,26 @@ def read_versions_as(
     elif format == "json":
         raise ValueError("JSON read requires the versions schema (types are not self-describing)")
     return reader.load(path)
+
+
+def register_driver_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every driver table (and the fixture ``versions`` table) as a
+    temp view so users can work in pure ``spark.sql`` — the same names the
+    DuckDB oracle uses, making any oracle SQL in this repo runnable
+    against Spark verbatim (modulo dialect). Returns the view names."""
+    from temporal_vector_database_spark.sources.fixtures import ensure_fixtures
+
+    names = []
+    for t in DRIVER_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_events(spark, sf_dir) if t == "events" else spark.read.parquet(path)
+        df.createOrReplaceTempView(t)
+        names.append(t)
+    fix = ensure_fixtures(sf_dir)
+    spark.read.parquet(os.path.join(fix, "versions.parquet")).createOrReplaceTempView(
+        "versions"
+    )
+    names.append("versions")
+    return names

@@ -89,3 +89,21 @@ def test_salted_left_join_keeps_unmatched_once(spark):
         tuple(r) for r in salted_join(fact, dim, ["k"], n_salt=4, how="left").collect()
     )
     assert got == [("a", 1, "dim-a"), ("a", 2, "dim-a"), ("b", 3, None)]
+
+
+def test_register_driver_views_enables_pure_sql(spark, sf_dir):
+    from temporal_vector_database_spark.sources.tables import register_driver_views
+
+    names = register_driver_views(spark, sf_dir)
+    assert {"lineitem", "orders", "events", "versions"} <= set(names)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    assert len(got) >= 2 and all(r["n"] > 0 for r in got)
+    # the versions fixture view serves the engine's own tables too
+    assert spark.sql("SELECT count(*) AS n FROM versions").first()["n"] > 0
