@@ -910,6 +910,82 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    codeword_mod: int = 20,
+    codeword_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — the FAISS ``IndexIVFPQ`` formulation:
+    PQ codes are trained on and assigned to RESIDUALS ``x − c(x)`` after
+    centroid subtraction, and the ADC score decomposes exactly as
+    ``dot(q, x) ≈ dot(q, c) + Σ_s LUT_s[code_s]`` (inner product is
+    linear, so the per-probe constant ``dot(q, c)`` absorbs the coarse
+    term and the LUTs only carry the fine structure). Residuals are much
+    smaller in magnitude than raw vectors, so the same m×codewords budget
+    quantizes them with far less error — this is why every production
+    IVF-PQ encodes residuals.
+
+    Plan shape is identical to ``ivfpq_topk`` (probe pruning, broadcast
+    codebooks/LUTs, m-int codes, zero embedding bytes at query time)
+    plus one broadcast centroid join to form residuals at index-build
+    time. On the quantized grid every subtraction/dot is exact, so the
+    gate is hash-stable.
+    """
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.functions.vector import dot, l2_norm
+
+    cents, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
+    res = assign.join(F.broadcast(cents), "centroid_id").select(
+        "vid",
+        "centroid_id",
+        F.zip_with("emb", "c_emb", lambda x, c: x - c).alias("r_emb"),
+    )
+    cb = pq_codebooks(res, m, codeword_mod, codeword_rem, id_col="vid", emb_col="r_emb")
+    codes = pq_encode(res, cb, m, id_col="vid", emb_col="r_emb").join(
+        res.select("vid", "centroid_id"), "vid"
+    )
+    q = queries.select(
+        F.col("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        l2_norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        dot(F.col("q_emb"), F.col("c_emb")).alias("qc_dot"),
+        _guarded_sim("q_emb", "c_emb", "q_nrm", "c_nrm").alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id", "qc_dot")
+    )
+    luts = _pq_luts(queries, cb, m, emb_col)
+    scored = (
+        probes.join(codes, "centroid_id")
+        .join(F.broadcast(luts), "query_id")
+        .select(
+            "query_id", "vid", (F.col("qc_dot") + _adc_expr(m)).alias("adc_score")
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
+    )
+
+
 def pq_topk_reranked(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -3752,6 +3752,110 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, min_cosine=0.5)
 
 
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-encoded IVF-PQ gate (FAISS IndexIVFPQ formulation):
+    codes quantize x − c(x); ADC = dot(q, c) + residual LUT sum."""
+    from temporal_vector_database_spark.operators.search import ivfpq_residual_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivfpq_residual_topk(emb, queries, k=10, nprobe=2, m=4)
+
+
+ORACLES["ivfpq_residual_topk"] = (
+    _QEMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, nrm, centroid_id FROM (
+    SELECT en.vec_id AS vid, en.emb, en.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT a.vid, a.centroid_id,
+         list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] - c.c_emb[i]) AS r
+  FROM assign a JOIN cents c USING (centroid_id)
+),
+sgrid AS (SELECT unnest([0, 1, 2, 3]) AS s),
+cwsub AS (
+  SELECT vid AS codeword_id, s,
+         list_slice(r, s * (len(r) // 4) + 1, (s + 1) * (len(r) // 4)) AS cw
+  FROM res CROSS JOIN sgrid WHERE vid % 20 = 7
+),
+vsub AS (
+  SELECT vid, s,
+         list_slice(r, s * (len(r) // 4) + 1, (s + 1) * (len(r) // 4)) AS sub
+  FROM res CROSS JOIN sgrid
+),
+codes AS (
+  SELECT vid, s, codeword_id FROM (
+    SELECT v.vid, v.s, c.codeword_id,
+           row_number() OVER (PARTITION BY v.vid, v.s ORDER BY
+             (list_dot_product(v.sub, v.sub) - 2 * list_dot_product(v.sub, c.cw) + list_dot_product(c.cw, c.cw)) ASC,
+             c.codeword_id ASC) AS rn
+    FROM vsub v JOIN cwsub c ON v.s = c.s
+  ) WHERE rn = 1
+),
+codes_w AS (
+  SELECT cd.vid, r.centroid_id,
+         max(CASE WHEN cd.s = 0 THEN cd.codeword_id END) AS code_0,
+         max(CASE WHEN cd.s = 1 THEN cd.codeword_id END) AS code_1,
+         max(CASE WHEN cd.s = 2 THEN cd.codeword_id END) AS code_2,
+         max(CASE WHEN cd.s = 3 THEN cd.codeword_id END) AS code_3
+  FROM codes cd JOIN res r ON cd.vid = r.vid GROUP BY cd.vid, r.centroid_id
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, centroid_id, qc_dot FROM (
+    SELECT q.query_id, c.centroid_id,
+           list_dot_product(q.qe, c.c_emb) AS qc_dot,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (CASE WHEN q.nq > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(q.qe, c.c_emb) / (q.nq * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+qsub AS (
+  SELECT query_id, s,
+         list_slice(qe, s * (len(qe) // 4) + 1, (s + 1) * (len(qe) // 4)) AS qs
+  FROM q CROSS JOIN sgrid
+),
+lut AS (
+  SELECT qs.query_id, qs.s, cw.codeword_id, list_dot_product(qs.qs, cw.cw) AS pdot
+  FROM qsub qs JOIN cwsub cw ON qs.s = cw.s
+),
+scored AS (
+  SELECT p.query_id, w.vid,
+         p.qc_dot + l0.pdot + l1.pdot + l2.pdot + l3.pdot AS adc_score
+  FROM probes p
+  JOIN codes_w w ON w.centroid_id = p.centroid_id
+  JOIN lut l0 ON l0.query_id = p.query_id AND l0.s = 0 AND l0.codeword_id = w.code_0
+  JOIN lut l1 ON l1.query_id = p.query_id AND l1.s = 1 AND l1.codeword_id = w.code_1
+  JOIN lut l2 ON l2.query_id = p.query_id AND l2.s = 2 AND l2.codeword_id = w.code_2
+  JOIN lut l3 ON l3.query_id = p.query_id AND l3.s = 3 AND l3.codeword_id = w.code_3
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, adc_score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, vid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10
+"""
+)
+
+
 def q_kmeans_step(spark, sf_dir):
     """One Lloyd iteration from the deterministic modulo seeds: the
     assignment half reuses ivf_assign, the update half is the
@@ -4011,6 +4115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "semantic_dedup": q_semantic_dedup,
     "kmeans_step": q_kmeans_step,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "training_pipeline_full": q_training_pipeline_full,
     "events_range_frame": q_events_range_frame,
     "events_rank_functions": q_events_rank_functions,

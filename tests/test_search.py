@@ -454,3 +454,35 @@ def test_ivf_recall_vs_brute_force(spark):
         len(ivf_sets.get(q, set()) & want) / len(want) for q, want in brute_sets.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivfpq_residual_exact_when_every_vector_is_its_centroid(spark):
+    """With centroid_mod=1 every vector is its own centroid (distinct
+    directions -> self-assignment), residuals are all-zero, every LUT
+    entry is 0, and the ADC score collapses to the EXACT dot(q, x) —
+    pinning the score decomposition dot(q,c) + residual-ADC."""
+    import numpy as np
+
+    from temporal_vector_database_spark.operators.search import ivfpq_residual_topk
+
+    rng_free = [(i, [((i * 7 + d * 3) % 13 - 6) / 8.0 + (2.0 if d == i % 8 else 0.0)
+                     for d in range(8)]) for i in range(24)]
+    emb = spark.createDataFrame(rng_free, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    got = ivfpq_residual_topk(
+        emb, queries, k=5, nprobe=24, m=4, centroid_mod=1, centroid_rem=0
+    )
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for r in got.collect():
+        qv = rows[r["query_id"]]
+        assert abs(r["adc_score"] - float(qv @ rows[r["vec_id"]])) < 1e-9
+    # ranks equal exact-dot ranks (ties broken by vid)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, ranked in by_q.items():
+        qv = rows[qid]
+        want = sorted(rows, key=lambda v: (-(qv @ rows[v]), v))[:5]
+        assert [v for _, v in sorted(ranked)] == want
