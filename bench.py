@@ -46,6 +46,7 @@ HEADLINE = (
     "pq_topk",
     "pq_topk_reranked",
     "ivfpq_topk",
+    "ivfpq_residual_topk",
     "topk_search_indexed",
     "training_pipeline",
     "training_pipeline_strict",
