@@ -1032,3 +1032,103 @@ def pq_topk_reranked(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def sq8_stats(
+    embeddings: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> tuple[list, list]:
+    """Per-dimension (min, scale) for int8 scalar quantization:
+    scale_d = (max_d − min_d) / 255. One partial-aggregated posexplode
+    pass; only DIM rows return to the driver (the k-means discipline)."""
+    rows = (
+        embeddings.select(F.posexplode(F.col(emb_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    mins = [r["mn"] for r in rows]
+    scales = [(r["mx"] - r["mn"]) / 255.0 for r in rows]
+    return mins, scales
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    mins: list,
+    scales: list,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """int8 codes: code_d = floor((x_d − min_d)/scale_d + 0.5), clamped
+    degenerate dims (max == min) to 0. ``floor(· + 0.5)`` instead of
+    ``round`` because the two engines' round() half-rules differ
+    (half-up vs half-even) and (x−min)/scale can land exactly on .5;
+    floor(+0.5) is bit-identical everywhere. Zero shuffle — pure column
+    math against literal per-dim arrays."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    sc = F.array(*[F.lit(float(v)) for v in scales])
+    dim = len(mins)
+    code = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(
+            F.element_at(sc, d + 1) > 0,
+            F.floor(
+                (F.element_at(F.col(emb_col), d + 1) - F.element_at(mn, d + 1))
+                / F.element_at(sc, d + 1)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return embeddings.select(F.col(id_col).alias("vid"), code.alias("codes"))
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k by inner product — the
+    4-8× compression tier below PQ: ``dot(q, x̂) = dot(q, min) +
+    Σ_d (q_d·scale_d)·code_d``, so per query only the precomputed
+    ``q·scale`` vector and the constant ``dot(q, min)`` ride the
+    broadcast, and the scan touches int codes, never floats. Same
+    dequantization identity FAISS's ``IndexScalarQuantizer`` uses."""
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.functions.vector import dot
+
+    mins, scales = sq8_stats(embeddings, id_col, emb_col)
+    codes = sq8_encode(embeddings, mins, scales, id_col, emb_col)
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    sc = F.array(*[F.lit(float(v)) for v in scales])
+    q = queries.select(
+        "query_id",
+        dot(F.col(emb_col), mn).alias("q_min_dot"),
+        F.zip_with(F.col(emb_col), sc, lambda x, s: x * s).alias("q_scaled"),
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vid",
+        (
+            F.col("q_min_dot")
+            + F.aggregate(
+                F.zip_with(
+                    F.col("q_scaled"),
+                    F.col("codes"),
+                    lambda qsv, c: qsv * c.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "score", "rank")
+    )

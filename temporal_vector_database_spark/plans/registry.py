@@ -3856,6 +3856,59 @@ SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10
 )
 
 
+def q_sq8_topk(spark, sf_dir):
+    """Scalar-quantization (int8) approximate top-k gate — the 4-8×
+    compression tier below PQ; dequantized-inner-product identity."""
+    from temporal_vector_database_spark.operators.search import sq8_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return sq8_topk(emb, queries, k=10)
+
+
+ORACLES["sq8_topk"] = (
+    _QEMB_CTE
+    + """
+, dims AS (
+  SELECT CAST(i AS INTEGER) AS d, min(emb[i]) AS mn, max(emb[i]) AS mx
+  FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
+  GROUP BY 1
+),
+st AS (
+  SELECT list(mn ORDER BY d) AS mns, list((mx - mn) / 255.0 ORDER BY d) AS scs FROM dims
+),
+codes AS (
+  SELECT vec_id AS vid,
+         list_transform(range(1, len(emb) + 1),
+           i -> CASE WHEN scs[i] > 0
+                     THEN CAST(floor((emb[i] - mns[i]) / scs[i] + 0.5) AS INTEGER)
+                     ELSE 0 END) AS codes
+  FROM e CROSS JOIN st
+),
+q AS (
+  SELECT CAST(vec_id AS INTEGER) AS query_id,
+         list_dot_product(emb, mns) AS q_min_dot,
+         list_transform(range(1, len(emb) + 1), i -> emb[i] * scs[i]) AS q_scaled
+  FROM e CROSS JOIN st WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vid,
+         q.q_min_dot + list_dot_product(q.q_scaled,
+           list_transform(c.codes, x -> CAST(x AS DOUBLE))) AS score
+  FROM codes c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+"""
+)
+
+
 def q_kmeans_step(spark, sf_dir):
     """One Lloyd iteration from the deterministic modulo seeds: the
     assignment half reuses ivf_assign, the update half is the
@@ -4116,6 +4169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_step": q_kmeans_step,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
+    "sq8_topk": q_sq8_topk,
     "training_pipeline_full": q_training_pipeline_full,
     "events_range_frame": q_events_range_frame,
     "events_rank_functions": q_events_rank_functions,

@@ -486,3 +486,43 @@ def test_ivfpq_residual_exact_when_every_vector_is_its_centroid(spark):
         qv = rows[qid]
         want = sorted(rows, key=lambda v: (-(qv @ rows[v]), v))[:5]
         assert [v for _, v in sorted(ranked)] == want
+
+
+def test_sq8_recall_and_dequant_error_bound(spark):
+    import numpy as np
+
+    from temporal_vector_database_spark.operators.search import (
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    rows = []
+    for i in range(300):
+        center = [0.0] * 16
+        center[(i % 4) * 4] = 10.0
+        rows.append((i, [center[d] + ((i * 13 + d * 7) % 21 - 10) / 4.0 for d in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    # dequantization error per dim is bounded by scale/2
+    mins, scales = sq8_stats(df)
+    truth = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for r in sq8_encode(df, mins, scales).collect():
+        x = truth[r["vid"]]
+        for d, c in enumerate(r["codes"]):
+            xhat = mins[d] + c * scales[d]
+            assert abs(xhat - x[d]) <= scales[d] / 2 + 1e-12
+    # recall@10 vs the exact INNER-PRODUCT ranking (sq8 scores dots, not
+    # cosine) stays high
+    got = {}
+    for r in sq8_topk(df, queries, k=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    mat = {v: np.asarray(e) for v, e in truth.items()}
+    recalls = []
+    for q in got:
+        qv = mat[q]
+        want = set(sorted(mat, key=lambda v: (-(qv @ mat[v]), v))[:10])
+        recalls.append(len(got[q] & want) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8
