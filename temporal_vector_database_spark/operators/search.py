@@ -1132,3 +1132,49 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias(id_col), "score", "rank")
     )
+
+
+def bq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized (1-bit) approximate top-k: candidates are stored
+    as sign bits only (32× compression at float32); scoring is
+    ASYMMETRIC — the full-precision query against ±1 sign vectors,
+    ``score = Σ_d q_d · sign(x_d)`` — which ranks identically to Hamming
+    distance for normalized inputs but keeps the query's magnitudes (the
+    modern binary-quantization recipe, cheapest tier of the 1-bit → int8
+    (SQ8) → PQ ladder).
+
+    Zero shuffle for scoring (query batch broadcast over the sign-code
+    scan); one per-query top-k window. sign(0) := +1, pinned on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    signs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(emb_col),
+            lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("int"),
+        ).alias("sgn"),
+    )
+    q = queries.select("query_id", F.col(emb_col).alias("q_emb"))
+    scored = signs.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vid",
+        F.aggregate(
+            F.zip_with(F.col("q_emb"), F.col("sgn"), lambda x, s: x * s.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "score", "rank")
+    )

@@ -3856,6 +3856,41 @@ SELECT query_id, vec_id, adc_score, rank FROM ranked WHERE rank <= 10
 )
 
 
+def q_bq_topk(spark, sf_dir):
+    """Binary-quantization (1-bit sign codes, asymmetric scoring) gate —
+    cheapest tier of the 1-bit → int8 → PQ compression ladder."""
+    from temporal_vector_database_spark.operators.search import bq_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return bq_topk(emb, queries, k=10)
+
+
+ORACLES["bq_topk"] = (
+    _QEMB_CTE
+    + """
+, signs AS (
+  SELECT vec_id AS vid,
+         list_transform(emb, x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS sgn
+  FROM e
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, s.vid, list_dot_product(q.qe, s.sgn) AS score
+  FROM signs s CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vid) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+"""
+)
+
+
 def q_sq8_topk(spark, sf_dir):
     """Scalar-quantization (int8) approximate top-k gate — the 4-8×
     compression tier below PQ; dequantized-inner-product identity."""
@@ -4170,6 +4205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_step": q_kmeans_step,
     "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "sq8_topk": q_sq8_topk,
+    "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
     "events_range_frame": q_events_range_frame,
     "events_rank_functions": q_events_rank_functions,
