@@ -47,6 +47,8 @@ HEADLINE = (
     "pq_topk_reranked",
     "ivfpq_topk",
     "ivfpq_residual_topk",
+    "sq8_topk",
+    "bq_topk",
     "topk_search_indexed",
     "training_pipeline",
     "training_pipeline_strict",

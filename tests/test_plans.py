@@ -251,3 +251,16 @@ def test_events_outliers_broadcasts_stats(spark, qmap):
     # the per-type stats table is tiny and must come back as a broadcast
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_plan_summary_utility(spark, qmap):
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["tpch_q10"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    assert s.n_broadcast_exchanges >= 3
+    assert any("o_orderdate" in f for f in s.pushed_filters)
+    assert s.read_schemas  # scans expose their pruned schemas
+    # pure-map plan: zero shuffles end to end
+    z = summarize_plan(qmap["pii_scrub"](spark, SF_DIR))
+    z.assert_no_cartesian().assert_max_shuffles(0)
