@@ -352,7 +352,7 @@ def kmeans_step(
     the update half of k-means, exposed as a gateable DataFrame.
 
     Output: (centroid_id, dim, centroid_r, n) — the refined centroid
-    coordinates (rounded to 9 dp) and cluster sizes. posexplode → avg is
+    coordinates and cluster sizes. posexplode → avg is
     fully partial-aggregatable (map-side combine), so a giant cluster
     reduces map-side instead of funnelling through one task; on the
     quantized grid the sums are exact, making avg order-independent and
@@ -365,7 +365,9 @@ def kmeans_step(
         assign.select("centroid_id", F.posexplode("emb").alias("dim", "x"))
         .groupBy("centroid_id", "dim")
         .agg(
-            F.round(F.avg("x"), 9).alias("centroid_r"),
+            # unrounded: grid-exact sums make the quotient engine-identical;
+            # round(·, 9) lands ON the half boundary for dyadic averages
+            F.avg("x").alias("centroid_r"),
             F.count("*").cast("long").alias("n"),
         )
     )

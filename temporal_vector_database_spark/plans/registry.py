@@ -702,7 +702,12 @@ def q_label_centroids(spark, sf_dir):
         .select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg("x"), 9).alias("centroid_r"),
+            # plain avg, NOT round(avg, 9): the inputs are exact on the
+            # 1/1024 grid so the sum (any order) and quotient are bit-equal
+            # in every engine, while round() at 9 dp sits ON the half
+            # boundary for dyadic averages and the engines' half-rules
+            # differ (caught by the sf0.001 sweep)
+            F.avg("x").alias("centroid_r"),
             F.count("*").cast("long").alias("n"),
         )
     )
@@ -3000,7 +3005,7 @@ x AS (
   SELECT label, CAST(t.i - 1 AS INTEGER) AS dim, emb[t.i] AS x
   FROM e, unnest(range(1, len(emb) + 1)) AS t(i)
 )
-SELECT label, dim, round(avg(x), 9) AS centroid_r, CAST(count(*) AS BIGINT) AS n
+SELECT label, dim, avg(x) AS centroid_r, CAST(count(*) AS BIGINT) AS n
 FROM x GROUP BY 1, 2
 """
 
@@ -3973,7 +3978,7 @@ assign AS (
   ) WHERE rn = 1
 )
 SELECT centroid_id, CAST(i - 1 AS INTEGER) AS dim,
-       round(avg(emb[i]), 9) AS centroid_r,
+       avg(emb[i]) AS centroid_r,
        CAST(count(*) AS BIGINT) AS n
 FROM assign, unnest(range(1, len(emb) + 1)) AS t(i)
 GROUP BY 1, 2

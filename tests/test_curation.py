@@ -211,3 +211,19 @@ def test_curated_dataset_sink_prunes_partitions(spark, tmp_path):
     plan = buf.getvalue()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("split" in ln and "predicted_lang" in ln for ln in pf), plan
+
+
+def test_doc_chunks_nonoverlapping_cover_property(spark):
+    # at stride == width the chunks partition the doc exactly: joined
+    # chunk texts reconstruct the original word sequence
+    from temporal_vector_database_spark.operators.curation import doc_chunks
+
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(11)))])
+    rows = sorted(doc_chunks(docs, width=4, stride=4).collect(), key=lambda r: r["chunk_idx"])
+    words = [f"t{i}" for i in range(11)]
+    rebuilt_hashes = [
+        hashlib.md5(" ".join(words[i : i + 4]).encode()).hexdigest()
+        for i in range(0, 11, 4)
+    ]
+    assert [r["chunk_hash"] for r in rows] == rebuilt_hashes
+    assert sum(r["n_words"] for r in rows) == 11
