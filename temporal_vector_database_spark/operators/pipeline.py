@@ -106,15 +106,18 @@ def curation_report(
         .cast("long")
         .alias("survivor_quality_e9"),
     )
+    # published UNROUNDED: both engines compute this identical two-division
+    # expression from identical exact integers, so the double is bit-equal
+    # everywhere — while round(·, 9) sits on the half boundary whenever the
+    # exact quotient terminates at 9 dp (the engines' float-round paths
+    # disagree there; same hazard class the sf0.001 sweep caught in
+    # label_centroids).
     return rep.withColumn(
         "avg_survivor_quality_r",
         F.when(
             F.col("n_survivors") > 0,
-            F.round(
-                (F.col("survivor_quality_e9").cast("double") / F.lit(1000000000.0))
-                / F.col("n_survivors").cast("double"),
-                9,
-            ),
+            (F.col("survivor_quality_e9").cast("double") / F.lit(1000000000.0))
+            / F.col("n_survivors").cast("double"),
         ),
     )
 

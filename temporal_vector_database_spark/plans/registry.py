@@ -2269,8 +2269,8 @@ SELECT predicted_lang, source,
        CAST(sum(CASE WHEN is_survivor THEN n_chars ELSE 0 END) AS BIGINT) AS survivor_chars,
        CAST(sum(CASE WHEN is_survivor THEN CAST(round(quality_r * 1000000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS survivor_quality_e9,
        CASE WHEN sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) > 0 THEN
-         round((CAST(sum(CASE WHEN is_survivor THEN CAST(round(quality_r * 1000000000.0) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000000.0)
-               / CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS DOUBLE), 9)
+         (CAST(sum(CASE WHEN is_survivor THEN CAST(round(quality_r * 1000000000.0) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000000.0)
+               / CAST(sum(CASE WHEN is_survivor THEN 1 ELSE 0 END) AS DOUBLE)
        END AS avg_survivor_quality_r
 FROM surv GROUP BY 1, 2
 """
