@@ -197,3 +197,134 @@ def run_curation_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def _read_segment_store(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    if not _has_batches(state_dir):
+        return None
+    return spark.read.option("basePath", state_dir).parquet(
+        os.path.join(state_dir, "batch=*")
+    )
+
+
+def process_segment_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    output_dir: str,
+    text_col: str = "text",
+    width: int = 4,
+) -> None:
+    """Streaming C4-style segment dedup: one micro-batch against the
+    store of every segment already seen. A batch segment survives when
+    it is absent from the store AND is the first occurrence (min
+    (doc_id, seg_idx)) within its own batch; surviving segments' md5
+    keys append to the store. Documents are rebuilt from their surviving
+    segments exactly as the batch operator does.
+
+    State is segment-HASH rows only (16 bytes each), never text — the
+    store for a 100 TB corpus is ~1% of corpus bytes and joins as a
+    build-side semi-join. Outputs and state go to per-batch OVERWRITE
+    partitions with current-batch exclusion on read: replay-idempotent.
+    """
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_seg = F.ceil(F.size(w) / F.lit(width)).cast("int")
+    segs = batch_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda s: F.struct(
+                        s.cast("int").alias("seg_idx"),
+                        F.array_join(F.slice(w, s * width + 1, width), " ").alias("seg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<seg_idx:int,seg:string>>"))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.col("s.seg").alias("seg"),
+        F.md5(F.col("s.seg")).alias("seg_hash"),
+    )
+    store = _read_segment_store(spark, state_dir)
+    if store is not None:
+        seen = store.where(F.col("batch") != batch_id).select("seg_hash").distinct()
+        fresh = segs.join(seen, "seg_hash", "left_anti")
+    else:
+        fresh = segs
+    first = fresh.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_at")
+    )
+    kept = fresh.join(first, "seg_hash").where(
+        (F.col("doc_id") == F.col("first_at.doc_id"))
+        & (F.col("seg_idx") == F.col("first_at.seg_idx"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = batch_df.select("doc_id", n_seg.cast("bigint").alias("n_segments"))
+    out = totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.length(F.coalesce("clean_text", F.lit(""))).cast("bigint").alias("clean_len"),
+        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(output_dir, "docs", f"batch={batch_id}")
+    )
+    kept.select("seg_hash").distinct().write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+
+
+def read_stream_segment_docs(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    path = os.path.join(output_dir, "docs")
+    if not _has_batches(path):
+        return None
+    return (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "batch=*"))
+        .drop("batch")
+    )
+
+
+def run_segment_dedup_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    width: int = 4,
+) -> None:
+    """Drain available batches through streaming segment dedup. With
+    arrival-monotone doc_ids the union of rebuilt docs equals the
+    one-shot ``segment_dedup`` over everything streamed (pinned in
+    tests)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_segment_dedup_batch(
+            batch_df, batch_id, state_dir, output_dir, text_col, width
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -107,3 +107,56 @@ def test_curation_batch_replay_is_idempotent(spark, tmp_path):
     # store holds one signature row per ELIGIBLE doc, never doubled
     sigs = read_signature_store(spark, state)
     assert sigs.count() == 6  # eligible: 1, 7 (b0) and 5, 8, 9, 11 (b1)
+
+
+def test_streaming_segment_dedup_equals_batch(spark, sf_dir, tmp_path):
+    from temporal_vector_database_spark.operators.curation import segment_dedup
+    from temporal_vector_database_spark.streaming.curation import (
+        read_stream_segment_docs,
+        run_segment_dedup_stream,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").select("doc_id", "text")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < med).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= med).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out, state = str(tmp_path / "out"), str(tmp_path / "segs")
+    run_segment_dedup_stream(stream, state, out, str(tmp_path / "ckpt"), width=4)
+
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_hash"])
+        for r in read_stream_segment_docs(spark, out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_hash"])
+        for r in segment_dedup(docs, width=4).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_segment_dedup_replay_idempotent(spark, tmp_path):
+    from temporal_vector_database_spark.operators.curation import segment_dedup
+    from temporal_vector_database_spark.streaming.curation import (
+        process_segment_dedup_batch,
+        read_stream_segment_docs,
+    )
+
+    rows = [(1, "p q r s"), (2, "p q x y"), (3, "r s"), (4, "x y p q")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out, state = str(tmp_path / "out"), str(tmp_path / "segs")
+    b0 = docs.where(F.col("doc_id") <= 2)
+    b1 = docs.where(F.col("doc_id") > 2)
+    process_segment_dedup_batch(b0, 0, state, out, width=2)
+    process_segment_dedup_batch(b1, 1, state, out, width=2)
+    process_segment_dedup_batch(b1, 1, state, out, width=2)  # replay
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_hash"])
+        for r in read_stream_segment_docs(spark, out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_kept"], r["clean_hash"])
+        for r in segment_dedup(docs, width=2).collect()
+    }
+    assert got == want
