@@ -1330,6 +1330,7 @@ def edit_distance_pairs(
     pref_len = q * max_dist + 1
     grams = docs.select(
         "doc_id",
+        F.length(text_col).alias("tlen"),
         F.explode(
             F.array_distinct(
                 F.expr(
@@ -1342,11 +1343,18 @@ def edit_distance_pairs(
     freq = grams.groupBy("g").agg(F.count("*").alias("df"))
     wg = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
     ranked = grams.join(freq, "g").withColumn("rn", F.row_number().over(wg))
-    prefix = ranked.where(F.col("rn") <= pref_len).select("doc_id", "g")
+    prefix = ranked.where(F.col("rn") <= pref_len).select("doc_id", "tlen", "g")
+    # the |len(a)−len(b)| <= k length filter is applied INSIDE the
+    # candidate join (an over-length pair can never verify, so this is
+    # pure pruning) — on self-similar corpora it collapses the gram
+    # bucket blow-up before any pair materializes
     cands = (
         prefix.alias("p")
         .join(grams.alias("f"), "g")
-        .where(F.col("p.doc_id") != F.col("f.doc_id"))
+        .where(
+            (F.col("p.doc_id") != F.col("f.doc_id"))
+            & (F.abs(F.col("p.tlen") - F.col("f.tlen")) <= max_dist)
+        )
         .select(
             F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("a_id"),
             F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("b_id"),

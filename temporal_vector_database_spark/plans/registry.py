@@ -3683,21 +3683,21 @@ WITH docs2 AS (
   FROM documents WHERE doc_id % 83 = 0
 ),
 grams AS (
-  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 4) AS g
+  SELECT DISTINCT doc_id, length(text) AS tlen, substring(text, CAST(i AS INTEGER), 4) AS g
   FROM docs2, unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS t(i)
   WHERE length(substring(text, CAST(i AS INTEGER), 4)) = 4
 ),
 freq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
 ranked AS (
-  SELECT gr.doc_id, gr.g,
+  SELECT gr.doc_id, gr.tlen, gr.g,
          row_number() OVER (PARTITION BY gr.doc_id ORDER BY f.df, gr.g) AS rn
   FROM grams gr JOIN freq f USING (g)
 ),
-pref AS (SELECT doc_id, g FROM ranked WHERE rn <= 13),
+pref AS (SELECT doc_id, tlen, g FROM ranked WHERE rn <= 13),
 cand AS (
   SELECT DISTINCT least(p.doc_id, f.doc_id) AS a_id, greatest(p.doc_id, f.doc_id) AS b_id
   FROM pref p JOIN grams f USING (g)
-  WHERE p.doc_id <> f.doc_id
+  WHERE p.doc_id <> f.doc_id AND abs(p.tlen - f.tlen) <= 3
 ),
 v AS (
   SELECT c.a_id, c.b_id, CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
