@@ -1649,6 +1649,107 @@ def q_events_histogram(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Product-analytics funnel: view → click → purchase with strict
+    temporal ordering per user (each step's timestamp must follow the
+    previous step's FIRST occurrence). Three user-keyed filtered
+    aggregations chained by join — every stage shuffles on user_id once
+    and the frames shrink monotonically; no window over the event
+    stream."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_ms") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .where(F.col("ts_ms") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.when(F.col("t_purchase").isNotNull(), 3)
+                .when(F.col("t_click").isNotNull(), 2)
+                .when(F.col("t_view").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("int")
+            .alias("steps_completed"),
+        )
+    )
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset) the distinct count of cohort members active
+    that day. Pure integer day math; two user-keyed aggregates."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_ms div 86400000").cast("long").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+def q_length_balanced_sample(spark, sf_dir):
+    """Length-distribution rebalancing: documents bucketed into token-
+    count quartiles (ntile with full tie-break), then deterministically
+    down-sampled per quartile (keep 100/75/50/25%) via the same
+    md5-threshold membership as the sampling family — long docs are
+    over-represented in token mass, so training mixes thin them.
+
+    The quartile boundaries use a GLOBAL ntile window (single task) —
+    correct for the gate; at 100 TB swap in approx_percentile thresholds
+    (same downstream plan, boundaries from a sketch instead of a total
+    sort)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("int").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    q = toks.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    thresholds = {1: 1.0, 2: 0.75, 3: 0.5, 4: 0.25}
+    cond = None
+    for quart, frac in thresholds.items():
+        c = (F.col("quartile") == quart) & (u32 < int(frac * 2**32))
+        cond = c if cond is None else (cond | c)
+    return q.where(cond).select("doc_id", "n_tokens", "quartile")
+
+
 def q_lineitem_stat_aggs(spark, sf_dir):
     """Statistical aggregates per return flag: sample stddev/variance of
     quantity, correlation and covariance of (quantity, linenumber).
@@ -3162,6 +3263,76 @@ SELECT event_type, CAST(floor(v_e3 / 25000.0) AS BIGINT) AS bin,
 FROM e GROUP BY 1, 2
 """
 
+ORACLES["events_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+v AS (SELECT user_id, min(ts_ms) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts_ms) AS t_click
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_ms > v.t_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts_ms) AS t_purchase
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click
+  GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 WHEN v.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS steps_completed
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+ORACLES["events_retention"] = """
+WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+act AS (
+  SELECT DISTINCT e.user_id, c.cohort_day, e.day - c.cohort_day AS day_offset
+  FROM e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM act GROUP BY 1, 2
+"""
+
+ORACLES["length_balanced_sample"] = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INTEGER) AS quartile
+  FROM t
+),
+h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS hh FROM q),
+u AS (SELECT *, CAST({U32} AS BIGINT) AS u32 FROM h)
+SELECT doc_id, n_tokens, quartile FROM u
+WHERE (quartile = 1 AND u32 < 4294967296)
+   OR (quartile = 2 AND u32 < 3221225472)
+   OR (quartile = 3 AND u32 < 2147483648)
+   OR (quartile = 4 AND u32 < 1073741824)
+"""
+).replace(
+    "{U32}",
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")",
+)
+
 ORACLES["lineitem_stat_aggs"] = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        round(stddev_samp(l_quantity), 6) AS qty_stddev,
@@ -4217,6 +4388,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_percentile_filter": q_quality_percentile_filter,
     "doc_chunks": q_doc_chunks,
     "events_outliers": q_events_outliers,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "length_balanced_sample": q_length_balanced_sample,
     "events_histogram": q_events_histogram,
     "edit_distance_pairs": q_edit_distance_pairs,
     "profile_documents": q_profile_documents,
