@@ -3263,6 +3263,57 @@ SELECT event_type, CAST(floor(v_e3 / 25000.0) AS BIGINT) AS bin,
 FROM e GROUP BY 1, 2
 """
 
+def q_docs_pivot(spark, sf_dir):
+    """PIVOT shape: per-source document counts and token mass spread
+    across language columns (`groupBy().pivot()` with an explicit value
+    list — the explicit list keeps the schema static, which is both the
+    oracle contract and the only scalable form: value-discovery pivots
+    scan twice)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "source",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("n_tok"),
+    )
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = (
+        toks.groupBy("source")
+        .pivot("lang", langs)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(f"{lang}_{m}"), F.lit(0)).cast("long").alias(f"{lang}_{m}")
+            for lang in langs
+            for m in ("docs", "tokens")
+        ],
+    )
+
+
+ORACLES["docs_pivot"] = (
+    """
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source,
+"""
+    + ",\n".join(
+        f"       CAST(COALESCE(sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS {lang}_docs,\n"
+        f"       CAST(COALESCE(sum(CASE WHEN lang = '{lang}' THEN n_tok ELSE 0 END), 0) AS BIGINT) AS {lang}_tokens"
+        for lang in ("de", "en", "es", "fr", "zh")
+    )
+    + """
+FROM t GROUP BY source
+"""
+)
+
+
 ORACLES["events_funnel"] = """
 WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
 v AS (SELECT user_id, min(ts_ms) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
@@ -4391,6 +4442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "length_balanced_sample": q_length_balanced_sample,
+    "docs_pivot": q_docs_pivot,
     "events_histogram": q_events_histogram,
     "edit_distance_pairs": q_edit_distance_pairs,
     "profile_documents": q_profile_documents,
