@@ -107,3 +107,32 @@ def test_register_driver_views_enables_pure_sql(spark, sf_dir):
     assert len(got) >= 2 and all(r["n"] > 0 for r in got)
     # the versions fixture view serves the engine's own tables too
     assert spark.sql("SELECT count(*) AS n FROM versions").first()["n"] > 0
+
+
+def test_events_funnel_strict_ordering(spark, tmp_path):
+    """A purchase BEFORE the first click (or a click before the first
+    view) must not advance the funnel — steps count only in order."""
+    import datetime as dt
+
+    from temporal_vector_database_spark.plans.registry import q_events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        # u2: purchase first, then view -> click (purchase never recounts)
+        (4, t0, 2, "purchase", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=2), 2, "click", 1.0, "{}"),
+        # u3: click only
+        (7, t0, 3, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    src = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(src + "/events.parquet")
+    out = {r["user_id"]: r["steps_completed"] for r in q_events_funnel(spark, src).collect()}
+    assert out == {1: 3, 2: 2, 3: 0}
