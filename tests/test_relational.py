@@ -136,3 +136,27 @@ def test_events_funnel_strict_ordering(spark, tmp_path):
     df.coalesce(1).write.parquet(src + "/events.parquet")
     out = {r["user_id"]: r["steps_completed"] for r in q_events_funnel(spark, src).collect()}
     assert out == {1: 3, 2: 2, 3: 0}
+
+
+def test_events_retention_cohort_offsets(spark, tmp_path):
+    import datetime as dt
+
+    from temporal_vector_database_spark.plans.registry import q_events_retention
+
+    d0 = dt.datetime(2024, 1, 1, 5)
+    rows = [
+        # u1 first active day 0, returns day 2; u2 first active day 1 only
+        (1, d0, 1, "view", 1.0, "{}"),
+        (2, d0 + dt.timedelta(days=2), 1, "click", 1.0, "{}"),
+        (3, d0 + dt.timedelta(days=1), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    src = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(src + "/events.parquet")
+    got = {
+        (r["cohort_day"] - 19723, r["day_offset"]): r["n_active"]
+        for r in q_events_retention(spark, src).collect()
+    }  # 19723 = days(2024-01-01)
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
