@@ -3314,6 +3314,98 @@ FROM t GROUP BY source
 )
 
 
+def q_quality_weighted_sample(spark, sf_dir):
+    """Importance sampling by quality: accept each document with
+    probability equal to its quality score — deterministic via the
+    md5-threshold membership (u32/2^32 < quality_r), so the sample is a
+    pure property of (doc_id, quality) and reproducible anywhere. The
+    quality-weighted mixing primitive of training-data recipes."""
+    from temporal_vector_database_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    q = quality_score(docs).select("doc_id", "quality_r")
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        q.withColumn("u", u32.cast("double") / F.lit(float(2**32)))
+        .where(F.col("u") < F.col("quality_r"))
+        .select("doc_id", "quality_r")
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence: lag window per user (ts, event_id order), then one count
+    aggregate per (prev_type, type) with the exact transition ratio
+    against the prev_type total."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )
+
+
+_U32_HH = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+ORACLES["quality_weighted_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS INTEGER) AS n_stop
+  FROM t
+), q AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+               * (0.3 + 0.7 * least(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0)), 9) AS quality_r
+  FROM s
+), h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS hh FROM q)
+SELECT doc_id, quality_r FROM h
+WHERE CAST({_U32_HH} AS DOUBLE) / 4294967296.0 < quality_r
+"""
+
+ORACLES["event_transitions"] = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+  FROM e
+),
+pairs AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.event_type, p.n, t.n_from,
+       CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM pairs p JOIN tot t USING (prev_type)
+"""
+
+
 ORACLES["events_funnel"] = """
 WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
 v AS (SELECT user_id, min(ts_ms) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
@@ -4443,6 +4535,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "length_balanced_sample": q_length_balanced_sample,
     "docs_pivot": q_docs_pivot,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "event_transitions": q_event_transitions,
     "events_histogram": q_events_histogram,
     "edit_distance_pairs": q_edit_distance_pairs,
     "profile_documents": q_profile_documents,
