@@ -70,6 +70,15 @@ HEADLINE = (
     "tpch_q18",
     "top_orders_per_customer",
     "events_sessionize",
+    "version_rollup",
+    "length_balanced_sample",
+    "docs_winnow_fingerprint",
+    "suffix_array_ngrams",
+    "bm25_scores",
+    "tfidf_topterms",
+    "edit_distance_pairs",
+    "events_hopping",
+    "doc_ccnet_buckets",
 )
 
 
@@ -121,21 +130,23 @@ def main() -> None:
         " 0D, (a, x) -> a + x), md5('w')"
     ).collect()
 
-    # min-of-2 per query: this host's timing noise is extreme (identical
+    # min-of-3 per query: this host's timing noise is extreme (identical
     # plans vary 3-57 s minutes apart under external load), so a single
     # cold pass is dominated by whatever else the machine is doing; the
-    # min approximates steady-state throughput of the plan itself.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min approximates steady-state throughput of the plan itself. The
+    # raw per-rep timings are published alongside (`reps`) so a reader
+    # can separate host noise from plan changes without rerunning.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = None
+        raw[name] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            raw[name].append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(raw[name])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -145,6 +156,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": raw,
                 "sf": sf,
             }
         )

@@ -1315,17 +1315,22 @@ def edit_distance_pairs(
     Soundness: one edit destroys at most ``q`` q-grams, so ed(s,t) <= k
     implies t's gram set contains all but <= q*k of s's distinct grams —
     hence at least one of s's (q*k + 1) globally-rarest grams (its
-    "prefix"). Candidates = prefix(x) ⋈ full(y) on the gram, both
-    orientations canonicalized; verify = native ``levenshtein`` plus the
-    |len(a) - len(b)| <= k length filter. Documents with fewer than
-    ``q`` characters generate no grams and are not candidates
-    (documented limitation of q-gram filters).
+    "prefix") — PROVIDED s has more than q*k distinct grams. A document
+    with <= q*k distinct grams (short text, or long degenerate text)
+    can lose its entire gram set to k edits, so those documents are
+    routed through a direct length-banded verify against the whole
+    corpus instead: the "small" side is broadcast, each small doc meets
+    only docs within the |len| <= k band, and the union of both paths
+    restores the full contract ("ALL pairs with distance <= k").
 
     Scale posture: the prefix side is (q*k + 1) rows per doc and the
     join lands on each doc's RAREST grams (global-frequency order), so
     bucket sizes stay small on natural corpora; verification cost is
-    candidate-bounded. The expensive levenshtein touches only candidate
-    pairs' texts, fetched by semi-join.
+    candidate-bounded. The fallback side is tiny on natural corpora
+    (documents of <= ~q·(k+1) characters); a corpus that is MOSTLY
+    degenerate shorts defeats q-gram filtering by nature and should
+    lower ``q`` instead. The expensive levenshtein touches only
+    candidate pairs' texts, fetched by semi-join.
     """
     pref_len = q * max_dist + 1
     grams = docs.select(
@@ -1344,6 +1349,29 @@ def edit_distance_pairs(
     wg = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
     ranked = grams.join(freq, "g").withColumn("rn", F.row_number().over(wg))
     prefix = ranked.where(F.col("rn") <= pref_len).select("doc_id", "tlen", "g")
+    # fallback path: docs whose DISTINCT gram count <= q*k (including
+    # zero-gram docs shorter than q chars) — the prefix filter is not
+    # sound for them, so band-join them against everything nearby in
+    # length and let levenshtein decide
+    ng = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    lens = docs.select("doc_id", F.length(text_col).alias("tlen"))
+    small = (
+        lens.join(ng, "doc_id", "left")
+        .where(F.coalesce(F.col("n_grams"), F.lit(0)) <= q * max_dist)
+        .select(F.col("doc_id").alias("s_id"), F.col("tlen").alias("s_len"))
+    )
+    small_cands = (
+        lens.alias("t")
+        .join(
+            F.broadcast(small).alias("s"),
+            (F.col("s.s_id") != F.col("t.doc_id"))
+            & (F.abs(F.col("s.s_len") - F.col("t.tlen")) <= max_dist),
+        )
+        .select(
+            F.least(F.col("s.s_id"), F.col("t.doc_id")).alias("a_id"),
+            F.greatest(F.col("s.s_id"), F.col("t.doc_id")).alias("b_id"),
+        )
+    )
     # the |len(a)−len(b)| <= k length filter is applied INSIDE the
     # candidate join (an over-length pair can never verify, so this is
     # pure pruning) — on self-similar corpora it collapses the gram
@@ -1359,6 +1387,7 @@ def edit_distance_pairs(
             F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("a_id"),
             F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("b_id"),
         )
+        .unionByName(small_cands)
         .distinct()
     )
     a = docs.select(

@@ -25,15 +25,23 @@ from pyspark.sql import functions as F
 from temporal_vector_database_spark.functions.text import with_text_stats
 from temporal_vector_database_spark.operators.dedup import dedup_survivors
 
+# shared LSH defaults: the streaming funnel (streaming/curation.py)
+# imports these so stream and batch diverge only where documented —
+# a differing band width silently changes candidate recall for any
+# min_jaccard_est < 1.0 (r02 advisor finding)
+DEDUP_NUM_HASHES = 8
+DEDUP_BANDS = 4
+DEDUP_WIDTH = 3
+
 
 def curate_documents(
     docs: DataFrame,
     text_col: str = "text",
     min_quality: float = 0.15,
     drop_unknown_lang: bool = True,
-    num_hashes: int = 8,
-    bands: int = 4,
-    width: int = 3,
+    num_hashes: int = DEDUP_NUM_HASHES,
+    bands: int = DEDUP_BANDS,
+    width: int = DEDUP_WIDTH,
     min_jaccard_est: float = 0.75,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
@@ -131,9 +139,9 @@ def full_curation_report(
     max_top_bigram_frac: float = 0.18,
     decontam_n: int = 5,
     decontam_min_hits: int = 2,
-    num_hashes: int = 8,
-    bands: int = 4,
-    width: int = 3,
+    num_hashes: int = DEDUP_NUM_HASHES,
+    bands: int = DEDUP_BANDS,
+    width: int = DEDUP_WIDTH,
     min_jaccard_est: float = 1.0,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
@@ -180,12 +188,13 @@ def full_curation_report(
         .withColumn("rep_ok", F.coalesce("passes_repetition", F.lit(False)))
         .withColumn("clean_ok", ~F.coalesce("is_contaminated", F.lit(True)))
         .withColumn("eligible", F.col("q_ok") & F.col("rep_ok") & F.col("clean_ok"))
-        # persisted for the duration of the returned plan's execution: the
-        # flag table feeds three branches (signature semi-join, dedup
-        # input, final report) of ONE query, and is a few slim columns per
-        # doc — MEMORY_AND_DISK + LRU eviction bounds the cost across
-        # repeated calls (same precedent as curate_documents' stats cache)
-        .persist()
+        # the flag table feeds three branches (signature semi-join, dedup
+        # input, final report) of ONE query — localCheckpoint(eager)
+        # materializes it now and ties the blocks' lifetime to THIS
+        # DataFrame's GC, unlike persist(), which a caller of a
+        # report-returning function has no handle to unpersist (r02
+        # advisor: repeated calls accumulated cached partitions)
+        .localCheckpoint(eager=True)
     )
     eligible_ids = flags.where("eligible").select("doc_id")
     kept_sigs = sigs.join(eligible_ids, "doc_id") if sigs is not None else None

@@ -34,6 +34,69 @@ _STATE_COLS = (
     "changed_sum",
 )
 
+# fixed bucket widths in microseconds — bucketing is integer epoch math,
+# NOT date_trunc: Spark's date_trunc truncates in the SESSION timezone,
+# so the same query returns different instants under different session
+# TZs (the only way a run-anywhere oracle comparison can diverge while
+# row counts stay equal). Integer floor-division of unix_micros is
+# timezone-free by construction and reproduces date_trunc-under-UTC.
+_BUCKET_US = {
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+# epoch day 0 (1970-01-01) is a Thursday; shifting by +3 days aligns the
+# modulus grid to Mondays, matching date_trunc('week') in both engines.
+_WEEK_SHIFT_US = 3 * 86_400_000_000
+
+
+def bucket_start_expr(bucket: str, df: DataFrame, ts_col: str = "ts"):
+    """TZ-free bucket floor of a timestamp column, always producing
+    ``timestamp_ntz`` (naive — collected/compared identically under any
+    session timezone, matching the oracle's naive TIMESTAMP).
+
+    ``date_trunc`` is deliberately avoided on BOTH branches: it floors
+    in the SESSION timezone, and (verified empirically on Spark 4) even
+    a ``timestamp_ntz`` input is first coerced to LTZ through a
+    session-TZ cast — the one expression class that diverges between a
+    UTC and a non-UTC driver session while row counts stay equal.
+
+    Input handling depends on how the parquet was read (environments
+    differ on ``inferTimestampNTZ``):
+
+    - ``timestamp_ntz``: floor the naive FIELDS directly (cast to DATE
+      drops time fields; DATE→NTZ re-adds midnight — both naive-space
+      ops, no timezone involved).
+    - ``timestamp`` (LTZ): floor ``unix_micros`` with integer
+      arithmetic and rebuild a naive timestamp by adding a day-time
+      interval to the naive epoch — every step session-TZ-independent.
+    """
+    if bucket not in _BUCKET_US:
+        raise ValueError(
+            f"bucket must be one of {sorted(_BUCKET_US)}, got {bucket!r}"
+        )
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "timestamp_ntz":
+        d = F.col(ts_col).cast("date")
+        if bucket == "day":
+            return d.cast("timestamp_ntz")
+        if bucket == "hour":
+            return d.cast("timestamp_ntz") + F.make_dt_interval(
+                F.lit(0), F.hour(ts_col), F.lit(0), F.lit(0)
+            )
+        # week → most recent Monday (dayofweek: 1=Sun..7=Sat)
+        return F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % F.lit(7)).cast(
+            "timestamp_ntz"
+        )
+    width = _BUCKET_US[bucket]
+    shift = _WEEK_SHIFT_US if bucket == "week" else 0
+    us = F.unix_micros(F.col(ts_col)) + F.lit(shift)
+    floored_us = us - F.pmod(us, F.lit(width)) - F.lit(shift)
+    naive_epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    # widths are whole seconds, so the µs→s division is exact
+    secs = (floored_us / F.lit(1_000_000)).cast("decimal(18,6)")
+    return naive_epoch + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
 
 def _partials(versions: DataFrame, bucket: str) -> DataFrame:
     # magnitude is a sqrt (off any dyadic grid): double sums are
@@ -46,7 +109,7 @@ def _partials(versions: DataFrame, bucket: str) -> DataFrame:
     is_delta = F.col("kind") == "delta"
     mag_e9 = F.round(F.col("magnitude") * F.lit(1000000000.0), 0).cast("long")
     return versions.groupBy(
-        "content_id", F.date_trunc(bucket, "ts").alias("bucket_start")
+        "content_id", bucket_start_expr(bucket, versions).alias("bucket_start")
     ).agg(
         F.count("*").alias("n_versions"),
         F.sum(F.when(~is_delta, 1).otherwise(0)).cast("long").alias("n_bases"),

@@ -117,3 +117,60 @@ def token_budget_chunks(
     return df.withColumn("tokens_before", tokens_before).withColumn(
         "chunk_id", F.floor(F.col("tokens_before") / F.lit(int(budget))).cast("long")
     )
+
+
+def length_balanced_sample(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    keep_fracs: tuple[float, ...] = (1.0, 0.75, 0.5, 0.25),
+) -> DataFrame:
+    """Length-distribution rebalancing, the AT-SCALE form: documents are
+    bucketed into token-count quartiles by THRESHOLD (exact distributed
+    ``percentile`` — a single aggregate whose state is a value→count map
+    over the bounded token-count domain, broadcast back as three
+    scalars), then deterministically down-sampled per quartile with the
+    same md5-threshold membership as the rest of this module. Long docs
+    dominate token mass; training mixes thin them.
+
+    There is NO global window anywhere in this plan (contrast
+    ``length_balanced_quartiles_exact``, the single-task ``ntile`` twin
+    kept for small-data parity checks): the percentile aggregate does a
+    partial+final merge like any other agg, and bucket assignment is a
+    per-row comparison against broadcast scalars — the plan survives a
+    100× scale-up unchanged.
+
+    Bucket semantics differ from ``ntile`` at ties: a quartile is
+    ``1 + Σ (n_tokens > t_i)``, so equal token counts always land in the
+    same bucket (value-determined, engine-portable), where ntile splits
+    ties by arbitrary position to force equal bucket SIZES.
+    """
+    thresholds = df.agg(
+        F.percentile(F.col(tokens_col), F.lit([0.25, 0.5, 0.75])).alias("ts")
+    ).select(
+        F.col("ts")[0].alias("t1"), F.col("ts")[1].alias("t2"), F.col("ts")[2].alias("t3")
+    )
+    quart = (
+        F.lit(1)
+        + (F.col(tokens_col) > F.col("t1")).cast("int")
+        + (F.col(tokens_col) > F.col("t2")).cast("int")
+        + (F.col(tokens_col) > F.col("t3")).cast("int")
+    ).cast("int")
+    u = _u32(F.col(key_col))
+    bucketed = df.crossJoin(F.broadcast(thresholds)).withColumn("quartile", quart)
+    cond = None
+    for i, frac in enumerate(keep_fracs, start=1):
+        c = (F.col("quartile") == i) & (u < F.lit(int(frac * _U32_SPAN)))
+        cond = c if cond is None else (cond | c)
+    return bucketed.where(cond).drop("t1", "t2", "t3")
+
+
+def length_balanced_quartiles_exact(
+    df: DataFrame, tokens_col: str = "n_tokens", key_col: str = "doc_id"
+) -> DataFrame:
+    """The equal-SIZE quartile twin: global ``ntile(4)`` with full tie
+    break. A single-task total sort — correct, and useful as a parity
+    oracle on small data, but NOT the at-scale plan (see
+    ``length_balanced_sample``)."""
+    w = Window.orderBy(F.asc(tokens_col), F.asc(key_col))
+    return df.withColumn("quartile", F.ntile(4).over(w).cast("int"))

@@ -1,0 +1,234 @@
+"""Corpus-level text indexing / scoring operators (beyond-reference).
+
+The large-scale-training-data companions to ``operators/dedup.py``:
+local document fingerprinting (winnowing), cross-document duplicated
+n-gram spans (the shuffle-friendly approximation of suffix-array exact
+substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+Language Models Better"), and classic lexical relevance scoring (TF-IDF,
+BM25) used for quality filtering and retrieval-based curation.
+
+Everything is pure ``pyspark.sql.functions`` column algebra — no Python
+UDFs anywhere. Hashes are the engine-portable md5-prefix u32 (same as
+``operators/sampling.py``) so the DuckDB oracles check exact values.
+
+Scale posture:
+- winnowing: one posexplode + a window PARTITIONED BY doc (per-doc
+  state, never global) — embarrassingly parallel per document.
+- duplicated n-grams: ONE shuffle keyed by the gram; hot boilerplate
+  grams are handled by partial (map-side) aggregation, and the output is
+  only grams that repeat — at 100 TB this is the exact-substring-dedup
+  candidate list without ever building a suffix array.
+- TF-IDF / BM25: term-keyed doc-frequency aggregate (broadcast back),
+  doc-keyed score aggregate — two bounded shuffles, no all-pairs.
+
+Reference: no counterpart (the reference has no text surface at all;
+its closest analogue is vector search ``core/vector_database.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _u32(col: Column) -> Column:
+    """Engine-portable uniform 32-bit hash (md5-hex-prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _words(text_col: str) -> Column:
+    """Whitespace tokens with empties dropped (mirrors the oracle's
+    ``list_filter(string_split(text, ' '), x -> x <> '')``)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document: hash every
+    character ``k``-gram, then keep the MINIMUM hash of every window of
+    ``w`` consecutive k-gram hashes. Guarantees any shared substring of
+    length >= ``k + w - 1`` yields a shared fingerprint, while storing
+    ~``2/(w+1)`` of the gram hashes — the standard local fingerprinting
+    scheme for plagiarism/near-dup span detection.
+
+    Output: ``(doc_id, fp)`` distinct rows. Window frames are PER
+    DOCUMENT (``partitionBy(doc_id)``), so there is no global sort; a
+    document shorter than ``k`` yields no rows, and one with fewer than
+    ``w`` grams yields the min of what exists (window 1 only).
+    """
+    grams = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("i", "g"),
+    ).where(F.length("g") == k)
+    hashed = grams.select(id_col, "i", _u32(F.col("g")).alias("h"))
+    wspec = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy(id_col)
+    fps = (
+        hashed.withColumn("fp", F.min("h").over(wspec))
+        .withColumn("n", F.max("i").over(n_grams))
+        # full windows only (plus the single truncated window of a
+        # doc with < w grams) — mirrors textbook winnowing
+        .where(F.col("i") <= F.greatest(F.col("n") - F.lit(w - 1), F.lit(0)))
+    )
+    return fps.select(id_col, "fp").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram spans (suffix-array exact-substring dedup, n-gram grain)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word ``n``-grams that appear in at least ``min_docs`` DISTINCT
+    documents — the candidate spans of exact-substring deduplication.
+    A true suffix array finds arbitrary-length repeats; at cluster scale
+    the standard move is fixed-``n`` gram grain (any repeat of length
+    >= n words contains a repeated n-gram), which turns the problem into
+    one gram-keyed aggregate.
+
+    Output: ``(gram_hash, n_docs, n_occ)`` with ``gram_hash =
+    md5(gram)`` (the gram text itself can be long; downstream span
+    removal joins back on the hash).
+    """
+    toks = docs.select(id_col, _words(text_col).alias("ws"))
+    grams = toks.where(F.size("ws") >= n).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(ws, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_occ"),
+    )
+    return agg.where(F.col("n_docs") >= min_docs).select(
+        F.md5(F.col("gram")).alias("gram_hash"), "n_docs", "n_occ"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and BM25 (Robertson/Spärck Jones)
+# ---------------------------------------------------------------------------
+
+
+def _term_freqs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl): term frequency and document length."""
+    toks = docs.select(
+        id_col,
+        F.explode(_words(text_col)).alias("term"),
+        F.size(_words(text_col)).cast("bigint").alias("dl"),
+    )
+    return toks.groupBy(id_col, "term", "dl").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top ``top_n`` terms per document by ``tf * ln(N / df)``, ties
+    broken by term. Document frequencies are a term-keyed aggregate
+    broadcast back onto the (doc, term) rows; the per-doc top-n is a
+    window PARTITIONED BY doc — no global ordering anywhere."""
+    tf = _term_freqs(docs, text_col, id_col)
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).cast("bigint").alias("df"))
+    n_docs = docs.agg(F.countDistinct(id_col).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= top_n)
+        .select(id_col, "rn", "term", "tfidf")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed bag of query
+    terms; returns the ``top_n`` docs by (score desc, doc_id asc).
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the non-negative
+    Robertson-Spärck Jones form); ``score = Σ idf · tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl))``. The query side is a literal array
+    (broadcast by construction); corpus stats (N, avgdl, per-term df)
+    are tiny aggregates broadcast onto the doc-term rows, so the whole
+    plan is two bounded shuffles regardless of corpus size.
+    """
+    terms = sorted(set(query_terms))
+    tf = _term_freqs(docs, text_col, id_col).where(F.col("term").isin(terms))
+    stats = docs.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs")
+    ).crossJoin(
+        docs.select(F.size(_words(text_col)).cast("bigint").alias("dl0")).agg(
+            F.avg("dl0").alias("avgdl")
+        )
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    # top-n via sort+limit (Catalyst's TakeOrderedAndProject: per-partition
+    # partial top-n, no global sort); the rank window then runs over only
+    # `top_n` rows, so the partition-less frame is harmless
+    top = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_n)
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
+        id_col, "rn", "bm25"
+    )

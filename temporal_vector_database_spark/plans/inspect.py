@@ -46,19 +46,39 @@ class PlanSummary:
 
 
 def summarize_plan(df: DataFrame) -> PlanSummary:
-    """Parse the formatted plan into a :class:`PlanSummary`."""
+    """Parse the formatted plan into a :class:`PlanSummary`.
+
+    ``explain("formatted")`` prints each physical node as a detail
+    header ``(N) Exchange`` with its partitioning on a separate
+    ``Arguments: hashpartitioning(...)`` line (NOT on one line — a
+    single-line match silently counts zero, which made every
+    ``assert_max_shuffles`` vacuous until round 3; pinned by
+    ``test_plan_summary_counts_shuffles``). Shuffle exchanges are the
+    ``(N) Exchange`` headers — hash, range, AND single-partition — while
+    broadcasts print as the distinct ``(N) BroadcastExchange`` node."""
     plan = formatted_plan(df)
     s = PlanSummary()
-    s.n_broadcast_exchanges = plan.count("BroadcastExchange")
     s.has_cartesian_product = "CartesianProduct" in plan
     s.has_sort_merge_join = "SortMergeJoin" in plan
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
-            s.n_shuffle_exchanges += 1
-            m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", line)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) BroadcastExchange\b", line):
+            s.n_broadcast_exchanges += 1
+            continue
+        if not re.match(r"^\(\d+\) Exchange\b", line):
+            continue
+        s.n_shuffle_exchanges += 1
+        for j in range(i + 1, min(i + 8, len(lines))):
+            lj = lines[j]
+            if not lj.strip() or lj.startswith("("):
+                break
+            m = re.search(
+                r"Arguments: (?:hash|range)partitioning\(([^)]*)\)", lj
+            )
             if m:
                 keys = re.sub(r"#\d+", "", m.group(1))
                 s.shuffle_keysets.add(re.sub(r",\s*\d+$", "", keys))
+                break
     s.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     s.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
     return s

@@ -1719,26 +1719,40 @@ def q_events_retention(spark, sf_dir):
     )
 
 
-def q_length_balanced_sample(spark, sf_dir):
-    """Length-distribution rebalancing: documents bucketed into token-
-    count quartiles (ntile with full tie-break), then deterministically
-    down-sampled per quartile (keep 100/75/50/25%) via the same
-    md5-threshold membership as the sampling family — long docs are
-    over-represented in token mass, so training mixes thin them.
-
-    The quartile boundaries use a GLOBAL ntile window (single task) —
-    correct for the gate; at 100 TB swap in approx_percentile thresholds
-    (same downstream plan, boundaries from a sketch instead of a total
-    sort)."""
+def _doc_tokens(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    toks = docs.select(
+    return docs.select(
         "doc_id",
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("int").alias(
             "n_tokens"
         ),
     )
-    w = Window.orderBy(F.asc("n_tokens"), F.asc("doc_id"))
-    q = toks.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+
+
+def q_length_balanced_sample(spark, sf_dir):
+    """Length-distribution rebalancing, at-scale default: quartiles by
+    exact distributed ``percentile`` THRESHOLDS (broadcast scalars, no
+    global window anywhere — see ``operators/sampling.py``), then the
+    md5-threshold per-quartile down-sample (keep 100/75/50/25%). The
+    single-task ntile twin is gated separately as
+    ``length_balanced_sample_exact``."""
+    from temporal_vector_database_spark.operators.sampling import length_balanced_sample
+
+    return length_balanced_sample(_doc_tokens(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quartile"
+    )
+
+
+def q_length_balanced_sample_exact(spark, sf_dir):
+    """Equal-SIZE quartile twin of ``length_balanced_sample``: global
+    ``ntile(4)`` with full (n_tokens, doc_id) tie-break — a single-task
+    total sort, kept as the small-data parity form, NOT the at-scale
+    plan."""
+    from temporal_vector_database_spark.operators.sampling import (
+        length_balanced_quartiles_exact,
+    )
+
+    q = length_balanced_quartiles_exact(_doc_tokens(spark, sf_dir))
     u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
@@ -1748,6 +1762,193 @@ def q_length_balanced_sample(spark, sf_dir):
         c = (F.col("quartile") == quart) & (u32 < int(frac * 2**32))
         cond = c if cond is None else (cond | c)
     return q.where(cond).select("doc_id", "n_tokens", "quartile")
+
+
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (head/middle/tail thirds by a
+    perplexity proxy — mean characters per token), thresholds from exact
+    distributed ``percentile`` broadcast as two scalars; per-(lang,
+    bucket) counts with order-independent min/max score stats. No global
+    window; the same broadcast-threshold shape as
+    ``length_balanced_sample``."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.length("text").cast("double")
+            / F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast(
+                "double"
+            )
+        ).alias("score"),
+    )
+    thr = scored.agg(
+        F.percentile(F.col("score"), F.lit([1.0 / 3.0, 2.0 / 3.0])).alias("ts")
+    ).select(F.col("ts")[0].alias("t1"), F.col("ts")[1].alias("t2"))
+    bucket = (
+        F.when(F.col("score") <= F.col("t1"), F.lit("head"))
+        .when(F.col("score") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+def q_docs_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03): min-hash of
+    each window of consecutive character k-gram hashes, distinct per
+    doc. Per-document window frames only — embarrassingly parallel."""
+    from temporal_vector_database_spark.operators.textindex import winnow_fingerprints
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return winnow_fingerprints(docs, k=7, w=16)
+
+
+def q_suffix_array_ngrams(spark, sf_dir):
+    """Cross-document duplicated word 8-grams — the gram-grain form of
+    suffix-array exact-substring dedup (Lee et al. 2022). The fixture
+    corpus is random word soup with no natural cross-doc 8-gram repeats,
+    so the gate appends a fixed boilerplate clause to every 10th doc on
+    BOTH engines; the operator must recover exactly the boilerplate's
+    interior grams with their doc/occurrence counts."""
+    from temporal_vector_database_spark.operators.textindex import duplicated_ngrams
+
+    boiler = (
+        " copyright notice all rights reserved contact the site owner"
+        " for permission to reuse any part of this page content"
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(boiler))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return duplicated_ngrams(docs, n=8, min_docs=2)
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 top-20 documents for a fixed query bag. Corpus stats are
+    broadcast scalar aggregates; top-n is sort+limit (TakeOrdered), not
+    a global window."""
+    from temporal_vector_database_spark.operators.textindex import bm25_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return bm25_scores(docs, ["vector", "join", "scan"], top_n=20)
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (score = tf · ln(N/df), ties by
+    term). Per-doc window partitions only."""
+    from temporal_vector_database_spark.operators.textindex import tfidf_top_terms
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return tfidf_top_terms(docs, top_n=3)
+
+
+def q_events_hopping(spark, sf_dir):
+    """Hopping (sliding) window aggregate: 2h windows every 1h, so each
+    event lands in exactly two windows — the batch twin of Structured
+    Streaming's ``window(ts, '2 hours', '1 hour')``, in pure integer
+    ``ts_ms`` math (TZ-free)."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    hour = 3_600_000
+    off = F.explode(F.array(F.lit(0), F.lit(1))).alias("off")
+    windows = ev.select("user_id", "value", "ts_ms", off).select(
+        (
+            (F.col("ts_ms") - F.col("ts_ms") % hour) - F.col("off") * hour
+        ).alias("window_start_ms"),
+        "user_id",
+        "value",
+    )
+    return windows.groupBy("window_start_ms").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def q_events_dedup_idempotent(spark, sf_dir):
+    """Batch twin of streaming ``dropDuplicates``: dedupe by business
+    key (user_id, event_type, ts_ms), pinning the SURVIVOR as the min
+    event_id (group-by, not ``dropDuplicates``, whose survivor is
+    partition-order-dependent). The gate injects duplicate rows (same
+    key, new event_id) on both engines so group sizes exercise > 1."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ms")
+    dupes = ev.where(F.col("event_id") % 100 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    return (
+        ev.unionByName(dupes)
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(
+            F.min("event_id").cast("bigint").alias("kept_event_id"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def q_events_approx_distinct(spark, sf_dir):
+    """Distinct-user sketch gate: per event type, exact distinct count
+    plus a boolean pinning Spark's HLL++ (``approx_count_distinct``,
+    rsd 0.01) within 5% of exact. The oracle asserts the exact count and
+    ``approx_ok = true`` — a bounded-error contract the driver can hash,
+    for a sketch no two engines compute identically."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+def q_edit_distance_pairs_short(spark, sf_dir):
+    """Short-text edit-distance join gate: texts truncated to lengths
+    3/9/15/21, so the corpus mixes docs below the q-gram soundness bound
+    (<= q·k distinct grams → direct banded-verify fallback) with docs on
+    the prefix-filter path — and the ORACLE is the brute-force
+    definition (all pairs, length band, levenshtein), not a plan mirror:
+    the operator's recall is checked against ground truth."""
+    from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.expr("substring(text, 1, 3 + CAST(doc_id % 4 AS INT) * 6)").alias("text"),
+        )
+    )
+    return edit_distance_pairs(docs, max_dist=2, q=4)
 
 
 def q_lineitem_stat_aggs(spark, sf_dir):
@@ -3004,9 +3205,12 @@ ORACLES["multimodal_decode"] = _DECODE_CTE + "SELECT * FROM dec"
 # is on an integer-valued or integer-quotient double — engines whose
 # round() implementations differ on raw sqrt doubles (BigDecimal half-up
 # vs multiply/std::round) still agree bit-for-bit here.
+# bucket_start is integer epoch-day math (NOT date_trunc) to mirror the
+# Spark side's TZ-free bucketing — see operators/rollup.py:bucket_start_expr.
 ORACLES["version_rollup"] = f"""
 WITH st AS (
-  SELECT content_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+  SELECT content_id,
+         make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS bucket_start,
          count(*) AS n_versions,
          sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS n_bases,
          sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS n_deltas,
@@ -3016,7 +3220,7 @@ WITH st AS (
                   THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS BIGINT) AS mag_max_e9,
          CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS BIGINT) AS changed_sum
   FROM {_V}
-  GROUP BY content_id, date_trunc('day', ts)
+  GROUP BY content_id, (epoch_us(ts) // 86400000000) * 86400000000
 )
 SELECT content_id, bucket_start, n_versions, n_bases, n_deltas,
        CAST(round(CAST(mag_sum_e9 AS DOUBLE) / CAST(n_deltas AS DOUBLE)) AS BIGINT)
@@ -3446,7 +3650,51 @@ SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
 FROM act GROUP BY 1, 2
 """
 
+# md5-hex-prefix → u32, as an expression over a column named `hh`
+_U32_SQL = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+# at-scale default: quartiles by exact percentile THRESHOLDS (DuckDB's
+# quantile_cont and Spark's percentile share the p*(n-1) linear-
+# interpolation definition), ties value-determined — mirrors
+# operators/sampling.py:length_balanced_sample
 ORACLES["length_balanced_sample"] = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+thr AS (
+  SELECT quantile_cont(n_tokens, 0.25) AS t1,
+         quantile_cont(n_tokens, 0.5) AS t2,
+         quantile_cont(n_tokens, 0.75) AS t3
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         CAST(1 + (CASE WHEN n_tokens > t1 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > t2 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tokens > t3 THEN 1 ELSE 0 END) AS INTEGER) AS quartile
+  FROM t, thr
+),
+h AS (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS hh FROM q),
+u AS (SELECT *, CAST({U32} AS BIGINT) AS u32 FROM h)
+SELECT doc_id, n_tokens, quartile FROM u
+WHERE (quartile = 1 AND u32 < 4294967296)
+   OR (quartile = 2 AND u32 < 3221225472)
+   OR (quartile = 3 AND u32 < 2147483648)
+   OR (quartile = 4 AND u32 < 1073741824)
+"""
+).replace("{U32}", _U32_SQL)
+
+ORACLES["length_balanced_sample_exact"] = (
     """
 WITH t AS (
   SELECT doc_id,
@@ -3466,15 +3714,179 @@ WHERE (quartile = 1 AND u32 < 4294967296)
    OR (quartile = 3 AND u32 < 2147483648)
    OR (quartile = 4 AND u32 < 1073741824)
 """
-).replace(
-    "{U32}",
-    "("
-    + " + ".join(
-        f"(instr('0123456789abcdef', substring(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ")",
+).replace("{U32}", _U32_SQL)
+
+ORACLES["doc_ccnet_buckets"] = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE)
+           / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS score
+  FROM documents
+),
+thr AS (
+  SELECT quantile_cont(score, 1.0/3.0) AS t1, quantile_cont(score, 2.0/3.0) AS t2 FROM s
+),
+b AS (
+  SELECT lang,
+         CASE WHEN score <= t1 THEN 'head'
+              WHEN score <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         score
+  FROM s, thr
 )
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM b GROUP BY 1, 2
+"""
+
+# winnowing: same k=7 / w=16 parameters, window-min over per-doc gram
+# hash sequences — mirrors operators/textindex.py:winnow_fingerprints
+ORACLES["docs_winnow_fingerprint"] = (
+    """
+WITH pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         substring(text, CAST(i AS INTEGER), 7) AS g
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 6, 1) + 1)) AS t(i)
+  WHERE length(substring(text, CAST(i AS INTEGER), 7)) = 7
+),
+h0 AS (SELECT doc_id, i, substring(md5(g), 1, 8) AS hh FROM pos),
+h AS (SELECT doc_id, i, CAST({U32} AS BIGINT) AS hv FROM h0),
+wmin AS (
+  SELECT doc_id, i,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n - 15, 1)
+"""
+).replace("{U32}", _U32_SQL)
+
+ORACLES["suffix_array_ngrams"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text ||
+           ' copyright notice all rights reserved contact the site owner for permission to reuse any part of this page content'
+         ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM d
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 7 + 1),
+                i -> list_aggregate(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], 'string_agg', ' '))) AS gram
+  FROM w WHERE len(ws) >= 8
+),
+a AS (
+  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occ
+  FROM g GROUP BY 1
+)
+SELECT md5(gram) AS gram_hash, n_docs, n_occ FROM a WHERE n_docs >= 2
+"""
+
+ORACLES["bm25_scores"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+         avg(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS avgdl
+  FROM documents
+),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dfreq d USING (term), stats s
+  GROUP BY 1
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rn, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+ORACLES["tfidf_topterms"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / d.df), 6) AS tfidf
+  FROM tf JOIN dfreq d USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, rn, term, tfidf FROM ranked WHERE rn <= 3
+"""
+
+ORACLES["events_hopping"] = """
+WITH e AS (SELECT epoch_ms(ts) AS ts_ms, user_id, value FROM events),
+x AS (
+  SELECT (ts_ms - ts_ms % 3600000) - o * 3600000 AS window_start_ms, user_id, value
+  FROM e, unnest([0, 1]) AS t(o)
+)
+SELECT window_start_ms, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY 1
+"""
+
+ORACLES["events_dedup_idempotent"] = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+un AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, user_id, event_type, ts_ms
+  FROM base WHERE event_id % 100 = 0
+)
+SELECT user_id, event_type, ts_ms,
+       CAST(min(event_id) AS BIGINT) AS kept_event_id,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM un GROUP BY 1, 2, 3
+"""
+
+ORACLES["events_approx_distinct"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY 1
+"""
+
+# brute-force ground truth (NOT a plan mirror): every pair in the length
+# band, verified by levenshtein — checks the operator's recall for real
+ORACLES["edit_distance_pairs_short"] = """
+WITH d AS (
+  SELECT doc_id, substring(text, 1, CAST(3 + (doc_id % 4) * 6 AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 2
+WHERE levenshtein(a.text, b.text) <= 2
+"""
 
 ORACLES["lineitem_stat_aggs"] = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -4008,10 +4420,20 @@ ranked AS (
   FROM grams gr JOIN freq f USING (g)
 ),
 pref AS (SELECT doc_id, tlen, g FROM ranked WHERE rn <= 13),
+ngc AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
+dl AS (
+  SELECT d.doc_id, length(d.text) AS tlen, coalesce(n.ng, 0) AS ng
+  FROM docs2 d LEFT JOIN ngc n USING (doc_id)
+),
 cand AS (
   SELECT DISTINCT least(p.doc_id, f.doc_id) AS a_id, greatest(p.doc_id, f.doc_id) AS b_id
   FROM pref p JOIN grams f USING (g)
   WHERE p.doc_id <> f.doc_id AND abs(p.tlen - f.tlen) <= 3
+  UNION
+  -- docs with <= q*k distinct grams evade the prefix filter: band-verify
+  SELECT DISTINCT least(s.doc_id, t.doc_id) AS a_id, greatest(s.doc_id, t.doc_id) AS b_id
+  FROM dl s JOIN dl t
+    ON s.ng <= 12 AND s.doc_id <> t.doc_id AND abs(s.tlen - t.tlen) <= 3
 ),
 v AS (
   SELECT c.a_id, c.b_id, CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
@@ -4468,12 +4890,97 @@ FROM scrub
 """
 
 
-# The driver verifies entries in insertion order (r01 covered exactly the
-# first 50), so ordering is a correctness-coverage decision: queries WITHOUT
-# a CORRECTNESS_r01 row come first, then the formerly-red version_rollup,
-# then new this-round queries, then the r01-green remainder.
+# The driver verifies entries in insertion order, capped at 50/round
+# (r01 covered the first 50 of that round's ordering, r02 the first 50 of
+# its rotation), so ordering is a correctness-coverage decision. r03
+# priority: (1) the 17 queries that have NEVER had a driver row (r02 map
+# positions 50–66), (2) version_rollup — red r01+r02, TZ-free bucketing
+# fix landed this round, (3) new this-round queries, (4) the §2
+# core temporal/vector rows last checked in r01, to keep them warm.
+# Everything past 50 was green in r01 or r02.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- no driver CORRECTNESS row yet (r01 cap) ---
+    # --- (1) never driver-checked (r02 positions 50-66) ---
+    "events_range_frame": q_events_range_frame,
+    "events_rank_functions": q_events_rank_functions,
+    "quality_percentile_filter": q_quality_percentile_filter,
+    "doc_chunks": q_doc_chunks,
+    "events_outliers": q_events_outliers,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "length_balanced_sample": q_length_balanced_sample,
+    "docs_pivot": q_docs_pivot,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "event_transitions": q_event_transitions,
+    "events_histogram": q_events_histogram,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "profile_documents": q_profile_documents,
+    "minhash_signature_prod": q_minhash_signature_prod,  # rows-only by design
+    "topk_search_indexed": q_topk_search_indexed,
+    "ivf_topk_persisted": q_ivf_topk_persisted,
+    # --- (2) red r01+r02; TZ-free bucketing fix this round ---
+    "version_rollup": q_version_rollup,
+    # --- (3) new this round ---
+    "length_balanced_sample_exact": q_length_balanced_sample_exact,
+    "edit_distance_pairs_short": q_edit_distance_pairs_short,
+    "events_hopping": q_events_hopping,
+    "events_dedup_idempotent": q_events_dedup_idempotent,
+    "docs_winnow_fingerprint": q_docs_winnow_fingerprint,
+    "doc_ccnet_buckets": q_doc_ccnet_buckets,
+    "suffix_array_ngrams": q_suffix_array_ngrams,
+    "bm25_scores": q_bm25_scores,
+    "tfidf_topterms": q_tfidf_topterms,
+    "events_approx_distinct": q_events_approx_distinct,
+    # --- (4) §2 core temporal/vector rows (last checked r01) ---
+    "list_contents": q_list_contents,
+    "ingest_encode": q_ingest_encode,
+    "nearest_base": q_nearest_base,
+    "reconstruct_all": q_reconstruct_all,
+    "reconstruct_latest": q_reconstruct_latest,
+    "asof_resolve": q_asof_resolve,
+    "version_id_parse": q_version_id_parse,
+    "topk_search": q_topk_search,
+    "integrity_report": q_integrity_report,
+    "change_stats": q_change_stats,
+    "storage_stats": q_storage_stats,
+    "storage_efficiency": q_storage_efficiency,
+    "reconstruction_stats": q_reconstruction_stats,
+    "advisor": q_advisor,
+    "compaction_invariance": q_compaction_invariance,
+    "database_stats": q_database_stats,
+    "content_stats": q_content_stats,
+    "reconstruct_by_id": q_reconstruct_by_id,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "dedup_near_pairs": q_dedup_near_pairs,
+    "dedup_incremental": q_dedup_incremental,
+    # --- past the 50-cap: green in r01 or r02 ---
+    "simhash_signature": q_simhash_signature,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "language_id": q_language_id,
+    "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
+    "pq_codes": q_pq_codes,
+    "ivfpq_topk": q_ivfpq_topk,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
+    "label_centroids": q_label_centroids,
+    "price_quantiles": q_price_quantiles,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3_top10": q_tpch_q3_top10,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
@@ -4505,9 +5012,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "revenue_rollup": q_revenue_rollup,
     "part_setops": q_part_setops,
-    # --- red in r01, fixed this round (exact e9 magnitude sums) ---
-    "version_rollup": q_version_rollup,
-    # --- new this round ---
     "pq_topk_reranked": q_pq_topk_reranked,
     "training_pipeline_strict": q_training_pipeline_strict,
     "sample_docs": q_sample_docs,
@@ -4526,77 +5030,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
-    "events_range_frame": q_events_range_frame,
-    "events_rank_functions": q_events_rank_functions,
-    "quality_percentile_filter": q_quality_percentile_filter,
-    "doc_chunks": q_doc_chunks,
-    "events_outliers": q_events_outliers,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "length_balanced_sample": q_length_balanced_sample,
-    "docs_pivot": q_docs_pivot,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "event_transitions": q_event_transitions,
-    "events_histogram": q_events_histogram,
-    "edit_distance_pairs": q_edit_distance_pairs,
-    "profile_documents": q_profile_documents,
-    # bit-equal twins of r01-green queries (same oracle gates the primary;
-    # physical-path equality is separately test-pinned) — lowest marginal
-    # value of a driver row, so they sort AFTER the genuinely new entries
-    # in case the sweep is capped
-    "minhash_signature_prod": q_minhash_signature_prod,
-    "topk_search_indexed": q_topk_search_indexed,
-    "ivf_topk_persisted": q_ivf_topk_persisted,
-    # --- green in r01 ---
-    "list_contents": q_list_contents,
-    "ingest_encode": q_ingest_encode,
-    "nearest_base": q_nearest_base,
-    "reconstruct_all": q_reconstruct_all,
-    "reconstruct_latest": q_reconstruct_latest,
-    "asof_resolve": q_asof_resolve,
-    "version_id_parse": q_version_id_parse,
-    "topk_search": q_topk_search,
-    "integrity_report": q_integrity_report,
-    "change_stats": q_change_stats,
-    "storage_stats": q_storage_stats,
-    "storage_efficiency": q_storage_efficiency,
-    "reconstruction_stats": q_reconstruction_stats,
-    "advisor": q_advisor,
-    "compaction_invariance": q_compaction_invariance,
-    "database_stats": q_database_stats,
-    "content_stats": q_content_stats,
-    "reconstruct_by_id": q_reconstruct_by_id,
-    "dedup_exact": q_dedup_exact,
-    "token_stats": q_token_stats,
-    "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
-    "minhash_signature": q_minhash_signature,
-    "dedup_near_pairs": q_dedup_near_pairs,
-    "dedup_incremental": q_dedup_incremental,
-    "simhash_signature": q_simhash_signature,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_near_dup": q_embedding_near_dup,
-    "language_id": q_language_id,
-    "ann_topk": q_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "pq_topk": q_pq_topk,
-    "pq_codes": q_pq_codes,
-    "ivfpq_topk": q_ivfpq_topk,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_features": q_multimodal_features,
-    "frame_sample": q_frame_sample,
-    "label_centroids": q_label_centroids,
-    "price_quantiles": q_price_quantiles,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3_top10": q_tpch_q3_top10,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q7": q_tpch_q7,
 }
 
 

@@ -40,10 +40,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver has generated ``ts`` as parquet TIMESTAMP(NANOS) (which
     Spark's vectorized reader only accepts as a raw long via the legacy
-    flag) in some rounds and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) in
-    others — adapt to whichever physical type is on disk. The session
-    timezone is pinned UTC (session.py), so interpreting the naive NTZ
-    values as UTC matches DuckDB's ``epoch_ms(ts)`` on the same file."""
+    flag) in some rounds and TIMESTAMP(MICROS) in others — adapt to
+    whichever physical type is on disk, AND to whichever logical type
+    the session reads it as (``inferTimestampNTZ`` on → NTZ, off → LTZ).
+
+    Every branch is session-TZ-free: the LTZ branch's ``unix_micros`` is
+    instant→epoch (no TZ), and the NTZ branch reconstructs epoch micros
+    from the naive FIELDS (date diff + hour/minute/fractional-second,
+    all field extractions on naive values). An ``ntz.cast("timestamp")``
+    here would silently re-interpret the naive fields in the SESSION
+    timezone — the bug class that kept ``version_rollup`` red for two
+    rounds — so it is deliberately absent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
@@ -51,9 +58,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         ns = F.col("ts")
+    elif ts_type == "timestamp_ntz":
+        days = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        # extract(SECOND) carries the microsecond fraction as DECIMAL(8,6)
+        us = (
+            days.cast("long") * F.lit(86_400_000_000)
+            + (F.hour("ts").cast("long") * F.lit(3600) + F.minute("ts").cast("long") * F.lit(60))
+            * F.lit(1_000_000)
+            + (F.expr("extract(SECOND FROM ts)") * F.lit(1_000_000)).cast("long")
+        )
+        ns = us * F.lit(1000)
     else:
-        t = F.col("ts").cast("timestamp") if ts_type == "timestamp_ntz" else F.col("ts")
-        ns = F.unix_micros(t) * F.lit(1000)
+        ns = F.unix_micros(F.col("ts")) * F.lit(1000)
     return df.withColumn("ts_ns", ns.cast("long")).withColumn(
         "ts_ms", F.expr("ts_ns div 1000000").cast("long")
     )

@@ -37,6 +37,11 @@ from temporal_vector_database_spark.operators.dedup import (
     incremental_near_duplicate_pairs,
     minhash_signatures,
 )
+from temporal_vector_database_spark.operators.pipeline import (
+    DEDUP_BANDS,
+    DEDUP_NUM_HASHES,
+    DEDUP_WIDTH,
+)
 from temporal_vector_database_spark.streaming.dedup import (
     _has_batches,
     read_signature_store,
@@ -55,13 +60,17 @@ def process_curation_batch(
     max_top_bigram_frac: float = 0.18,
     decontam_n: int = 5,
     decontam_min_hits: int = 2,
-    num_hashes: int = 8,
-    bands: int = 2,
-    width: int = 3,
+    num_hashes: int = DEDUP_NUM_HASHES,
+    bands: int = DEDUP_BANDS,
+    width: int = DEDUP_WIDTH,
     min_jaccard_est: float = 1.0,
 ) -> None:
     """One micro-batch of the funnel. Safe to replay with the same
-    ``batch_id``."""
+    ``batch_id``. LSH defaults are SHARED with the batch funnel
+    (``operators/pipeline.py``) — at the exact-signature default
+    (``min_jaccard_est=1.0``) band width cannot change the pair set,
+    but for any lower threshold a differing width would silently break
+    the documented stream==batch parity."""
     if batch_df.isEmpty():
         return
     from temporal_vector_database_spark.operators.curation import (

@@ -264,3 +264,29 @@ def test_plan_summary_utility(spark, qmap):
     # pure-map plan: zero shuffles end to end
     z = summarize_plan(qmap["pii_scrub"](spark, SF_DIR))
     z.assert_no_cartesian().assert_max_shuffles(0)
+
+
+def test_plan_summary_counts_shuffles(spark, qmap):
+    """POSITIVE control for the shuffle counter: a groupBy plan must
+    report >= 1 shuffle exchange with its grouping keys — explain
+    ('formatted') splits the node header and its 'Arguments:
+    hashpartitioning(...)' onto separate lines, and a one-line matcher
+    silently reports 0 for every plan (r02 advisor finding: every
+    assert_max_shuffles was vacuously green)."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    g = summarize_plan(qmap["events_type_stats"](spark, SF_DIR))
+    assert g.n_shuffle_exchanges >= 1
+    assert any("event_type" in k for k in g.shuffle_keysets), g.shuffle_keysets
+
+
+def test_length_balanced_default_has_no_global_window(spark, qmap):
+    """The at-scale length_balanced_sample must contain NO window node
+    at all (thresholds are a broadcast scalar aggregate) — the
+    single-task ntile form lives only in the _exact twin."""
+    from temporal_vector_database_spark.plans.inspect import formatted_plan
+
+    default = formatted_plan(qmap["length_balanced_sample"](spark, SF_DIR))
+    assert ") Window" not in default, "default plan re-grew a window"
+    exact = formatted_plan(qmap["length_balanced_sample_exact"](spark, SF_DIR))
+    assert ") Window" in exact  # the twin is the deliberate single-task form

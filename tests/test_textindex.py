@@ -1,0 +1,180 @@
+"""Unit tests for operators/textindex.py and the r03 additions to
+dedup/sampling: winnowing's detection guarantee, duplicated-n-gram
+counting, BM25/TF-IDF ranking sanity, the edit-distance short-doc
+fallback (checked against in-test brute force), and the threshold-based
+length-balanced sample."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
+from temporal_vector_database_spark.operators.sampling import (
+    length_balanced_quartiles_exact,
+    length_balanced_sample,
+)
+from temporal_vector_database_spark.operators.textindex import (
+    bm25_scores,
+    duplicated_ngrams,
+    tfidf_top_terms,
+    winnow_fingerprints,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any substring of length >= k + w - 1 shared between two docs must
+    produce at least one shared fingerprint (the winnowing theorem)."""
+    k, w = 5, 4
+    shared = "XYZQWERTYUIOPAB"  # length 15 >= k + w - 1 = 8
+    docs = _docs(
+        spark,
+        [
+            "aaaa bbbb cccc " + shared + " dddd eeee",
+            "ffff gggg " + shared + " hhhh iiii jjjj",
+            "kkkk llll mmmm nnnn oooo pppp qqqq rrrr",
+        ],
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared substring produced no shared fingerprint"
+    # density: far fewer fingerprints than grams
+    n_grams0 = len(docs.collect()[0].text) - k + 1
+    assert len(by_doc[0]) < n_grams0
+
+
+def test_winnow_short_doc_single_window(spark):
+    docs = _docs(spark, ["abcdefg"])  # 3 grams at k=5 < w → one window
+    fps = winnow_fingerprints(docs, k=5, w=4).collect()
+    assert len(fps) == 1
+
+
+def test_duplicated_ngrams_counts(spark):
+    span = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            "alpha beta " + span + " gamma delta",
+            "epsilon " + span + " zeta eta theta iota",
+            # within-doc repeat only → n_docs = 1, must be excluded
+            "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8",
+        ],
+    )
+    out = duplicated_ngrams(docs, n=8, min_docs=2).collect()
+    hashes = {r.gram_hash: r for r in out}
+    import hashlib
+
+    h = hashlib.md5(span.encode()).hexdigest()
+    assert h in hashes
+    assert hashes[h].n_docs == 2 and hashes[h].n_occ == 2
+    # the within-doc repeat is n_docs=1 and filtered
+    h_x = hashlib.md5("x1 x2 x3 x4 x5 x6 x7 x8".encode()).hexdigest()
+    assert h_x not in hashes
+
+
+def test_bm25_ranks_denser_match_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            "vector vector vector pad",
+            "vector pad pad pad",
+            "pad pad pad pad",
+        ],
+    )
+    out = bm25_scores(docs, ["vector"], top_n=3).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rn)] == [0, 1]
+    assert all(r.bm25 > 0 for r in out)
+
+
+def test_tfidf_universal_term_scores_zero(spark):
+    docs = _docs(spark, ["common rare1 x", "common rare2 y", "common rare3 z"])
+    out = tfidf_top_terms(docs, top_n=3).collect()
+    scores = {(r.doc_id, r.term): r.tfidf for r in out}
+    assert scores[(0, "common")] == 0.0  # ln(N/N) = 0
+    top = {r.doc_id: r.term for r in out if r.rn == 1}
+    assert top[0] in {"rare1", "x"}  # any df=1 term outranks 'common'
+
+
+def _brute_pairs(rows, k):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ta), (ib, tb) = rows[i], rows[j]
+            if abs(len(ta) - len(tb)) <= k:
+                d = lev(ta, tb)
+                if d <= k:
+                    out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+def test_edit_distance_short_doc_fallback_matches_brute_force(spark):
+    """Docs below the q-gram soundness bound (<= q·k distinct grams) were
+    silently missing from the r02 operator; the fallback must restore
+    the full contract. Ground truth computed in-test."""
+    texts = [
+        "ab",  # 0 grams at q=4
+        "ac",  # ed('ab','ac') = 1 — the r02 miss
+        "abc",
+        "abcd",  # 1 gram
+        "abce",
+        "abcdefgh",  # 5 grams <= q*k → still fallback at k=2
+        "abcdefgi",
+        "qrstuvwxyzqrstuvwxyz",  # long: prefix path
+        "qrstuvwxyzqrstuvwxyx",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in edit_distance_pairs(docs, max_dist=2, q=4).collect()
+    }
+    want = _brute_pairs([(i, t) for i, t in enumerate(texts)], 2)
+    assert got == want
+    assert (0, 1, 1) in got  # the documented r02 false negative
+
+
+def test_length_balanced_sample_threshold_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(200)], "doc_id long, n_tokens int"
+    )
+    out = length_balanced_sample(df).collect()
+    # equal token counts always share a bucket (value-determined)
+    seen = {}
+    for r in out:
+        assert seen.setdefault(r.n_tokens, r.quartile) == r.quartile
+    # buckets ordered by token count
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.quartile, []).append(r.n_tokens)
+    qs = sorted(by_q)
+    assert qs and qs[0] >= 1 and qs[-1] <= 4
+    for lo, hi in zip(qs, qs[1:]):
+        assert max(by_q[lo]) <= min(by_q[hi])
+    # down-sampling actually thins upper quartiles on aggregate
+    assert len(out) < 200
+
+
+def test_length_balanced_exact_twin_balances_sizes(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_id long, n_tokens int"
+    )
+    q = length_balanced_quartiles_exact(df).groupBy("quartile").count().collect()
+    assert {r["count"] for r in q} == {25}
