@@ -37,6 +37,7 @@ HEADLINE = (
     "minhash_signature",
     "minhash_signature_prod",
     "dedup_near_pairs",
+    "dedup_near_pairs_banded",
     "simhash_signature",
     "simhash_near_pairs",
     "ngram_jaccard",

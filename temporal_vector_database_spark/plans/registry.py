@@ -452,6 +452,22 @@ def q_dedup_near_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_near_pairs_banded(spark, sf_dir):
+    """Near-dup pairs from the PERSISTED LSH band store: band hashes and
+    skew-tiling cells precomputed and bucketed at write time, so this
+    plan is scan → mapInPandas verify with zero exchanges (the shuffle
+    happened once, at ingest) — the steady-state shape of dedup on a
+    continuously ingested 100 TB corpus. Same oracle as
+    ``dedup_near_pairs``."""
+    from temporal_vector_database_spark.operators.dedup import (
+        near_dup_pairs_from_band_store,
+    )
+    from temporal_vector_database_spark.sources.fixtures import ensure_lsh_band_store
+
+    name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
+    return near_dup_pairs_from_band_store(spark, name)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup gate: 'new batch' = doc_id % 5 == 0, 'corpus' =
     the rest (signatures only). Oracle = the full-recompute pair SQL
@@ -2515,6 +2531,9 @@ ORACLES["dedup_incremental"] = (
     ORACLES["dedup_near_pairs"]
     + " AND (a_id % 5 = 0 OR b_id % 5 = 0)"
 )
+
+# the persisted-band-store path must produce the identical pair set
+ORACLES["dedup_near_pairs_banded"] = ORACLES["dedup_near_pairs"]
 
 ORACLES["dedup_survivors"] = (
     # the label-propagation member makes the whole WITH recursive
@@ -4930,6 +4949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_scores": q_bm25_scores,
     "tfidf_topterms": q_tfidf_topterms,
     "events_approx_distinct": q_events_approx_distinct,
+    "dedup_near_pairs_banded": q_dedup_near_pairs_banded,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

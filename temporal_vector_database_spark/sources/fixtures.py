@@ -405,6 +405,45 @@ def ensure_bucketed_versions(spark, sf_dir: str, buckets: int = 32):
 
     name = bucketed_table_name(sf_dir)
     if not spark.catalog.tableExists(name):
+        _drop_orphan_table_location(spark, name)
         df = spark.read.parquet(os.path.join(ensure_fixtures(sf_dir), "versions.parquet"))
         write_versions_bucketed(df, name, buckets=buckets)
     return spark.table(name)
+
+
+def _drop_orphan_table_location(spark, name: str) -> None:
+    """A managed table's files live in spark-warehouse (persists across
+    sessions) while the default in-memory catalog does not — a fresh
+    session then sees tableExists()=False but the write fails with
+    LOCATION_ALREADY_EXISTS. Registering the files as an external table
+    would silently LOSE the bucketing metadata (and with it the
+    zero-exchange plans), so the orphaned location is removed and the
+    table rebuilt instead."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def lsh_band_store_name(sf_dir: str, num_hashes: int = 8, bands: int = 4) -> str:
+    """Catalog name for the persisted LSH band store of one sf."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    return f"tvdb_lsh_bands_{sf}_h{num_hashes}_b{bands}_{FIXTURE_VERSION}"
+
+
+def ensure_lsh_band_store(spark, sf_dir: str, num_hashes: int = 8, bands: int = 4):
+    """Idempotently build the persisted LSH band layout from the MinHash
+    signature store (``operators.dedup.write_lsh_band_store``): band
+    hashes + tiling cells precomputed, bucketed by the full verify
+    grouping key, so the near-dup query plan has ZERO exchanges. Returns
+    the catalog table name."""
+    from temporal_vector_database_spark.operators.dedup import write_lsh_band_store
+
+    name = lsh_band_store_name(sf_dir, num_hashes, bands)
+    if not spark.catalog.tableExists(name):
+        _drop_orphan_table_location(spark, name)
+        sigs = spark.read.parquet(ensure_minhash_store(spark, sf_dir))
+        write_lsh_band_store(sigs, name, num_hashes=num_hashes, bands=bands)
+    return name

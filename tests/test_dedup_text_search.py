@@ -445,3 +445,34 @@ def test_edit_distance_pairs_filter_verify(spark):
     assert got[(1, 3)] == 1 and got[(3, 5)] == 1
     assert got[(2, 3)] == 3
     assert not any(4 in k for k in got)
+
+
+def test_band_store_pairs_equal_direct_and_zero_shuffle(spark, sf_dir):
+    """The persisted LSH band store must yield the exact pair set of the
+    direct matrix path, from a plan with ZERO exchanges (the shuffle
+    happened at write time — the steady-state dedup shape at 100 TB)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.dedup import (
+        near_dup_pairs_from_band_store,
+        near_duplicate_pairs,
+    )
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_lsh_band_store,
+        ensure_minhash_store,
+    )
+
+    name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
+    from_store = near_dup_pairs_from_band_store(spark, name)
+    s = summarize_plan(from_store)
+    assert s.n_shuffle_exchanges == 0, (
+        f"band-store read must not shuffle: {sorted(s.shuffle_keysets)}"
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sigs = spark.read.parquet(ensure_minhash_store(spark, sf_dir))
+    direct = near_duplicate_pairs(docs, num_hashes=8, bands=4, sigs=sigs)
+    key = lambda r: (r.a_id, r.b_id, r.n_match, round(r.est_jaccard, 9))
+    assert sorted(map(key, from_store.collect())) == sorted(map(key, direct.collect()))
