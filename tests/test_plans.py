@@ -290,3 +290,35 @@ def test_length_balanced_default_has_no_global_window(spark, qmap):
     assert ") Window" not in default, "default plan re-grew a window"
     exact = formatted_plan(qmap["length_balanced_sample_exact"](spark, SF_DIR))
     assert ") Window" in exact  # the twin is the deliberate single-task form
+
+
+def test_events_partitioned_layout_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Day-partitioned event layout: a time-range read must push the
+    derived day_id bounds into PartitionFilters (directories outside the
+    range are never opened) and return exactly the rows of a direct
+    ts_ms filter over the unpartitioned table."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.plans.inspect import formatted_plan
+    from temporal_vector_database_spark.sources.tables import (
+        load_events,
+        read_events_range,
+        write_events_partitioned,
+    )
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "events_by_day")
+    write_events_partitioned(ev, path)
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    start = lo + (hi - lo) // 3
+    end = lo + 2 * (hi - lo) // 3
+    ranged = read_events_range(spark, path, start, end)
+    plan = formatted_plan(ranged)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "day_id" in pf[0], plan
+    got = sorted(r.event_id for r in ranged.collect())
+    want = sorted(
+        r.event_id
+        for r in ev.where((F.col("ts_ms") >= start) & (F.col("ts_ms") < end)).collect()
+    )
+    assert got == want and len(got) > 0

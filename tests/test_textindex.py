@@ -178,3 +178,26 @@ def test_length_balanced_exact_twin_balances_sizes(spark):
     )
     q = length_balanced_quartiles_exact(df).groupBy("quartile").count().collect()
     assert {r["count"] for r in q} == {25}
+
+
+def test_remove_duplicated_spans(spark):
+    from temporal_vector_database_spark.operators.textindex import (
+        remove_duplicated_spans,
+    )
+
+    span = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            "alpha beta " + span + " gamma delta",
+            "epsilon " + span + " zeta",
+            "unrelated words entirely different from the rest here now",
+        ],
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert out[0].clean_text == "alpha beta gamma delta"
+    assert out[0].n_removed == 8 and out[0].n_words == 12
+    assert out[1].clean_text == "epsilon zeta"
+    # doc without any cross-doc duplicated 8-gram is untouched
+    assert out[2].n_removed == 0
+    assert out[2].clean_text == "unrelated words entirely different from the rest here now"
