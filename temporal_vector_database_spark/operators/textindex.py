@@ -292,3 +292,42 @@ def remove_duplicated_spans(
         F.size("ws").cast("bigint").alias("n_words"),
         (F.size("ws") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of two ranked lists — the
+    standard score-free way to combine lexical (BM25) and vector (ANN)
+    retrieval into one hybrid ranking: ``rrf = Σ 1/(k + rank_i)`` over
+    the lists containing the id, ties broken by id.
+
+    Pure expression math on two already-small ranked lists (full outer
+    join on the id + one TakeOrdered top-n) — at scale both inputs are
+    top-k outputs, so this never touches corpus-sized data. The 1/(k+r)
+    terms are exact IEEE divisions of integers evaluated in a fixed
+    two-term expression (not an aggregate), so the fused score is
+    bit-identical in any engine.
+    """
+    fa = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    fb = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    j = fa.join(fb, id_col, "full")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("rank_a")).cast("double"), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("rank_b")).cast("double"), F.lit(0.0)
+    )
+    top = (
+        j.withColumn("rrf", score)
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
+        id_col, "rn", "rank_a", "rank_b", "rrf"
+    )

@@ -1888,6 +1888,46 @@ def q_bm25_scores(spark, sf_dir):
     return bm25_scores(docs, ["vector", "join", "scan"], top_n=20)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 (lexical) fused with cosine top-50
+    of embedding query vec 0 (vector) by reciprocal-rank fusion — the
+    standard two-tower serving shape. Both inputs are top-k outputs, so
+    the fusion never touches corpus-sized data."""
+    from temporal_vector_database_spark.operators.search import topk_cosine
+    from temporal_vector_database_spark.operators.textindex import (
+        bm25_scores,
+        rrf_fuse,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    text_ranked = bm25_scores(docs, ["vector", "join", "scan"], top_n=50).select(
+        "doc_id", F.col("rn").alias("rank")
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1024) / 1024,
+        ).alias("embedding"),
+    )
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    vec_ranked = topk_cosine(emb, q0, k=50, id_cols=("vec_id",)).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(text_ranked, vec_ranked, top_n=20)
+    return fused.select(
+        "doc_id",
+        "rn",
+        F.col("rank_a").alias("rank_text"),
+        F.col("rank_b").alias("rank_vec"),
+        "rrf",
+    )
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (score = tf · ln(N/df), ties by
     term). Per-doc window partitions only."""
@@ -3906,6 +3946,69 @@ SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) A
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
+ORACLES["hybrid_search"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+         avg(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS avgdl
+  FROM documents
+),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+bscored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dfreq d USING (term), stats s
+  GROUP BY 1
+),
+t50 AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_a
+  FROM bscored ORDER BY bm25 DESC, doc_id LIMIT 50
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+),
+qv AS (SELECT emb AS qe, nrm AS nq FROM en WHERE vec_id = 0),
+vsc AS (
+  SELECT en.vec_id AS doc_id,
+         CASE WHEN qv.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(qv.qe, en.emb) / (qv.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN qv
+),
+vranked AS (
+  SELECT doc_id, sim,
+         CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS rank_b
+  FROM vsc WHERE sim > 0
+),
+v50 AS (SELECT doc_id, rank_b FROM vranked WHERE rank_b <= 50),
+f AS (
+  SELECT doc_id, a.rank_a, b.rank_b,
+         coalesce(1.0 / (60 + a.rank_a), 0.0)
+           + coalesce(1.0 / (60 + b.rank_b), 0.0) AS rrf
+  FROM t50 a FULL JOIN v50 b USING (doc_id)
+)
+SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn,
+       rank_a AS rank_text, rank_b AS rank_vec, rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
 ORACLES["tfidf_topterms"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
@@ -5019,6 +5122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_approx_distinct": q_events_approx_distinct,
     "dedup_near_pairs_banded": q_dedup_near_pairs_banded,
     "remove_dup_spans": q_remove_dup_spans,
+    "hybrid_search": q_hybrid_search,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

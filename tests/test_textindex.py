@@ -201,3 +201,18 @@ def test_remove_duplicated_spans(spark):
     # doc without any cross-doc duplicated 8-gram is untouched
     assert out[2].n_removed == 0
     assert out[2].clean_text == "unrelated words entirely different from the rest here now"
+
+
+def test_rrf_fuse_semantics(spark):
+    from temporal_vector_database_spark.operators.textindex import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=60, top_n=10).collect()}
+    # doc 11 appears in both lists → highest fused score
+    assert out[11].rn == 1
+    assert out[11].rrf == 1 / 62 + 1 / 61
+    # single-list docs score only their own term; absent ranks are null
+    assert out[10].rrf == 1 / 61 and out[10].rank_b is None
+    assert out[13].rrf == 1 / 62 and out[13].rank_a is None
+    assert set(out) == {10, 11, 12, 13}
