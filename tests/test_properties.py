@@ -298,3 +298,81 @@ def test_decontaminate_self_and_disjoint(spark, word_lists):
     other = spark.createDataFrame([(99, "one two three four")], "doc_id bigint, text string")
     dis_out = decontaminate(df, other, n=3, min_hits=1).collect()
     assert all(r["n_contaminated"] == 0 and not r["is_contaminated"] for r in dis_out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=12), min_size=2, max_size=8,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+def test_edit_distance_pairs_complete_on_any_corpus(spark, texts, k):
+    """For ANY corpus (tiny alphabet → heavy collisions, many docs under
+    the q-gram soundness bound) the operator's pair set equals the brute
+    force ground truth — the all-pairs contract restored in r03."""
+    from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in edit_distance_pairs(docs, max_dist=k, q=4).collect()
+    }
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if abs(len(texts[i]) - len(texts[j])) <= k:
+                d = lev(texts[i], texts[j])
+                if d <= k:
+                    want.add((i, j, d))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_remove_dup_spans_invariants(spark, texts):
+    """For ANY corpus: counts reconcile, untouched docs keep their exact
+    text, and every removal is justified (doc shares an n-gram with
+    another doc)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        duplicated_ngrams,
+        remove_duplicated_spans,
+    )
+
+    n = 4
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=n).collect()}
+    n_dup = duplicated_ngrams(docs, n=n).count()
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        r = out[i]
+        assert r.n_words == len(words)
+        assert 0 <= r.n_removed <= r.n_words
+        kept = [w for w in r.clean_text.split(" ") if w]
+        assert len(kept) == r.n_words - r.n_removed
+        if r.n_removed == 0:
+            assert kept == words
+        else:
+            assert n_dup > 0  # a removal implies a duplicated gram exists

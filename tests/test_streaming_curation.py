@@ -160,3 +160,60 @@ def test_streaming_segment_dedup_replay_idempotent(spark, tmp_path):
         for r in segment_dedup(docs, width=2).collect()
     }
     assert got == want
+
+
+def test_textindex_stream_equals_batch_bm25(spark, sf_dir, tmp_path):
+    """Drain the corpus through the incremental index in 3 file-batches
+    (with one replay): merged (term, df) stats and the BM25 serving path
+    equal a one-shot batch computation over the full corpus."""
+    import os
+
+    from temporal_vector_database_spark.operators.textindex import bm25_scores
+    from temporal_vector_database_spark.streaming.textindex import (
+        bm25_from_index,
+        process_textindex_batch,
+        read_index_stats,
+        run_textindex_stream,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    for m in range(3):
+        docs.where(F.col("doc_id") % 3 == m).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state = str(tmp_path / "ix")
+    run_textindex_stream(stream, state, str(tmp_path / "ckpt"))
+    # replay a batch (at-least-once foreachBatch): state must not double
+    process_textindex_batch(docs.where(F.col("doc_id") % 3 == 1), 1, state)
+
+    dfreq, stats = read_index_stats(spark, state)
+    # df parity against a direct batch computation
+    from temporal_vector_database_spark.operators.textindex import _words
+
+    want_df = {
+        (r.term, r.df)
+        for r in docs.select(
+            "doc_id", F.explode(F.array_distinct(_words("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .collect()
+    }
+    got_df = {(r.term, r.df) for r in dfreq.collect()}
+    assert got_df == want_df
+    srow = stats.first()
+    assert srow.n_docs == docs.count()
+    # serving parity: BM25 from the store == one-shot batch BM25
+    got = [
+        (r.doc_id, r.rn, r.bm25)
+        for r in bm25_from_index(docs, ["vector", "join", "scan"], dfreq, stats).collect()
+    ]
+    want = [
+        (r.doc_id, r.rn, r.bm25)
+        for r in bm25_scores(docs, ["vector", "join", "scan"]).collect()
+    ]
+    assert sorted(got) == sorted(want) and len(got) == 20
