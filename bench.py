@@ -54,6 +54,7 @@ HEADLINE = (
     "training_pipeline",
     "training_pipeline_strict",
     "training_pipeline_full",
+    "training_pipeline_banded",
     "kmeans_step",
     "token_stats",
     "text_quality",
@@ -81,6 +82,8 @@ HEADLINE = (
     "edit_distance_pairs",
     "events_hopping",
     "doc_ccnet_buckets",
+    "hybrid_search",
+    "unigram_nll",
 )
 
 

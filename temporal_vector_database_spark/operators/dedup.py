@@ -1161,6 +1161,7 @@ def dedup_survivors(
     width: int = 3,
     min_jaccard_est: float = 0.75,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End of the dedup pipeline: decide which documents SURVIVE.
 
@@ -1174,11 +1175,25 @@ def dedup_survivors(
     ``sigs``: optional precomputed signature table (see
     ``near_duplicate_pairs``) — lets a pipeline that maintains a
     persisted signature store skip the shingle pass entirely.
+
+    ``pairs``: optional precomputed pair table (e.g. the zero-shuffle
+    ``near_dup_pairs_from_band_store`` read over the persisted band
+    layout) — skips both shingling AND the band join. Sound to
+    pre-filter to ``docs``: pairwise signatures don't depend on other
+    documents, so all-corpus pairs restricted to this doc set are
+    exactly the pairs this doc set would produce. Rows involving docs
+    outside ``docs`` are dropped here defensively.
     """
-    pairs = near_duplicate_pairs(
-        docs, text_col, num_hashes, bands, width,
-        min_jaccard_est=min_jaccard_est, sigs=sigs,
-    ).where(F.col("est_jaccard") >= min_jaccard_est)
+    if pairs is None:
+        pairs = near_duplicate_pairs(
+            docs, text_col, num_hashes, bands, width,
+            min_jaccard_est=min_jaccard_est, sigs=sigs,
+        )
+    else:
+        ids_a = docs.select(F.col("doc_id").alias("a_id"))
+        ids_b = docs.select(F.col("doc_id").alias("b_id"))
+        pairs = pairs.join(ids_a, "a_id").join(ids_b, "b_id")
+    pairs = pairs.where(F.col("est_jaccard") >= min_jaccard_est)
     comp = connected_components(pairs)
     return (
         docs.select("doc_id")

@@ -44,6 +44,7 @@ def curate_documents(
     width: int = DEDUP_WIDTH,
     min_jaccard_est: float = 0.75,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The curation funnel up to (and including) near-dup clustering.
 
@@ -77,6 +78,10 @@ def curate_documents(
     kept_ids = stats.select("doc_id")
     kept_sigs = sigs.join(kept_ids, "doc_id") if sigs is not None else None
     dedup_input = docs.select("doc_id", text_col).join(kept_ids, "doc_id")
+    # pairs: all-corpus near-dup pairs (e.g. the zero-shuffle band-store
+    # read); dedup_survivors restricts them to the eligible subset, which
+    # is exactly the pair set the subset would produce (pairwise scores
+    # are doc-local)
     surv = dedup_survivors(
         dedup_input,
         text_col,
@@ -85,6 +90,7 @@ def curate_documents(
         width=width,
         min_jaccard_est=min_jaccard_est,
         sigs=kept_sigs,
+        pairs=pairs,
     )
     return docs.join(stats, "doc_id").join(surv, "doc_id")
 

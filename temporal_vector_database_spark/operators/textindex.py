@@ -331,3 +331,45 @@ def rrf_fuse(
     return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
         id_col, "rn", "rank_a", "rank_b", "rrf"
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram language-model score per document — the
+    self-contained stand-in for CCNet's LM-perplexity quality signal
+    when no external LM is available: estimate ``p(w) = count(w) /
+    total_tokens`` from the corpus itself, then score each document by
+    its mean negative log-probability (lower = closer to the corpus
+    distribution; spam/garble scores high).
+
+    Output: ``(doc_id, n_tokens, unigram_nll)``.
+
+    Plan: one term-keyed count aggregate (broadcast back as the "model"),
+    one doc-keyed sum — the same two bounded shuffles as TF-IDF. The
+    per-doc sum is ``Σ tf·ln(p)`` over ≤ vocabulary-size addends,
+    rounded to 6 dp like every float aggregate in this family.
+    """
+    toks = docs.select(id_col, F.explode(_words(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("unigram_nll"),
+        )
+    )
+    return scored

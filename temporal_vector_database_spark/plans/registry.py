@@ -339,6 +339,27 @@ def q_training_pipeline_full(spark, sf_dir):
     )
 
 
+def q_training_pipeline_banded(spark, sf_dir):
+    """The curation funnel fed by the PERSISTED band store: near-dup
+    pairs come from the zero-shuffle ``near_dup_pairs_from_band_store``
+    read (bucketed layout, shuffle paid once at ingest) instead of the
+    in-query band join. ``dedup_survivors`` restricts the all-corpus
+    pairs to the post-filter survivors — equivalent because pairwise
+    est_jaccard depends only on the two docs' signatures. Same oracle
+    as ``training_pipeline``; this is the steady-state 100 TB shape of
+    the whole funnel."""
+    from temporal_vector_database_spark.operators.dedup import (
+        near_dup_pairs_from_band_store,
+    )
+    from temporal_vector_database_spark.operators.pipeline import curation_report
+    from temporal_vector_database_spark.sources.fixtures import ensure_lsh_band_store
+
+    name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
+    pairs = near_dup_pairs_from_band_store(spark, name, min_jaccard_est=0.75)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return curation_report(docs, pairs=pairs)
+
+
 def q_quality_percentile_filter(spark, sf_dir):
     """Relative quality gate: keep each source's top half by quality
     (percent_rank with full tie-break) — the filter pipelines reach for
@@ -1928,6 +1949,20 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_unigram_nll(spark, sf_dir):
+    """Corpus-unigram LM quality score per doc (the self-estimated
+    CCNet perplexity signal): mean negative log-prob under p(w) =
+    corpus count / total tokens."""
+    from temporal_vector_database_spark.operators.textindex import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return unigram_logprob_scores(docs)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (score = tf · ln(N/df), ties by
     term). Per-doc window partitions only."""
@@ -2599,6 +2634,10 @@ ORACLES["dedup_incremental"] = (
 # the persisted-band-store path must produce the identical pair set
 ORACLES["dedup_near_pairs_banded"] = ORACLES["dedup_near_pairs"]
 
+# the band-store-fed funnel must produce the identical report
+# (pairwise est_jaccard is doc-local, so restricting all-corpus pairs
+# to the post-filter set == pairing the post-filter set)
+
 ORACLES["dedup_survivors"] = (
     # the label-propagation member makes the whole WITH recursive
     _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -2734,6 +2773,11 @@ WHERE u32 < CASE source
 ORACLES["training_pipeline_strict"] = ORACLES["training_pipeline"].replace(
     "quality_r >= 0.15", "quality_r >= 0.3"
 ).replace(">= 0.75", ">= 1.0")
+
+# band-store-fed funnel: identical report by construction (pairwise
+# est_jaccard is doc-local, so all-corpus pairs restricted to the
+# post-filter set == pairs computed on the post-filter set)
+ORACLES["training_pipeline_banded"] = ORACLES["training_pipeline"]
 
 # the COMPLETE funnel: quality/lang -> repetition -> decontamination ->
 # exact-signature clustering, with per-stage attrition counts. Universe =
@@ -4009,6 +4053,21 @@ SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS
 FROM f ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
+ORACLES["unigram_nll"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(-sum(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / total))
+               / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
+FROM tf JOIN counts USING (term), total
+GROUP BY 1
+"""
+
 ORACLES["tfidf_topterms"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
@@ -5123,6 +5182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_pairs_banded": q_dedup_near_pairs_banded,
     "remove_dup_spans": q_remove_dup_spans,
     "hybrid_search": q_hybrid_search,
+    "unigram_nll": q_unigram_nll,
+    "training_pipeline_banded": q_training_pipeline_banded,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

@@ -517,3 +517,30 @@ def test_tier2_compaction_to_band_table(spark, tmp_path):
         for r in near_duplicate_pairs(docs, num_hashes=8, bands=4).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_curation_report_banded_pairs_matches_default(spark, sf_dir):
+    """The band-store-fed funnel (pairs= from the persisted zero-shuffle
+    read, restricted to the post-filter set inside dedup_survivors) must
+    produce the identical report to the default in-query band join —
+    pairwise est_jaccard depends only on the two docs' signatures."""
+    import os
+
+    from temporal_vector_database_spark.operators.dedup import (
+        near_dup_pairs_from_band_store,
+    )
+    from temporal_vector_database_spark.operators.pipeline import curation_report
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_lsh_band_store,
+        ensure_minhash_store,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
+    pairs = near_dup_pairs_from_band_store(spark, name, min_jaccard_est=0.75)
+    banded = curation_report(docs, pairs=pairs).collect()
+    sigs = spark.read.parquet(ensure_minhash_store(spark, sf_dir))
+    default = curation_report(docs, sigs=sigs).collect()
+    key = lambda r: (r.predicted_lang, r.source)
+    assert sorted(map(tuple, banded)) == sorted(map(tuple, default))
+    assert len(banded) > 0

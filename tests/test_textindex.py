@@ -216,3 +216,27 @@ def test_rrf_fuse_semantics(spark):
     assert out[10].rrf == 1 / 61 and out[10].rank_b is None
     assert out[13].rrf == 1 / 62 and out[13].rank_a is None
     assert set(out) == {10, 11, 12, 13}
+
+
+def test_unigram_logprob_scores(spark):
+    from math import log
+
+    from temporal_vector_database_spark.operators.textindex import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    # corpus counts: a=3, b=2, c=1, total=6
+    p = {"a": 3 / 6, "b": 2 / 6, "c": 1 / 6}
+    exp0 = -(2 * log(p["a"]) + log(p["b"])) / 3
+    exp1 = -(log(p["b"]) + log(p["c"])) / 2
+    exp2 = -log(p["a"])
+    assert out[0].n_tokens == 3 and abs(out[0].unigram_nll - exp0) < 1e-6
+    assert out[1].n_tokens == 2 and abs(out[1].unigram_nll - exp1) < 1e-6
+    assert out[2].n_tokens == 1 and abs(out[2].unigram_nll - exp2) < 1e-6
+    # the common-word doc scores LOWER (closer to corpus) than the rare-word doc
+    assert out[2].unigram_nll < out[1].unigram_nll
