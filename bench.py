@@ -84,6 +84,8 @@ HEADLINE = (
     "doc_ccnet_buckets",
     "hybrid_search",
     "unigram_nll",
+    "temperature_sample",
+    "pack_sequences",
 )
 
 

@@ -174,3 +174,100 @@ def length_balanced_quartiles_exact(
     ``length_balanced_sample``)."""
     w = Window.orderBy(F.asc(tokens_col), F.asc(key_col))
     return df.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    k: float,
+    lang_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the XLM-R /
+    mBERT-style corpus mix): keep each row of language ``l`` with
+    probability ``r_l = min(1, k / sqrt(c_l))``, where ``c_l`` is the
+    language's document count. Expected kept count is then
+    ``min(c_l, k * sqrt(c_l))`` — proportional to ``p_l^0.5`` for the
+    dominant languages (temperature alpha = 0.5) while rare languages
+    are kept whole, exactly the flattening a multilingual training mix
+    wants. ``k`` is the explicit mix knob (kept docs per unit sqrt-count)
+    rather than a derived normalizer, which keeps every per-language
+    rate a pure function of that language's own count — no cross-
+    language float summation whose order could differ between engines.
+
+    Determinism/portability: ``sqrt``, division, and multiplication are
+    IEEE-754 correctly-rounded in both the JVM and DuckDB, so the
+    per-language threshold ``r_l * 2^32`` is bit-identical in any
+    engine, and membership is the module's standard md5-key comparison
+    — subset-stable and engine-exact, so the oracle checks the precise
+    document set, not just proportions.
+
+    Plan: one tiny per-language count aggregate, broadcast back; the
+    filter itself is a per-row hash compare — no second shuffle.
+    """
+    counts = df.groupBy(lang_col).agg(F.count("*").cast("long").alias("_lang_cnt"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(k)) / F.sqrt(F.col("_lang_cnt").cast("double"))
+    )
+    u = _u32(F.col(key_col))
+    return (
+        df.join(F.broadcast(counts), lang_col)
+        .withColumn("keep_rate", rate)
+        .where(u.cast("double") < F.col("keep_rate") * F.lit(_U32_SPAN))
+        .drop("_lang_cnt")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: within each shard,
+    documents are concatenated in ``order_col`` order and the token
+    stream is cut every ``seq_len`` tokens; a document overlapping a cut
+    appears in every sequence it spans, with its local token interval.
+    Output grain is (document x training sequence):
+    ``(seq_id, tok_start, tok_end)`` — ``tok_start``/``tok_end`` are the
+    doc-relative token offsets (end exclusive) that land in ``seq_id``.
+    Zero-token documents emit nothing.
+
+    This is the packing step that turns a curated corpus into fixed-
+    length training sequences with no padding waste; downstream
+    tokenization reads exactly the spans listed here.
+
+    Plan: one window per shard for the running token sum (a single hash
+    exchange on ``shard_col``), then a per-row ``sequence()`` explode
+    over the documents' spanned sequence ids — a document spans
+    ``1 + (n_tokens - 1) // seq_len + (up to 1)`` sequences, so the
+    explode is bounded by doc length, never by corpus size. Exact
+    integer arithmetic end-to-end.
+    """
+    S = int(seq_len)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    first_seq = F.floor(F.col("_before") / S).cast("long")
+    last_seq = F.floor((F.col("_before") + n - 1) / S).cast("long")
+    out = (
+        df.withColumn("_before", before)
+        .where(n > 0)
+        .withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    )
+    seq_start = F.col("seq_id") * S
+    return (
+        out.withColumn(
+            "tok_start",
+            F.greatest(seq_start - F.col("_before"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "tok_end",
+            F.least(seq_start + S - F.col("_before"), n).cast("long"),
+        )
+        .drop("_before")
+    )

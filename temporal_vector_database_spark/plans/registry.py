@@ -410,6 +410,36 @@ def q_token_chunks(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based multilingual rebalancing (XLM-R style): keep
+    each doc of language l with rate min(1, 8.5/sqrt(c_l)) — flattens
+    the language mix toward p^0.5 while keeping rare languages whole.
+    k=8.5 exercises both the capped (de, fr) and uncapped (en, zh, es)
+    branches on the test corpus. Rates are pure per-language functions
+    (no cross-language float sum), so every arithmetic step is IEEE
+    correctly-rounded and bit-identical in any engine."""
+    from temporal_vector_database_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return temperature_rebalance(docs, k=8.5).select("doc_id", "lang", "keep_rate")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing into 128-token training
+    sequences per source: output grain is doc x sequence with the
+    doc-relative token interval that lands in each sequence."""
+    from temporal_vector_database_spark.functions.text import with_text_stats
+    from temporal_vector_database_spark.operators.sampling import pack_concat_chunks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    enriched = with_text_stats(docs).select("doc_id", "source", "n_tokens")
+    return pack_concat_chunks(enriched, seq_len=128).select(
+        "doc_id", "source", "n_tokens", "seq_id", "tok_start", "tok_end"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-source deterministic rebalancing: keep 60% of src0, all of
     src1, 20% of src2, and 10% of every other source."""
@@ -2736,6 +2766,43 @@ SELECT doc_id,
 FROM u
 """
 )
+
+# temperature rebalancing: per-language rate is a pure function of that
+# language's own count (sqrt/div/mul are IEEE correctly-rounded in both
+# engines, so the threshold compare is bit-exact)
+ORACLES["temperature_sample"] = (
+    _U32_CTE
+    + """
+, c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1)
+SELECT doc_id, u.lang, least(1.0, 8.5 / sqrt(CAST(cnt AS DOUBLE))) AS keep_rate
+FROM u JOIN c ON u.lang = c.lang
+WHERE CAST(u32 AS DOUBLE) < least(1.0, 8.5 / sqrt(CAST(cnt AS DOUBLE))) * 4294967296.0
+"""
+)
+
+ORACLES["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+  FROM t WHERE n_tokens > 0
+),
+s AS (
+  SELECT doc_id, source, n_tokens, before,
+         unnest(generate_series(before // 128, (before + n_tokens - 1) // 128)) AS seq_id
+  FROM c
+)
+SELECT doc_id, source, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(seq_id * 128 - before, 0) AS BIGINT) AS tok_start,
+       CAST(least(seq_id * 128 + 128 - before, n_tokens) AS BIGINT) AS tok_end
+FROM s
+"""
 
 ORACLES["token_chunks"] = """
 WITH t AS (
@@ -5184,6 +5251,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": q_hybrid_search,
     "unigram_nll": q_unigram_nll,
     "training_pipeline_banded": q_training_pipeline_banded,
+    "temperature_sample": q_temperature_sample,
+    "pack_sequences": q_pack_sequences,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

@@ -81,3 +81,75 @@ def test_stratified_sample_per_stratum_thresholds(spark):
     # default stratum behaves like deterministic_sample at the same rate
     want = {r.doc_id for r in deterministic_sample(docs.where(F.col("source") == "src2"), 0.5).collect()}
     assert by_src.get("src2", set()) == want
+
+
+def test_temperature_rebalance_rates_and_membership(spark):
+    from math import sqrt
+
+    from temporal_vector_database_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    # 64 docs of lang 'big', 4 of lang 'small'
+    rows = [(i, "big" if i < 64 else "small") for i in range(68)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_rebalance(docs, k=4.0).collect()
+    rates = {r.lang: r.keep_rate for r in out}
+    # big: 4/sqrt(64) = 0.5; small: 4/sqrt(4) = 2 -> capped at 1.0
+    assert rates["big"] == 0.5
+    assert rates["small"] == 1.0
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # rare language kept whole
+    assert by_lang["small"] == set(range(64, 68))
+    # dominant language downsampled to exactly the md5-threshold members
+    from temporal_vector_database_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    want = {
+        r.doc_id
+        for r in deterministic_sample(
+            docs.where("lang = 'big'"), 4.0 / sqrt(64)
+        ).collect()
+    }
+    assert by_lang["big"] == want
+    # subset-stability: rerunning on the kept set with rate 1.0 keeps all
+    assert 0 < len(by_lang["big"]) < 64
+
+
+def test_pack_concat_chunks_partitions_token_stream(spark):
+    from temporal_vector_database_spark.operators.sampling import pack_concat_chunks
+
+    rows = [
+        (0, "a", 5),
+        (1, "a", 10),   # spans the 8-cut: seqs 0 and 1
+        (2, "a", 0),    # zero tokens: emits nothing
+        (3, "a", 17),   # spans seqs 1..3
+        (4, "b", 8),    # exactly one full sequence
+        (5, "b", 1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = pack_concat_chunks(docs, seq_len=8).collect()
+    got = {(r.doc_id, r.seq_id): (r.tok_start, r.tok_end) for r in out}
+    assert got == {
+        (0, 0): (0, 5),
+        (1, 0): (0, 3),    # tokens 5..7 of the stream
+        (1, 1): (3, 10),   # tokens 8..14
+        (3, 1): (0, 1),    # stream 15
+        (3, 2): (1, 9),    # stream 16..23
+        (3, 3): (9, 17),   # stream 24..31
+        (4, 0): (0, 8),
+        (5, 1): (0, 1),
+    }
+    # every sequence is exactly filled (spans tile the stream):
+    # per (source, seq) the interval lengths sum to min(seq_len, remaining)
+    from collections import defaultdict
+
+    per_seq = defaultdict(int)
+    for r in out:
+        per_seq[(r.source, r.seq_id)] += r.tok_end - r.tok_start
+    assert per_seq[("a", 0)] == 8 and per_seq[("a", 1)] == 8
+    assert per_seq[("a", 2)] == 8 and per_seq[("a", 3)] == 8
+    assert per_seq[("b", 0)] == 8 and per_seq[("b", 1)] == 1
