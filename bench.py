@@ -44,6 +44,7 @@ HEADLINE = (
     "embedding_near_dup",
     "ivf_topk",
     "ivf_topk_persisted",
+    "ivf_store_topk",
     "pq_topk",
     "pq_topk_reranked",
     "ivfpq_topk",
@@ -113,6 +114,13 @@ def main() -> None:
     # likewise the persisted LSH band layout (written once at ingest in
     # production; dedup_near_pairs_banded reads it with zero exchanges)
     ensure_lsh_band_store(spark, sf_dir)
+    # and the incrementally-maintained IVF store (init + upsert + delete
+    # happen at ingest time in production; serving reads merge-on-read)
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_ivf_store_upserted,
+    )
+
+    ensure_ivf_store_upserted(spark, sf_dir)
 
     # production layout: bucketed versions table, built outside the clock
     # (a deployment builds its table once, then serves queries from it)

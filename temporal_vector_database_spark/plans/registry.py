@@ -627,6 +627,27 @@ def q_ivf_topk_persisted(spark, sf_dir):
     return ivf_topk_persisted(spark, idx, queries, k=10, nprobe=2)
 
 
+def q_ivf_store_topk(spark, sf_dir):
+    """IVF serving against the INCREMENTALLY MAINTAINED store in its
+    merge-on-read state: base lists + one uncompacted upsert batch
+    (every vec_id % 10 == 1 re-ingested under id + 1000000) − one
+    tombstone batch (every vec_id % 13 == 5). Probe routing, scoring,
+    and tie-breaks are identical to ivf_topk; the oracle recomputes the
+    probe over the logically-current corpus with the SAME fixed
+    centroids (index parameters are never re-seeded by maintenance)."""
+    from temporal_vector_database_spark.operators.ivf_store import ivf_store_topk
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_ivf_store_upserted,
+    )
+
+    store = ensure_ivf_store_upserted(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivf_store_topk(spark, store, queries, k=10, nprobe=2)
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """Three-tier composition gate: IVF probe pruning + PQ ADC scoring."""
     from temporal_vector_database_spark.operators.search import ivfpq_topk
@@ -3337,6 +3358,59 @@ SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 10
 ORACLES["topk_search_indexed"] = ORACLES["topk_search"]
 ORACLES["ivf_topk_persisted"] = ORACLES["ivf_topk"]
 
+# incremental store, merge-on-read: corpus = (base − tombstoned) ∪
+# upserts under shifted ids; centroids stay the base seeding (index
+# parameters are fixed at init, never re-seeded by maintenance)
+ORACLES["ivf_store_topk"] = (
+    _QEMB_CTE
+    + """
+, cur AS (
+  SELECT vec_id, emb, nrm FROM en WHERE vec_id % 13 <> 5
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, emb, nrm FROM en WHERE vec_id % 10 = 1
+),
+cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, nrm, centroid_id FROM (
+    SELECT cur.vec_id AS vid, cur.emb, cur.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY cur.vec_id
+             ORDER BY (CASE WHEN cur.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(cur.emb, c.c_emb) / (cur.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM cur CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qe, nq, centroid_id FROM (
+    SELECT q.query_id, q.qe, q.nq, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (CASE WHEN q.nq > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(q.qe, c.c_emb) / (q.nq * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+cands AS (
+  SELECT p.query_id, a.vid,
+         CASE WHEN p.nq > 0 AND a.nrm > 0
+              THEN list_dot_product(p.qe, a.emb) / (p.nq * a.nrm)
+              ELSE 0.0 END AS sim
+  FROM probes p JOIN assign a USING (centroid_id)
+),
+ranked AS (
+  SELECT query_id, vid AS vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid) AS INTEGER) AS rank
+  FROM cands WHERE sim > 0
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
+"""
+)
+
 from temporal_vector_database_spark.functions.text import LANG_PROFILES  # noqa: E402
 
 _LANG_SCORES = ", ".join(
@@ -5253,6 +5327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline_banded": q_training_pipeline_banded,
     "temperature_sample": q_temperature_sample,
     "pack_sequences": q_pack_sequences,
+    "ivf_store_topk": q_ivf_store_topk,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

@@ -447,3 +447,36 @@ def ensure_lsh_band_store(spark, sf_dir: str, num_hashes: int = 8, bands: int = 
         sigs = spark.read.parquet(ensure_minhash_store(spark, sf_dir))
         write_lsh_band_store(sigs, name, num_hashes=num_hashes, bands=bands)
     return name
+
+
+def ensure_ivf_store_upserted(spark, sf_dir: str) -> str:
+    """An incremental-IVF-store fixture in its post-maintenance state
+    (idempotent): init over the quantized embeddings, then one upsert
+    batch (every vec_id % 10 == 1 re-ingested under id + 1000000) and
+    one delete batch (every vec_id % 13 == 5) left UNCOMPACTED — so
+    queries over it exercise the merge-on-read path (base ∪ delta −
+    tombstones). The end state is deterministic, hence rebuild-safe.
+    Returns the store path."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(fixture_dir(sf_dir), "ivf_store_upserted")
+    marker = os.path.join(out, "_STORE_READY")
+    if os.path.exists(marker):
+        return out
+    from temporal_vector_database_spark.operators.ivf_store import (
+        ivf_store_delete,
+        ivf_store_init,
+        ivf_store_upsert,
+    )
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    ivf_store_init(emb, out)
+    batch = emb.where(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    ivf_store_upsert(spark, out, batch)
+    ivf_store_delete(spark, out, emb.where(F.col("vec_id") % 13 == 5).select("vec_id"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
