@@ -92,8 +92,10 @@ def _next_seq(path: str) -> int:
 def _record_tomb_seq(path: str, seq: int) -> None:
     d = os.path.join(path, "tombstones")
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, "_max_seq"), "w") as f:
-        f.write(str(seq))
+    marker = os.path.join(d, "_max_seq")
+    prev = int(open(marker).read().strip()) if os.path.isfile(marker) else 0
+    with open(marker, "w") as f:
+        f.write(str(max(prev, seq)))
 
 
 def ivf_store_upsert(
@@ -102,29 +104,45 @@ def ivf_store_upsert(
     batch: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    seq: int | None = None,
 ) -> int:
     """Insert-or-replace a batch of vectors: assign against the FIXED
     centroids (broadcast; one narrow pass over the batch) and write one
-    new delta partition set. Returns the batch's sequence number."""
+    new delta partition set. Returns the batch's sequence number.
+
+    ``seq`` may be supplied explicitly (e.g. derived from a streaming
+    batch id): the delta directory for that seq is OVERWRITTEN, making a
+    replayed batch rewrite itself instead of stacking — the idempotency
+    contract the streaming ingest twin relies on."""
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     _, assign = ivf_assign(
         batch, id_col=id_col, emb_col=emb_col, centroids=cents
     )
-    seq = _next_seq(path)
+    if seq is None:
+        seq = _next_seq(path)
     assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(path, "delta", f"seq={seq}")
     )
     return seq
 
 
-def ivf_store_delete(spark, path: str, ids: DataFrame, id_col: str = "vec_id") -> int:
-    """Delete by id: append (vid, seq) tombstones. Nothing is scanned or
-    rewritten — the read path and the next compaction apply them."""
-    seq = _next_seq(path)
+def ivf_store_delete(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    seq: int | None = None,
+) -> int:
+    """Delete by id: write (vid) tombstones under ``tombstones/log/
+    seq=<n>/``. Nothing is scanned or rewritten — the read path and the
+    next compaction apply them. Explicit ``seq`` overwrites that seq's
+    log directory (replay-idempotent, as for upserts)."""
+    if seq is None:
+        seq = _next_seq(path)
     (
-        ids.select(F.col(id_col).alias("vid"), F.lit(seq).cast("long").alias("seq"))
-        .write.mode("append")
-        .parquet(os.path.join(path, "tombstones", "log"))
+        ids.select(F.col(id_col).alias("vid"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "tombstones", "log", f"seq={seq}"))
     )
     _record_tomb_seq(path, seq)
     return seq
@@ -154,8 +172,12 @@ def _tombstones(spark, path: str) -> DataFrame | None:
     log = os.path.join(path, "tombstones", "log")
     if not os.path.isdir(log):
         return None
+    seq_dirs = [os.path.join(log, d) for d in sorted(os.listdir(log)) if d.startswith("seq=")]
+    if not seq_dirs:
+        return None
     return (
-        spark.read.parquet(log)
+        spark.read.option("basePath", log)
+        .parquet(*seq_dirs)
         .groupBy("vid")
         .agg(F.max("seq").cast("long").alias("del_seq"))
     )

@@ -139,3 +139,65 @@ def test_ivf_store_compact_drops_emptied_partition(spark, tmp_path):
     cur = ivf_store_current(spark, path)
     assert cur.count() == 200 - n_doomed
     assert cur.where(F.col("centroid_id") == cid).count() == 0
+
+
+def _state(spark, path):
+    from temporal_vector_database_spark.operators.ivf_store import ivf_store_current
+
+    return sorted(
+        (r.vid, r.centroid_id, tuple(round(x, 9) for x in r.emb))
+        for r in ivf_store_current(spark, path).collect()
+    )
+
+
+def test_streaming_ivf_ingest_stream_equals_batch_and_replay_idempotent(spark, tmp_path):
+    from temporal_vector_database_spark.operators.ivf_store import (
+        ivf_store_delete,
+        ivf_store_init,
+        ivf_store_upsert,
+    )
+    from temporal_vector_database_spark.streaming.ivf_ingest import (
+        process_ivf_ingest_batch,
+    )
+
+    base = _corpus(spark, range(100))
+
+    # streamed store: 3 micro-batches of mixed maintenance ops
+    s_path = str(tmp_path / "streamed")
+    ivf_store_init(base, s_path)
+    batches = [
+        # b0: insert 4 new vectors
+        [(200 + i, _emb(50 + i), "upsert") for i in range(4)],
+        # b1: delete two base ids, replace one base id in the same batch
+        [(5, None, "delete"), (6, None, "delete"), (7, _emb(400), "upsert")],
+        # b2: delete a b0 insert, resurrect a b1 delete
+        [(201, None, "delete"), (5, _emb(5), "upsert")],
+    ]
+
+    def as_df(rows):
+        return spark.createDataFrame(
+            [(v, e if e is not None else [0.0] * 16, op) for v, e, op in rows],
+            "vec_id long, embedding array<double>, op string",
+        )
+
+    for bid, rows in enumerate(batches):
+        process_ivf_ingest_batch(as_df(rows), bid, s_path)
+
+    # batch-built store applying the same logical ops
+    b_path = str(tmp_path / "batch")
+    ivf_store_init(base, b_path)
+    ivf_store_upsert(spark, b_path, as_df(batches[0]).select("vec_id", "embedding"))
+    ivf_store_delete(spark, b_path, spark.createDataFrame([(5,), (6,)], ["vec_id"]))
+    ivf_store_upsert(spark, b_path, as_df([batches[1][2]]).select("vec_id", "embedding"))
+    ivf_store_delete(spark, b_path, spark.createDataFrame([(201,)], ["vec_id"]))
+    ivf_store_upsert(spark, b_path, as_df([batches[2][1]]).select("vec_id", "embedding"))
+
+    want_ids = (set(range(100)) - {6}) | {200, 202, 203}
+    got = _state(spark, s_path)
+    assert {v for v, _, _ in got} == want_ids
+    assert got == _state(spark, b_path)
+
+    # at-least-once replay: re-apply batch 1 (same batch_id) — state unchanged
+    before = got
+    process_ivf_ingest_batch(as_df(batches[1]), 1, s_path)
+    assert _state(spark, s_path) == before

@@ -322,3 +322,27 @@ def test_events_partitioned_layout_prunes_and_matches(spark, sf_dir, tmp_path):
         for r in ev.where((F.col("ts_ms") >= start) & (F.col("ts_ms") < end)).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_temperature_sample_single_shuffle_broadcast_counts(spark, qmap):
+    """Temperature rebalancing: the per-language count table must come
+    back as a BROADCAST (it is k rows), leaving exactly one shuffle in
+    the whole plan — the tiny lang-count aggregate. A second shuffle
+    would mean the corpus is being exchanged on lang (skew: 'en' is one
+    task) — the failure mode this pin guards against."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["temperature_sample"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 1, sorted(s.shuffle_keysets)
+    assert s.shuffle_keysets == {"lang"}
+    assert s.n_broadcast_exchanges >= 1
+
+
+def test_pack_sequences_one_shard_shuffle(spark, qmap):
+    """Concat-and-chunk packing: one hash exchange on the shard key for
+    the running-sum window; the explode is per-row (no extra exchange)."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["pack_sequences"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 1, sorted(s.shuffle_keysets)
+    assert s.shuffle_keysets == {"source"}
