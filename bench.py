@@ -85,6 +85,7 @@ HEADLINE = (
     "doc_ccnet_buckets",
     "hybrid_search",
     "unigram_nll",
+    "bigram_nll",
     "temperature_sample",
     "pack_sequences",
 )

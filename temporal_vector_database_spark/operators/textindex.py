@@ -373,3 +373,77 @@ def unigram_logprob_scores(
         )
     )
     return scored
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    next rung above :func:`unigram_logprob_scores` on the CCNet-style
+    quality ladder, still self-contained (the corpus is its own model):
+
+        p(w2 | w1) = lam · c(w1 w2) / c(w1 ·)  +  (1 − lam) · c(w2) / N
+
+    where ``c(w1 w2)`` is the corpus bigram count, ``c(w1 ·)`` the count
+    of bigrams starting with ``w1`` (the context mass), and ``c(w2)/N``
+    the unigram fallback. Score = mean −ln p over the document's
+    bigrams, rounded to 6 dp like the rest of this family. Documents
+    with fewer than two tokens have no bigrams and are omitted.
+
+    Output: ``(doc_id, n_bigrams, bigram_nll)``.
+
+    Plan: bigrams come straight off the token array (``zip_with`` of two
+    slices — no self-join, no positions), then the same bounded shape as
+    TF-IDF: a (w1, w2)-keyed count aggregate broadcast back as the
+    model, one doc-keyed sum. Natural-language bigram tables are heavy-
+    tailed but the model join is broadcast, so no hot-key shuffle
+    touches the corpus side. At corpus scales where the bigram model
+    itself outgrows a broadcast (billions of distinct bigrams), pass
+    ``broadcast_model=False``: the model joins become (w1, w2)-keyed
+    shuffle joins — tf is per-(doc, bigram) grain so hot bigrams spread
+    over many rows, and AQE skew-join splits the rest.
+    """
+    w = _words(text_col)
+    n = F.size(w)
+    bg = F.zip_with(
+        F.slice(w, F.lit(1), n - 1),
+        F.slice(w, F.lit(2), n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    pairs = docs.select(id_col, F.explode(bg).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+    toks = docs.select(F.explode(w).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("u_cnt"))
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("b_cnt"))
+    ctx = big.groupBy("w1").agg(F.sum("b_cnt").cast("long").alias("c_cnt"))
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    p = (
+        F.lit(float(lam))
+        * (F.col("b_cnt").cast("double") / F.col("c_cnt").cast("double"))
+        + F.lit(1.0 - float(lam))
+        * (F.col("u_cnt").cast("double") / F.col("n_total"))
+    )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    return (
+        tf.join(hint(big), ["w1", "w2"])
+        .join(hint(ctx), "w1")
+        .join(hint(uni), F.col("w2") == F.col("term"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf").cast("double") * F.log(p))
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("bigram_nll"),
+        )
+    )

@@ -2014,6 +2014,21 @@ def q_unigram_nll(spark, sf_dir):
     return unigram_logprob_scores(docs)
 
 
+def q_bigram_nll(spark, sf_dir):
+    """Interpolated bigram LM quality score per doc: p(w2|w1) =
+    0.75·c(w1w2)/c(w1·) + 0.25·c(w2)/N, score = mean −ln p over the
+    doc's bigrams (6 dp). The rung above unigram_nll on the CCNet-style
+    ladder, still corpus-self-estimated."""
+    from temporal_vector_database_spark.operators.textindex import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return bigram_logprob_scores(docs)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (score = tf · ln(N/df), ties by
     term). Per-doc window partitions only."""
@@ -4209,6 +4224,37 @@ FROM tf JOIN counts USING (term), total
 GROUP BY 1
 """
 
+ORACLES["bigram_nll"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS bg
+    FROM t
+  )
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS u_cnt
+  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1
+),
+total AS (SELECT CAST(sum(u_cnt) AS DOUBLE) AS n_total FROM uni),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b_cnt FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(b_cnt) AS BIGINT) AS c_cnt FROM big GROUP BY 1),
+tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM pairs GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(-sum(CAST(tf AS DOUBLE) * ln(
+           0.75 * (CAST(b_cnt AS DOUBLE) / CAST(c_cnt AS DOUBLE))
+         + 0.25 * (CAST(u_cnt AS DOUBLE) / n_total)
+       )) / CAST(sum(tf) AS DOUBLE), 6) AS bigram_nll
+FROM tf
+JOIN big USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN uni ON tf.w2 = uni.term, total
+GROUP BY doc_id
+"""
+
 ORACLES["tfidf_topterms"] = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
@@ -5324,6 +5370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_dup_spans": q_remove_dup_spans,
     "hybrid_search": q_hybrid_search,
     "unigram_nll": q_unigram_nll,
+    "bigram_nll": q_bigram_nll,
     "training_pipeline_banded": q_training_pipeline_banded,
     "temperature_sample": q_temperature_sample,
     "pack_sequences": q_pack_sequences,

@@ -240,3 +240,36 @@ def test_unigram_logprob_scores(spark):
     assert out[2].n_tokens == 1 and abs(out[2].unigram_nll - exp2) < 1e-6
     # the common-word doc scores LOWER (closer to corpus) than the rare-word doc
     assert out[2].unigram_nll < out[1].unigram_nll
+
+
+def test_bigram_logprob_scores(spark):
+    from math import log
+
+    from temporal_vector_database_spark.operators.textindex import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob_scores(docs, lam=0.75).collect()}
+    # bigrams: doc0 = (a,b),(b,a),(a,b); doc1 = (a,b); doc2 = none
+    # big counts: (a,b)=3, (b,a)=1; ctx: a=3, b=1... wait: bigrams starting
+    # with a: (a,b)x3 -> ctx a=3; starting with b: (b,a)x1 -> ctx b=1
+    # unigrams: a=3, b=3, x=1, N=7
+    p_ab = 0.75 * (3 / 3) + 0.25 * (3 / 7)
+    p_ba = 0.75 * (1 / 1) + 0.25 * (3 / 7)
+    exp0 = round(-(2 * log(p_ab) + log(p_ba)) / 3, 6)
+    exp1 = round(-log(p_ab), 6)
+    assert out[0].n_bigrams == 3 and abs(out[0].bigram_nll - exp0) < 2e-6
+    assert out[1].n_bigrams == 1 and abs(out[1].bigram_nll - exp1) < 2e-6
+    # single-token doc has no bigrams and is omitted
+    assert 2 not in out
+
+    # shuffle-join model path is bit-identical to the broadcast path
+    alt = {
+        r.doc_id: r.bigram_nll
+        for r in bigram_logprob_scores(docs, lam=0.75, broadcast_model=False).collect()
+    }
+    assert alt == {k: v.bigram_nll for k, v in out.items()}
