@@ -88,6 +88,7 @@ HEADLINE = (
     "bigram_nll",
     "temperature_sample",
     "pack_sequences",
+    "wordpiece_tokens",
 )
 
 

@@ -1,0 +1,128 @@
+"""Subword tokenization: corpus-derived vocabulary + greedy
+longest-match-first (WordPiece-inference-style, Wu et al. 2016)
+segmentation as an Arrow-batched UDF (beyond-reference; the token
+accounting layer a training pipeline runs between curation and
+packing).
+
+Two halves, split by what each engine can express:
+
+- :func:`build_subword_vocab` — the vocabulary (top-K character
+  n-grams by frequency) is pure DataFrame aggregation, deterministic
+  ties included.
+- :func:`wordpiece_tokenize` — greedy segmentation is inherently
+  iterative per word (each match advances the cursor), so it runs as a
+  ``mapInPandas`` Arrow UDF over a BROADCAST vocab set — the standard
+  pattern for the genuinely-non-relational inner loop. Not ANSI-SQL
+  expressible; its driver gate is rows-only by design, with the
+  semantic invariants (segmentation covers the word exactly;
+  longest-match-first; OOV single-char fallback) pinned in unit tests.
+
+Scale posture: vocab build is one gram-keyed count + a K-row top-K;
+tokenization is a narrow per-partition pass (vocab broadcast once per
+executor), no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_subword_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    max_len: int = 4,
+) -> DataFrame:
+    """Top-``vocab_size`` character n-grams (lengths 1..max_len) of the
+    corpus' whitespace words, by (count desc, gram asc) — fully
+    deterministic, so the vocabulary is reproducible on any engine or
+    partitioning. Returns (gram, cnt). The top-K is a K-row result via
+    orderBy+limit (TakeOrdered — no global sort materialization)."""
+    words = docs.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias(
+            "w"
+        )
+    )
+    grams = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(int(max_len)), F.length("w"))),
+                    lambda n: F.transform(
+                        F.sequence(F.lit(1), F.length("w") - n + 1),
+                        lambda i: F.col("w").substr(i, n),
+                    ),
+                )
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(int(vocab_size))
+    )
+
+
+def wordpiece_tokenize(
+    docs: DataFrame,
+    vocab: DataFrame | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 4,
+) -> DataFrame:
+    """Greedy longest-match-first segmentation of every whitespace word
+    against ``vocab`` (a (gram, ...) DataFrame — collected driver-side,
+    it is K rows — or a plain list). Characters absent from the vocab
+    pass through as single-char tokens, so the segmentation always
+    covers the word exactly (pinned in tests).
+
+    Output: ``(doc_id, n_words, n_pieces, pieces_md5)`` — one row per
+    document; ``pieces_md5`` fingerprints the full piece sequence
+    (space-joined) so any two runs/engines producing the same
+    segmentation hash identically. Plan: narrow mapInPandas over the
+    corpus scan; the vocab set rides the closure (broadcast once per
+    executor)."""
+    import hashlib
+
+    if isinstance(vocab, DataFrame):
+        vocab_set = frozenset(r[0] for r in vocab.select("gram").collect())
+    else:
+        vocab_set = frozenset(vocab)
+    L = int(max_len)
+
+    def fn(batches):
+        for pdf in batches:
+            out_id, out_nw, out_np, out_md5 = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").split(" ") if w]
+                pieces: list[str] = []
+                for w in words:
+                    i = 0
+                    n = len(w)
+                    while i < n:
+                        for j in range(min(L, n - i), 0, -1):
+                            if j == 1 or w[i : i + j] in vocab_set:
+                                pieces.append(w[i : i + j])
+                                i += j
+                                break
+                out_id.append(did)
+                out_nw.append(len(words))
+                out_np.append(len(pieces))
+                out_md5.append(hashlib.md5(" ".join(pieces).encode()).hexdigest())
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "n_words": out_nw,
+                    "n_pieces": out_np,
+                    "pieces_md5": out_md5,
+                }
+            )
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} {id_t}, n_words int, n_pieces int, pieces_md5 string"
+    )

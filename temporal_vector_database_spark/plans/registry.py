@@ -440,6 +440,27 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_wordpiece_tokens(spark, sf_dir):
+    """Greedy longest-match-first WordPiece segmentation against a
+    corpus-derived top-256 subword vocab. ROWS-ONLY by design: the
+    per-word greedy loop (each match advances the cursor) is not
+    ANSI-SQL expressible; the cover-exactly / longest-first / OOV
+    fallback invariants and the deterministic vocab top-K are pinned in
+    tests/test_tokenize.py. Output fingerprints the piece sequence per
+    doc (pieces_md5), so reruns/engines agreeing on segmentation hash
+    identically."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        build_subword_vocab,
+        wordpiece_tokenize,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    vocab = build_subword_vocab(docs, vocab_size=256, max_len=4)
+    return wordpiece_tokenize(docs, vocab, max_len=4)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-source deterministic rebalancing: keep 60% of src0, all of
     src1, 20% of src2, and 10% of every other source."""
@@ -5375,6 +5396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_sample": q_temperature_sample,
     "pack_sequences": q_pack_sequences,
     "ivf_store_topk": q_ivf_store_topk,
+    "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,
     "ingest_encode": q_ingest_encode,

@@ -1,0 +1,63 @@
+"""Subword tokenizer tests (operators/tokenize.py)."""
+
+import hashlib
+
+
+def test_build_subword_vocab_deterministic_topk(spark):
+    from temporal_vector_database_spark.operators.tokenize import build_subword_vocab
+
+    docs = spark.createDataFrame(
+        [(0, "abab ab"), (1, "abab cd")], "doc_id long, text string"
+    )
+    got = [(r.gram, r.cnt) for r in build_subword_vocab(docs, vocab_size=5, max_len=2).collect()]
+    # grams of 'abab' (x2): a,b,a,b, ab,ba,ab ; 'ab': a,b,ab ; 'cd': c,d,cd
+    # counts: a=5, b=5, ab=5, ba=2, c=1, d=1, cd=1
+    assert got[:3] == [("a", 5), ("ab", 5), ("b", 5)]  # ties broken by gram asc
+    assert got[3] == ("ba", 2)
+    assert len(got) == 5 and got[4] == ("c", 1)
+
+
+def test_wordpiece_tokenize_greedy_cover_and_oov(spark):
+    from temporal_vector_database_spark.operators.tokenize import wordpiece_tokenize
+
+    docs = spark.createDataFrame(
+        [(0, "abcd xyz"), (1, ""), (2, "abab")], "doc_id long, text string"
+    )
+    vocab = ["abc", "ab", "cd", "d"]
+    out = {r.doc_id: r for r in wordpiece_tokenize(docs, vocab, max_len=4).collect()}
+    # 'abcd': longest-first tries 'abcd'(no), 'abc'(yes) -> then 'd'(yes)
+    # 'xyz': all OOV single chars
+    exp0 = "abc d x y z"
+    assert out[0].n_words == 2 and out[0].n_pieces == 5
+    assert out[0].pieces_md5 == hashlib.md5(exp0.encode()).hexdigest()
+    # empty doc: zero words, zero pieces, md5 of empty string
+    assert out[1].n_words == 0 and out[1].n_pieces == 0
+    assert out[1].pieces_md5 == hashlib.md5(b"").hexdigest()
+    # 'abab': 'abab'(no), 'aba'(no), 'ab'(yes) x2
+    assert out[2].n_pieces == 2
+    assert out[2].pieces_md5 == hashlib.md5(b"ab ab").hexdigest()
+
+
+def test_wordpiece_with_corpus_vocab_covers_all_text(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.tokenize import (
+        build_subword_vocab,
+        wordpiece_tokenize,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").limit(50)
+    vocab = build_subword_vocab(docs, vocab_size=128, max_len=3)
+    toks = wordpiece_tokenize(docs, vocab, max_len=3)
+    # segmentation always covers: pieces per doc >= words per doc, and
+    # total piece chars == total word chars (cover-exactly invariant is
+    # pinned at word grain in the unit test; here at corpus grain)
+    joined = toks.join(
+        docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nw"),
+        ),
+        "doc_id",
+    )
+    bad = joined.where((F.col("n_words") != F.col("nw")) | (F.col("n_pieces") < F.col("n_words")))
+    assert bad.count() == 0 and toks.count() == 50
