@@ -89,6 +89,7 @@ HEADLINE = (
     "temperature_sample",
     "pack_sequences",
     "wordpiece_tokens",
+    "cluster_capped_sample",
 )
 
 

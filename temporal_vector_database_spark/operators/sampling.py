@@ -271,3 +271,34 @@ def pack_concat_chunks(
         )
         .drop("_before")
     )
+
+
+def cluster_capped_sample(
+    assign: DataFrame,
+    cap: int,
+    cluster_col: str = "centroid_id",
+    key_col: str = "vid",
+) -> DataFrame:
+    """Diversity-capped sampling: keep at most ``cap`` members per
+    semantic cluster (e.g. the nearest-centroid assignment from
+    ``operators.search.ivf_assign`` / SemDeDup's clustering) — the
+    de-biasing step that stops a handful of dense template clusters
+    from dominating a training mix.
+
+    WHICH members survive is deterministic and engine-portable: rank
+    within cluster by the module's md5-key hash (ties by key) and keep
+    rank <= cap — i.e. a uniform-without-replacement draw that is stable
+    across reruns and subsets, like every sampler here.
+
+    Plan: one window per cluster (single hash exchange). IVF-style
+    cluster sizes are bounded by construction (a list is ~corpus/k), so
+    the per-cluster task is bounded; for adversarially hot clusters
+    compose with the salted-top-k pattern instead.
+    """
+    u = _u32(F.col(key_col))
+    w = Window.partitionBy(cluster_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        assign.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= int(cap))
+        .select(key_col, cluster_col, "rn")
+    )

@@ -440,6 +440,20 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_cluster_capped_sample(spark, sf_dir):
+    """Diversity cap: at most 10 vectors per nearest-centroid cluster,
+    survivors drawn by the deterministic md5-key hash — the template-
+    cluster de-biasing step of a training mix."""
+    from temporal_vector_database_spark.operators.sampling import (
+        cluster_capped_sample,
+    )
+    from temporal_vector_database_spark.operators.search import ivf_assign
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    _, assign = ivf_assign(emb)
+    return cluster_capped_sample(assign, cap=10).withColumnRenamed("vid", "vec_id")
+
+
 def q_wordpiece_tokens(spark, sf_dir):
     """Greedy longest-match-first WordPiece segmentation against a
     corpus-derived top-256 subword vocab. ROWS-ONLY by design: the
@@ -3394,6 +3408,36 @@ SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 10
 ORACLES["topk_search_indexed"] = ORACLES["topk_search"]
 ORACLES["ivf_topk_persisted"] = ORACLES["ivf_topk"]
 
+# diversity cap over nearest-centroid clusters; survivor draw = the
+# module's md5-key hash (engine-exact), rank ties by vid
+ORACLES["cluster_capped_sample"] = (
+    _QEMB_CTE
+    + f"""
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, centroid_id FROM (
+    SELECT en.vec_id AS vid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+hashed AS (SELECT vid, centroid_id, md5(CAST(vid AS VARCHAR)) AS h FROM assign),
+u AS (SELECT vid, centroid_id, CAST({_U32_SQL} AS BIGINT) AS u32 FROM hashed),
+r AS (
+  SELECT vid AS vec_id, centroid_id,
+         CAST(row_number() OVER (PARTITION BY centroid_id ORDER BY u32, vid) AS INTEGER) AS rn
+  FROM u
+)
+SELECT vec_id, centroid_id, rn FROM r WHERE rn <= 10
+"""
+)
+
 # incremental store, merge-on-read: corpus = (base − tombstoned) ∪
 # upserts under shifted ids; centroids stay the base seeding (index
 # parameters are fixed at init, never re-seeded by maintenance)
@@ -5396,6 +5440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_sample": q_temperature_sample,
     "pack_sequences": q_pack_sequences,
     "ivf_store_topk": q_ivf_store_topk,
+    "cluster_capped_sample": q_cluster_capped_sample,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,

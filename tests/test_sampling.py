@@ -153,3 +153,31 @@ def test_pack_concat_chunks_partitions_token_stream(spark):
     assert per_seq[("a", 0)] == 8 and per_seq[("a", 1)] == 8
     assert per_seq[("a", 2)] == 8 and per_seq[("a", 3)] == 8
     assert per_seq[("b", 0)] == 8 and per_seq[("b", 1)] == 1
+
+
+def test_cluster_capped_sample_cap_and_determinism(spark):
+    from temporal_vector_database_spark.operators.sampling import (
+        cluster_capped_sample,
+    )
+
+    rows = [(i, i % 3) for i in range(60)]  # 3 clusters of 20
+    assign = spark.createDataFrame(rows, "vid long, centroid_id int")
+    out = cluster_capped_sample(assign, cap=5).collect()
+    by_c: dict = {}
+    for r in out:
+        by_c.setdefault(r.centroid_id, []).append(r)
+    assert set(by_c) == {0, 1, 2}
+    for c, members in by_c.items():
+        assert len(members) == 5
+        assert sorted(r.rn for r in members) == [1, 2, 3, 4, 5]
+    # determinism + subset-stability: rerun on half the clusters picks
+    # the identical survivors for those clusters
+    half = assign.where("centroid_id < 2")
+    again = {
+        (r.centroid_id, r.vid)
+        for r in cluster_capped_sample(half, cap=5).collect()
+    }
+    want = {(r.centroid_id, r.vid) for r in out if r.centroid_id < 2}
+    assert again == want
+    # cap >= cluster size keeps everything
+    assert cluster_capped_sample(assign, cap=100).count() == 60
