@@ -90,6 +90,7 @@ HEADLINE = (
     "pack_sequences",
     "wordpiece_tokens",
     "cluster_capped_sample",
+    "hard_negatives",
 )
 
 

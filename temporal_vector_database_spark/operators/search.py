@@ -1180,3 +1180,55 @@ def bq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias(id_col), "score", "rank")
     )
+
+
+def hard_negative_mine(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    exclude_above: float | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    impl: str = "pandas",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (beyond-reference):
+    per query, the ``k`` MOST-similar corpus vectors that are NOT the
+    query's positives — the contrastive-training step that turns a
+    curated corpus + relevance labels into (query, positive, hard
+    negative) triples.
+
+    ``positives``: (query_id, pos_id) pairs, removed by broadcast
+    anti-join BEFORE ranking (labels are tiny next to the corpus).
+    ``exclude_above``: optionally also drop candidates with sim >= the
+    threshold — the standard guard against unlabeled near-duplicates of
+    the positive becoming false negatives.
+
+    Same scoring, tie-breaks, and plan shape as :func:`topk_cosine`:
+    queries broadcast, Arrow local top-k pre-reduce on the map side, one
+    per-query shuffle of O(k · partitions) survivors.
+    """
+    score = score_candidates_pandas if impl == "pandas" else score_candidates
+    cands = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    scored = score(cands, queries, id_cols=("vec_id",), emb_col="embedding")
+    scored = scored.select("query_id", "vec_id", "sim").where(F.col("sim") > 0)
+    pos = positives.select(
+        F.col("query_id").alias("_pq"), F.col("pos_id").alias("_pv")
+    )
+    scored = scored.join(
+        F.broadcast(pos),
+        (F.col("query_id") == F.col("_pq")) & (F.col("vec_id") == F.col("_pv")),
+        "left_anti",
+    )
+    if exclude_above is not None:
+        scored = scored.where(F.col("sim") < F.lit(float(exclude_above)))
+    scored = scored.withColumn("k", F.lit(int(k)))
+    scored = scored.mapInPandas(_local_topk(("vec_id",), int(k)), schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", F.col("vec_id").alias(id_col), "sim")
+    )

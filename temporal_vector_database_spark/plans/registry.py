@@ -440,6 +440,32 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: for each query (every 50th vector), the 10
+    most-similar corpus vectors NOT sharing the query's label (same-
+    label vectors are its positives, removed by broadcast anti-join
+    before ranking) — the contrastive-training triple-builder."""
+    from temporal_vector_database_spark.operators.search import hard_negative_mine
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    labels = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "label"
+    )
+    queries = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .join(labels, "vec_id")
+        .select(F.col("vec_id").cast("int").alias("query_id"), "embedding", "label")
+    )
+    positives = (
+        queries.select("query_id", "label")
+        .join(labels.withColumnRenamed("vec_id", "pos_id"), "label")
+        .select("query_id", "pos_id")
+    )
+    return hard_negative_mine(
+        emb, queries.select("query_id", "embedding"), positives, k=10
+    )
+
+
 def q_cluster_capped_sample(spark, sf_dir):
     """Diversity cap: at most 10 vectors per nearest-centroid cluster,
     survivors drawn by the deterministic md5-key hash — the template-
@@ -3408,6 +3434,34 @@ SELECT query_id, vec_id, score, rank FROM rr WHERE rank <= 10
 ORACLES["topk_search_indexed"] = ORACLES["topk_search"]
 ORACLES["ivf_topk_persisted"] = ORACLES["ivf_topk"]
 
+# hard negatives: top-k most-similar vectors whose label differs from
+# the query's (same-label = positives, excluded before ranking)
+ORACLES["hard_negatives"] = (
+    _QEMB_CTE
+    + """
+, q AS (
+  SELECT CAST(en.vec_id AS INTEGER) AS query_id, en.emb AS qe, en.nrm AS nq, e2.label AS qlabel
+  FROM en JOIN embeddings e2 ON en.vec_id = e2.vec_id
+  WHERE en.vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, en.vec_id,
+         CASE WHEN q.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(q.qe, en.emb) / (q.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN q
+  JOIN embeddings e3 ON en.vec_id = e3.vec_id
+  WHERE e3.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored WHERE sim > 0
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
+"""
+)
+
 # diversity cap over nearest-centroid clusters; survivor draw = the
 # module's md5-key hash (engine-exact), rank ties by vid
 ORACLES["cluster_capped_sample"] = (
@@ -5441,6 +5495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "ivf_store_topk": q_ivf_store_topk,
     "cluster_capped_sample": q_cluster_capped_sample,
+    "hard_negatives": q_hard_negatives,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "list_contents": q_list_contents,

@@ -526,3 +526,38 @@ def test_sq8_recall_and_dequant_error_bound(spark):
         want = set(sorted(mat, key=lambda v: (-(qv @ mat[v]), v))[:10])
         recalls.append(len(got[q] & want) / len(want))
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_hard_negative_mine_excludes_positives_and_near_dups(spark):
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        hard_negative_mine,
+    )
+
+    rows = [(i, [((i * 13 + d * 7) % 21 - 10) / 1024.0 for d in range(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where("vec_id % 40 = 0").selectExpr(
+        "cast(vec_id as int) as query_id", "embedding"
+    )
+    # positives: the query vector itself
+    pos = queries.selectExpr("query_id", "cast(query_id as long) as pos_id")
+    out = hard_negative_mine(emb, queries, pos, k=5)
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    # no positive appears; with self as the only positive, the mined set
+    # is exactly brute-force top-k after dropping self
+    assert all(q != v for (q, _), v in got.items())
+    brute = ann_brute_force(emb, queries, k=6).collect()
+    want = {}
+    for q in {r.query_id for r in brute}:
+        rs = sorted(
+            [r for r in brute if r.query_id == q and r.vec_id != q],
+            key=lambda r: (-r.sim, r.vec_id),
+        )[:5]
+        for i, r in enumerate(rs, 1):
+            want[(q, i)] = r.vec_id
+    assert got == want and len(got) > 0
+
+    # exclude_above also drops near-identical candidates
+    capped = hard_negative_mine(emb, queries, pos, k=5, exclude_above=0.99)
+    sims = [r.sim for r in capped.collect()]
+    assert sims and all(s < 0.99 for s in sims)
