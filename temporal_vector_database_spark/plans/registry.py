@@ -5498,21 +5498,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
-    "list_contents": q_list_contents,
+    "advisor": q_advisor,
+    "compaction_invariance": q_compaction_invariance,
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
     "reconstruct_all": q_reconstruct_all,
     "reconstruct_latest": q_reconstruct_latest,
     "asof_resolve": q_asof_resolve,
-    "version_id_parse": q_version_id_parse,
     "topk_search": q_topk_search,
     "integrity_report": q_integrity_report,
     "change_stats": q_change_stats,
+    "list_contents": q_list_contents,
+    "version_id_parse": q_version_id_parse,
     "storage_stats": q_storage_stats,
     "storage_efficiency": q_storage_efficiency,
     "reconstruction_stats": q_reconstruction_stats,
-    "advisor": q_advisor,
-    "compaction_invariance": q_compaction_invariance,
     "database_stats": q_database_stats,
     "content_stats": q_content_stats,
     "reconstruct_by_id": q_reconstruct_by_id,
