@@ -29,6 +29,7 @@ HEADLINE = (
     "reconstruct_latest",
     "asof_resolve",
     "topk_search",
+    "search_asof",
     "integrity_report",
     "change_stats",
     "reconstruction_stats",

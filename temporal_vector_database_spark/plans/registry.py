@@ -162,6 +162,28 @@ def q_topk_search(spark, sf_dir):
     return res.select("query_id", "rank", "content_id", "seq", "sim")
 
 
+def q_search_asof(spark, sf_dir):
+    """Flagship temporal x vector composition: top-k cosine over the
+    corpus AS OF a past instant — every content reconstructed at the
+    version governing t (inclusive as-of semantics, O6) and searched
+    with the standard top-k machinery (S1). t = max ts of seq 7, i.e. a
+    mid-history instant where some contents resolve to deltas on top of
+    later bases' predecessors. The oracle recomputes sim from the
+    decomposed base+delta dot/norm sums — exact on the dyadic fixture
+    grid, so any summation order gives identical bits."""
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_asof,
+    )
+
+    v = _versions(spark, sf_dir)
+    t = v.where(F.col("seq") == 7).agg(F.max("ts").alias("t"))
+    probes = v.select("content_id").distinct().crossJoin(t)
+    snaps = reconstruct_asof(v, probes).select("content_id", "embedding")
+    queries = spark.read.parquet(_fix(sf_dir, "queries_vec"))
+    res = topk_cosine(snaps, queries, id_cols=("content_id",))
+    return res.select("query_id", "rank", "content_id", "sim")
+
+
 def q_integrity_report(spark, sf_dir):
     rep = I.validate_timeline_integrity(_versions(spark, sf_dir))
     return rep.select(
@@ -2342,6 +2364,78 @@ resolved AS (
 )
 SELECT p.probe_id, p.content_id, p."case", r.target_seq
 FROM probes p LEFT JOIN resolved r ON p.probe_id = r.probe_id
+"""
+
+# time-travel search: as-of resolve per content, reconstruct at the
+# governing version, cosine top-k — sim recomputed from decomposed
+# base+delta dot/norm sums (exact on the dyadic fixture grid)
+ORACLES["search_asof"] = """
+WITH v AS (SELECT * FROM read_parquet('{FIX}/versions.parquet')),
+tq AS (SELECT max(ts) AS t FROM v WHERE seq = 7),
+res AS (
+  SELECT v.content_id, max(v.seq) AS target_seq
+  FROM v, tq WHERE v.ts <= tq.t GROUP BY v.content_id
+),
+tagged AS (
+  SELECT content_id, seq, kind, sparse_idx, sparse_val, embedding,
+         max(CASE WHEN kind='base' THEN seq END)
+           OVER (PARTITION BY content_id ORDER BY seq ROWS UNBOUNDED PRECEDING) AS base_seq
+  FROM v
+),
+tgt AS (
+  SELECT r.content_id, r.target_seq, t.base_seq
+  FROM res r JOIN tagged t ON r.content_id = t.content_id AND r.target_seq = t.seq
+  WHERE t.base_seq IS NOT NULL
+),
+bstat AS (
+  SELECT g.content_id, g.target_seq, b.embedding AS bemb,
+         list_sum(list_transform(b.embedding, x -> x * x)) AS b2
+  FROM tgt g JOIN v b
+    ON g.content_id = b.content_id AND g.base_seq = b.seq AND b.kind = 'base'
+),
+dexp AS (
+  SELECT g.content_id, unnest(d.sparse_idx) AS idx, unnest(d.sparse_val) AS val
+  FROM tgt g JOIN tagged d
+    ON g.content_id = d.content_id AND d.kind = 'delta'
+   AND d.base_seq = g.base_seq AND d.seq <= g.target_seq
+),
+adds AS (SELECT content_id, idx, sum(val) AS add FROM dexp GROUP BY 1, 2),
+q AS (
+  SELECT query_id, k, embedding AS qe,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nq
+  FROM read_parquet('{FIX}/queries_vec.parquet')
+),
+bd AS (
+  SELECT q.query_id, q.k, q.nq, q.qe, s.content_id, s.b2, s.bemb,
+         list_sum(list_transform(list_zip(q.qe, s.bemb), x -> x[1] * x[2])) AS bdot
+  FROM bstat s CROSS JOIN q
+),
+dotadd AS (
+  SELECT q.query_id, a.content_id,
+         sum(list_extract(q.qe, a.idx + 1) * a.add) AS dadd
+  FROM adds a CROSS JOIN q GROUP BY 1, 2
+),
+nrmadd AS (
+  SELECT a.content_id,
+         sum(2 * list_extract(s.bemb, a.idx + 1) * a.add + a.add * a.add) AS n2add
+  FROM adds a JOIN bstat s ON a.content_id = s.content_id GROUP BY 1
+),
+scored AS (
+  SELECT b.query_id, b.k, b.content_id,
+         CASE WHEN b.nq > 0 AND sqrt(b.b2 + COALESCE(n.n2add, 0)) > 0
+              THEN (b.bdot + COALESCE(da.dadd, 0))
+                   / (b.nq * sqrt(b.b2 + COALESCE(n.n2add, 0)))
+              ELSE 0.0 END AS sim
+  FROM bd b
+  LEFT JOIN dotadd da ON b.query_id = da.query_id AND b.content_id = da.content_id
+  LEFT JOIN nrmadd n ON b.content_id = n.content_id
+),
+ranked AS (
+  SELECT query_id, content_id, sim, k,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, content_id) AS INTEGER) AS rank
+  FROM scored WHERE sim > 0
+)
+SELECT query_id, rank, content_id, sim FROM ranked WHERE rank <= k
 """
 
 ORACLES["version_id_parse"] = f"""
@@ -5496,6 +5590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_store_topk": q_ivf_store_topk,
     "cluster_capped_sample": q_cluster_capped_sample,
     "hard_negatives": q_hard_negatives,
+    "search_asof": q_search_asof,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "advisor": q_advisor,
