@@ -376,3 +376,83 @@ def test_remove_dup_spans_invariants(spark, texts):
             assert kept == words
         else:
             assert n_dup > 0  # a removal implies a duplicated gram exists
+
+
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=40),
+    seq_len=st.integers(1, 16),
+)
+@settings(max_examples=20, deadline=None)
+def test_pack_concat_chunks_tiles_any_stream(spark, toks, seq_len):
+    """For ANY token-count sequence and seq_len: the emitted intervals
+    per document concatenate to exactly [0, n_tokens); per sequence the
+    interval lengths sum to seq_len (except the final partial); and the
+    stream positions covered are exactly [0, total)."""
+    from temporal_vector_database_spark.operators.sampling import pack_concat_chunks
+
+    rows = [(i, "s", n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = pack_concat_chunks(df, seq_len=seq_len).collect()
+
+    # per-doc: intervals tile [0, n)
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.seq_id, r.tok_start, r.tok_end))
+    for i, n in enumerate(toks):
+        ivs = sorted(by_doc.get(i, []))
+        if n == 0:
+            assert ivs == []
+            continue
+        assert ivs[0][1] == 0 and ivs[-1][2] == n
+        for (s1, _, e1), (s2, s_next, _) in zip(ivs, ivs[1:]):
+            assert s2 == s1 + 1 and s_next == e1  # contiguous seqs, abutting intervals
+
+    # per-sequence: full except possibly the last
+    total = sum(toks)
+    per_seq: dict = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + (r.tok_end - r.tok_start)
+    if total:
+        n_seqs = (total + seq_len - 1) // seq_len
+        assert set(per_seq) == set(range(n_seqs))
+        for sid, filled in per_seq.items():
+            want = seq_len if sid < n_seqs - 1 else total - seq_len * (n_seqs - 1)
+            assert filled == want
+
+
+@given(
+    counts=st.lists(st.integers(1, 30), min_size=1, max_size=4),
+    k=st.floats(0.5, 8.0),
+)
+@settings(max_examples=15, deadline=None)
+def test_temperature_rebalance_membership_property(spark, counts, k):
+    """For ANY language profile: each language's kept set equals the
+    md5-hash threshold draw at rate min(1, k/sqrt(c)) computed
+    independently in Python — temperature rebalancing is exactly
+    per-language hash-threshold sampling, subset-stable and exact."""
+    import hashlib
+    from math import sqrt
+
+    from temporal_vector_database_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    rows, did = [], 0
+    for li, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((did, f"l{li}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_rebalance(docs, k=k).collect()
+    by_lang: dict = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+
+    def u32(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    for li, c in enumerate(counts):
+        rate = min(1.0, k / sqrt(c))
+        lang_ids = [d for d, l in rows if l == f"l{li}"]
+        want = {d for d in lang_ids if float(u32(d)) < rate * 2.0**32}
+        assert by_lang.get(f"l{li}", set()) == want
