@@ -479,3 +479,67 @@ def append_versions(
 
     schema = _versions_schema(new_raw.schema)
     return staged.groupBy("content_id").applyInPandas(encode, schema=schema)
+
+
+def ingest_late(
+    versions: DataFrame,
+    late_raw: DataFrame,
+    cfg: TVDBConfig = DEFAULT_CONFIG,
+    policy: DataFrame | None = None,
+) -> DataFrame:
+    """Out-of-order ingest (beyond-reference — the reference's
+    auto-increment write path, ``storage/storage_engine.py:417-437``,
+    appends every arrival at the tail, silently mis-ordering late data):
+    re-encode ONLY the contents touched by late rows.
+
+    A delta chain is seq-order-dependent, so a version whose ts falls
+    before the stored tail invalidates every later encoding of its
+    content. This operator (1) reconstructs the touched contents'
+    stored timelines back to raw snapshots — lossless on the storage
+    grid, (2) strips the encoder-derived metadata keys
+    (reference quirk #12 merge leaves user keys in place), (3) merges
+    the late rows at their ts position, and (4) re-encodes the merged
+    timelines under the same policy. Returns COMPLETE replacement
+    chains for the touched contents — overwrite those contents'
+    partitions (the same affected-partition-only maintenance shape as
+    ``ivf_store_compact``); untouched contents never move, so the cost
+    is bounded by the late batch, not the table.
+
+    ``policy``: optional (content_id, base_interval) table — base
+    placement is deployment CONFIG, not recoverable from an encoded
+    chain. ``force_base`` history is likewise not recoverable; the
+    merged timeline is re-encoded policy-driven.
+    """
+    from temporal_vector_database_spark.operators.reconstruct import reconstruct_all
+
+    touched = versions.join(
+        late_raw.select("content_id").distinct(), "content_id", "left_semi"
+    )
+    recon = reconstruct_all(touched).select(
+        "content_id", F.col("target_seq").alias("seq"), "embedding"
+    )
+    enc_keys = ("sparsity_ratio", "dimensions_changed", "total_dimensions")
+    recovered = recon.join(
+        touched.select("content_id", "seq", "ts", "metadata"), ["content_id", "seq"]
+    ).select(
+        "content_id",
+        "ts",
+        "embedding",
+        F.map_filter("metadata", lambda k, v: ~k.isin(*enc_keys)).alias("metadata"),
+    )
+    late = late_raw.select(
+        "content_id",
+        "ts",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        (
+            F.col("metadata")
+            if "metadata" in late_raw.columns
+            else F.lit(None).cast("map<string,string>")
+        ).alias("metadata"),
+    )
+    merged = recovered.unionByName(late)
+    if policy is not None:
+        merged = merged.join(
+            policy.select("content_id", "base_interval"), "content_id", "left"
+        )
+    return ingest(merged, cfg)

@@ -89,6 +89,47 @@ def q_ingest_encode(spark, sf_dir):
     )
 
 
+def q_ingest_late(spark, sf_dir):
+    """Out-of-order ingest gate (ROWS-ONLY by design): withhold two
+    mid-history versions (ts ranks 4 and 7) of every content ending in
+    1 or 3, ingest the rest, then deliver the withheld rows LATE via
+    ingest_late. Delta encoding is deliberately LOSSY (sub-threshold
+    dims dropped, chained against reconstructions — SURVEY.md §7 risk
+    1), so reconstruct-then-re-encode is NOT bit-equal to the
+    all-at-once encode and no ANSI-SQL oracle can replicate the
+    sequential lossy encoder. The real contracts are pinned in
+    tests/test_ingest.py instead: (a) on supra-threshold timelines the
+    round trip IS bit-exact vs all-at-once ingest, and (b) on the lossy
+    fixture every re-encoded version reconstructs within the per-dim
+    sparsity-threshold error bound of its merged-timeline input."""
+    from temporal_vector_database_spark.operators.ingest import ingest, ingest_late
+
+    raw = spark.read.parquet(_fix(sf_dir, "versions_raw")).where(
+        ~F.col("content_id").startswith("corrupt")
+    )
+    affected = F.col("content_id").rlike("[13]$")
+    is_late = affected & F.col("seq").isin(4, 7)
+    early = raw.where(~is_late).drop("seq")
+    late = raw.where(is_late).select("content_id", "ts", "embedding")
+    stored = ingest(early, FIXTURE_CONFIG)
+    out = ingest_late(
+        stored.where(affected),
+        late,
+        FIXTURE_CONFIG,
+        policy=raw.select("content_id", "base_interval").distinct(),
+    )
+    return out.select(
+        "content_id",
+        "seq",
+        "kind",
+        "from_seq",
+        "n_changed",
+        "magnitude",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x).alias("esum"),
+        F.aggregate("sparse_val", F.lit(0.0), lambda a, x: a + x).alias("vsum"),
+    )
+
+
 def q_nearest_base(spark, sf_dir):
     v = R.with_governing_base(_versions(spark, sf_dir))
     return v.select("content_id", "seq", "base_seq")
@@ -5591,6 +5632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_capped_sample": q_cluster_capped_sample,
     "hard_negatives": q_hard_negatives,
     "search_asof": q_search_asof,
+    "ingest_late": q_ingest_late,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "advisor": q_advisor,

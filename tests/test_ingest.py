@@ -212,3 +212,99 @@ def test_versions_orc_json_roundtrip(spark, versions, tmp_path):
         write_versions_as(versions, str(tmp_path / "bad"), format="csv")
     with pytest.raises(ValueError):
         read_versions_as(spark, str(tmp_path / "orc"), format="json")
+
+
+def _late_raw(spark, n_contents=2, n_versions=9, dim=8):
+    """Timelines whose every changed dim moves by >= 1/64 (supra the 0.01
+    sparsity threshold) — encode is lossless on them by construction."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2025, 6, 1)
+    rows = []
+    for c in range(n_contents):
+        vec = [((c * 7 + d) % 9 - 4) / 64.0 for d in range(dim)]
+        for k in range(1, n_versions + 1):
+            if k > 1:
+                for d in range(dim):
+                    if (k + d + c) % 3 == 0:
+                        vec[d] += (1 + (k + d) % 2) / 64.0
+            rows.append((f"lc{c}", t0 + timedelta(days=k), list(vec)))
+    return spark.createDataFrame(rows, "content_id string, ts timestamp, embedding array<double>")
+
+
+def test_ingest_late_bit_exact_on_supra_threshold_timeline(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.config import FIXTURE_CONFIG
+    from temporal_vector_database_spark.operators.ingest import ingest, ingest_late
+
+    raw = _late_raw(spark)
+    w = Window.partitionBy("content_id").orderBy("ts")
+    ranked = raw.withColumn("rk", F.row_number().over(w))
+    early = ranked.where(~F.col("rk").isin(3, 6)).drop("rk")
+    late = ranked.where(F.col("rk").isin(3, 6)).drop("rk")
+
+    full = ingest(raw, FIXTURE_CONFIG)
+    stored = ingest(early, FIXTURE_CONFIG)
+    out = ingest_late(stored, late, FIXTURE_CONFIG)
+
+    def canon(df):
+        return sorted(
+            (
+                r.content_id, r.seq, r.kind, r.from_seq, r.n_changed, r.magnitude,
+                tuple(r.embedding or []), tuple(r.sparse_idx or []),
+                tuple(r.sparse_val or []), r.version_id,
+            )
+            for r in df.collect()
+        )
+
+    assert canon(out) == canon(full) and out.count() == 18
+
+
+def test_ingest_late_error_bound_on_lossy_fixture(spark, fix_dir):
+    """On the REAL (lossy) fixture: every re-encoded version must
+    reconstruct within the per-dim sparsity-threshold error bound of its
+    merged-timeline input (recon-of-early for kept rows, raw for late
+    rows) — the encoder's self-correcting clip contract."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.config import FIXTURE_CONFIG
+    from temporal_vector_database_spark.operators.ingest import ingest, ingest_late
+    from temporal_vector_database_spark.operators.reconstruct import reconstruct_all
+
+    raw = (
+        spark.read.parquet(fix_dir + "/versions_raw.parquet")
+        .where(F.col("content_id").isin("c00001", "c00003"))
+    )
+    is_late = F.col("seq").isin(4, 7)
+    early = raw.where(~is_late).drop("seq")
+    late = raw.where(is_late).select("content_id", "ts", "embedding")
+    stored = ingest(early, FIXTURE_CONFIG)
+    out = ingest_late(
+        stored, late, FIXTURE_CONFIG,
+        policy=raw.select("content_id", "base_interval").distinct(),
+    )
+
+    # merged input: recon of the early chains at their ts + the late raws
+    early_recon = (
+        reconstruct_all(stored)
+        .select("content_id", F.col("target_seq").alias("seq"), "embedding")
+        .join(stored.select("content_id", "seq", "ts"), ["content_id", "seq"])
+        .select("content_id", "ts", "embedding")
+    )
+    merged = {(r.content_id, r.ts): np.array(r.embedding) for r in early_recon.collect()}
+    merged.update({(r.content_id, r.ts): np.array(r.embedding) for r in late.collect()})
+
+    new_recon = (
+        reconstruct_all(out)
+        .select("content_id", F.col("target_seq").alias("seq"), "embedding")
+        .join(out.select("content_id", "seq", "ts"), ["content_id", "seq"])
+        .collect()
+    )
+    assert len(new_recon) == len(merged) > 0
+    thr = FIXTURE_CONFIG.sparsity_threshold
+    for r in new_recon:
+        err = np.abs(np.array(r.embedding) - merged[(r.content_id, r.ts)]).max()
+        assert err < thr, (r.content_id, r.seq, err)
