@@ -209,3 +209,112 @@ def run_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def process_ooo_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    cfg: TVDBConfig = DEFAULT_CONFIG,
+    policy: DataFrame | None = None,
+) -> None:
+    """Out-of-order-tolerant foreachBatch ingest into a MUTABLE versions
+    store (parquet, partitioned by ``content_id``) — the repair-capable
+    twin of the in-order stateful encoder above, built on
+    ``operators.ingest.ingest_late``.
+
+    Per batch: rows at-or-after their content's stored tail append
+    incrementally (``append_versions``); rows arriving BEFORE the tail
+    trigger a bounded ``ingest_late`` re-encode of just their contents.
+    Either way the batch rewrites the COMPLETE chains of exactly the
+    touched contents via dynamic partition overwrite — bounded by the
+    batch (chains are short by construction: the base-interval policy
+    caps chain length), idempotent under replay, and a no-op for
+    exact (content_id, ts) redeliveries (at-least-once transports
+    redeliver; a version IS its (content, instant)).
+
+    Not transactional across the read-modify-write (same caveat as
+    ``ivf_store_compact``); a table format would wrap the commit.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.ingest import (
+        append_versions,
+        ingest,
+        ingest_late,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates(["content_id", "ts"])
+    have_store = os.path.isdir(store_dir) and any(
+        d.startswith("content_id=") for d in os.listdir(store_dir)
+    )
+    if not have_store:
+        chains = ingest(batch, cfg)
+    else:
+        stored = spark.read.option("basePath", store_dir).parquet(store_dir)
+        touched = stored.join(
+            batch.select("content_id").distinct(), "content_id", "left_semi"
+        )
+        # exact redelivery: drop rows whose (content_id, ts) already exists
+        batch = batch.join(
+            touched.select("content_id", "ts"), ["content_id", "ts"], "left_anti"
+        )
+        if batch.isEmpty():
+            return
+        tails = touched.groupBy("content_id").agg(F.max("ts").alias("_tail_ts"))
+        b = batch.join(tails, "content_id", "left")
+        inorder = b.where(F.col("_tail_ts").isNull() | (F.col("ts") > F.col("_tail_ts"))).drop("_tail_ts")
+        late = b.where(F.col("ts") <= F.col("_tail_ts")).drop("_tail_ts")
+        chains = touched
+        if not inorder.isEmpty():
+            chains = chains.unionByName(
+                append_versions(touched, inorder, cfg), allowMissingColumns=True
+            )
+        if not late.isEmpty():
+            late_ids = late.select("content_id").distinct()
+            repaired = ingest_late(
+                chains.join(late_ids, "content_id", "left_semi"),
+                late.select("content_id", "ts", "embedding"),
+                cfg,
+                policy=policy,
+            )
+            chains = chains.join(late_ids, "content_id", "left_anti").unionByName(
+                repaired, allowMissingColumns=True
+            )
+    # rewrite the touched contents' full chains; cut lineage first (the
+    # plan reads the directory the write replaces)
+    chains = chains.select(
+        "content_id", "seq", "ts", "kind", "embedding", "sparse_idx",
+        "sparse_val", "from_seq", "magnitude", "n_changed", "total_dims",
+        "version_id", "metadata",
+    ).localCheckpoint(eager=True)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        chains.write.mode("overwrite").partitionBy("content_id").parquet(store_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    spark.catalog.refreshByPath(store_dir)
+
+
+def run_ooo_ingest_stream(
+    event_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    cfg: TVDBConfig = DEFAULT_CONFIG,
+):
+    """Wire a (possibly out-of-order) raw-version stream into the
+    mutable store. Returns the started StreamingQuery."""
+    return (
+        event_stream.writeStream.foreachBatch(
+            lambda df, bid: process_ooo_ingest_batch(df, bid, store_dir, cfg)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

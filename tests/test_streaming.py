@@ -132,3 +132,61 @@ def test_streaming_search_equals_batch_ivf(spark, tmp_path):
     }
     assert got == want and len(want) > 0
     assert got_n == len(want)  # no duplicate rows after replay
+
+
+def test_ooo_ingest_batches_converge_to_batch_ingest(spark, tmp_path):
+    """Out-of-order streaming ingest: interleaved and late arrivals over
+    3 micro-batches produce the exact chains of a single all-at-once
+    batch ingest (supra-threshold timeline → lossless re-encode), and a
+    replayed batch is a byte-level no-op."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.config import FIXTURE_CONFIG
+    from temporal_vector_database_spark.operators.ingest import ingest
+    from temporal_vector_database_spark.streaming.ingest import (
+        process_ooo_ingest_batch,
+    )
+
+    t0 = datetime(2025, 6, 1)
+    dim = 8
+    rows = []
+    for c in range(2):
+        vec = [((c * 7 + d) % 9 - 4) / 64.0 for d in range(dim)]
+        for k in range(1, 10):
+            if k > 1:
+                for d in range(dim):
+                    if (k + d + c) % 3 == 0:
+                        vec[d] += (1 + (k + d) % 2) / 64.0
+            rows.append((f"sc{c}", t0 + timedelta(days=k), list(vec), k))
+    raw = spark.createDataFrame(
+        rows, "content_id string, ts timestamp, embedding array<double>, rk int"
+    )
+    store = str(tmp_path / "store")
+    # b0: ranks 1-2 and 5 (gap!), b1: the LATE ranks 3-4 + new rank 6,
+    # b2: ranks 7-9 in order + a redelivery of rank 5
+    b0 = raw.where(F.col("rk").isin(1, 2, 5))
+    b1 = raw.where(F.col("rk").isin(3, 4, 6))
+    b2 = raw.where(F.col("rk").isin(5, 7, 8, 9))
+    for bid, b in enumerate([b0, b1, b2]):
+        process_ooo_ingest_batch(b.drop("rk"), bid, store, FIXTURE_CONFIG)
+
+    def canon(df):
+        return sorted(
+            (
+                r.content_id, r.seq, r.kind, r.from_seq, r.n_changed, r.magnitude,
+                tuple(r.embedding or []), tuple(r.sparse_idx or []),
+                tuple(r.sparse_val or []), r.version_id,
+            )
+            for r in df.collect()
+        )
+
+    got = spark.read.option("basePath", store).parquet(store)
+    want = ingest(raw.drop("rk"), FIXTURE_CONFIG)
+    assert canon(got) == canon(want) and got.count() == 18
+
+    # replay of batch 1: exact redeliveries only -> store unchanged
+    before = canon(spark.read.option("basePath", store).parquet(store))
+    process_ooo_ingest_batch(b1.drop("rk"), 1, store, FIXTURE_CONFIG)
+    assert canon(spark.read.option("basePath", store).parquet(store)) == before
