@@ -529,6 +529,36 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_multimodal_near_dup(spark, sf_dir):
+    """Multimodal → dedup bridge, end-to-end: payload bytes → (stub)
+    feature vectors → centered, 1/1024-quantized dims → sign-bit LSH →
+    exact-cosine near-dup pairs. Centering at 0.5 splits the
+    all-positive stub features across sign buckets (so the banding
+    actually prunes); quantizing to the dyadic grid keeps every
+    downstream sum exact in any engine/summation order. A real CLIP
+    encoder plugs in at payload_features(extractor=...) and nothing
+    downstream changes."""
+    from temporal_vector_database_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from temporal_vector_database_spark.operators.multimodal import (
+        payload_features,
+        with_payload,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    feats = payload_features(with_payload(docs))
+    centered = feats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: F.floor((x - 0.5) * 1024) / 1024
+        ).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        centered, bands=2, dims_per_band=4, min_cosine=0.9
+    )
+
+
 def q_cluster_capped_sample(spark, sf_dir):
     """Diversity cap: at most 10 vectors per nearest-centroid cluster,
     survivors drawn by the deterministic md5-key hash — the template-
@@ -3803,6 +3833,44 @@ SELECT doc_id,
 FROM f
 """
 
+# multimodal -> dedup bridge: stub features centered at 0.5 and snapped
+# to the 1/1024 dyadic grid (so every sum is exact in any order), then
+# the standard 2x4-bit sign-band LSH + exact cosine
+ORACLES["multimodal_near_dup"] = f"""
+WITH p AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+e AS (
+  SELECT doc_id,
+         [{", ".join(f"floor(({_hex4(i)} / 65535.0 - 0.5) * 1024) / 1024" for i in range(8))}] AS emb
+  FROM p
+),
+en AS (
+  SELECT doc_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+),
+bucket AS (
+  SELECT doc_id, band_id,
+         (CASE WHEN emb[4 * band_id + 1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 4] >= 0 THEN 8 ELSE 0 END) AS band_val
+  FROM en, unnest([0, 1]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM pairs p JOIN en ea ON p.a_id = ea.doc_id JOIN en eb ON p.b_id = eb.doc_id
+)
+SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.9
+"""
+
 ORACLES["frame_sample"] = (
     _DECODE_CTE
     + """
@@ -5633,6 +5701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "search_asof": q_search_asof,
     "ingest_late": q_ingest_late,
+    "multimodal_near_dup": q_multimodal_near_dup,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "advisor": q_advisor,
