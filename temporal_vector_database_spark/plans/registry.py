@@ -529,6 +529,30 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_events_zorder_read(spark, sf_dir):
+    """(user range x time range) window over the Z-ORDER-clustered event
+    layout: Morton-interleaved (user_id, day) sort makes parquet zone
+    maps tight in BOTH dimensions, so the two predicates skip most files
+    on footer stats alone (skipping measured in tests via pyarrow
+    footers). Results are exact regardless of layout — the oracle is a
+    plain filter over the original table."""
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_events_zordered,
+    )
+    from temporal_vector_database_spark.sources.tables import (
+        load_events,
+        read_events_user_window,
+    )
+
+    path = ensure_events_zordered(spark, sf_dir)
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    start = lo + (hi - lo) // 3
+    end = lo + 2 * (hi - lo) // 3
+    out = read_events_user_window(spark, path, 10, 30, start, end)
+    return out.select("event_id", "user_id", "event_type", "value", "ts_ms")
+
+
 def q_multimodal_near_dup(spark, sf_dir):
     """Multimodal → dedup bridge, end-to-end: payload bytes → (stub)
     feature vectors → centered, 1/1024-quantized dims → sign-bit LSH →
@@ -4884,6 +4908,19 @@ UNION ALL
 SELECT 'except' AS op, pk FROM (SELECT pk FROM big_parts EXCEPT SELECT pk FROM heavy_sold)
 """
 
+# z-order layout read: results must equal a plain filter on the source
+# table (the layout only changes how much I/O the filters skip)
+ORACLES["events_zorder_read"] = """
+WITH b AS (
+  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
+)
+SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+FROM events, b
+WHERE user_id BETWEEN 10 AND 30
+  AND epoch_ms(ts) >= lo + (hi - lo) // 3
+  AND epoch_ms(ts) < lo + 2 * (hi - lo) // 3
+"""
+
 ORACLES["events_tumbling"] = """
 SELECT (epoch_ms(ts) - epoch_ms(ts) % 3600000) AS window_start_ms, event_type,
        CAST(count(*) AS BIGINT) AS n,
@@ -5702,6 +5739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_asof": q_search_asof,
     "ingest_late": q_ingest_late,
     "multimodal_near_dup": q_multimodal_near_dup,
+    "events_zorder_read": q_events_zorder_read,
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) §2 core temporal/vector rows (last checked r01) ---
     "advisor": q_advisor,

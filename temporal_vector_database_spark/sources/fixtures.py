@@ -480,3 +480,22 @@ def ensure_ivf_store_upserted(spark, sf_dir: str) -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+def ensure_events_zordered(spark, sf_dir: str) -> str:
+    """Z-order-clustered events fixture (idempotent): rows sorted by the
+    Morton interleave of (user_id, day) — see
+    ``sources.tables.write_events_zordered``. Integer time column only
+    (ts dropped), so reads are physical-type- and session-TZ-proof."""
+    out = os.path.join(fixture_dir(sf_dir), "events_zordered")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from temporal_vector_database_spark.sources.tables import (
+            load_events,
+            write_events_zordered,
+        )
+
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value", "props", "ts_ms"
+        )
+        write_events_zordered(ev, out)
+    return out

@@ -187,3 +187,91 @@ def read_events_range(spark: SparkSession, path: str, start_ms: int, end_ms: int
         & (F.col("ts_ms") >= start_ms)
         & (F.col("ts_ms") < end_ms)
     )
+
+
+def zorder_value(col_a, col_b, bits: int = 21):
+    """Morton (Z-order) interleave of two non-negative integer columns —
+    pure JVM bit math (shift/and/or), no UDF. ``bits`` low bits of each
+    key are interleaved (a in even positions, b in odd), so sorting by
+    the result clusters rows that are close in BOTH dimensions."""
+    from pyspark.sql import functions as F
+
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_events_zordered(events: DataFrame, path: str, n_files: int = 16, bits: int = 8) -> None:
+    """Z-order-clustered event layout: rows sorted by the Morton
+    interleave of (user_id, day) and range-partitioned into ``n_files``
+    files. The multi-dimensional complement of the day-partitioned
+    layout: parquet row-group/file zone maps (min/max stats) become
+    tight in BOTH ``user_id`` AND ``ts_ms``, so a (user, time-window)
+    query skips most files on footer statistics alone — the standard
+    Delta/Iceberg OPTIMIZE ZORDER story, expressed with
+    ``repartitionByRange`` + within-partition sort. At 100 TB pick
+    n_files so files land near the 128 MB - 1 GB sweet spot.
+
+    Both keys are min-max scaled to ``bits`` bits BEFORE interleaving —
+    raw interleave of unequal ranges degenerates to a sort on whichever
+    key has the higher set bits (the classic Z-order pitfall; measured:
+    unscaled clustering was no better than a time sort on the test
+    data). The two scale scalars come from one tiny agg (a query
+    router, not a data collect).
+
+    ``events`` must carry ``ts_ms`` (see :func:`load_events`).
+    """
+    from pyspark.sql import functions as F
+
+    day = F.expr("ts_ms div 86400000")
+    lo_u, hi_u, lo_d, hi_d = (
+        events.agg(
+            F.min("user_id"), F.max("user_id"), F.min(day), F.max(day)
+        ).first()
+    )
+    top = (1 << int(bits)) - 1
+
+    def scaled(col, lo, hi):
+        span = max(1, int(hi) - int(lo))
+        return ((col.cast("long") - int(lo)) * top) / span
+
+    ev = events.withColumn(
+        "_z",
+        zorder_value(
+            F.floor(scaled(F.col("user_id"), lo_u, hi_u)),
+            F.floor(scaled(day, lo_d, hi_d)),
+            bits=int(bits),
+        ),
+    )
+    (
+        ev.repartitionByRange(int(n_files), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_events_user_window(
+    spark: SparkSession, path: str, user_lo: int, user_hi: int, start_ms: int, end_ms: int
+) -> DataFrame:
+    """Read a (user range x time range) window from any event layout.
+    On a :func:`write_events_zordered` layout both predicates prune at
+    the parquet-footer level (zone maps are tight in both dimensions);
+    results are exact regardless of layout — the layout only changes
+    how much I/O the filters can skip."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).where(
+        (F.col("user_id") >= int(user_lo))
+        & (F.col("user_id") <= int(user_hi))
+        & (F.col("ts_ms") >= int(start_ms))
+        & (F.col("ts_ms") < int(end_ms))
+    )

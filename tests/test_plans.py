@@ -346,3 +346,72 @@ def test_pack_sequences_one_shard_shuffle(spark, qmap):
     s = summarize_plan(qmap["pack_sequences"](spark, SF_DIR))
     assert s.n_shuffle_exchanges == 1, sorted(s.shuffle_keysets)
     assert s.shuffle_keysets == {"source"}
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs time-sorted layout, measured on parquet FOOTERS: the
+    Morton-interleaved sort must tighten per-file user_id zone maps
+    (sum of per-file [min,max] user spans strictly smaller than the
+    time-sorted baseline's) while keeping per-file time spans bounded —
+    i.e. a (user, time) window can skip files on BOTH statistics. Also
+    re-checks row-level correctness of the windowed read against a
+    direct filter."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.sources.tables import (
+        load_events,
+        read_events_user_window,
+        write_events_zordered,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_ms"
+    )
+    zpath, tpath = str(tmp_path / "z"), str(tmp_path / "t")
+    write_events_zordered(ev, zpath, n_files=8)
+    # baseline: pure time-sorted, same file count
+    ev.repartitionByRange(8, "ts_ms").sortWithinPartitions("ts_ms").write.parquet(tpath)
+
+    def spans(path, col):
+        import os
+
+        total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins:
+                total += max(maxs) - min(mins)
+        return total
+
+    z_user, t_user = spans(zpath, "user_id"), spans(tpath, "user_id")
+    assert z_user < t_user * 0.6, (z_user, t_user)  # users genuinely clustered
+    # time stays clustered too: z-layout time spans within 4x of the
+    # perfectly-time-sorted baseline (both dimensions share the bits)
+    z_ts, t_ts = spans(zpath, "ts_ms"), spans(tpath, "ts_ms")
+    assert z_ts < t_ts * 4, (z_ts, t_ts)
+
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    got = sorted(
+        r.event_id
+        for r in read_events_user_window(
+            spark, zpath, 10, 30, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+        ).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in ev.where(
+            (F.col("user_id").between(10, 30))
+            & (F.col("ts_ms") >= lo + (hi - lo) // 3)
+            & (F.col("ts_ms") < lo + 2 * (hi - lo) // 3)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
