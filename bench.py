@@ -92,6 +92,9 @@ HEADLINE = (
     "wordpiece_tokens",
     "cluster_capped_sample",
     "hard_negatives",
+    "ingest_late",
+    "multimodal_near_dup",
+    "events_zorder_read",
 )
 
 
