@@ -1232,3 +1232,155 @@ def hard_negative_mine(
         .where(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", F.col("vec_id").alias(id_col), "sim")
     )
+
+
+def mrl_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka retrieval (beyond-reference; Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): rank a cheap per-query
+    shortlist on the FIRST ``prefix_dims`` dimensions only, then
+    re-score just those rows with the exact full-dimension cosine.
+
+    This is the funnel modern MRL-trained embedding stacks deploy: the
+    prefix scan touches ``prefix_dims/dim`` of the vector bytes (and at
+    cluster scale reads a physically narrower column if prefixes are
+    materialized), while exact math is confined to ``shortlist`` rows
+    per query. With ``prefix_dims == dim`` the result is exactly
+    :func:`topk_cosine` over sim>0 candidates.
+
+    Plan shape: the shortlist stage is :func:`topk_cosine` (queries
+    broadcast, Arrow local top-k pre-reduce, one per-query shuffle);
+    the re-rank joins shortlist ids back to the corpus (semi-join-sized)
+    and broadcasts the full-dim queries — same shape as
+    :func:`pq_topk_reranked`.
+    """
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    pre_c = embeddings.select(
+        F.col(id_col), F.slice(F.col(emb_col), 1, prefix_dims).alias(emb_col)
+    )
+    pre_q = queries.select(
+        "query_id", F.slice(F.col(emb_col), 1, prefix_dims).alias(emb_col)
+    )
+    short = topk_cosine(pre_c, pre_q, k=shortlist, id_cols=(id_col,)).select(
+        "query_id", id_col
+    )
+    exact = (
+        short.join(
+            embeddings.select(
+                id_col,
+                F.col(emb_col).alias("_v_emb"),
+                l2_norm(emb_col).alias("_v_nrm"),
+            ),
+            id_col,
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id",
+                    F.col(emb_col).alias("_q_emb"),
+                    l2_norm(emb_col).alias("_q_nrm"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            id_col,
+            _guarded_sim("_q_emb", "_v_emb", "_q_nrm", "_v_nrm").alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "sim")
+    )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (beyond-reference; Carbonell
+    & Goldstein 1998): per query, greedily select ``k`` results from the
+    cosine top-``shortlist``, each step maximizing
+
+        ``lam * sim(query, cand) - (1 - lam) * max_{s in selected} sim(cand, s)``
+
+    (the penalty is 0 for the first pick; ties -> lowest id). The
+    diversity knob RAG retrieval and dedup-aware eval sets need — pure
+    relevance top-k returns near-duplicate clusters.
+
+    Scale shape: the greedy loop is inherently sequential per query but
+    BOUNDED — it runs inside ``applyInPandas`` on one (query,
+    shortlist)-sized group (<= ``shortlist`` rows, never the corpus), so
+    the cluster-side cost is the shortlist stage, not the rerank. All
+    pairwise math on grid embeddings is exact (products/sums dyadic;
+    sqrt/divide correctly rounded), so the selection is engine-portable
+    — the DuckDB oracle replays the same greedy unrolled.
+    """
+    import numpy as np
+
+    short = topk_cosine(embeddings, queries, k=shortlist, id_cols=(id_col,)).select(
+        "query_id", id_col, "sim"
+    )
+    cand = short.join(
+        embeddings.select(id_col, F.col(emb_col).alias("_v_emb")), id_col
+    )
+    lam = float(lam)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        X = np.stack(pdf["_v_emb"].to_numpy())
+        nrm = np.sqrt((X * X).sum(axis=1))
+        G = X @ X.T
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, G / denom, 0.0)
+        rel = pdf["sim"].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        avail = np.ones(n, dtype=bool)
+        for step in range(1, min(k, n) + 1):
+            if selected:
+                pen = S[:, selected].max(axis=1)
+            else:
+                pen = np.zeros(n)
+            score = lam * rel - (1.0 - lam) * pen
+            # argmax over available, ties -> lowest id (rows are id-sorted)
+            masked = np.where(avail, score, -np.inf)
+            pick = int(np.argmax(masked))
+            avail[pick] = False
+            selected.append(pick)
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    step,
+                    int(ids[pick]),
+                    float(rel[pick]),
+                    float(score[pick]),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", id_col, "sim", "mmr_score"]
+        )
+
+    schema = (
+        f"query_id int, mmr_rank int, {id_col} bigint, sim double, mmr_score double"
+    )
+    return cand.groupBy("query_id").applyInPandas(_greedy, schema=schema)

@@ -110,3 +110,73 @@ def asof_join(
         *[c for c in lcols if c not in by and c != on],
         *[v.alias(f"{c}{suffix}") for c, v in zip(value_cols, out_vals)],
     )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_cols: tuple[str, ...] | list[str],
+    time_col: str,
+    attr_cols: tuple[str, ...] | list[str],
+    tiebreak_cols: tuple[str, ...] | list[str] = (),
+    change_only: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from an update log
+    (beyond-reference: the RELATIONAL analogue of the engine's per-
+    content version timeline, ``core/data_structures.py:24`` — same
+    "state valid over a half-open interval" model, over arbitrary keys
+    and attribute columns instead of vectors).
+
+    One row per state per key with ``[valid_from, valid_to)`` half-open
+    validity (``valid_to`` NULL = current). ``change_only`` (default)
+    compresses consecutive updates whose ``attr_cols`` are all unchanged
+    — their validity folds into the earlier row, the classic SCD2 merge.
+
+    Plan shape: ONE shuffle on ``key_cols`` shared by the lag-compare
+    and the lead-close windows (same partitioning, Spark reuses the
+    sort). No joins; linear in |updates|; skew-bound is rows-per-key,
+    the same bound any per-key history store carries.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    order = [F.asc(time_col)] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    df = updates
+    if change_only:
+        # first row per key is ALWAYS a state birth — lag() yields NULL
+        # there, which would null-safe-equal a genuinely-NULL first attr
+        # and wrongly fold the birth row away
+        changed = F.row_number().over(w) == 1
+        for c in attrs:
+            prev = F.lag(c).over(w)
+            changed = changed | ~F.col(c).eqNullSafe(prev)
+        df = df.withColumn("_chg", changed).where(F.col("_chg")).drop("_chg")
+    # close each surviving state with the next survivor's start — same
+    # (time, tiebreak) ordering as the change-compare window, so two
+    # surviving updates sharing a timestamp close deterministically
+    tb = list(tiebreak_cols)
+    close_order = [F.asc("valid_from")] + [F.asc(c) for c in tb]
+    return (
+        df.select(
+            *keys,
+            F.col(time_col).alias("valid_from"),
+            *[c for c in tb if c not in attrs],
+            *attrs,
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(Window.partitionBy(*keys).orderBy(*close_order)),
+        )
+        .select(*keys, "valid_from", "valid_to", *attrs)
+    )
+
+
+def scd2_snapshot(intervals: DataFrame, at) -> DataFrame:
+    """Point-in-time snapshot of an SCD2 table: every key's state where
+    ``valid_from <= at < valid_to`` (open current rows qualify via NULL
+    ``valid_to``) — the relational twin of the engine's as-of resolve
+    (O6). Pure filter: partition/zone-map prunable, no shuffle."""
+    t = F.lit(at)
+    return intervals.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

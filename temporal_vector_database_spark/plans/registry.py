@@ -5685,6 +5685,256 @@ FROM scrub
 """
 
 
+# --- session-7 additions: SCD2, MRL funnel, MMR rerank, Gram/PCA ---
+
+
+def q_events_scd2_snapshot(spark, sf_dir):
+    """SCD2 temporal table over the event log: per-user event_type state
+    intervals (consecutive same-type updates compressed, ties broken by
+    event_id), snapshotted at the corpus-midpoint millisecond — the
+    relational twin of the engine's as-of resolve (O6), over arbitrary
+    keys/attributes instead of vectors."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_snapshot,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    iv = scd2_intervals(
+        ev.select("user_id", "event_id", "ts_ms", "event_type"),
+        key_cols=("user_id",),
+        time_col="ts_ms",
+        attr_cols=("event_type",),
+        tiebreak_cols=("event_id",),
+    )
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    mid = (int(lo) + int(hi)) // 2
+    return scd2_snapshot(iv, mid).select(
+        "user_id", F.col("valid_from").alias("valid_from_ms"), "event_type"
+    )
+
+
+def q_mrl_topk(spark, sf_dir):
+    """Matryoshka retrieval funnel: shortlist of 50 ranked on the FIRST
+    16 of 64 dims only, exact full-dim cosine re-rank to top-10 — the
+    deployment shape of MRL-trained embedding stacks (prefix scan reads
+    1/4 of the vector bytes; exact math touches 50 rows/query)."""
+    from temporal_vector_database_spark.operators.search import mrl_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return mrl_topk(emb, queries, k=10, prefix_dims=16, shortlist=50)
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversity re-rank (Carbonell &
+    Goldstein 1998): greedy top-10 from the cosine top-50, each step
+    maximizing 0.5*relevance - 0.5*max-sim-to-already-selected. The
+    greedy loop is bounded to one shortlist-sized Arrow group per query;
+    the oracle replays the same 10 steps as an unrolled CTE chain —
+    exact on the dyadic fixture grid."""
+    from temporal_vector_database_spark.operators.search import mmr_rerank
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(emb, queries, k=10, shortlist=50, lam=0.5)
+
+
+def q_embedding_gram(spark, sf_dir):
+    """Distributed Gram matrix X^T X of the embedding column as an
+    (i, j, g) relation: per-Arrow-batch partial BLAS grams (dim x dim
+    rows per batch, independent of batch size) summed under a
+    dim^2-keyed aggregation — embeddings themselves never shuffle. Exact
+    on the quantized grid in any summation order, so the relational
+    DuckDB recomputation hash-matches bit-for-bit."""
+    from temporal_vector_database_spark.operators.linalg import gram_matrix
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return gram_matrix(emb).select("i", "j", "g")
+
+
+def q_pca_topk(spark, sf_dir):
+    """PCA-reduced retrieval: covariance assembled from the distributed
+    Gram matrix + means, driver-side eigh over the dim x dim matrix
+    (sign-normalized basis), 8-dim shortlist of 50, exact full-dim
+    re-rank to top-10. ROWS-ONLY by design: the eigenbasis is not
+    ANSI-SQL; funnel-equals-brute-force at shortlist >= |corpus| and
+    basis determinism are pinned in tests/test_search.py."""
+    from temporal_vector_database_spark.operators.linalg import pca_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return pca_topk(emb, queries, k=10, n_components=8, shortlist=50)
+
+
+ORACLES["events_scd2_snapshot"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+),
+chg AS (
+  SELECT user_id, event_id, ts_ms, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+  FROM e
+),
+surv AS (
+  SELECT user_id, event_id, ts_ms AS valid_from, event_type
+  FROM chg WHERE prev_type IS DISTINCT FROM event_type
+),
+iv AS (
+  SELECT user_id, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+         event_type
+  FROM surv
+),
+m AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events)
+SELECT user_id, CAST(valid_from AS BIGINT) AS valid_from_ms, event_type
+FROM iv, m
+WHERE valid_from <= mid AND (valid_to IS NULL OR valid_to > mid)
+"""
+
+ORACLES["mrl_topk"] = (
+    _QEMB_CTE
+    + """
+, pen AS (
+  SELECT vec_id, list_slice(emb, 1, 16) AS pemb,
+         sqrt(list_sum(list_transform(list_slice(emb, 1, 16), x -> x * x))) AS pnrm
+  FROM en
+),
+pq AS (SELECT CAST(vec_id AS INTEGER) AS query_id, pemb AS qe, pnrm AS nq
+       FROM pen WHERE vec_id % 50 = 0),
+pscored AS (
+  SELECT pq.query_id, pen.vec_id,
+         CASE WHEN pq.nq > 0 AND pen.pnrm > 0
+              THEN list_dot_product(pq.qe, pen.pemb) / (pq.nq * pen.pnrm)
+              ELSE 0.0 END AS sim
+  FROM pen CROSS JOIN pq
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+    FROM pscored WHERE sim > 0
+  ) WHERE rn <= 50
+),
+fq AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq
+       FROM en WHERE vec_id % 50 = 0),
+ex AS (
+  SELECT s.query_id, s.vec_id,
+         CASE WHEN fq.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(fq.qe, en.emb) / (fq.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM short s JOIN en ON s.vec_id = en.vec_id
+  JOIN fq ON s.query_id = fq.query_id
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM ex
+) WHERE rank <= 10
+"""
+)
+
+
+def _mmr_oracle(k: int = 10, shortlist: int = 50) -> str:
+    """Unrolled greedy-MMR oracle: step N's pick is the argmax of
+    0.5*sim - 0.5*max-sim-to-sel(N-1) over unselected shortlist rows;
+    selections accumulate through sel1..selK CTEs. Every arithmetic step
+    mirrors the Spark kernel op-for-op (grid dots exact, sqrt/divide
+    correctly rounded, 0.5* exact), so the argmax decisions agree."""
+    # MATERIALIZED: `en`/`cand`/`pair` are referenced by every one of the
+    # k unrolled steps — without the hint DuckDB re-inlines (and re-opens
+    # the parquet for) each reference and exhausts the fd limit.
+    head = (
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+en AS MATERIALIZED (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+)
+"""
+        + f"""
+, q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq
+        FROM en WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, en.vec_id,
+         CASE WHEN q.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(q.qe, en.emb) / (q.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN q
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id, sim FROM (
+    SELECT query_id, vec_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+    FROM scored WHERE sim > 0
+  ) WHERE rn <= {shortlist}
+),
+pair AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+         CASE WHEN na.nrm > 0 AND nb.nrm > 0
+              THEN list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm)
+              ELSE 0.0 END AS s
+  FROM cand a JOIN cand b ON a.query_id = b.query_id
+  JOIN en na ON a.vec_id = na.vec_id
+  JOIN en nb ON b.vec_id = nb.vec_id
+),
+sel0 AS (SELECT CAST(0 AS INTEGER) AS query_id, CAST(0 AS BIGINT) AS vec_id,
+                CAST(0.0 AS DOUBLE) AS sim, CAST(0.0 AS DOUBLE) AS mmr, 0 AS step
+         WHERE 1 = 0)"""
+    )
+    steps = []
+    for n in range(1, k + 1):
+        steps.append(
+            f"""
+, pick{n} AS MATERIALIZED (
+  SELECT query_id, vec_id, sim, mmr FROM (
+    SELECT c.query_id, c.vec_id, c.sim,
+           0.5 * c.sim - 0.5 * COALESCE(m.maxsim, 0.0) AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY 0.5 * c.sim - 0.5 * COALESCE(m.maxsim, 0.0) DESC, c.vec_id) AS rn
+    FROM cand c
+    LEFT JOIN (
+      SELECT p.query_id, p.i AS vec_id, max(p.s) AS maxsim
+      FROM pair p JOIN sel{n - 1} s ON p.query_id = s.query_id AND p.j = s.vec_id
+      GROUP BY 1, 2
+    ) m ON c.query_id = m.query_id AND c.vec_id = m.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{n - 1} s
+                      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)
+  ) WHERE rn = 1
+),
+sel{n} AS MATERIALIZED (
+  SELECT query_id, vec_id, sim, mmr, {n} AS step FROM pick{n}
+  UNION ALL SELECT query_id, vec_id, sim, mmr, step FROM sel{n - 1}
+)"""
+        )
+    tail = f"""
+SELECT query_id, CAST(step AS INTEGER) AS mmr_rank, vec_id, sim, mmr AS mmr_score
+FROM sel{k}"""
+    return head + "".join(steps) + tail
+
+
+ORACLES["mmr_rerank"] = _mmr_oracle(k=10, shortlist=50)
+
+ORACLES["embedding_gram"] = (
+    _QEMB_CTE
+    + """
+SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+       sum(list_extract(emb, t1.i) * list_extract(emb, t2.j)) AS g
+FROM en, range(1, 65) t1(i), range(1, 65) t2(j)
+GROUP BY 1, 2
+"""
+)
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -5841,6 +6091,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
+    # --- (5) new in session 7: past the 50-cap this round (everything
+    # above must keep its slot); rotate these to the front in r04 ---
+    "events_scd2_snapshot": q_events_scd2_snapshot,
+    "mrl_topk": q_mrl_topk,
+    "mmr_rerank": q_mmr_rerank,
+    "embedding_gram": q_embedding_gram,
+    "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
 }
 
 

@@ -561,3 +561,141 @@ def test_hard_negative_mine_excludes_positives_and_near_dups(spark):
     capped = hard_negative_mine(emb, queries, pos, k=5, exclude_above=0.99)
     sims = [r.sim for r in capped.collect()]
     assert sims and all(s < 0.99 for s in sims)
+
+
+def test_mrl_full_prefix_equals_brute_force(spark, sf_dir):
+    """mrl_topk with prefix_dims == dim and shortlist >= corpus must equal
+    the exact cosine top-k; with a 16-dim prefix, reported sims are still
+    the TRUE full-dim cosines (the prefix only selects)."""
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        mrl_topk,
+    )
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    dim = len(emb.first().embedding)
+    want = {
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in ann_brute_force(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in mrl_topk(emb, queries, k=10, prefix_dims=dim, shortlist=n).collect()
+    }
+    assert got == want
+
+    truth = {}
+    rows = emb.collect()
+    V = {r.vec_id: np.array(r.embedding) for r in rows}
+    for r in mrl_topk(emb, queries, k=10, prefix_dims=16, shortlist=50).collect():
+        q, v = V[r.query_id], V[r.vec_id]
+        sim = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert r.sim == pytest.approx(sim, abs=1e-12)
+
+
+def test_mmr_greedy_matches_python_reference(spark, sf_dir):
+    """mmr_rerank replays an in-test greedy reference exactly: same
+    shortlist, same penalty maxima, same tie-breaks; rank-1 is always the
+    relevance top-1 (penalty is zero on the first pick)."""
+    from temporal_vector_database_spark.operators.search import mmr_rerank, topk_cosine
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    lam, k, shortlist = 0.5, 10, 50
+    short = topk_cosine(emb, queries, k=shortlist, id_cols=("vec_id",)).collect()
+    V = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    by_q: dict[int, list] = {}
+    for r in short:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.sim))
+    want = set()
+    for qid, cands in by_q.items():
+        cands = sorted(cands)
+        rest = dict(cands)
+        selected: list[int] = []
+        for step in range(1, min(k, len(cands)) + 1):
+            best = None
+            for vid, rel in sorted(rest.items()):
+                pen = max((cos(V[vid], V[s]) for s in selected), default=0.0)
+                score = lam * rel - (1.0 - lam) * pen
+                if best is None or score > best[1]:
+                    best = (vid, score, rel)
+            selected.append(best[0])
+            del rest[best[0]]
+            want.add((qid, step, best[0], best[2], best[1]))
+
+    got = {
+        (r.query_id, r.mmr_rank, r.vec_id, r.sim, r.mmr_score)
+        for r in mmr_rerank(emb, queries, k=k, shortlist=shortlist, lam=lam).collect()
+    }
+    assert got == want
+    # rank-1 == relevance argmax
+    for qid, cands in by_q.items():
+        top = max(cands, key=lambda c: (c[1], -c[0]))
+        assert (qid, 1, top[0], top[1], lam * top[1]) in got
+
+
+def test_pca_topk_full_rank_full_shortlist_is_exact(spark, sf_dir):
+    """pca_topk with n_components == dim (lossless rotation) and
+    shortlist >= corpus equals brute-force cosine; the fitted basis is
+    deterministic across two fits (sign-normalized eigh)."""
+    from temporal_vector_database_spark.operators.linalg import pca_fit, pca_topk
+    from temporal_vector_database_spark.operators.search import ann_brute_force
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    dim = len(emb.first().embedding)
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_brute_force(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pca_topk(emb, queries, k=10, n_components=dim, shortlist=n).collect()
+    }
+    assert got == want
+
+    mu1, W1 = pca_fit(emb, n_components=8)
+    mu2, W2 = pca_fit(emb, n_components=8)
+    assert np.array_equal(mu1, mu2) and np.array_equal(W1, W2)
+
+
+def test_pca_reduced_recall(spark, sf_dir):
+    """8-of-64-dim PCA shortlist keeps recall@10 >= 0.5 vs brute force on
+    the fixture corpus, and every reported sim is the TRUE full-dim
+    cosine (reduction only selects, never scores)."""
+    from temporal_vector_database_spark.operators.linalg import pca_topk
+    from temporal_vector_database_spark.operators.search import ann_brute_force
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    want = {}
+    for r in ann_brute_force(emb, queries, k=10).collect():
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    truth = {(r.query_id, r.vec_id): r.sim for r in ann_brute_force(emb, queries, k=10**9).collect()}
+    for r in pca_topk(emb, queries, k=10, n_components=8, shortlist=50).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+        if (r.query_id, r.vec_id) in truth:
+            assert r.sim == truth[(r.query_id, r.vec_id)]
+    recalls = [len(want[q] & got.get(q, set())) / len(want[q]) for q in want]
+    assert sum(recalls) / len(recalls) >= 0.5

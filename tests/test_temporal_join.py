@@ -50,3 +50,84 @@ def test_asof_tolerance_and_forward(spark):
     fwd2 = {r.lid: r.rid_asof for r in asof_join(
         left, right2, on="t", by=("user_id",), value_cols=("rid",), direction="forward").collect()}
     assert fwd2["l2"] == "r205"
+
+
+def test_scd2_intervals_compress_and_close(spark):
+    """Consecutive same-state updates fold into one row; intervals are
+    half-open, adjacent, and ordered; the last state per key stays open
+    (valid_to NULL); attr NULLs compare null-safely."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_snapshot,
+    )
+
+    rows = [
+        # key 1: a@10, a@20 (dup -> folded), b@30, b@40 (dup), a@50
+        (1, 1, 10, "a"), (1, 2, 20, "a"), (1, 3, 30, "b"),
+        (1, 4, 40, "b"), (1, 5, 50, "a"),
+        # key 2: NULL@10, NULL@20 (null-safe dup), c@30
+        (2, 6, 10, None), (2, 7, 20, None), (2, 8, 30, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, state string")
+    iv = scd2_intervals(
+        df, key_cols=("k",), time_col="t", attr_cols=("state",),
+        tiebreak_cols=("eid",),
+    ).collect()
+    got = sorted((r.k, r.valid_from, r.valid_to, r.state) for r in iv)
+    assert got == [
+        (1, 10, 30, "a"), (1, 30, 50, "b"), (1, 50, None, "a"),
+        (2, 10, 30, None), (2, 30, None, "c"),
+    ]
+
+    iv_df = scd2_intervals(
+        df, key_cols=("k",), time_col="t", attr_cols=("state",),
+        tiebreak_cols=("eid",),
+    )
+    # snapshot semantics: boundary belongs to the NEW state (half-open)
+    snap30 = sorted(
+        (r.k, r.state) for r in scd2_snapshot(iv_df, 30).collect()
+    )
+    assert snap30 == [(1, "b"), (2, "c")]
+    # before any update for a key -> key absent
+    snap5 = scd2_snapshot(iv_df, 5).collect()
+    assert snap5 == []
+    # current snapshot = open rows
+    snap99 = sorted((r.k, r.state) for r in scd2_snapshot(iv_df, 99).collect())
+    assert snap99 == [(1, "a"), (2, "c")]
+
+
+def test_scd2_no_compression_keeps_every_update(spark):
+    from temporal_vector_database_spark.operators.temporal import scd2_intervals
+
+    rows = [(1, 1, 10, "a"), (1, 2, 20, "a"), (1, 3, 30, "b")]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, state string")
+    iv = scd2_intervals(
+        df, key_cols=("k",), time_col="t", attr_cols=("state",),
+        tiebreak_cols=("eid",), change_only=False,
+    ).collect()
+    assert sorted((r.valid_from, r.valid_to) for r in iv) == [
+        (10, 20), (20, 30), (30, None)
+    ]
+
+
+def test_scd2_same_timestamp_ties_break_by_tiebreak(spark):
+    """Two surviving changes at the same instant: the lower tiebreak id
+    closes first (zero-length interval), the higher one carries forward —
+    deterministically."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_snapshot,
+    )
+
+    rows = [(1, 1, 10, "a"), (1, 2, 10, "b")]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, state string")
+    iv_df = scd2_intervals(
+        df, key_cols=("k",), time_col="t", attr_cols=("state",),
+        tiebreak_cols=("eid",),
+    )
+    got = sorted(
+        ((r.valid_from, r.valid_to, r.state) for r in iv_df.collect()),
+        key=lambda x: (x[0], x[1] is None, x[1] or 0),
+    )
+    assert got == [(10, 10, "a"), (10, None, "b")]
+    assert [(r.state) for r in scd2_snapshot(iv_df, 10).collect()] == ["b"]
