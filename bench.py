@@ -95,6 +95,11 @@ HEADLINE = (
     "ingest_late",
     "multimodal_near_dup",
     "events_zorder_read",
+    "events_scd2_snapshot",
+    "mrl_topk",
+    "mmr_rerank",
+    "embedding_gram",
+    "pca_topk",
 )
 
 
