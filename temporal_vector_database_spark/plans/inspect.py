@@ -76,7 +76,9 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
                 r"Arguments: (?:hash|range)partitioning\(([^)]*)\)", lj
             )
             if m:
-                keys = re.sub(r"#\d+", "", m.group(1))
+                # bigint attribute refs print as name#12L — strip the
+                # exprId AND its type suffix
+                keys = re.sub(r"#\d+L?", "", m.group(1))
                 s.shuffle_keysets.add(re.sub(r",\s*\d+$", "", keys))
                 break
     s.pushed_filters = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)

@@ -415,3 +415,43 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_scd2_single_key_shuffle(spark, qmap):
+    """SCD2 build: the change-compare window and the interval-close
+    window both partition by the key, so the plan carries exactly ONE
+    user_id exchange (Spark reuses the partitioning; only the sort
+    differs). A second exchange would mean the close window re-shuffled
+    the survivors — wasted at 100x."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_scd2_snapshot"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 1, sorted(s.shuffle_keysets)
+    assert s.shuffle_keysets == {"user_id"}
+    s.assert_no_cartesian()
+
+
+def test_gram_matrix_shuffles_only_partials(spark, qmap):
+    """Gram matrix: ONE exchange keyed (i, j) — the dim^2-row partial
+    sums — and nothing keyed by vec_id or carrying embeddings. The
+    whole corpus flows through mapInPandas narrowly."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["embedding_gram"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 1, sorted(s.shuffle_keysets)
+    assert s.shuffle_keysets == {"i, j"}
+    s.assert_no_cartesian()
+
+
+def test_mrl_and_mmr_no_cartesian_bounded_shuffles(spark, qmap):
+    """The MRL funnel and MMR rerank never cartesian-join; candidate
+    traffic is bounded by shortlist joins + per-query windows."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["mrl_topk"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(6)
+    assert s.n_broadcast_exchanges >= 1
+    s2 = summarize_plan(qmap["mmr_rerank"](spark, SF_DIR))
+    s2.assert_no_cartesian()
+    s2.assert_max_shuffles(6)

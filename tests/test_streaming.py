@@ -190,3 +190,59 @@ def test_ooo_ingest_batches_converge_to_batch_ingest(spark, tmp_path):
     before = canon(spark.read.option("basePath", store).parquet(store))
     process_ooo_ingest_batch(b1.drop("rk"), 1, store, FIXTURE_CONFIG)
     assert canon(spark.read.option("basePath", store).parquet(store)) == before
+
+
+def test_scd2_stream_equals_batch_and_replay_noop(spark, tmp_path):
+    """Streaming SCD2 maintenance: updates over 3 micro-batches — with a
+    LATE row that must resurrect a previously-folded state change — end
+    in a store equal to the one-shot batch scd2_intervals over all
+    updates; replaying a batch leaves the store row-identical."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.temporal import scd2_intervals
+    from temporal_vector_database_spark.streaming.scd2 import (
+        process_scd2_batch,
+        read_scd2_store,
+    )
+
+    rows = [
+        # key 1: a@10, a@30 (folds into a@10 until the late b@20 arrives)
+        (1, 1, 10, "a"), (1, 3, 30, "a"), (1, 5, 50, "c"),
+        # key 2: independent churn
+        (2, 2, 10, "x"), (2, 4, 40, "y"),
+        # key 3: appears only in the last batch
+        (3, 6, 60, "z"),
+    ]
+    late = [(1, 7, 20, "b")]  # resurrects a@30 as a real change
+    df = spark.createDataFrame(
+        rows + late, "user_id long, event_id long, ts_ms long, event_type string"
+    )
+    store = str(tmp_path / "scd2")
+    b0 = df.where(F.col("event_id").isin(1, 2, 3))
+    b1 = df.where(F.col("event_id").isin(4, 5, 7))  # 7 is LATE for key 1
+    b2 = df.where(F.col("event_id").isin(6, 5))  # 5 is a redelivery
+    kw = dict(
+        key_col="user_id", time_col="ts_ms", attr_cols=("event_type",),
+        tiebreak_cols=("event_id",), n_buckets=4,
+    )
+    for bid, b in enumerate([b0, b1, b2]):
+        process_scd2_batch(b, bid, store, **kw)
+
+    def canon(d):
+        return sorted(
+            ((r.user_id, r.valid_from, r.valid_to, r.event_type) for r in d.collect()),
+            key=lambda x: (x[0], x[1], x[2] is None, x[2] or 0),
+        )
+
+    want = scd2_intervals(
+        df, key_cols=("user_id",), time_col="ts_ms",
+        attr_cols=("event_type",), tiebreak_cols=("event_id",),
+    )
+    got = read_scd2_store(spark, store)
+    assert canon(got) == canon(want)
+    # the late row really did resurrect the folded change
+    assert (1, 30, 50, "a") in canon(got)
+
+    # replay batch 1 → no-op
+    process_scd2_batch(b1, 1, store, **kw)
+    assert canon(read_scd2_store(spark, store)) == canon(want)
