@@ -100,6 +100,7 @@ HEADLINE = (
     "mmr_rerank",
     "embedding_gram",
     "pca_topk",
+    "ivf_recall_eval",
 )
 
 

@@ -1384,3 +1384,41 @@ def mmr_rerank(
         f"query_id int, mmr_rank int, {id_col} bigint, sim double, mmr_score double"
     )
     return cand.groupBy("query_id").applyInPandas(_greedy, schema=schema)
+
+
+def recall_at_k(
+    result: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retrieval evaluation (beyond-reference): per-query recall@k of a
+    ranked ``result`` against a ranked ground-truth ``truth`` (both carry
+    (query, id, rank)). The harness every ANN tier needs to be tuned
+    against — nprobe / shortlist / quantization choices are recall
+    decisions, not just latency ones.
+
+    Output: (query_id, n_hit, n_true, recall). Queries absent from
+    ``result`` still appear (n_hit=0) — a silently-empty tier reads as
+    recall 0, not as missing data. Plan: two rank-filtered projections,
+    one (query, id) equi-join, two tiny per-query aggregates — truth is
+    k rows/query, so everything downstream of the inputs is k-bounded.
+    """
+    r = result.where(F.col("rank") <= k).select(query_col, id_col)
+    t = truth.where(F.col("rank") <= k).select(query_col, id_col)
+    hits = (
+        r.join(t, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    denom = t.groupBy(query_col).agg(F.count("*").alias("n_true"))
+    return (
+        denom.join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_true").cast("long").alias("n_true"),
+        )
+        .withColumn("recall", F.col("n_hit").cast("double") / F.col("n_true"))
+    )

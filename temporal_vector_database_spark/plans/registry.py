@@ -3375,9 +3375,9 @@ SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.4
 """
 )
 
-ORACLES["ivf_topk"] = (
-    _QEMB_CTE
-    + """
+# shared by ivf_topk and ivf_recall_eval: nearest-centroid assignment,
+# nprobe=2 probe selection, probed-candidate exact scoring -> `ranked`
+_IVF_RANKED_BODY = """
 , cents AS (
   SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
 ),
@@ -3416,6 +3416,12 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid) AS INTEGER) AS rank
   FROM cands WHERE sim > 0
 )
+"""
+
+ORACLES["ivf_topk"] = (
+    _QEMB_CTE
+    + _IVF_RANKED_BODY
+    + """
 SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 )
@@ -5935,6 +5941,54 @@ GROUP BY 1, 2
 )
 
 
+def q_ivf_recall_eval(spark, sf_dir):
+    """ANN quality harness: per-query recall@10 of the nprobe=2 IVF tier
+    against brute-force cosine ground truth — the measurement that turns
+    nprobe/shortlist knobs into recall decisions. Oracle recomputes BOTH
+    rankings relationally and the same small-integer recall division."""
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(emb, queries, k=10, nprobe=2)
+    want = ann_brute_force(emb, queries, k=10)
+    return recall_at_k(got, want, k=10)
+
+
+ORACLES["ivf_recall_eval"] = (
+    _QEMB_CTE
+    + _IVF_RANKED_BODY
+    + """
+, bscored AS (
+  SELECT q.query_id, en.vec_id,
+         CASE WHEN q.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(q.qe, en.emb) / (q.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN q
+),
+brute AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM bscored WHERE sim > 0
+),
+t AS (SELECT query_id, vec_id FROM brute WHERE rank <= 10),
+r AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+h AS (SELECT r.query_id, count(*) AS n_hit FROM r JOIN t USING (query_id, vec_id) GROUP BY 1),
+d AS (SELECT query_id, count(*) AS n_true FROM t GROUP BY 1)
+SELECT d.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(d.n_true AS BIGINT) AS n_true,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / d.n_true AS recall
+FROM d LEFT JOIN h ON d.query_id = h.query_id
+"""
+)
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6098,6 +6152,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "embedding_gram": q_embedding_gram,
     "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
+    "ivf_recall_eval": q_ivf_recall_eval,
 }
 
 

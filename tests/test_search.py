@@ -699,3 +699,30 @@ def test_pca_reduced_recall(spark, sf_dir):
             assert r.sim == truth[(r.query_id, r.vec_id)]
     recalls = [len(want[q] & got.get(q, set())) / len(want[q]) for q in want]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_recall_at_k_truth_vs_itself_and_misses(spark, sf_dir):
+    """recall@k of the truth ranking against itself is exactly 1.0 for
+    every query; a result missing a query entirely still yields a row
+    with recall 0.0 (never a dropped query)."""
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        recall_at_k,
+    )
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    truth = ann_brute_force(emb, queries, k=10)
+    perfect = recall_at_k(truth, truth, k=10).collect()
+    assert len(perfect) == queries.count()
+    assert all(r.recall == 1.0 and r.n_hit == r.n_true for r in perfect)
+
+    one_q = truth.where(F.col("query_id") == truth.first().query_id)
+    partial = {r.query_id: r for r in recall_at_k(one_q, truth, k=10).collect()}
+    assert len(partial) == len(perfect)
+    zeros = [r for r in partial.values() if r.n_hit == 0]
+    assert len(zeros) == len(perfect) - 1
+    assert all(r.recall == 0.0 for r in zeros)
