@@ -101,6 +101,8 @@ HEADLINE = (
     "embedding_gram",
     "pca_topk",
     "ivf_recall_eval",
+    "events_ohlc",
+    "events_gapfill",
 )
 
 

@@ -1,0 +1,63 @@
+"""OHLC bars and gap-filled LOCF resampling — edge semantics the oracle
+comparison can't isolate: tie-breaks inside a bucket, single-event bars,
+leading-NULL fill, carry-across-gap."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def test_ohlc_bars_and_ties(spark):
+    from temporal_vector_database_spark.operators.timeseries import ohlc
+
+    rows = [
+        # key "a", bucket 0 (width 100): events at t=10, 50, 50 (tie), 90
+        ("a", 1, 10, 5.0), ("a", 2, 50, 9.0), ("a", 3, 50, 1.0), ("a", 4, 90, 7.0),
+        # key "a", bucket 100: single event -> open==close==high==low
+        ("a", 5, 150, 3.0),
+        # key "b", bucket 0: ties at the OPEN edge too
+        ("b", 6, 0, 2.0), ("b", 7, 0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+    got = {
+        (r.k, r.bucket_start_ms): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc(df, "t", ("k",), "v", 100, tiebreak_cols=("eid",)).collect()
+    }
+    assert got[("a", 0)] == (5.0, 9.0, 1.0, 7.0, 4)
+    assert got[("a", 100)] == (3.0, 3.0, 3.0, 3.0, 1)
+    # same-ts ties break by eid: open = eid 6, close = eid 7
+    assert got[("b", 0)] == (2.0, 8.0, 2.0, 8.0, 2)
+    assert len(got) == 3
+
+
+def test_resample_locf_fill_semantics(spark):
+    from temporal_vector_database_spark.operators.timeseries import resample_locf
+
+    rows = [
+        # key 1: first obs in bucket 100, then a gap, then bucket 300
+        (1, 1, 150, 5.0), (1, 2, 160, 6.0),  # bucket 100 close = 6.0
+        (1, 3, 310, 9.0),
+        # key 2: only one obs, in bucket 0
+        (2, 4, 0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    out = resample_locf(
+        df, "t", ("k",), "v", 100, 0, 399, tiebreak_cols=("eid",)
+    ).collect()
+    got = {(r.k, r.bucket_start_ms): (r.value, r.is_observed) for r in out}
+    # full grid: 2 keys x 4 buckets
+    assert len(got) == 8
+    assert got[(1, 0)] == (None, False)      # before first observation
+    assert got[(1, 100)] == (6.0, True)      # close of the bucket, tie-broken
+    assert got[(1, 200)] == (6.0, False)     # carried across the gap
+    assert got[(1, 300)] == (9.0, True)
+    assert got[(2, 0)] == (1.0, True)
+    assert got[(2, 300)] == (1.0, False)     # carried to the end of the grid
+
+
+def test_resample_locf_same_ts_tie_uses_tiebreak(spark):
+    from temporal_vector_database_spark.operators.timeseries import resample_locf
+
+    rows = [(1, 1, 50, 3.0), (1, 2, 50, 4.0)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    out = resample_locf(df, "t", ("k",), "v", 100, 0, 100, tiebreak_cols=("eid",))
+    got = {(r.bucket_start_ms): r.value for r in out.collect()}
+    assert got[0] == 4.0 and got[100] == 4.0
