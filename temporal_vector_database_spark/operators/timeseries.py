@@ -19,6 +19,77 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ohlc_state(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    bucket_ms: int,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """MERGEABLE OHLC partial state per (keys, bucket): the open/close
+    endpoints are ``min/max(struct(time, tiebreaks…, value))`` — the
+    lexicographic struct extremum carries its value with it, which makes
+    every state column an associative aggregate (min/max/sum). That buys
+    two things windows cannot: map-side partial aggregation (no sort, no
+    per-bucket row ranking), and incremental maintenance — a batch's
+    state folds into an existing table by re-aggregating STATE rows only
+    (:func:`ohlc_merge`), the continuous-aggregate discipline of
+    ``operators/rollup.py``.
+
+    Deterministic because (time, tiebreaks) is unique per event; the
+    value field never decides the extremum."""
+    keys = list(key_cols)
+    bucket = (F.expr(f"{time_col} div {int(bucket_ms)}") * int(bucket_ms)).alias(
+        "bucket_start_ms"
+    )
+    base = df.select(*keys, bucket, F.col(time_col).alias("_t"),
+                     *[F.col(c) for c in tiebreak_cols],
+                     F.col(value_col).alias("_v"))
+    s = F.struct(
+        F.col("_t").alias("t"),
+        *[F.col(c).alias(f"tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col("_v").alias("v"),
+    )
+    return base.groupBy(*keys, "bucket_start_ms").agg(
+        F.min(s).alias("o"),
+        F.max(s).alias("c"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def ohlc_merge(state: DataFrame, new_state: DataFrame) -> DataFrame:
+    """Fold freshly-aggregated partial state into an existing OHLC
+    table — union + re-aggregate over STATE rows; history is never
+    rescanned. Exactness vs a full rebuild is pinned in tests."""
+    keys = [c for c in state.columns
+            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    return state.unionByName(new_state).groupBy(*keys, "bucket_start_ms").agg(
+        F.min("o").alias("o"),
+        F.max("c").alias("c"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def ohlc_report(state: DataFrame) -> DataFrame:
+    """Read-side projection of the mergeable state into bars."""
+    keys = [c for c in state.columns
+            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    return state.select(
+        *keys,
+        "bucket_start_ms",
+        F.col("o").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("c").getField("v").alias("close"),
+        "n_events",
+    )
+
+
 def ohlc(
     df: DataFrame,
     time_col: str,
@@ -35,29 +106,12 @@ def ohlc(
     non-unique ordering keys are not). No sums of floats anywhere:
     open/high/low/close are raw selected values, exact in any engine.
 
-    Plan shape: ONE exchange — the endpoint-ranking window and the final
-    aggregate share the (keys, bucket) hash partitioning.
+    Implemented as :func:`ohlc_report` over :func:`ohlc_state` — a pure
+    associative aggregation: ONE exchange, map-side combined, no window
+    sort anywhere.
     """
-    keys = list(key_cols)
-    bucket = (F.expr(f"{time_col} div {int(bucket_ms)}") * int(bucket_ms)).alias(
-        "bucket_start_ms"
-    )
-    base = df.select(*keys, bucket, F.col(time_col).alias("_t"),
-                     *[F.col(c) for c in tiebreak_cols],
-                     F.col(value_col).alias("_v"))
-    order = [F.asc("_t")] + [F.asc(c) for c in tiebreak_cols]
-    rorder = [F.desc("_t")] + [F.desc(c) for c in tiebreak_cols]
-    w_o = Window.partitionBy(*keys, "bucket_start_ms").orderBy(*order)
-    w_c = Window.partitionBy(*keys, "bucket_start_ms").orderBy(*rorder)
-    ranked = base.withColumn("_rno", F.row_number().over(w_o)).withColumn(
-        "_rnc", F.row_number().over(w_c)
-    )
-    return ranked.groupBy(*keys, "bucket_start_ms").agg(
-        F.max(F.when(F.col("_rno") == 1, F.col("_v"))).alias("open"),
-        F.max("_v").alias("high"),
-        F.min("_v").alias("low"),
-        F.max(F.when(F.col("_rnc") == 1, F.col("_v"))).alias("close"),
-        F.count("*").cast("long").alias("n_events"),
+    return ohlc_report(
+        ohlc_state(df, time_col, key_cols, value_col, bucket_ms, tiebreak_cols)
     )
 
 

@@ -61,3 +61,38 @@ def test_resample_locf_same_ts_tie_uses_tiebreak(spark):
     out = resample_locf(df, "t", ("k",), "v", 100, 0, 100, tiebreak_cols=("eid",))
     got = {(r.bucket_start_ms): r.value for r in out.collect()}
     assert got[0] == 4.0 and got[100] == 4.0
+
+
+def test_ohlc_incremental_merge_equals_full_rebuild(spark):
+    """Continuous-aggregate discipline: folding per-batch partial state
+    with ohlc_merge equals the one-shot aggregate over all events —
+    including batches that split a bucket (late data re-opening a bar)."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        ohlc,
+        ohlc_merge,
+        ohlc_report,
+        ohlc_state,
+    )
+
+    rows = [
+        ("a", 1, 10, 5.0), ("a", 2, 50, 9.0), ("a", 3, 90, 7.0),
+        ("a", 4, 150, 3.0), ("b", 5, 0, 2.0), ("b", 6, 80, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+    args = ("t", ("k",), "v", 100, ("eid",))
+    # batch 2 delivers a LATE event (eid 1, the true open of bucket 0)
+    b1 = df.where(F.col("eid").isin(2, 5, 4))
+    b2 = df.where(F.col("eid").isin(1, 3, 6))
+    state = ohlc_state(b1, *args)
+    state = ohlc_merge(state, ohlc_state(b2, *args))
+
+    def canon(d):
+        return sorted(
+            (r.k, r.bucket_start_ms, r.open, r.high, r.low, r.close, r.n_events)
+            for r in d.collect()
+        )
+
+    assert canon(ohlc_report(state)) == canon(ohlc(df, *args))
+    got = {(r.k, r.bucket_start_ms): (r.open, r.close)
+           for r in ohlc_report(state).collect()}
+    assert got[("a", 0)] == (5.0, 7.0)  # late eid 1 re-opened the bar
