@@ -96,3 +96,43 @@ def test_ohlc_incremental_merge_equals_full_rebuild(spark):
     got = {(r.k, r.bucket_start_ms): (r.open, r.close)
            for r in ohlc_report(state).collect()}
     assert got[("a", 0)] == (5.0, 7.0)  # late eid 1 re-opened the bar
+
+
+def test_streaming_ohlc_state_equals_batch_and_replay_noop(spark, tmp_path):
+    """foreachBatch OHLC maintenance over 3 micro-batches (with late
+    events) ends with state == one-shot ohlc; replaying a committed
+    batch changes nothing."""
+    from temporal_vector_database_spark.operators.timeseries import ohlc
+    from temporal_vector_database_spark.streaming.ohlc import (
+        process_ohlc_batch,
+        read_ohlc_state,
+    )
+    from temporal_vector_database_spark.operators.timeseries import ohlc_report
+
+    rows = [
+        ("a", 1, 10, 5.0), ("a", 2, 50, 9.0), ("a", 3, 90, 7.0),
+        ("a", 4, 150, 3.0), ("b", 5, 0, 2.0), ("b", 6, 80, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_id long, ts_ms long, v double")
+    state = str(tmp_path / "ohlc_state")
+    kw = dict(time_col="ts_ms", key_cols=("k",), value_col="v",
+              bucket_ms=100, tiebreak_cols=("event_id",))
+    batches = [
+        df.where(F.col("event_id").isin(2, 5)),
+        df.where(F.col("event_id").isin(1, 4)),   # event 1 is LATE
+        df.where(F.col("event_id").isin(3, 6)),
+    ]
+    for bid, b in enumerate(batches):
+        process_ohlc_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(
+            (r.k, r.bucket_start_ms, r.open, r.high, r.low, r.close, r.n_events)
+            for r in d.collect()
+        )
+
+    want = canon(ohlc(df, "ts_ms", ("k",), "v", 100, ("event_id",)))
+    assert canon(ohlc_report(read_ohlc_state(spark, state))) == want
+    # replay an already-committed batch -> no-op
+    process_ohlc_batch(batches[1], 1, state, **kw)
+    assert canon(ohlc_report(read_ohlc_state(spark, state))) == want
