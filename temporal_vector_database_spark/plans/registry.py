@@ -6141,7 +6141,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_near_dup": q_multimodal_near_dup,
     "events_zorder_read": q_events_zorder_read,
     "wordpiece_tokens": q_wordpiece_tokens,
-    # --- (4) §2 core temporal/vector rows (last checked r01) ---
+    # --- (4) session-7 oracle-gated additions: never driver-checked, so
+    # they take the cap slots 45-50 ahead of the §2 re-confirms below
+    # (those were green in r01 and are pytest-pinned at HEAD; rotate them
+    # back to the front in r04 along with pca_topk / ivf_recall_eval) ---
+    "events_scd2_snapshot": q_events_scd2_snapshot,
+    "mrl_topk": q_mrl_topk,
+    "mmr_rerank": q_mmr_rerank,
+    "embedding_gram": q_embedding_gram,
+    "events_ohlc": q_events_ohlc,
+    "events_gapfill": q_events_gapfill,
+    # --- (5) just past the cap: session-7 tail + §2 core rows (r01-green) ---
+    "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
+    "ivf_recall_eval": q_ivf_recall_eval,
     "advisor": q_advisor,
     "compaction_invariance": q_compaction_invariance,
     "ingest_encode": q_ingest_encode,
@@ -6241,16 +6253,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
-    # --- (5) new in session 7: past the 50-cap this round (everything
-    # above must keep its slot); rotate these to the front in r04 ---
-    "events_scd2_snapshot": q_events_scd2_snapshot,
-    "mrl_topk": q_mrl_topk,
-    "mmr_rerank": q_mmr_rerank,
-    "embedding_gram": q_embedding_gram,
-    "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
-    "ivf_recall_eval": q_ivf_recall_eval,
-    "events_ohlc": q_events_ohlc,
-    "events_gapfill": q_events_gapfill,
 }
 
 
