@@ -456,3 +456,105 @@ def test_temperature_rebalance_membership_property(spark, counts, k):
         lang_ids = [d for d, l in rows if l == f"l{li}"]
         want = {d for d in lang_ids if float(u32(d)) < rate * 2.0**32}
         assert by_lang.get(f"l{li}", set()) == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),            # key
+            st.integers(0, 400),          # time
+            st.sampled_from(["a", "b", "c"]),  # state
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_invariants_on_any_update_log(spark, updates):
+    """For ANY update log: per key, SCD2 intervals (1) start at the
+    key's first update, (2) tile the timeline — each valid_to equals the
+    next valid_from, last is NULL, (3) never repeat a state across
+    adjacent rows, and (4) a snapshot at any time equals the brute-force
+    last-change state."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_snapshot,
+    )
+
+    rows = [(k, i, t, s) for i, (k, t, s) in enumerate(updates)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, state string")
+    iv_df = scd2_intervals(
+        df, key_cols=("k",), time_col="t", attr_cols=("state",),
+        tiebreak_cols=("eid",),
+    )
+    iv = {}
+    for r in iv_df.collect():
+        iv.setdefault(r.k, []).append((r.valid_from, r.valid_to, r.state))
+    # brute-force per-key ordered update list
+    from collections import defaultdict
+
+    log = defaultdict(list)
+    for k, eid, t, s in rows:
+        log[k].append((t, eid, s))
+    for k, ups in log.items():
+        ups.sort()
+        spans = iv[k]
+        spans.sort(key=lambda x: (x[0], x[1] is None, x[1] or 0))
+        assert spans[0][0] == ups[0][0]                      # (1)
+        for (f1, t1, s1), (f2, t2, s2) in zip(spans, spans[1:]):
+            assert t1 == f2                                  # (2) tiling
+            assert s1 != s2                                  # (3) compressed
+        assert spans[-1][1] is None
+        # (4) snapshot parity at three representative probes (before the
+        # first update, at a mid update instant, after the last) — one
+        # Spark job per probe, so keep the probe set small
+        all_ts = [t for t, _, _ in ups]
+        probes = sorted({all_ts[0] - 1, all_ts[len(all_ts) // 2], all_ts[-1] + 1})
+        for p in probes:
+            seen = [s for t, _, s in ups if t <= p]
+            brute = None
+            for t, _, s in ups:
+                if t <= p:
+                    brute = s
+            got = [
+                r.state
+                for r in scd2_snapshot(iv_df, p).where(F.col("k") == k).collect()
+            ]
+            if brute is None:
+                assert got == []
+            else:
+                assert got == [brute]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),                 # key
+            st.integers(0, 299),               # time
+            st.integers(-8, 8),                # value numerator (x/4)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ohlc_matches_brute_force_on_any_events(spark, events):
+    from collections import defaultdict
+
+    from temporal_vector_database_spark.operators.timeseries import ohlc
+
+    rows = [(k, i, t, v / 4.0) for i, (k, t, v) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    got = {
+        (r.k, r.bucket_start_ms): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc(df, "t", ("k",), "v", 100, tiebreak_cols=("eid",)).collect()
+    }
+    buckets = defaultdict(list)
+    for k, eid, t, v in rows:
+        buckets[(k, (t // 100) * 100)].append((t, eid, v))
+    assert set(got) == set(buckets)
+    for key, evs in buckets.items():
+        evs.sort()
+        want = (evs[0][2], max(v for _, _, v in evs), min(v for _, _, v in evs),
+                evs[-1][2], len(evs))
+        assert got[key] == want
