@@ -115,6 +115,53 @@ def ohlc(
     )
 
 
+def resample_locf_from_state(
+    state: DataFrame,
+    bucket_ms: int,
+    lo_ms: int,
+    hi_ms: int,
+) -> DataFrame:
+    """Gap-filled LOCF serving from MAINTAINED OHLC state instead of the
+    raw event table: the per-bucket closing observation is exactly the
+    state's ``c`` (close) endpoint, so a continuously-maintained state
+    table (``ohlc_merge`` / ``streaming/ohlc.py``) answers gap-fill
+    queries without ever rescanning events — cost is |keys| x n_buckets,
+    independent of history. Equals :func:`resample_locf` over the raw
+    events the state was built from (pinned in tests)."""
+    keys = [c for c in state.columns
+            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    lo_b = (int(lo_ms) // int(bucket_ms)) * int(bucket_ms)
+    hi_b = (int(hi_ms) // int(bucket_ms)) * int(bucket_ms)
+    grid = (
+        state.select(*keys)
+        .distinct()
+        .withColumn(
+            "bucket_start_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(lo_b).cast("long"),
+                    F.lit(hi_b).cast("long"),
+                    F.lit(int(bucket_ms)).cast("long"),
+                )
+            ),
+        )
+    )
+    close = state.select(
+        *keys, "bucket_start_ms", F.col("c").getField("v").alias("_close")
+    )
+    w_fill = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(close, [*keys, "bucket_start_ms"], "left")
+        .withColumn("value", F.last("_close", ignorenulls=True).over(w_fill))
+        .withColumn("is_observed", F.col("_close").isNotNull())
+        .select(*keys, "bucket_start_ms", "value", "is_observed")
+    )
+
+
 def resample_locf(
     df: DataFrame,
     time_col: str,

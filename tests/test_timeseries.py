@@ -136,3 +136,35 @@ def test_streaming_ohlc_state_equals_batch_and_replay_noop(spark, tmp_path):
     # replay an already-committed batch -> no-op
     process_ohlc_batch(batches[1], 1, state, **kw)
     assert canon(ohlc_report(read_ohlc_state(spark, state))) == want
+
+
+def test_locf_from_state_equals_raw_resample(spark):
+    """Serving gap-fill from incrementally-merged OHLC state equals the
+    raw-event resample — the state's close endpoint IS the per-bucket
+    closing observation, even when a late batch re-closed a bucket."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        ohlc_merge,
+        ohlc_state,
+        resample_locf,
+        resample_locf_from_state,
+    )
+
+    rows = [
+        (1, 1, 150, 5.0), (1, 2, 160, 6.0), (1, 3, 310, 9.0),
+        (2, 4, 0, 1.0), (1, 5, 170, 2.5),  # eid 5 arrives late in batch 2
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    args = ("t", ("k",), "v", 100, ("eid",))
+    state = ohlc_state(df.where(F.col("eid") <= 4), *args)
+    state = ohlc_merge(state, ohlc_state(df.where(F.col("eid") == 5), *args))
+
+    def canon(d):
+        return sorted(
+            (r.k, r.bucket_start_ms, r.value, r.is_observed) for r in d.collect()
+        )
+
+    want = resample_locf(df, "t", ("k",), "v", 100, 0, 399, tiebreak_cols=("eid",))
+    got = resample_locf_from_state(state, 100, 0, 399)
+    assert canon(got) == canon(want)
+    vals = {(r.k, r.bucket_start_ms): r.value for r in got.collect()}
+    assert vals[(1, 100)] == 2.5 and vals[(1, 200)] == 2.5  # late close served
