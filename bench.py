@@ -103,6 +103,7 @@ HEADLINE = (
     "ivf_recall_eval",
     "events_ohlc",
     "events_gapfill",
+    "events_interval_coverage",
 )
 
 

@@ -180,3 +180,51 @@ def scd2_snapshot(intervals: DataFrame, at) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: tuple[str, ...] | list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key (SQL:2011
+    temporal normalization / PostgreSQL ``range_agg``; beyond-reference
+    interval algebra alongside :func:`scd2_intervals`).
+
+    A new merged span begins where an interval's start exceeds the
+    running maximum end of all earlier intervals (earlier in (start,
+    end) order); ``start == prev_end`` touches and therefore merges
+    (half-open convention). Output: one row per merged span with
+    ``n_merged`` source intervals.
+
+    Plan shape: ONE key shuffle shared by the running-max window, the
+    span-id running sum, and the final (key, span) aggregate — all three
+    ride the same partitioning; cost is linear in |intervals|.
+    """
+    keys = list(key_cols)
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(start_col), F.asc(end_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(start_col), F.asc(end_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max(end_col).over(w_prev)
+    is_new = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    return (
+        df.select(*keys, start_col, end_col)
+        .withColumn("_span", F.sum(is_new).over(w_run))
+        .groupBy(*keys, "_span")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count("*").cast("long").alias("n_merged"),
+        )
+        .drop("_span")
+    )

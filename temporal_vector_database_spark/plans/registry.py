@@ -6085,6 +6085,51 @@ FROM grid g LEFT JOIN cl
 """
 
 
+def q_events_interval_coverage(spark, sf_dir):
+    """Interval coalescing (SQL:2011 temporal normalization): each event
+    opens a 30-minute half-open activity interval; overlapping-or-
+    touching intervals per user merge into coverage spans. One key
+    shuffle shared by the running-max window, span-id sum, and final
+    aggregate."""
+    from temporal_vector_database_spark.operators.temporal import coalesce_intervals
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_ms").alias("iv_start"),
+        (F.col("ts_ms") + F.lit(1_800_000)).alias("iv_end"),
+    )
+    return coalesce_intervals(ev, ("user_id",), "iv_start", "iv_end")
+
+
+ORACLES["events_interval_coverage"] = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 1800000 AS e FROM events
+),
+w1 AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM e
+),
+flg AS (
+  SELECT user_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS f
+  FROM w1
+),
+grp AS (
+  SELECT user_id, s, e,
+         sum(f) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM flg
+)
+SELECT user_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM grp GROUP BY user_id, g
+"""
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6253,6 +6298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
+    "events_interval_coverage": q_events_interval_coverage,
 }
 
 

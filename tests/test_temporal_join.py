@@ -131,3 +131,29 @@ def test_scd2_same_timestamp_ties_break_by_tiebreak(spark):
     )
     assert got == [(10, 10, "a"), (10, None, "b")]
     assert [(r.state) for r in scd2_snapshot(iv_df, 10).collect()] == ["b"]
+
+
+def test_coalesce_intervals_semantics(spark):
+    """Overlap merges, touching (half-open) merges, disjoint splits;
+    containment collapses; per-key independence; n_merged counts
+    sources."""
+    from temporal_vector_database_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    rows = [
+        (1, 0, 10), (1, 5, 20),    # overlap -> [0, 20)
+        (1, 20, 30),               # touching -> extends to [0, 30)
+        (1, 40, 50),               # disjoint -> new span
+        (1, 41, 45),               # contained -> absorbed
+        (2, 0, 100), (2, 200, 300),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r.k, r.span_start, r.span_end, r.n_merged)
+        for r in coalesce_intervals(df, ("k",), "s", "e").collect()
+    )
+    assert got == [
+        (1, 0, 30, 3), (1, 40, 50, 2),
+        (2, 0, 100, 1), (2, 200, 300, 1),
+    ]
