@@ -104,6 +104,8 @@ HEADLINE = (
     "events_ohlc",
     "events_gapfill",
     "events_interval_coverage",
+    "events_bitemporal",
+    "events_key_skew",
 )
 
 

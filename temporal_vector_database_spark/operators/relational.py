@@ -99,3 +99,42 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return fact_s.join(dim_r, [*keys, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: tuple[str, ...] | list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnosis for a prospective join/agg key (beyond-reference
+    ops tooling; the measurement behind this module's salting knobs):
+    the ``top_n`` hottest key values with exact counts, the key's global
+    share, and corpus totals — the numbers that decide whether a key
+    needs `salted_join`/`two_phase_topk` or AQE skew handling.
+
+    Plan: one keyed count aggregate (map-side combined), a 1-row global
+    summary broadcast onto the top rows, and a TakeOrdered top-N — no
+    global sort materializes, nothing driver-side beyond the N rows.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    summary = counts.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count("*").cast("long").alias("n_distinct_keys"),
+    )
+    top = counts.orderBy(F.desc("n"), *[F.asc(c) for c in keys]).limit(int(top_n))
+    w = Window.orderBy(F.desc("n"), *[F.asc(c) for c in keys])
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            *keys,
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("total_rows").cast("double")).alias(
+                "share"
+            ),
+            "total_rows",
+            "n_distinct_keys",
+        )
+    )

@@ -228,3 +228,34 @@ def coalesce_intervals(
         )
         .drop("_span")
     )
+
+
+def bitemporal_snapshot(
+    updates: DataFrame,
+    key_cols: tuple[str, ...] | list[str],
+    valid_col: str,
+    tx_col: str,
+    attr_cols: tuple[str, ...] | list[str],
+    at_tx,
+    at_valid,
+    tiebreak_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Bitemporal point query (SQL:2011 system+application time): the
+    state EFFECTIVE at valid time ``at_valid``, as KNOWN at transaction
+    time ``at_tx`` — i.e. late-arriving corrections with ``tx >
+    at_tx`` are invisible, exactly reproducing what the system would
+    have answered then.
+
+    Composition: transaction-time visibility is a pure filter
+    (``tx <= at_tx``), then the valid-time dimension is the ordinary
+    SCD2 build + snapshot — so the bitemporal query inherits
+    :func:`scd2_intervals`'s one-key-shuffle plan with a prunable
+    filter in front. No interval×interval machinery is needed for
+    point-in-both-dimensions lookups.
+    """
+    known = updates.where(F.col(tx_col) <= F.lit(at_tx))
+    iv = scd2_intervals(
+        known, key_cols=key_cols, time_col=valid_col, attr_cols=attr_cols,
+        tiebreak_cols=tiebreak_cols,
+    )
+    return scd2_snapshot(iv, at_valid)

@@ -6130,6 +6130,96 @@ FROM grp GROUP BY user_id, g
 """
 
 
+def q_events_bitemporal(spark, sf_dir):
+    """Bitemporal point query: per-user event_type state EFFECTIVE at
+    the corpus-midpoint valid time, as KNOWN 6 hours after that midpoint
+    — events whose (synthetic, deterministic) arrival time
+    ``ts_ms + (event_id % 5) hours`` lands later are invisible, exactly
+    what the system would have answered then. Transaction time is a pure
+    filter in front of the ordinary SCD2 build + snapshot."""
+    from temporal_vector_database_spark.operators.temporal import (
+        bitemporal_snapshot,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type",
+        (F.col("ts_ms") + (F.col("event_id") % 5) * F.lit(3_600_000)).alias(
+            "arrival_ms"
+        ),
+    )
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    mid = (int(lo) + int(hi)) // 2
+    return bitemporal_snapshot(
+        ev,
+        key_cols=("user_id",),
+        valid_col="ts_ms",
+        tx_col="arrival_ms",
+        attr_cols=("event_type",),
+        at_tx=mid + 6 * 3_600_000,
+        at_valid=mid,
+        tiebreak_cols=("event_id",),
+    ).select("user_id", F.col("valid_from").alias("valid_from_ms"), "event_type")
+
+
+ORACLES["events_bitemporal"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+         epoch_ms(ts) + (event_id % 5) * 3600000 AS arrival_ms
+  FROM events
+),
+m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM e),
+known AS (
+  SELECT e.* FROM e, m WHERE e.arrival_ms <= m.mid + 6 * 3600000
+),
+chg AS (
+  SELECT user_id, event_id, ts_ms, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+  FROM known
+),
+surv AS (
+  SELECT user_id, event_id, ts_ms AS valid_from, event_type
+  FROM chg WHERE prev_type IS DISTINCT FROM event_type
+),
+iv AS (
+  SELECT user_id, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+         event_type
+  FROM surv
+)
+SELECT user_id, CAST(valid_from AS BIGINT) AS valid_from_ms, event_type
+FROM iv, m
+WHERE valid_from <= m.mid AND (valid_to IS NULL OR valid_to > m.mid)
+"""
+
+
+def q_events_key_skew(spark, sf_dir):
+    """Skew diagnosis on the event stream's user key: top-20 hottest
+    users with exact counts and global shares — the measurement that
+    decides between a plain join, salting, and AQE skew handling."""
+    from temporal_vector_database_spark.operators.relational import key_skew_profile
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return key_skew_profile(ev, ("user_id",), top_n=20)
+
+
+ORACLES["events_key_skew"] = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_distinct_keys
+  FROM c
+),
+top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER) AS rank,
+       user_id, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / total_rows AS share,
+       total_rows, n_distinct_keys
+FROM top, s
+"""
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6300,6 +6390,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
     "events_interval_coverage": q_events_interval_coverage,
+    "events_bitemporal": q_events_bitemporal,
+    "events_key_skew": q_events_key_skew,
 }
 
 

@@ -160,3 +160,25 @@ def test_events_retention_cohort_offsets(spark, tmp_path):
         for r in q_events_retention(spark, src).collect()
     }  # 19723 = days(2024-01-01)
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_key_skew_profile_exact_on_crafted_skew(spark):
+    """A deliberately skewed key distribution: counts, shares, ranks,
+    and corpus totals are exact; ties rank by key."""
+    from temporal_vector_database_spark.operators.relational import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] * 1 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r.rank, r.k, r.n, r.share, r.total_rows, r.n_distinct_keys)
+        for r in key_skew_profile(df, ("k",), top_n=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "hot", 6, 6 / 11, 11, 4),
+        (2, "warm", 3, 3 / 11, 11, 4),
+        (3, "a", 1, 1 / 11, 11, 4),  # tie with b -> key order
+    ]

@@ -157,3 +157,31 @@ def test_coalesce_intervals_semantics(spark):
         (1, 0, 30, 3), (1, 40, 50, 2),
         (2, 0, 100, 1), (2, 200, 300, 1),
     ]
+
+
+def test_bitemporal_snapshot_hides_late_knowledge(spark):
+    """As-known-at semantics: a correction that ARRIVED after the
+    transaction-time cutoff is invisible even though its valid time
+    qualifies; moving the cutoff forward reveals it."""
+    from temporal_vector_database_spark.operators.temporal import (
+        bitemporal_snapshot,
+    )
+
+    #            key eid valid  tx   state
+    rows = [
+        (1, 1, 10, 10, "a"),
+        (1, 2, 20, 100, "b"),   # late-arriving correction (valid 20, known at 100)
+        (1, 3, 30, 30, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, v long, tx long, state string")
+    kw = dict(key_cols=("k",), valid_col="v", tx_col="tx",
+              attr_cols=("state",), tiebreak_cols=("eid",))
+    # as known at tx=50, effective at v=25: the b@20 update hasn't arrived
+    early = bitemporal_snapshot(df, at_tx=50, at_valid=25, **kw).collect()
+    assert [(r.state) for r in early] == ["a"]
+    # as known at tx=100, same valid time: b is now visible
+    late = bitemporal_snapshot(df, at_tx=100, at_valid=25, **kw).collect()
+    assert [(r.state) for r in late] == ["b"]
+    # and the c@30 state is unaffected either way at its own valid time
+    at30 = bitemporal_snapshot(df, at_tx=100, at_valid=30, **kw).collect()
+    assert [(r.state) for r in at30] == ["c"]
