@@ -455,3 +455,28 @@ def test_mrl_and_mmr_no_cartesian_bounded_shuffles(spark, qmap):
     s2 = summarize_plan(qmap["mmr_rerank"](spark, SF_DIR))
     s2.assert_no_cartesian()
     s2.assert_max_shuffles(6)
+
+
+def test_interval_coverage_single_key_shuffle(spark, qmap):
+    """Interval coalescing: running-max window, span-id sum, and the
+    span aggregate all ride ONE user_id exchange — a second exchange
+    would mean the span aggregate re-shuffled what the windows already
+    partitioned."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_interval_coverage"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 1, sorted(s.shuffle_keysets)
+    assert s.shuffle_keysets == {"user_id"}
+    s.assert_no_cartesian()
+
+
+def test_key_skew_profile_bounded_exchanges(spark, qmap):
+    """Skew profiler: the only data-sized exchange is the keyed count;
+    everything after (summary, TakeOrdered top-N, the N-row rank window)
+    is row-count-bounded. No global sort of the counts table."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_key_skew"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(4)
+    assert s.n_broadcast_exchanges >= 1
