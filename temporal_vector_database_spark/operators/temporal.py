@@ -187,6 +187,7 @@ def coalesce_intervals(
     key_cols: tuple[str, ...] | list[str],
     start_col: str,
     end_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Merge overlapping-or-touching intervals per key (SQL:2011
     temporal normalization / PostgreSQL ``range_agg``; beyond-reference
@@ -196,7 +197,12 @@ def coalesce_intervals(
     running maximum end of all earlier intervals (earlier in (start,
     end) order); ``start == prev_end`` touches and therefore merges
     (half-open convention). Output: one row per merged span with
-    ``n_merged`` source intervals.
+    ``n_merged`` source intervals. ``weight_col`` makes ``n_merged`` a
+    weight SUM instead of a row count — pass an already-coalesced span
+    set's ``n_merged`` through it and incremental re-coalescing
+    preserves exact source counts (coalescing is associative on span
+    geometry; the weight keeps the count associative too — the property
+    streaming coverage maintenance relies on).
 
     Plan shape: ONE key shuffle shared by the running-max window, the
     span-id running sum, and the final (key, span) aggregate — all three
@@ -217,14 +223,18 @@ def coalesce_intervals(
     is_new = (
         prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
     ).cast("int")
+    n_agg = (
+        F.count("*") if weight_col is None else F.sum(weight_col)
+    ).cast("long").alias("n_merged")
+    cols = [*keys, start_col, end_col] + ([weight_col] if weight_col else [])
     return (
-        df.select(*keys, start_col, end_col)
+        df.select(*cols)
         .withColumn("_span", F.sum(is_new).over(w_run))
         .groupBy(*keys, "_span")
         .agg(
             F.min(start_col).alias("span_start"),
             F.max(end_col).alias("span_end"),
-            F.count("*").cast("long").alias("n_merged"),
+            n_agg,
         )
         .drop("_span")
     )

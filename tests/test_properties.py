@@ -558,3 +558,72 @@ def test_ohlc_matches_brute_force_on_any_events(spark, events):
         want = (evs[0][2], max(v for _, _, v in evs), min(v for _, _, v in evs),
                 evs[-1][2], len(evs))
         assert got[key] == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 2),      # key
+            st.integers(0, 100),    # start
+            st.integers(1, 30),     # length
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(1, 20),             # split point for the merge property
+)
+def test_coalesce_intervals_brute_force_and_associativity(spark, ivs, cut):
+    """For ANY interval set: (a) spans equal a brute-force sweep merge,
+    (b) coalescing is associative — coalesce(coalesce(A) ∪ B) ==
+    coalesce(A ∪ B) — the property incremental/streaming coverage
+    maintenance relies on."""
+    from collections import defaultdict
+
+    from temporal_vector_database_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+
+    def brute(rows):
+        by_k = defaultdict(list)
+        for k, s, e in rows:
+            by_k[k].append((s, e))
+        out = []
+        for k, spans in by_k.items():
+            spans.sort()
+            cur_s, cur_e, n = spans[0][0], spans[0][1], 1
+            for s, e in spans[1:]:
+                if s > cur_e:
+                    out.append((k, cur_s, cur_e, n))
+                    cur_s, cur_e, n = s, e, 1
+                else:
+                    cur_e = max(cur_e, e)
+                    n += 1
+            out.append((k, cur_s, cur_e, n))
+        return sorted(out)
+
+    got = sorted(
+        (r.k, r.span_start, r.span_end, r.n_merged)
+        for r in coalesce_intervals(df, ("k",), "s", "e").collect()
+    )
+    assert got == brute(rows)
+
+    # associativity (span geometry only — n_merged legitimately differs:
+    # a pre-merged span counts as ONE source interval on the next pass)
+    a, b = rows[:cut], rows[cut:]
+    if a and b:
+        da = spark.createDataFrame(a, "k long, s long, e long")
+        db = spark.createDataFrame(b, "k long, s long, e long")
+        pre = coalesce_intervals(da, ("k",), "s", "e").select(
+            "k", F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        )
+        merged = coalesce_intervals(
+            pre.unionByName(db.select("k", "s", "e")), ("k",), "s", "e"
+        )
+        got2 = sorted(
+            (r.k, r.span_start, r.span_end) for r in merged.collect()
+        )
+        assert got2 == [(k, s, e) for k, s, e, _ in brute(rows)]

@@ -185,3 +185,48 @@ def test_bitemporal_snapshot_hides_late_knowledge(spark):
     # and the c@30 state is unaffected either way at its own valid time
     at30 = bitemporal_snapshot(df, at_tx=100, at_valid=30, **kw).collect()
     assert [(r.state) for r in at30] == ["c"]
+
+
+def test_streaming_coverage_equals_batch_and_replay_noop(spark, tmp_path):
+    """Streaming coverage maintenance over 3 micro-batches (late
+    intervals bridging existing spans included) == one-shot
+    coalesce_intervals over all intervals, INCLUDING exact n_merged via
+    the weight thread; committed replays are no-ops."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+    from temporal_vector_database_spark.streaming.coverage import (
+        process_coverage_batch,
+        read_coverage_state,
+    )
+
+    rows = [
+        (1, 1, 0, 10), (1, 2, 30, 40),   # two disjoint spans...
+        (1, 3, 8, 32),                    # ...bridged by a LATE interval
+        (1, 4, 100, 110),
+        (2, 5, 0, 5), (2, 6, 5, 9),       # touching
+    ]
+    df = spark.createDataFrame(rows, "k long, iid long, s long, e long")
+    state = str(tmp_path / "cov")
+    kw = dict(key_cols=("k",), start_col="s", end_col="e")
+    batches = [
+        df.where(F.col("iid").isin(1, 5)),
+        df.where(F.col("iid").isin(2, 6, 4)),
+        df.where(F.col("iid") == 3),     # the late bridge
+    ]
+    for bid, b in enumerate(batches):
+        process_coverage_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(
+            (r.k, r.span_start, r.span_end, r.n_merged) for r in d.collect()
+        )
+
+    want = canon(coalesce_intervals(df, ("k",), "s", "e"))
+    got = canon(read_coverage_state(spark, state))
+    assert got == want
+    assert (1, 0, 40, 3) in got          # bridge merged two spans, count exact
+    process_coverage_batch(batches[1], 1, state, **kw)   # replay -> no-op
+    assert canon(read_coverage_state(spark, state)) == want
