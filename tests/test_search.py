@@ -726,3 +726,31 @@ def test_recall_at_k_truth_vs_itself_and_misses(spark, sf_dir):
     zeros = [r for r in partial.values() if r.n_hit == 0]
     assert len(zeros) == len(perfect) - 1
     assert all(r.recall == 0.0 for r in zeros)
+
+
+def test_streaming_gram_state_equals_one_shot_pca(spark, sf_dir, tmp_path):
+    """Folding the corpus in as 3 micro-batches yields bit-identical
+    Gram/mean state to the one-shot pass (all partial sums exact on the
+    fixture grid), hence the SAME PCA basis from pca_from_state as
+    pca_fit; committed replays are no-ops."""
+    import numpy as np
+
+    from temporal_vector_database_spark.operators.linalg import pca_fit
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+    from temporal_vector_database_spark.streaming.gram import (
+        pca_from_state,
+        process_gram_batch,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    state = str(tmp_path / "gram")
+    for bid, rem in enumerate([0, 1, 2]):
+        process_gram_batch(emb.where(F.col("vec_id") % 3 == rem), bid, state)
+    mu_s, W_s = pca_from_state(spark, state, n_components=8)
+    mu_b, W_b = pca_fit(emb, n_components=8)
+    assert np.array_equal(mu_s, mu_b)
+    assert np.array_equal(W_s, W_b)
+    # replay a committed batch -> state unchanged
+    process_gram_batch(emb.where(F.col("vec_id") % 3 == 1), 1, state)
+    mu_r, W_r = pca_from_state(spark, state, n_components=8)
+    assert np.array_equal(mu_r, mu_s) and np.array_equal(W_r, W_s)
