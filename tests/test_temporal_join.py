@@ -230,3 +230,46 @@ def test_streaming_coverage_equals_batch_and_replay_noop(spark, tmp_path):
     assert (1, 0, 40, 3) in got          # bridge merged two spans, count exact
     process_coverage_batch(batches[1], 1, state, **kw)   # replay -> no-op
     assert canon(read_coverage_state(spark, state)) == want
+
+
+def test_run_coverage_stream_end_to_end(spark, tmp_path):
+    """Real Structured Streaming wiring (parquet source, 1 file per
+    micro-batch, availableNow drain + checkpoint): the maintained state
+    equals the one-shot coalesce over all streamed intervals."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+    from temporal_vector_database_spark.streaming.coverage import (
+        read_coverage_state,
+        run_coverage_stream,
+    )
+
+    rows = [
+        (1, 0, 10), (1, 30, 40), (1, 8, 32), (1, 100, 110),
+        (2, 0, 5), (2, 5, 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, iv_start long, iv_end long")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        df.where(F.col("iv_start") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "cov_state")
+    run_coverage_stream(stream, state, str(tmp_path / "ckpt"))
+
+    def canon(d):
+        return sorted(
+            (r.user_id, r.span_start, r.span_end, r.n_merged) for r in d.collect()
+        )
+
+    want = canon(
+        coalesce_intervals(df, ("user_id",), "iv_start", "iv_end")
+    )
+    assert canon(read_coverage_state(spark, state)) == want
