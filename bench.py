@@ -106,6 +106,7 @@ HEADLINE = (
     "events_interval_coverage",
     "events_bitemporal",
     "events_key_skew",
+    "knn_graph",
 )
 
 

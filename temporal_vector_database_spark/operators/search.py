@@ -427,6 +427,7 @@ def ivf_topk(
     centroid_rem: int = 7,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF: probe the ``nprobe`` nearest
     centroid lists only, then exact cosine + per-query top-k within them.
@@ -460,6 +461,10 @@ def ivf_topk(
     cands = probes.join(assign, "centroid_id").select(
         "query_id", "vid", _guarded_sim("q_emb", "emb", "q_nrm", "nrm").alias("sim")
     )
+    if exclude_self:
+        # kNN-graph use: queries ARE the corpus; a vector is not its own
+        # neighbor (drop BEFORE ranking so k real neighbors survive)
+        cands = cands.where(F.col("vid") != F.col("query_id"))
     wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
     return (
         cands.where(F.col("sim") > 0)
@@ -1421,4 +1426,31 @@ def recall_at_k(
             F.col("n_true").cast("long").alias("n_true"),
         )
         .withColumn("recall", F.col("n_hit").cast("double") / F.col("n_true"))
+    )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """kNN graph (beyond-reference): every corpus vector's ``k`` nearest
+    cosine neighbors, self excluded — the primitive under graph-based
+    clustering, kNN-graph dedup, and label propagation.
+
+    Scale shape: exactly :func:`ivf_topk` with the corpus as its own
+    query set — per-vector candidates are the nprobe probed lists, never
+    the corpus, so the join is |corpus| x (probed-list size), not
+    |corpus|^2. Deterministic (no RNG), oracle-replayable.
+    """
+    queries = embeddings.select(
+        F.col(id_col).cast("int").alias("query_id"), emb_col
+    )
+    return ivf_topk(
+        embeddings, queries, k, nprobe, centroid_mod, centroid_rem,
+        id_col, emb_col, exclude_self=True,
     )

@@ -3377,7 +3377,10 @@ SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.4
 
 # shared by ivf_topk and ivf_recall_eval: nearest-centroid assignment,
 # nprobe=2 probe selection, probed-candidate exact scoring -> `ranked`
-_IVF_RANKED_BODY = """
+# shared by ivf_topk / ivf_recall_eval / knn_graph: nearest-centroid
+# assignment, nprobe=2 probe selection, probed-candidate exact scoring
+# -> `ranked`; parameterized on the query-set filter and self-exclusion
+_IVF_RANKED_TMPL = '''
 , cents AS (
   SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
 ),
@@ -3392,7 +3395,7 @@ assign AS (
     FROM en CROSS JOIN cents c
   ) WHERE rn = 1
 ),
-q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE vec_id % 50 = 0),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE {query_filter}),
 probes AS (
   SELECT query_id, qe, nq, centroid_id FROM (
     SELECT q.query_id, q.qe, q.nq, c.centroid_id,
@@ -3409,14 +3412,22 @@ cands AS (
          CASE WHEN p.nq > 0 AND a.nrm > 0
               THEN list_dot_product(p.qe, a.emb) / (p.nq * a.nrm)
               ELSE 0.0 END AS sim
-  FROM probes p JOIN assign a USING (centroid_id)
+  FROM probes p JOIN assign a USING (centroid_id){exclude_self}
 ),
 ranked AS (
   SELECT query_id, vid AS vec_id, sim,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid) AS INTEGER) AS rank
   FROM cands WHERE sim > 0
 )
-"""
+'''
+
+
+def _ivf_ranked_body(query_filter: str = "vec_id % 50 = 0", exclude_self: bool = False) -> str:
+    ex = " WHERE a.vid <> p.query_id" if exclude_self else ""
+    return _IVF_RANKED_TMPL.format(query_filter=query_filter, exclude_self=ex)
+
+
+_IVF_RANKED_BODY = _ivf_ranked_body()
 
 ORACLES["ivf_topk"] = (
     _QEMB_CTE
@@ -6220,6 +6231,26 @@ FROM top, s
 """
 
 
+def q_knn_graph(spark, sf_dir):
+    """kNN graph over the corpus: every vector's 5 nearest cosine
+    neighbors (self excluded) via IVF-probed candidates — the primitive
+    under graph clustering / kNN dedup; candidates per vector are the
+    probed lists, never the corpus."""
+    from temporal_vector_database_spark.operators.search import knn_graph
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return knn_graph(emb, k=5, nprobe=2)
+
+
+ORACLES["knn_graph"] = (
+    _QEMB_CTE
+    + _ivf_ranked_body(query_filter="TRUE", exclude_self=True)
+    + """
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
+"""
+)
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6392,6 +6423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_coverage": q_events_interval_coverage,
     "events_bitemporal": q_events_bitemporal,
     "events_key_skew": q_events_key_skew,
+    "knn_graph": q_knn_graph,
 }
 
 

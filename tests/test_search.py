@@ -754,3 +754,33 @@ def test_streaming_gram_state_equals_one_shot_pca(spark, sf_dir, tmp_path):
     process_gram_batch(emb.where(F.col("vec_id") % 3 == 1), 1, state)
     mu_r, W_r = pca_from_state(spark, state, n_components=8)
     assert np.array_equal(mu_r, mu_s) and np.array_equal(W_r, W_s)
+
+
+def test_knn_graph_excludes_self_and_matches_brute_at_full_probe(spark, sf_dir):
+    """kNN graph: no self edges; every reported sim is the true cosine;
+    with nprobe >= n_centroids it equals the brute-force neighbor list
+    (minus self) exactly."""
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        knn_graph,
+    )
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    n_cent = emb.where(F.col("vec_id") % 20 == 7).count()
+    got = knn_graph(emb, k=5, nprobe=n_cent).collect()
+    assert all(r.query_id != r.vec_id for r in got)
+
+    # brute-force truth: all-vectors queries, drop self, re-rank
+    queries = emb.select(F.col("vec_id").cast("int").alias("query_id"), "embedding")
+    brute = ann_brute_force(emb, queries, k=10**6).collect()
+    by_q = {}
+    for r in brute:
+        if r.vec_id != r.query_id:
+            by_q.setdefault(r.query_id, []).append((-r.sim, r.vec_id))
+    want = set()
+    for qid, lst in by_q.items():
+        lst.sort()
+        for rank, (neg, vid) in enumerate(lst[:5], start=1):
+            want.add((qid, rank, vid, -neg))
+    assert {(r.query_id, r.rank, r.vec_id, r.sim) for r in got} == want
