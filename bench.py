@@ -107,6 +107,7 @@ HEADLINE = (
     "events_bitemporal",
     "events_key_skew",
     "knn_graph",
+    "knn_classify",
 )
 
 

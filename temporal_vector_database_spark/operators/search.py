@@ -1454,3 +1454,49 @@ def knn_graph(
         embeddings, queries, k, nprobe, centroid_mod, centroid_rem,
         id_col, emb_col, exclude_self=True,
     )
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification (beyond-reference): predict each query's label
+    as the MAJORITY label among its ``k`` nearest labeled neighbors —
+    ties broken toward the smaller label, then the stronger total
+    similarity never consulted (pure vote count keeps the decision
+    integer-exact and engine-portable).
+
+    Output: (query_id, predicted_label, n_votes, n_neighbors). Scale
+    shape: one :func:`ivf_topk` (probed lists, broadcast queries), a
+    broadcast-sized label join, and two k-bounded aggregates.
+    """
+    from pyspark.sql import Window
+
+    nn = ivf_topk(
+        labeled.select(id_col, emb_col), queries, k, nprobe,
+        centroid_mod, centroid_rem, id_col, emb_col,
+    )
+    votes = (
+        nn.join(labeled.select(id_col, label_col), id_col)
+        .groupBy("query_id", label_col)
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc(label_col)
+    )
+    totals = nn.groupBy("query_id").agg(F.count("*").cast("long").alias("n_neighbors"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed(label_col, "predicted_label")
+        .join(totals, "query_id")
+        .select("query_id", "predicted_label", "n_votes", "n_neighbors")
+    )

@@ -6251,6 +6251,98 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
 )
 
 
+def q_knn_classify(spark, sf_dir):
+    """Semi-supervised kNN classification: every 50th vector is held
+    out and labeled by the majority label of its 5 nearest neighbors
+    among the REMAINING labeled corpus (ties -> smaller label) — the
+    standard label-propagation seed step; vote counts keep the decision
+    integer-exact."""
+    from temporal_vector_database_spark.operators.search import knn_classify
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    labels = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "label"
+    )
+    held = F.col("vec_id") % 50 == 0
+    labeled = emb.where(~held).join(labels, "vec_id")
+    queries = emb.where(held).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return knn_classify(labeled, queries, k=5, nprobe=2)
+
+
+ORACLES["knn_classify"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+enq AS (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+),
+lab AS (SELECT * FROM enq WHERE vec_id % 50 <> 0),
+cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm
+  FROM lab WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, nrm, centroid_id FROM (
+    SELECT lab.vec_id AS vid, lab.emb, lab.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY lab.vec_id
+             ORDER BY (CASE WHEN lab.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(lab.emb, c.c_emb) / (lab.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM lab CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq
+      FROM enq WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT query_id, qe, nq, centroid_id FROM (
+    SELECT q.query_id, q.qe, q.nq, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (CASE WHEN q.nq > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(q.qe, c.c_emb) / (q.nq * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 2
+),
+cands AS (
+  SELECT p.query_id, a.vid,
+         CASE WHEN p.nq > 0 AND a.nrm > 0
+              THEN list_dot_product(p.qe, a.emb) / (p.nq * a.nrm)
+              ELSE 0.0 END AS sim
+  FROM probes p JOIN assign a USING (centroid_id)
+),
+nn AS (
+  SELECT query_id, vid AS vec_id FROM (
+    SELECT query_id, vid, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid) AS rank
+    FROM cands WHERE sim > 0
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT nn.query_id, emb2.label, count(*) AS n_votes
+  FROM nn JOIN embeddings emb2 ON nn.vec_id = emb2.vec_id
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT query_id, label, n_votes FROM (
+    SELECT query_id, label, n_votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+totals AS (SELECT query_id, count(*) AS n_neighbors FROM nn GROUP BY 1)
+SELECT t.query_id, top.label AS predicted_label,
+       CAST(top.n_votes AS BIGINT) AS n_votes,
+       CAST(t.n_neighbors AS BIGINT) AS n_neighbors
+FROM top JOIN totals t USING (query_id)
+"""
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6424,6 +6516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_bitemporal": q_events_bitemporal,
     "events_key_skew": q_events_key_skew,
     "knn_graph": q_knn_graph,
+    "knn_classify": q_knn_classify,
 }
 
 

@@ -784,3 +784,40 @@ def test_knn_graph_excludes_self_and_matches_brute_at_full_probe(spark, sf_dir):
         for rank, (neg, vid) in enumerate(lst[:5], start=1):
             want.add((qid, rank, vid, -neg))
     assert {(r.query_id, r.rank, r.vec_id, r.sim) for r in got} == want
+
+
+def test_knn_classify_unanimous_and_tiebreak(spark):
+    """Crafted corpus: a query inside a tight same-label cluster gets a
+    unanimous vote; an equidistant split vote breaks toward the smaller
+    label."""
+    from temporal_vector_database_spark.operators.search import knn_classify
+
+    # labeled: two tight clusters on axes 0 and 1 (labels 1 and 2);
+    # centroid seeding (id % 20 == 7) must hit — use ids 7 and 27 as
+    # cluster anchors so both lists exist
+    rows = []
+    for i, base in [(7, 0), (1, 0), (2, 0), (27, 1), (21, 1), (22, 1)]:
+        v = [0.0, 0.0]
+        v[base] = 1.0
+        v[1 - base] = 0.125 * (i % 3)  # slight spread, grid-exact
+        rows.append((i, v, base + 1))
+    labeled = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q_unanimous = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id int, embedding array<double>"
+    )
+    got = knn_classify(labeled, q_unanimous, k=3, nprobe=2).collect()
+    assert [(r.predicted_label, r.n_votes, r.n_neighbors) for r in got] == [(1, 3, 3)]
+
+    # minimal 1-1 tie: one labeled vector per cluster, query equidistant
+    # -> one vote each, tie breaks toward the smaller label
+    two = spark.createDataFrame(
+        [(7, [1.0, 0.0], 2), (27, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q_tie = spark.createDataFrame(
+        [(200, [1.0, 1.0])], "query_id int, embedding array<double>"
+    )
+    got2 = knn_classify(two, q_tie, k=2, nprobe=2).collect()
+    assert (got2[0].predicted_label, got2[0].n_votes, got2[0].n_neighbors) == (1, 1, 2)
