@@ -108,6 +108,7 @@ HEADLINE = (
     "events_key_skew",
     "knn_graph",
     "knn_classify",
+    "semantic_decontaminate",
 )
 
 

@@ -1500,3 +1500,35 @@ def knn_classify(
         .join(totals, "query_id")
         .select("query_id", "predicted_label", "n_votes", "n_neighbors")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    max_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination (beyond-reference; the semantic
+    twin of the word-n-gram ``decontaminate``): drop corpus rows whose
+    max cosine to ANY eval embedding is >= ``max_cosine`` — the guard
+    against paraphrased eval leakage that lexical n-gram overlap cannot
+    see. Survivors carry ``max_eval_sim`` for audit.
+
+    Scale shape: the eval set is benchmark-sized -> broadcast; the
+    corpus is scanned ONCE (Arrow BLAS scoring), reduced to a per-row
+    max, and filtered — no corpus shuffle keyed by anything eval-sized.
+    Corpus rows with no positive eval similarity keep max_eval_sim 0.
+    """
+    cands = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    scored = score_candidates_pandas(cands, eval_set, id_cols=("vec_id",))
+    mx = scored.groupBy("vec_id").agg(F.max("sim").alias("max_eval_sim"))
+    return (
+        corpus.join(mx.withColumnRenamed("vec_id", id_col), id_col, "left")
+        .withColumn(
+            "max_eval_sim", F.coalesce(F.col("max_eval_sim"), F.lit(0.0))
+        )
+        .where(F.col("max_eval_sim") < F.lit(float(max_cosine)))
+    )

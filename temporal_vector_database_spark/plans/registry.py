@@ -6343,6 +6343,43 @@ FROM top JOIN totals t USING (query_id)
 """
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination: every 10th vector plays the
+    eval benchmark; corpus survivors are rows whose max cosine to ANY
+    eval vector stays under 0.8 — the paraphrase-leakage guard lexical
+    n-gram decontamination cannot see. Eval broadcast, corpus scanned
+    once."""
+    from temporal_vector_database_spark.operators.search import (
+        semantic_decontaminate,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    evalq = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return semantic_decontaminate(corpus, evalq, max_cosine=0.8).select(
+        "vec_id", "max_eval_sim"
+    )
+
+
+ORACLES["semantic_decontaminate"] = (
+    _QEMB_CTE
+    + """
+, q AS (SELECT vec_id AS qid, emb AS qe, nrm AS nq FROM en WHERE vec_id % 10 = 0),
+c AS (SELECT vec_id, emb, nrm FROM en WHERE vec_id % 10 <> 0),
+mx AS (
+  SELECT c.vec_id,
+         max(CASE WHEN q.nq > 0 AND c.nrm > 0
+                  THEN list_dot_product(q.qe, c.emb) / (q.nq * c.nrm)
+                  ELSE 0.0 END) AS max_eval_sim
+  FROM c CROSS JOIN q GROUP BY 1
+)
+SELECT vec_id, max_eval_sim FROM mx WHERE max_eval_sim < 0.8
+"""
+)
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6517,6 +6554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_key_skew": q_events_key_skew,
     "knn_graph": q_knn_graph,
     "knn_classify": q_knn_classify,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 

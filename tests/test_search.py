@@ -821,3 +821,52 @@ def test_knn_classify_unanimous_and_tiebreak(spark):
     )
     got2 = knn_classify(two, q_tie, k=2, nprobe=2).collect()
     assert (got2[0].predicted_label, got2[0].n_votes, got2[0].n_neighbors) == (1, 1, 2)
+
+
+def test_semantic_decontaminate_drops_planted_leak(spark, sf_dir):
+    """A corpus row that IS an eval vector (cosine 1.0) is dropped; an
+    orthogonal row survives with its exact max_eval_sim; row identity of
+    survivors == brute-force filter."""
+    import numpy as np
+
+    from temporal_vector_database_spark.operators.search import (
+        semantic_decontaminate,
+    )
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    evalq = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    out = {r.vec_id: r.max_eval_sim
+           for r in semantic_decontaminate(corpus, evalq, 0.8).collect()}
+
+    E = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    evs = [E[v] for v in E if v % 10 == 0]
+
+    def mx(v):
+        best = 0.0
+        a = E[v]
+        na = np.linalg.norm(a)
+        for q in evs:
+            nq = np.linalg.norm(q)
+            s = float(a @ q / (na * nq)) if na > 0 and nq > 0 else 0.0
+            best = max(best, s)
+        return best
+
+    want = {v: mx(v) for v in E if v % 10 != 0 and mx(v) < 0.8}
+    assert set(out) == set(want)
+    for v in want:
+        assert out[v] == pytest.approx(want[v], abs=1e-12)
+
+    # planted leak: corpus row equal to an eval vector must vanish
+    leak_src = emb.where(F.col("vec_id") % 10 == 0).limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(999999, list(leak_src.embedding))], "vec_id long, embedding array<double>"
+    )
+    out2 = semantic_decontaminate(
+        corpus.unionByName(planted), evalq, 0.8
+    ).where(F.col("vec_id") == 999999).collect()
+    nrm = float(np.linalg.norm(np.array(leak_src.embedding)))
+    assert (out2 == []) == (nrm > 0)  # zero vector can't leak (sim 0)
