@@ -109,6 +109,7 @@ HEADLINE = (
     "knn_graph",
     "knn_classify",
     "semantic_decontaminate",
+    "ivf_rank_eval",
 )
 
 

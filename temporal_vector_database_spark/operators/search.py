@@ -1532,3 +1532,50 @@ def semantic_decontaminate(
         )
         .where(F.col("max_eval_sim") < F.lit(float(max_cosine)))
     )
+
+
+def rank_eval(
+    result: DataFrame,
+    relevance: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Ranking-quality evaluation with EXACT arithmetic (beyond-
+    reference; completes the eval toolkit next to :func:`recall_at_k`):
+    per query, the number of relevant items in the top-``k``
+    (precision@k numerator), the rank of the first relevant hit, and the
+    reciprocal rank — all integers plus one exact division, so the
+    metric is engine-portable bit-for-bit (a log2-discounted nDCG is
+    deliberately NOT gated: libm log2 is not guaranteed correctly
+    rounded across engines).
+
+    ``relevance``: (query_id, id) pairs. Queries with no relevant item
+    in the top-k still appear (n_relevant_topk = 0, rr = 0.0) — empty
+    rankings must not read as missing data.
+    """
+    r = result.where(F.col("rank") <= k).select(query_col, id_col, "rank")
+    rel = relevance.select(query_col, id_col).withColumn("_rel", F.lit(1))
+    hits = (
+        r.join(rel, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_rel"), F.lit(0)))
+            .cast("long")
+            .alias("n_relevant_topk"),
+            F.min(F.when(F.col("_rel") == 1, F.col("rank"))).alias(
+                "first_rel_rank"
+            ),
+        )
+    )
+    return hits.select(
+        query_col,
+        "n_relevant_topk",
+        F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )

@@ -6380,6 +6380,65 @@ SELECT vec_id, max_eval_sim FROM mx WHERE max_eval_sim < 0.8
 )
 
 
+def q_ivf_rank_eval(spark, sf_dir):
+    """Label-relevance ranking evaluation of the IVF tier: per held-out
+    query (every 50th vector), precision@10 numerator, first-relevant
+    rank, and reciprocal rank against same-label relevance — exact
+    integer/rational metrics only (log-discounted nDCG deliberately not
+    gated: libm log2 is not cross-engine bit-stable)."""
+    from temporal_vector_database_spark.operators.search import ivf_topk, rank_eval
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    labels = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "label"
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(emb, queries, k=10, nprobe=2)
+    qlab = (
+        queries.select("query_id")
+        .join(labels.withColumnRenamed("vec_id", "qv"), F.col("query_id") == F.col("qv"))
+        .select("query_id", "label")
+    )
+    relevance = (
+        qlab.join(labels, "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    return rank_eval(got, relevance, k=10)
+
+
+ORACLES["ivf_rank_eval"] = (
+    _QEMB_CTE
+    + _IVF_RANKED_BODY
+    + """
+, res AS (SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10),
+qlab AS (
+  SELECT CAST(e1.vec_id AS INTEGER) AS query_id, e1.label
+  FROM embeddings e1 WHERE e1.vec_id % 50 = 0
+),
+rel AS (
+  SELECT q.query_id, e2.vec_id
+  FROM qlab q JOIN embeddings e2 ON q.label = e2.label
+  WHERE e2.vec_id <> q.query_id
+),
+hits AS (
+  SELECT r.query_id,
+         CAST(sum(CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant_topk,
+         CAST(min(CASE WHEN rel.vec_id IS NOT NULL THEN r.rank END) AS INTEGER) AS first_rel_rank
+  FROM res r LEFT JOIN rel ON r.query_id = rel.query_id AND r.vec_id = rel.vec_id
+  GROUP BY 1
+)
+SELECT query_id, n_relevant_topk, first_rel_rank,
+       CASE WHEN first_rel_rank IS NOT NULL
+            THEN CAST(1.0 AS DOUBLE) / first_rel_rank
+            ELSE CAST(0.0 AS DOUBLE) END AS rr
+FROM hits
+"""
+)
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6555,6 +6614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "knn_classify": q_knn_classify,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "ivf_rank_eval": q_ivf_rank_eval,
 }
 
 

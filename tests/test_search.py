@@ -870,3 +870,24 @@ def test_semantic_decontaminate_drops_planted_leak(spark, sf_dir):
     ).where(F.col("vec_id") == 999999).collect()
     nrm = float(np.linalg.norm(np.array(leak_src.embedding)))
     assert (out2 == []) == (nrm > 0)  # zero vector can't leak (sim 0)
+
+
+def test_rank_eval_exact_semantics(spark):
+    """Crafted ranking: precision numerator, first-relevant rank, and
+    reciprocal rank are exact; a query with zero relevant hits still
+    yields a row with rr 0.0."""
+    from temporal_vector_database_spark.operators.search import rank_eval
+
+    result = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id int, vec_id long, rank int",
+    )
+    relevance = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99)],  # 99 not retrieved
+        "query_id int, vec_id long",
+    )
+    got = {r.query_id: (r.n_relevant_topk, r.first_rel_rank, r.rr)
+           for r in rank_eval(result, relevance, k=3).collect()}
+    assert got[1] == (2, 2, 0.5)
+    assert got[2] == (0, None, 0.0)
