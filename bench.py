@@ -110,6 +110,7 @@ HEADLINE = (
     "knn_classify",
     "semantic_decontaminate",
     "ivf_rank_eval",
+    "mrl_topk_persisted",
 )
 
 

@@ -1579,3 +1579,81 @@ def rank_eval(
         .otherwise(F.lit(0.0))
         .alias("rr"),
     )
+
+
+def write_mrl_index(
+    embeddings: DataFrame,
+    path: str,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the Matryoshka layout: the corpus with an ADDITIONAL
+    physical ``prefix_emb`` column (first ``prefix_dims`` dims). Parquet
+    stores columns independently, so the shortlist stage of
+    :func:`mrl_topk_persisted` scans ``prefix_dims/dim`` of the vector
+    bytes — column pruning made physical (pinned on ReadSchema in
+    tests)."""
+    embeddings.select(
+        id_col,
+        F.col(emb_col).alias("embedding"),
+        F.slice(F.col(emb_col), 1, prefix_dims).alias("prefix_emb"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def mrl_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """:func:`mrl_topk` against the persisted prefix layout: the
+    shortlist scan touches ONLY (id, prefix_emb) — the full-dim column's
+    bytes are read for shortlist rows alone at re-rank. Bit-identical
+    results to the in-memory funnel (pinned)."""
+    from temporal_vector_database_spark.functions.vector import l2_norm
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(path)
+    pre_c = idx.select(id_col, F.col("prefix_emb").alias("embedding"))
+    pre_q = queries.select(
+        "query_id", F.slice(F.col(emb_col), 1, prefix_dims).alias("embedding")
+    )
+    short = topk_cosine(pre_c, pre_q, k=shortlist, id_cols=(id_col,)).select(
+        "query_id", id_col
+    )
+    exact = (
+        short.join(
+            idx.select(
+                id_col,
+                F.col("embedding").alias("_v_emb"),
+                l2_norm("embedding").alias("_v_nrm"),
+            ),
+            id_col,
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id",
+                    F.col(emb_col).alias("_q_emb"),
+                    l2_norm(emb_col).alias("_q_nrm"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            id_col,
+            _guarded_sim("_q_emb", "_v_emb", "_q_nrm", "_v_nrm").alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "sim")
+    )

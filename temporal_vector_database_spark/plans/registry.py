@@ -6439,6 +6439,27 @@ FROM hits
 )
 
 
+def q_mrl_topk_persisted(spark, sf_dir):
+    """The MRL funnel against the persisted prefix-column layout: the
+    shortlist scan reads ONLY (vec_id, prefix_emb) — 1/4 of the vector
+    bytes at rest (ReadSchema-pinned in tests) — with bit-identical
+    results to the in-memory funnel; same oracle as `mrl_topk`."""
+    from temporal_vector_database_spark.operators.search import mrl_topk_persisted
+    from temporal_vector_database_spark.sources.fixtures import ensure_mrl_index
+
+    path = ensure_mrl_index(spark, sf_dir, prefix_dims=16)
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return mrl_topk_persisted(
+        spark, path, queries, k=10, prefix_dims=16, shortlist=50
+    )
+
+
+ORACLES["mrl_topk_persisted"] = ORACLES["mrl_topk"]
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6615,6 +6636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": q_knn_classify,
     "semantic_decontaminate": q_semantic_decontaminate,
     "ivf_rank_eval": q_ivf_rank_eval,
+    "mrl_topk_persisted": q_mrl_topk_persisted,
 }
 
 

@@ -499,3 +499,18 @@ def ensure_events_zordered(spark, sf_dir: str) -> str:
         )
         write_events_zordered(ev, out)
     return out
+
+
+def ensure_mrl_index(spark, sf_dir: str, prefix_dims: int = 16) -> str:
+    """Persisted Matryoshka layout fixture (idempotent): the quantized
+    corpus with a physical ``prefix_emb`` column — shortlist scans read
+    prefix bytes only (``operators.search.write_mrl_index``)."""
+    out = os.path.join(fixture_dir(sf_dir), f"mrl_index_{prefix_dims}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from temporal_vector_database_spark.operators.search import write_mrl_index
+        from temporal_vector_database_spark.plans.registry import (
+            _quantized_embeddings,
+        )
+
+        write_mrl_index(_quantized_embeddings(spark, sf_dir), out, prefix_dims)
+    return out

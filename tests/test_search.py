@@ -891,3 +891,47 @@ def test_rank_eval_exact_semantics(spark):
            for r in rank_eval(result, relevance, k=3).collect()}
     assert got[1] == (2, 2, 0.5)
     assert got[2] == (0, None, 0.0)
+
+
+def test_mrl_persisted_parity_and_prefix_only_scan(spark, sf_dir, tmp_path):
+    """The persisted-prefix funnel returns bit-identical results to the
+    in-memory one, and its shortlist stage's parquet scan reads ONLY
+    (vec_id, prefix_emb) — the full-dim column's bytes stay on disk
+    until re-rank."""
+    from temporal_vector_database_spark.operators.search import (
+        mrl_topk,
+        mrl_topk_persisted,
+        topk_cosine,
+        write_mrl_index,
+    )
+    from temporal_vector_database_spark.plans.inspect import formatted_plan
+    from temporal_vector_database_spark.plans.registry import _quantized_embeddings
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "mrl")
+    write_mrl_index(emb, path, prefix_dims=16)
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in mrl_topk_persisted(
+            spark, path, queries, k=10, prefix_dims=16, shortlist=50
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in mrl_topk(emb, queries, k=10, prefix_dims=16, shortlist=50).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # shortlist-stage scan schema: prefix column only
+    idx = spark.read.parquet(path)
+    pre_c = idx.select("vec_id", F.col("prefix_emb").alias("embedding"))
+    pre_q = queries.select(
+        "query_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    plan = formatted_plan(topk_cosine(pre_c, pre_q, k=50, id_cols=("vec_id",)))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("prefix_emb" in ln and "embedding" not in ln for ln in scans), plan
