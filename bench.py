@@ -111,6 +111,7 @@ HEADLINE = (
     "semantic_decontaminate",
     "ivf_rank_eval",
     "mrl_topk_persisted",
+    "events_scd2_cdc",
 )
 
 

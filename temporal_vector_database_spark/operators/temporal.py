@@ -269,3 +269,44 @@ def bitemporal_snapshot(
         tiebreak_cols=tiebreak_cols,
     )
     return scd2_snapshot(iv, at_valid)
+
+
+def scd2_intervals_cdc(
+    updates: DataFrame,
+    key_cols: tuple[str, ...] | list[str],
+    time_col: str,
+    attr_cols: tuple[str, ...] | list[str],
+    op_col: str = "op",
+    tiebreak_cols: tuple[str, ...] | list[str] = (),
+    change_only: bool = True,
+) -> DataFrame:
+    """SCD2 from a CDC log WITH DELETES: rows whose ``op_col`` is
+    ``'delete'`` close the key's current state — the key then has NO
+    state until its next upsert, so snapshots inside the gap return
+    nothing (classic CDC-mirror semantics; plain
+    :func:`scd2_intervals` cannot express "known absent").
+
+    Mechanics: deletes become tombstone states (attrs nulled, hidden
+    ``_dead`` flag) so the ordinary change-compression closes and
+    reopens intervals correctly (repeated deletes compress; an upsert
+    after a delete is always a change); tombstone intervals are then
+    dropped, leaving the gap. Same one-key-shuffle plan.
+    """
+    attrs = list(attr_cols)
+    is_del = F.col(op_col) == "delete"
+    tomb = updates.select(
+        *key_cols,
+        time_col,
+        *tiebreak_cols,
+        *[F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c) for c in attrs],
+        is_del.alias("_dead"),
+    )
+    iv = scd2_intervals(
+        tomb,
+        key_cols=key_cols,
+        time_col=time_col,
+        attr_cols=[*attrs, "_dead"],
+        tiebreak_cols=tiebreak_cols,
+        change_only=change_only,
+    )
+    return iv.where(~F.col("_dead")).drop("_dead")

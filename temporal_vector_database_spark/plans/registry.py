@@ -6460,6 +6460,65 @@ def q_mrl_topk_persisted(spark, sf_dir):
 ORACLES["mrl_topk_persisted"] = ORACLES["mrl_topk"]
 
 
+def q_events_scd2_cdc(spark, sf_dir):
+    """SCD2 from a CDC log with DELETES: an 'error' event clears the
+    user's state (the user is then known-absent until the next normal
+    event) — snapshot at the corpus midpoint shows only users alive
+    there. Plain SCD2 cannot express the gap."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals_cdc,
+        scd2_snapshot,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    iv = scd2_intervals_cdc(
+        ev, key_cols=("user_id",), time_col="ts_ms",
+        attr_cols=("event_type",), op_col="op", tiebreak_cols=("event_id",),
+    )
+    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    mid = (int(lo) + int(hi)) // 2
+    return scd2_snapshot(iv, mid).select(
+        "user_id", F.col("valid_from").alias("valid_from_ms"), "event_type"
+    )
+
+
+ORACLES["events_scd2_cdc"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS state,
+         (event_type = 'error') AS dead
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_id, ts_ms, state, dead,
+         lag(state) OVER w AS prev_state,
+         lag(dead) OVER w AS prev_dead
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+surv AS (
+  SELECT user_id, event_id, ts_ms AS valid_from, state, dead
+  FROM chg
+  WHERE prev_state IS DISTINCT FROM state OR prev_dead IS DISTINCT FROM dead
+),
+iv AS (
+  SELECT user_id, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+         state, dead
+  FROM surv
+),
+m AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid FROM events)
+SELECT user_id, CAST(valid_from AS BIGINT) AS valid_from_ms, state AS event_type
+FROM iv, m
+WHERE NOT dead AND valid_from <= m.mid AND (valid_to IS NULL OR valid_to > m.mid)
+"""
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6637,6 +6696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "ivf_rank_eval": q_ivf_rank_eval,
     "mrl_topk_persisted": q_mrl_topk_persisted,
+    "events_scd2_cdc": q_events_scd2_cdc,
 }
 
 

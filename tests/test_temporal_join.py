@@ -273,3 +273,43 @@ def test_run_coverage_stream_end_to_end(spark, tmp_path):
         coalesce_intervals(df, ("user_id",), "iv_start", "iv_end")
     )
     assert canon(read_coverage_state(spark, state)) == want
+
+
+def test_scd2_cdc_deletes_leave_gaps(spark):
+    """CDC semantics: a delete closes the current interval; snapshots in
+    the gap see NOTHING for the key; re-upsert reopens; repeated deletes
+    compress; a delete as the final op leaves no open row."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals_cdc,
+        scd2_snapshot,
+    )
+
+    rows = [
+        (1, 1, 10, "a", "upsert"),
+        (1, 2, 20, None, "delete"),
+        (1, 3, 25, None, "delete"),   # repeated delete -> compressed
+        (1, 4, 30, "b", "upsert"),
+        (2, 5, 10, "x", "upsert"),
+        (2, 6, 40, None, "delete"),   # final delete: key 2 ends closed
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, eid long, t long, state string, op string"
+    )
+    iv_df = scd2_intervals_cdc(
+        df, key_cols=("k",), time_col="t", attr_cols=("state",),
+        tiebreak_cols=("eid",),
+    )
+    got = sorted(
+        ((r.k, r.valid_from, r.valid_to, r.state) for r in iv_df.collect()),
+        key=lambda x: (x[0], x[1], x[2] is None, x[2] or 0),
+    )
+    assert got == [
+        (1, 10, 20, "a"), (1, 30, None, "b"),
+        (2, 10, 40, "x"),
+    ]
+    # in the gap: key 1 absent; key 2 still alive at 25
+    snap25 = sorted((r.k, r.state) for r in scd2_snapshot(iv_df, 25).collect())
+    assert snap25 == [(2, "x")]
+    # after key 2's final delete: only key 1's reopened state remains
+    snap99 = sorted((r.k, r.state) for r in scd2_snapshot(iv_df, 99).collect())
+    assert snap99 == [(1, "b")]
