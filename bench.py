@@ -112,6 +112,7 @@ HEADLINE = (
     "ivf_rank_eval",
     "mrl_topk_persisted",
     "events_scd2_cdc",
+    "events_uptime",
 )
 
 

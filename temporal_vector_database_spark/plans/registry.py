@@ -6519,6 +6519,70 @@ WHERE NOT dead AND valid_from <= m.mid AND (valid_to IS NULL OR valid_to > m.mid
 """
 
 
+def q_events_uptime(spark, sf_dir):
+    """State-duration report over the CDC SCD2 table: per user, total
+    known-alive milliseconds (open intervals closed at the corpus max
+    ts) and alive-interval count — pure integer sums over the interval
+    table, the uptime/SLA query every state timeline serves."""
+    from temporal_vector_database_spark.operators.temporal import (
+        scd2_intervals_cdc,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    iv = scd2_intervals_cdc(
+        ev, key_cols=("user_id",), time_col="ts_ms",
+        attr_cols=("event_type",), op_col="op", tiebreak_cols=("event_id",),
+    )
+    hi = int(ev.agg(F.max("ts_ms")).first()[0])
+    return iv.groupBy("user_id").agg(
+        F.sum(
+            F.coalesce(F.col("valid_to"), F.lit(hi)) - F.col("valid_from")
+        )
+        .cast("long")
+        .alias("alive_ms"),
+        F.count("*").cast("long").alias("n_alive_intervals"),
+    )
+
+
+ORACLES["events_uptime"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS state,
+         (event_type = 'error') AS dead
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_id, ts_ms, state, dead,
+         lag(state) OVER w AS prev_state,
+         lag(dead) OVER w AS prev_dead
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+surv AS (
+  SELECT user_id, event_id, ts_ms AS valid_from, state, dead
+  FROM chg
+  WHERE prev_state IS DISTINCT FROM state OR prev_dead IS DISTINCT FROM dead
+),
+iv AS (
+  SELECT user_id, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+         dead
+  FROM surv
+),
+m AS (SELECT max(epoch_ms(ts)) AS hi FROM events)
+SELECT user_id,
+       CAST(sum(COALESCE(valid_to, m.hi) - valid_from) AS BIGINT) AS alive_ms,
+       CAST(count(*) AS BIGINT) AS n_alive_intervals
+FROM iv, m WHERE NOT dead
+GROUP BY user_id
+"""
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6697,6 +6761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_rank_eval": q_ivf_rank_eval,
     "mrl_topk_persisted": q_mrl_topk_persisted,
     "events_scd2_cdc": q_events_scd2_cdc,
+    "events_uptime": q_events_uptime,
 }
 
 
