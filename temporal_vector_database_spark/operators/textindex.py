@@ -61,31 +61,34 @@ def winnow_fingerprints(
     ~``2/(w+1)`` of the gram hashes — the standard local fingerprinting
     scheme for plagiarism/near-dup span detection.
 
-    Output: ``(doc_id, fp)`` distinct rows. Window frames are PER
-    DOCUMENT (``partitionBy(doc_id)``), so there is no global sort; a
-    document shorter than ``k`` yields no rows, and one with fewer than
-    ``w`` grams yields the min of what exists (window 1 only).
-    """
-    grams = docs.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-                f" i -> substring({text_col}, i, {k}))"
-            )
-        ).alias("i", "g"),
-    ).where(F.length("g") == k)
-    hashed = grams.select(id_col, "i", _u32(F.col("g")).alias("h"))
-    wspec = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
-    n_grams = Window.partitionBy(id_col)
-    fps = (
-        hashed.withColumn("fp", F.min("h").over(wspec))
-        .withColumn("n", F.max("i").over(n_grams))
-        # full windows only (plus the single truncated window of a
-        # doc with < w grams) — mirrors textbook winnowing
-        .where(F.col("i") <= F.greatest(F.col("n") - F.lit(w - 1), F.lit(0)))
+    Output: ``(doc_id, fp)`` distinct rows. The whole computation is
+    ROW-LOCAL (higher-order array functions over the document's own
+    gram-hash array: full windows only, plus the single truncated
+    window of a doc with < ``w`` grams — textbook winnowing), and the
+    per-doc ``array_distinct`` happens before the explode, so the plan
+    carries ZERO exchanges — no doc-keyed window shuffle of the
+    exploded grams (the pre-r03 formulation shuffled every gram hash;
+    same output, pinned by the unchanged oracle)."""
+    gs = (
+        f"filter(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k})), g -> length(g) = {k})"
     )
-    return fps.select(id_col, "fp").distinct()
+    hs = (
+        f"transform({gs}, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"
+    )
+    # bind the hash array once — inlining it into each reference would
+    # re-hash the document per reference
+    fps = (
+        f"CASE WHEN size(_hs) = 0 THEN array()"
+        f" ELSE array_distinct(transform("
+        f"   sequence(1, CASE WHEN size(_hs) < {w} THEN 1"
+        f"                    ELSE size(_hs) - {w - 1} END),"
+        f"   j -> array_min(slice(_hs, j, {w})))) END"
+    )
+    return (
+        docs.select(id_col, F.expr(hs).alias("_hs"))
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -480,3 +480,14 @@ def test_key_skew_profile_bounded_exchanges(spark, qmap):
     s.assert_no_cartesian()
     s.assert_max_shuffles(4)
     assert s.n_broadcast_exchanges >= 1
+
+
+def test_winnow_zero_exchanges(spark, qmap):
+    """Winnowing is row-local HOF math since r03 session 7: the plan
+    must carry NO exchange at all — the pre-r03 formulation shuffled
+    every exploded gram hash through a doc-keyed window."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["docs_winnow_fingerprint"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 0, sorted(s.shuffle_keysets)
+    s.assert_no_cartesian()
