@@ -113,6 +113,7 @@ HEADLINE = (
     "mrl_topk_persisted",
     "events_scd2_cdc",
     "events_uptime",
+    "events_approx_quantiles",
 )
 
 

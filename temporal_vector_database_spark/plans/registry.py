@@ -6583,6 +6583,53 @@ GROUP BY user_id
 """
 
 
+def q_events_approx_quantiles(spark, sf_dir):
+    """Quantile-sketch gate (the KLL/GK twin of the HLL distinct gate):
+    per event type, EXACT interpolated p50/p90/p99 of value plus a
+    boolean pinning Spark's approx_percentile (accuracy 10000) inside
+    the exact value bracket of a ±2% RANK window per probe — the
+    contract quantile sketches actually guarantee (bounded rank error;
+    a VALUE tolerance is wrong by construction on sparse tails, where
+    nearest-rank sketch output sits far from the interpolated exact
+    value). The oracle asserts the exact quantiles and approx_ok=true —
+    hashable for a sketch no two engines compute identically."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("ex"),
+        F.expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").alias(
+            "ap"
+        ),
+        F.expr("percentile(value, array(0.48D, 0.88D, 0.97D))").alias("lo"),
+        F.expr("percentile(value, array(0.52D, 0.92D, 1.0D))").alias("hi"),
+    )
+    in_bracket = F.expr(
+        "aggregate(transform(sequence(1, 3),"
+        " i -> element_at(ap, i) >= element_at(lo, i)"
+        "  AND element_at(ap, i) <= element_at(hi, i)),"
+        " true, (acc, x) -> acc AND x)"
+    )
+    ok = in_bracket
+    return g.select(
+        "event_type",
+        F.element_at("ex", 1).alias("p50"),
+        F.element_at("ex", 2).alias("p90"),
+        F.element_at("ex", 3).alias("p99"),
+        ok.alias("approx_ok"),
+    )
+
+
+ORACLES["events_approx_quantiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 # The driver verifies entries in insertion order, capped at 50/round
 # (r01 covered the first 50 of that round's ordering, r02 the first 50 of
 # its rotation), so ordering is a correctness-coverage decision. r03
@@ -6762,6 +6809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mrl_topk_persisted": q_mrl_topk_persisted,
     "events_scd2_cdc": q_events_scd2_cdc,
     "events_uptime": q_events_uptime,
+    "events_approx_quantiles": q_events_approx_quantiles,
 }
 
 
