@@ -6688,9 +6688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_tokens": q_wordpiece_tokens,
     # --- (4) session-7 oracle-gated additions: never driver-checked, so
     # they take the cap slots 45-50 ahead of the §2 re-confirms below
-    # (those were green in r01 and are pytest-pinned at HEAD; rotate them
-    # back to the front in r04 along with pca_topk / ivf_recall_eval /
-    # events_interval_coverage) ---
+    # (those were green in r01 and are pytest-pinned at HEAD; the full
+    # r04 front-rotation queue — every session-7 query past the cap,
+    # then these displaced core rows — is maintained in TODO.md) ---
     "events_scd2_snapshot": q_events_scd2_snapshot,
     "mrl_topk": q_mrl_topk,
     "mmr_rerank": q_mmr_rerank,
