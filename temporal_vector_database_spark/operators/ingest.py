@@ -510,12 +510,19 @@ def ingest_late(
     chain. ``force_base`` history is likewise not recoverable; the
     merged timeline is re-encoded policy-driven.
     """
-    from temporal_vector_database_spark.operators.reconstruct import reconstruct_all
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_all_folded,
+    )
 
     touched = versions.join(
         late_raw.select("content_id").distinct(), "content_id", "left_semi"
     )
-    recon = reconstruct_all(touched).select(
+    # the folded twin, not the declarative plan: every version of every
+    # touched content is needed, so one content_id shuffle + one Arrow
+    # replay beats the window + epoch-join + explode + multi-join shape
+    # (which launched many tiny stages and dominated ingest_late's rep
+    # variance on a loaded host — r03 verdict #4)
+    recon = reconstruct_all_folded(touched).select(
         "content_id", F.col("target_seq").alias("seq"), "embedding"
     )
     enc_keys = ("sparsity_ratio", "dimensions_changed", "total_dimensions")

@@ -98,7 +98,22 @@ def bucket_start_expr(bucket: str, df: DataFrame, ts_col: str = "ts"):
     return naive_epoch + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
 
 
-def _partials(versions: DataFrame, bucket: str) -> DataFrame:
+def bucket_day_expr(df: DataFrame, ts_col: str = "ts"):
+    """TZ-free integer epoch-day (LONG) of a timestamp column — the
+    hash-trivial bucket key. Same flooring as ``bucket_start_expr``'s
+    day branch, but published as a plain BIGINT so result comparison
+    involves no timestamp canonicalization at all."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "timestamp_ntz":
+        return F.datediff(
+            F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+    us = F.unix_micros(F.col(ts_col))
+    day = F.lit(86_400_000_000)
+    return ((us - F.pmod(us, day)) / day).cast("long")
+
+
+def _state_aggs():
     # magnitude is a sqrt (off any dyadic grid): double sums are
     # order-dependent under partial aggregation, and decimal ROUNDING of
     # raw sqrt doubles differs between engines' round() implementations
@@ -108,16 +123,31 @@ def _partials(versions: DataFrame, bucket: str) -> DataFrame:
     # every published double is integer/1e9 — bit-identical everywhere.
     is_delta = F.col("kind") == "delta"
     mag_e9 = F.round(F.col("magnitude") * F.lit(1000000000.0), 0).cast("long")
-    return versions.groupBy(
-        "content_id", bucket_start_expr(bucket, versions).alias("bucket_start")
-    ).agg(
+    return [
         F.count("*").alias("n_versions"),
         F.sum(F.when(~is_delta, 1).otherwise(0)).cast("long").alias("n_bases"),
         F.sum(F.when(is_delta, 1).otherwise(0)).cast("long").alias("n_deltas"),
         F.sum(F.when(is_delta, mag_e9)).cast("long").alias("mag_sum_e9"),
         F.max(F.when(is_delta, mag_e9)).alias("mag_max_e9"),
         F.sum(F.when(is_delta, F.col("n_changed"))).cast("long").alias("changed_sum"),
-    )
+    ]
+
+
+def _partials(versions: DataFrame, bucket: str) -> DataFrame:
+    return versions.groupBy(
+        "content_id", bucket_start_expr(bucket, versions).alias("bucket_start")
+    ).agg(*_state_aggs())
+
+
+def version_rollup_days(versions: DataFrame) -> DataFrame:
+    """Daily rollup STATE with every published column hash-trivial:
+    ``bucket_day`` is epoch-day BIGINT and the six state columns are
+    exact integers. This is the honest stored-state contract (the
+    mergeable partials themselves); ``rollup_report`` derives the
+    timestamp + double projection at read time."""
+    return versions.groupBy(
+        "content_id", bucket_day_expr(versions).alias("bucket_day")
+    ).agg(*_state_aggs())
 
 
 def version_rollup(versions: DataFrame, bucket: str = "day") -> DataFrame:

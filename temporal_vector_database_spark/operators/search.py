@@ -1374,9 +1374,9 @@ def mmr_rerank(
             selected.append(pick)
             out.append(
                 (
-                    int(pdf["query_id"].iloc[0]),
+                    pdf["query_id"].iloc[0],
                     step,
-                    int(ids[pick]),
+                    ids[pick],
                     float(rel[pick]),
                     float(score[pick]),
                 )
@@ -1385,8 +1385,12 @@ def mmr_rerank(
             out, columns=["query_id", "mmr_rank", id_col, "sim", "mmr_score"]
         )
 
+    # schema follows the INPUT id/query types (no int() coercion in the
+    # greedy loop either) — string or 64-bit ids pass through unharmed
+    dt = dict(cand.dtypes)
     schema = (
-        f"query_id int, mmr_rank int, {id_col} bigint, sim double, mmr_score double"
+        f"query_id {dt['query_id']}, mmr_rank int, {id_col} {dt[id_col]},"
+        " sim double, mmr_score double"
     )
     return cand.groupBy("query_id").applyInPandas(_greedy, schema=schema)
 
@@ -1447,9 +1451,9 @@ def knn_graph(
     the corpus, so the join is |corpus| x (probed-list size), not
     |corpus|^2. Deterministic (no RNG), oracle-replayable.
     """
-    queries = embeddings.select(
-        F.col(id_col).cast("int").alias("query_id"), emb_col
-    )
+    # query_id keeps the id column's own type — an int cast would
+    # silently overflow 64-bit ids into colliding query ids
+    queries = embeddings.select(F.col(id_col).alias("query_id"), emb_col)
     return ivf_topk(
         embeddings, queries, k, nprobe, centroid_mod, centroid_rem,
         id_col, emb_col, exclude_self=True,

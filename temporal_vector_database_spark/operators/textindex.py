@@ -412,9 +412,14 @@ def bigram_logprob_scores(
     """
     w = _words(text_col)
     n = F.size(w)
+    # slice length must not go negative: a zero-word document (empty or
+    # whitespace-only text) would make n - 1 == -1 and slice() raises at
+    # runtime; clamping to 0 yields an empty bigram array, so such docs
+    # are omitted by the explode as the docstring promises.
+    bg_len = F.greatest(n - F.lit(1), F.lit(0))
     bg = F.zip_with(
-        F.slice(w, F.lit(1), n - 1),
-        F.slice(w, F.lit(2), n - 1),
+        F.slice(w, F.lit(1), bg_len),
+        F.slice(w, F.lit(2), bg_len),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     pairs = docs.select(id_col, F.explode(bg).alias("bg")).select(

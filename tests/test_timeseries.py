@@ -53,6 +53,62 @@ def test_resample_locf_fill_semantics(spark):
     assert got[(2, 300)] == (1.0, False)     # carried to the end of the grid
 
 
+def test_resample_locf_seeds_from_pre_window_observations(spark):
+    """Observations BEFORE the grid seed the leading buckets: value is
+    the last observation at-or-before the bucket's end even when that
+    observation predates lo_ms (r03 advice); an in-window observation in
+    the first bucket still wins over the seed."""
+    from temporal_vector_database_spark.operators.timeseries import resample_locf
+
+    rows = [
+        # key 1: only a pre-window obs at t=-150 -> every bucket carries it
+        (1, 1, -150, 7.0),
+        # key 2: pre-window obs AND an in-window obs in the first bucket
+        (2, 2, -10, 3.0), (2, 3, 50, 4.0),
+        # key 3: no pre-window obs -> leading bucket stays NULL
+        (3, 4, 150, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    out = resample_locf(
+        df, "t", ("k",), "v", 100, 0, 199, tiebreak_cols=("eid",)
+    ).collect()
+    got = {(r.k, r.bucket_start_ms): (r.value, r.is_observed) for r in out}
+    assert got[(1, 0)] == (7.0, False)
+    assert got[(1, 100)] == (7.0, False)
+    assert got[(2, 0)] == (4.0, True)   # in-window close beats the seed
+    assert got[(2, 100)] == (4.0, False)
+    assert got[(3, 0)] == (None, False)
+    assert got[(3, 100)] == (9.0, True)
+
+
+def test_locf_from_state_seeds_from_pre_window_state(spark):
+    from temporal_vector_database_spark.operators.timeseries import (
+        ohlc_state,
+        resample_locf_from_state,
+    )
+
+    rows = [(1, 1, -150, 7.0), (1, 2, 120, 2.0)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    state = ohlc_state(df, "t", ("k",), "v", 100, tiebreak_cols=("eid",))
+    got = {
+        r.bucket_start_ms: (r.value, r.is_observed)
+        for r in resample_locf_from_state(state, 100, 0, 199).collect()
+    }
+    assert got[0] == (7.0, False)
+    assert got[100] == (2.0, True)
+
+
+def test_bucket_floor_semantics_for_negative_ts(spark):
+    """Bucketing floors (ts - pmod), it does not truncate toward zero:
+    a pre-1970 event lands in the bucket STARTING at-or-before it."""
+    from temporal_vector_database_spark.operators.timeseries import ohlc
+
+    rows = [(1, 1, -50, 5.0), (1, 2, 50, 6.0), (1, 3, -100, 4.0)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    got = {r.bucket_start_ms for r in ohlc(df, "t", ("k",), "v", 100).collect()}
+    assert got == {-100, 0}
+
+
 def test_resample_locf_same_ts_tie_uses_tiebreak(spark):
     from temporal_vector_database_spark.operators.timeseries import resample_locf
 

@@ -72,13 +72,18 @@ def _canon(rows, cols):
     return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
 
+@pytest.mark.parametrize(
+    "qname", ["version_rollup", "version_rollup_report"]
+)
 @pytest.mark.parametrize("tz", ["America/Los_Angeles", "Asia/Kathmandu"])
 @pytest.mark.parametrize("infer_ntz", ["true", "false"])
 def test_version_rollup_matches_oracle_under_shifted_tz(
-    spark, sf_dir, tz, infer_ntz
+    spark, sf_dir, qname, tz, infer_ntz
 ):
+    """Both halves of the r04 bisect pair: the integer-only state gate
+    (``bucket_day`` BIGINT) and the timestamp+doubles report twin."""
     qs = entrymod.queries()
-    sql = oracle_map(sf_dir)["version_rollup"]
+    sql = oracle_map(sf_dir)[qname]
     con = duckdb.connect()
     res = con.sql(sql)
     oracle = _canon(res.fetchall(), list(res.columns))
@@ -88,8 +93,14 @@ def test_version_rollup_matches_oracle_under_shifted_tz(
     try:
         spark.conf.set("spark.sql.session.timeZone", tz)
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", infer_ntz)
-        sdf = qs["version_rollup"](spark, sf_dir)
-        assert dict(sdf.dtypes)["bucket_start"] == "timestamp_ntz"
+        sdf = qs[qname](spark, sf_dir)
+        if qname == "version_rollup":
+            assert dict(sdf.dtypes)["bucket_day"] == "bigint"
+            assert all(
+                t in ("bigint",) for c, t in sdf.dtypes if c != "content_id"
+            ), sdf.dtypes
+        else:
+            assert dict(sdf.dtypes)["bucket_start"] == "timestamp_ntz"
         got = _canon([tuple(r) for r in sdf.collect()], list(sdf.columns))
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
