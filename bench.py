@@ -115,6 +115,10 @@ HEADLINE = (
     "events_scd2_cdc",
     "events_uptime",
     "events_approx_quantiles",
+    "bloom_decontaminate",
+    "events_rolling_anomaly",
+    "events_cube",
+    "leakage_safe_split",
 )
 
 

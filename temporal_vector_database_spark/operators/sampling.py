@@ -302,3 +302,42 @@ def cluster_capped_sample(
         .where(F.col("rn") <= int(cap))
         .select(key_col, cluster_col, "rn")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    text_col: str = "text",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """``split_assign`` at CONTENT-CLUSTER grain: every member of a
+    duplicate cluster draws the same split, so a document and its
+    copies can never straddle train/test (the eval-leakage failure mode
+    of hashing raw ids — near-identical rows with different ids land in
+    different splits and the test set silently memorizes train).
+
+    Cluster key: ``md5(text)`` by default (exact-duplicate clusters —
+    pure column math, no extra shuffle: the hash IS the key, so no
+    grouping is even needed). Pass ``cluster_col`` to split at a
+    coarser precomputed grain instead — e.g. connected-component ids
+    from the near-dup pair graph (``dedup.connected_components``) or
+    semantic cluster ids (``ivf_assign``) — the standard Dolma/RefinedWeb
+    discipline of deciding splits after clustering, not before.
+
+    Determinism: the module's standard md5 hash-bucketing over the
+    cluster key; zero shuffles in the default form.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    key = F.col(cluster_col) if cluster_col else F.md5(F.col(text_col))
+    u = _u32(key)
+    acc = 0.0
+    bounds = []
+    for w in weights[:-1]:
+        acc += w
+        bounds.append(int(acc * _U32_SPAN))
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -250,3 +250,72 @@ def _locf_fill(
         .withColumn("is_observed", F.col("_close").isNotNull())
         .select(*keys, "bucket_start_ms", "value", "is_observed")
     )
+
+
+def rolling_count_anomaly(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    bucket_ms: int,
+    window_buckets: int = 7,
+    z_int: int = 3,
+) -> DataFrame:
+    """Trailing-window volume-anomaly detection over time buckets: per
+    (key, bucket), flag buckets whose event count deviates from the
+    trailing ``window_buckets``-bucket mean by more than ``z_int``
+    population standard deviations.
+
+    The baseline window is the key's PRIOR ``window_buckets`` observed
+    buckets (ROWS frame, current bucket EXCLUDED — a spike must not
+    inflate its own baseline mean/σ, or a 10× burst can mask itself);
+    empty buckets do not contribute zeros; a bucket is only judged once
+    its baseline is full (``win_n == window_buckets``), so series heads
+    are never flagged.
+
+    Exactness: counts, window sums, and sums of squares are integers;
+    the test |x − μ| > z·σ is evaluated in cleared-denominator integer
+    form, (x·w − s1)² > z²·(w·s2 − s1²), so there is no float anywhere
+    — every published column is a BIGINT or BOOLEAN and the result is
+    bit-identical across engines and partition orders. (``z_int`` is
+    integer by contract for exactly this reason.)
+
+    100 TB posture: one (key, bucket) hash aggregate (map-side
+    combinable) shrinks the stream to bucket grain, then ONE bounded
+    ROWS window over that tiny table, partitioned by key — the window
+    never sees raw events. Hypertable-style continuous-aggregate
+    semantics: the (key, bucket) counts are mergeable state, so the
+    report can be served from maintained rollup state instead of raw
+    events (the ohlc_state/rollup discipline).
+    """
+    keys = list(key_cols)
+    w = int(window_buckets)
+    z2 = int(z_int) * int(z_int)
+    counts = df.groupBy(
+        *keys, _bucket_expr(time_col, bucket_ms)
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start_ms")
+        .rowsBetween(-w, -1)
+    )
+    x = F.col("n_events")
+    s1 = F.coalesce(F.sum("n_events").over(frame), F.lit(0)).cast("long")
+    s2 = F.coalesce(F.sum(x * x).over(frame), F.lit(0)).cast("long")
+    wn = F.count("n_events").over(frame).cast("long")
+    out = counts.select(
+        *keys,
+        "bucket_start_ms",
+        x.alias("n_events"),
+        wn.alias("win_n"),
+        s1.alias("win_sum"),
+        s2.alias("win_sumsq"),
+    )
+    dev = F.col("n_events") * F.col("win_n") - F.col("win_sum")
+    var_num = (
+        F.col("win_n") * F.col("win_sumsq")
+        - F.col("win_sum") * F.col("win_sum")
+    )
+    return out.withColumn(
+        "is_anomaly",
+        (F.col("win_n") == w) & (dev * dev > F.lit(z2) * var_num),
+    )

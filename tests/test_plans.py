@@ -491,3 +491,34 @@ def test_winnow_zero_exchanges(spark, qmap):
     s = summarize_plan(qmap["docs_winnow_fingerprint"](spark, SF_DIR))
     assert s.n_shuffle_exchanges == 0, sorted(s.shuffle_keysets)
     s.assert_no_cartesian()
+
+
+def test_bloom_probe_zero_shuffle(spark, qmap):
+    """The Bloom decontamination TRAIN side is scan -> mapInPandas with
+    the bitset in the closure: the probe contributes NO exchange (the
+    tiny eval-build subtree collects separately before the probe plan
+    is even constructed)."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["bloom_decontaminate"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 0, sorted(s.shuffle_keysets)
+    s.assert_no_cartesian()
+
+
+def test_rolling_anomaly_bucket_grain_window(spark, qmap):
+    """Raw events reduce to (key, bucket) grain via a map-side-combinable
+    aggregate BEFORE any window: at most the agg exchange + the window's
+    key exchange, and the window input is the bucket-grain table."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_rolling_anomaly"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(2)
+    plan = formatted_plan(qmap["events_rolling_anomaly"](spark, SF_DIR))
+    assert "partial_count" in plan  # map-side combine under the agg
+
+
+def test_leakage_safe_split_is_narrow(spark, qmap):
+    """Cluster key = md5(text) is pure column math: no exchange."""
+    plan = formatted_plan(qmap["leakage_safe_split"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan

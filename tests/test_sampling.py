@@ -181,3 +181,54 @@ def test_cluster_capped_sample_cap_and_determinism(spark):
     assert again == want
     # cap >= cluster size keeps everything
     assert cluster_capped_sample(assign, cap=100).count() == 60
+
+
+def test_leakage_safe_split_duplicates_share_split(spark):
+    """Exact duplicates land in the SAME split regardless of doc_id —
+    the whole point vs split_assign's id hashing."""
+    from temporal_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    rows = [(i, f"shared text body {i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_text.values())
+    # sanity: id-hash splitting DOES scatter these same clusters
+    scattered = split_assign(df).collect()
+    by_text2 = {}
+    for r in scattered:
+        by_text2.setdefault(r.text, set()).add(r.split)
+    assert any(len(s) > 1 for s in by_text2.values())
+
+
+def test_leakage_safe_split_cluster_col_grain(spark):
+    """With cluster_col, every member of a precomputed cluster (e.g. a
+    near-dup connected component) draws one split."""
+    from temporal_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    rows = [(i, f"unique text {i}", f"c{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cc string")
+    out = leakage_safe_split(df, cluster_col="cc").collect()
+    by_cc = {}
+    for r in out:
+        by_cc.setdefault(r.cc, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cc.values())
+
+
+def test_leakage_safe_split_weight_validation(spark):
+    import pytest
+
+    from temporal_vector_database_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, weights=(0.5, 0.5), names=("a", "b", "c"))

@@ -224,3 +224,60 @@ def test_locf_from_state_equals_raw_resample(spark):
     assert canon(got) == canon(want)
     vals = {(r.k, r.bucket_start_ms): r.value for r in got.collect()}
     assert vals[(1, 100)] == 2.5 and vals[(1, 200)] == 2.5  # late close served
+
+
+def test_rolling_count_anomaly_brute_force_parity(spark):
+    """Integer z-test matches a float brute force on a series with one
+    engineered spike; heads (win_n < 7) are never flagged."""
+    import math
+
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_count_anomaly,
+    )
+
+    # one key, 12 daily buckets: steady 5 events/day with day 9 at 50
+    day = 86_400_000
+    counts = {d: (50 if d == 9 else 5 + (d % 3)) for d in range(12)}
+    rows = [
+        (1, d * day + i, 7)
+        for d, c in counts.items()
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    out = {
+        r.bucket_start_ms // day: r
+        for r in rolling_count_anomaly(
+            df, "t", ("k",), day, window_buckets=7, z_int=3
+        ).collect()
+    }
+    assert len(out) == 12
+    series = [counts[d] for d in range(12)]
+    for d in range(12):
+        r = out[d]
+        # baseline = the PRIOR 7 observed buckets, current excluded
+        win = series[max(0, d - 7) : d]
+        assert r.n_events == series[d]
+        assert r.win_n == len(win)
+        assert r.win_sum == sum(win)
+        assert r.win_sumsq == sum(x * x for x in win)
+        if len(win) < 7:
+            assert not r.is_anomaly
+        else:
+            mu = sum(win) / 7
+            var = sum(x * x for x in win) / 7 - mu * mu
+            expect = abs(series[d] - mu) > 3 * math.sqrt(max(var, 0.0))
+            assert r.is_anomaly == expect, d
+    assert out[9].is_anomaly  # the spike vs its pre-spike baseline
+    assert not out[8].is_anomaly
+
+
+def test_rolling_anomaly_constant_series_never_flags(spark):
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_count_anomaly,
+    )
+
+    day = 86_400_000
+    rows = [(1, d * day, 1.0) for d in range(10)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = rolling_count_anomaly(df, "t", ("k",), day).collect()
+    assert len(out) == 10 and not any(r.is_anomaly for r in out)
