@@ -119,6 +119,7 @@ HEADLINE = (
     "events_rolling_anomaly",
     "events_cube",
     "leakage_safe_split",
+    "ivf_radius_search",
 )
 
 

@@ -440,6 +440,34 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    cands = _ivf_candidates(
+        embeddings, queries, nprobe, centroid_mod, centroid_rem,
+        id_col, emb_col, exclude_self,
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        cands.where(F.col("sim") > 0)
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias(id_col), "sim")
+    )
+
+
+def _ivf_candidates(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    centroid_mod: int,
+    centroid_rem: int,
+    id_col: str,
+    emb_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF candidate generation: per query, the exact cosine of
+    every vector in the ``nprobe`` nearest centroid lists — (query_id,
+    vid, sim). ``ivf_topk`` ranks it; ``ivf_radius_search`` filters it."""
+    from pyspark.sql import Window
+
     from temporal_vector_database_spark.functions.vector import l2_norm
 
     cents, assign = ivf_assign(embeddings, centroid_mod, centroid_rem, id_col, emb_col)
@@ -465,12 +493,38 @@ def ivf_topk(
         # kNN-graph use: queries ARE the corpus; a vector is not its own
         # neighbor (drop BEFORE ranking so k real neighbors survive)
         cands = cands.where(F.col("vid") != F.col("query_id"))
-    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
-    return (
-        cands.where(F.col("sim") > 0)
-        .withColumn("rank", F.row_number().over(wk).cast("int"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("vid").alias(id_col), "sim")
+    return cands
+
+
+def ivf_radius_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    min_sim: float = 0.25,
+    nprobe: int = 2,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Range (radius) search: ALL probed-list vectors with cosine
+    ``sim >= min_sim`` per query — FAISS ``range_search`` semantics, the
+    top-k complement for recall-oriented retrieval (dedup sweeps,
+    contamination hunts) where the neighbor COUNT is unknown a priori.
+
+    Plan: identical candidate generation to ``ivf_topk`` (broadcast
+    centroids, probed-list equi-join) but the output is a plain filter —
+    NO per-query ranking window, so there is no per-query sort and no
+    possibility of a hot query skewing a window partition; result size
+    is data-dependent by design. Threshold comparisons are safe
+    cross-engine because sims are bit-identical on the quantized grid
+    (same expression, same operand order both sides)."""
+    cands = _ivf_candidates(
+        embeddings, queries, nprobe, centroid_mod, centroid_rem,
+        id_col, emb_col, exclude_self,
+    )
+    return cands.where(F.col("sim") >= float(min_sim)).select(
+        "query_id", F.col("vid").alias(id_col), "sim"
     )
 
 

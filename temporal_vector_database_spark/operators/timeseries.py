@@ -288,11 +288,27 @@ def rolling_count_anomaly(
     events (the ohlc_state/rollup discipline).
     """
     keys = list(key_cols)
-    w = int(window_buckets)
-    z2 = int(z_int) * int(z_int)
     counts = df.groupBy(
         *keys, _bucket_expr(time_col, bucket_ms)
     ).agg(F.count("*").cast("long").alias("n_events"))
+    return anomaly_from_counts(counts, key_cols, window_buckets, z_int)
+
+
+def anomaly_from_counts(
+    counts: DataFrame,
+    key_cols: tuple,
+    window_buckets: int = 7,
+    z_int: int = 3,
+) -> DataFrame:
+    """The report half of :func:`rolling_count_anomaly`, applied to an
+    already-materialized (key, bucket, n_events) table — e.g. the
+    MAINTAINED continuous-aggregate state of ``streaming/ohlc.py``
+    (``ohlc_state``'s n_events column) — so anomaly serving never
+    rescans raw events: refresh cost is the window over the bucket-grain
+    state only (see :func:`rolling_count_anomaly_from_state`)."""
+    keys = list(key_cols)
+    w = int(window_buckets)
+    z2 = int(z_int) * int(z_int)
     frame = (
         Window.partitionBy(*keys)
         .orderBy("bucket_start_ms")
@@ -318,4 +334,25 @@ def rolling_count_anomaly(
     return out.withColumn(
         "is_anomaly",
         (F.col("win_n") == w) & (dev * dev > F.lit(z2) * var_num),
+    )
+
+
+def rolling_count_anomaly_from_state(
+    state: DataFrame,
+    window_buckets: int = 7,
+    z_int: int = 3,
+) -> DataFrame:
+    """Anomaly report served from maintained OHLC state
+    (:func:`ohlc_state` / ``streaming/ohlc.py``): the state already
+    carries exact per-(key, bucket) ``n_events``, so the detector is a
+    pure read-side window over bucket-grain rows — identical output to
+    :func:`rolling_count_anomaly` on the raw events (pinned in tests),
+    at refresh cost proportional to the state, not the stream."""
+    keys = [c for c in state.columns
+            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    return anomaly_from_counts(
+        state.select(*keys, "bucket_start_ms", "n_events"),
+        tuple(keys),
+        window_buckets,
+        z_int,
     )

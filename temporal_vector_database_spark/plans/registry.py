@@ -6792,6 +6792,28 @@ SELECT event_type, bucket_start_ms, n_events, win_n, win_sum, win_sumsq,
 FROM wd
 """
 
+ORACLES["events_rolling_anomaly_state"] = ORACLES["events_rolling_anomaly"]
+
+
+
+def q_events_rolling_anomaly_state(spark, sf_dir):
+    """Bit-equal twin of ``events_rolling_anomaly`` served from
+    maintained OHLC continuous-aggregate state (the ohlc_state/merge
+    tables ``streaming/ohlc.py`` keeps) — anomaly refresh never rescans
+    raw events; same oracle gates both."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        ohlc_state,
+        rolling_count_anomaly_from_state,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    state = ohlc_state(
+        ev, "ts_ms", ("event_type",), "value", 86_400_000,
+        tiebreak_cols=("event_id",),
+    )
+    return rolling_count_anomaly_from_state(state, window_buckets=7, z_int=3)
+
 
 def q_events_cube(spark, sf_dir):
     """OLAP CUBE over (event_type, day): counts and exact distinct
@@ -6821,6 +6843,28 @@ SELECT event_type,
 FROM events
 GROUP BY CUBE (event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT))
 """
+
+
+def q_ivf_radius_search(spark, sf_dir):
+    """FAISS-style range search over the probed IVF lists: every
+    neighbor with cosine >= 0.25 (unknown-count retrieval; no ranking
+    window anywhere in the plan)."""
+    from temporal_vector_database_spark.operators.search import ivf_radius_search
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivf_radius_search(emb, queries, min_sim=0.25, nprobe=2)
+
+
+ORACLES["ivf_radius_search"] = (
+    _QEMB_CTE
+    + _IVF_RANKED_BODY
+    + """
+SELECT query_id, vid AS vec_id, sim FROM cands WHERE sim >= 0.25
+"""
+)
 
 
 def q_leakage_safe_split(spark, sf_dir):
@@ -6882,6 +6926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_anomaly": q_events_rolling_anomaly,
     "events_cube": q_events_cube,
     "leakage_safe_split": q_leakage_safe_split,
+    "ivf_radius_search": q_ivf_radius_search,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -6914,8 +6959,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
-    "pq_codes": q_pq_codes,
     # --- past the 50-cap: every entry below has a green r01-r03 row ---
+    "pq_codes": q_pq_codes,
+    "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
     "ivfpq_topk": q_ivfpq_topk,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,

@@ -972,3 +972,33 @@ def test_mrl_persisted_parity_and_prefix_only_scan(spark, sf_dir, tmp_path):
     plan = formatted_plan(topk_cosine(pre_c, pre_q, k=50, id_cols=("vec_id",)))
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all("prefix_emb" in ln and "embedding" not in ln for ln in scans), plan
+
+
+def test_ivf_radius_search_threshold_and_topk_consistency(spark, sf_dir):
+    """Radius results are exactly the IVF candidate pool filtered at the
+    threshold: every ivf_topk hit with sim >= thr appears, nothing below
+    thr does, and self-matches (sim ~= 1) are present for each query."""
+    from temporal_vector_database_spark.operators.search import (
+        ivf_radius_search,
+        ivf_topk,
+    )
+    from temporal_vector_database_spark.plans.registry import (
+        _quantized_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    thr = 0.25
+    radius = {
+        (r.query_id, r.vec_id): r.sim
+        for r in ivf_radius_search(emb, queries, min_sim=thr, nprobe=2).collect()
+    }
+    assert radius and all(s >= thr for s in radius.values())
+    topk = ivf_topk(emb, queries, k=1000, nprobe=2).collect()
+    above = {(r.query_id, r.vec_id): r.sim for r in topk if r.sim >= thr}
+    assert radius == above  # same pool, same sims, same cut
+    qids = {q for q, _ in radius}
+    assert all((q, q) in radius for q in qids)  # self-match ~= 1.0

@@ -281,3 +281,40 @@ def test_rolling_anomaly_constant_series_never_flags(spark):
     df = spark.createDataFrame(rows, "k long, t long, v double")
     out = rolling_count_anomaly(df, "t", ("k",), day).collect()
     assert len(out) == 10 and not any(r.is_anomaly for r in out)
+
+
+def test_anomaly_from_state_equals_direct(spark):
+    """Serving the detector from maintained OHLC state is bit-identical
+    to running it over raw events (and survives an incremental merge)."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        ohlc_merge,
+        ohlc_state,
+        rolling_count_anomaly,
+        rolling_count_anomaly_from_state,
+    )
+
+    day = 86_400_000
+    rows = [
+        (k, d * day + i * 1000 + k, float(i))
+        for k in (1, 2)
+        for d in range(10)
+        for i in range((d * 7 + k) % 9 + 1)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    direct = sorted(map(tuple, rolling_count_anomaly(df, "t", ("k",), day).collect()))
+    state = ohlc_state(df, "t", ("k",), "v", day)
+    served = sorted(
+        map(tuple, rolling_count_anomaly_from_state(state).collect())
+    )
+    assert direct == served
+    # incremental: state maintained as two merged halves serves identically
+    h1 = df.where("t < %d" % (5 * day))
+    h2 = df.where("t >= %d" % (5 * day))
+    merged = ohlc_merge(
+        ohlc_state(h1, "t", ("k",), "v", day),
+        ohlc_state(h2, "t", ("k",), "v", day),
+    )
+    served2 = sorted(
+        map(tuple, rolling_count_anomaly_from_state(merged).collect())
+    )
+    assert direct == served2
