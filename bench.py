@@ -120,6 +120,7 @@ HEADLINE = (
     "events_cube",
     "leakage_safe_split",
     "ivf_radius_search",
+    "events_rolling_users",
 )
 
 

@@ -356,3 +356,58 @@ def rolling_count_anomaly_from_state(
         window_buckets,
         z_int,
     )
+
+
+def rolling_distinct_counts(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    entity_col: str,
+    bucket_ms: int,
+    window_buckets: int = 7,
+) -> DataFrame:
+    """EXACT trailing-window distinct-entity counts per (key, bucket) —
+    "rolling 7-day active users": for every OBSERVED (key, bucket),
+    the number of distinct entities seen in the trailing
+    ``window_buckets`` buckets (current inclusive).
+
+    SQL windows cannot express this (``count(DISTINCT) OVER frame`` is
+    unsupported in both Spark and ANSI), and summing per-bucket distinct
+    counts overcounts repeat entities. The distributed-exact shape:
+
+    1. dedup to (key, bucket, entity) grain — ONE aggregate that
+       collapses the raw stream (the only pass over events);
+    2. each grain row CONTRIBUTES to the ``window_buckets`` target
+       buckets it is visible from — a bounded ``explode`` (×W fan-out
+       of the already-deduped grain, not of raw events);
+    3. semi-join to observed (key, bucket) targets, then an exact
+       ``count(DISTINCT)`` keyed by (key, target bucket).
+
+    All shuffles are keyed by (key, bucket[, entity]) — uniform at any
+    scale; fan-out is W× the GRAIN table (entities per bucket), never
+    W× the event count. Published columns are all BIGINT.
+    """
+    keys = list(key_cols)
+    w = int(window_buckets)
+    grain = (
+        df.select(*keys, _bucket_expr(time_col, bucket_ms),
+                  F.col(entity_col).alias("_ent"))
+        .distinct()
+    )
+    observed = grain.select(*keys, "bucket_start_ms").distinct()
+    contrib = grain.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("bucket_start_ms"),
+                F.col("bucket_start_ms") + F.lit((w - 1) * int(bucket_ms)),
+                F.lit(int(bucket_ms)),
+            )
+        ).alias("bucket_start_ms"),
+        "_ent",
+    )
+    return (
+        contrib.join(observed, [*keys, "bucket_start_ms"], "left_semi")
+        .groupBy(*keys, "bucket_start_ms")
+        .agg(F.countDistinct("_ent").cast("long").alias("n_distinct"))
+    )

@@ -6845,6 +6845,42 @@ GROUP BY CUBE (event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT))
 """
 
 
+def q_events_rolling_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per event type — the exact
+    sliding-window distinct that no SQL window frame can express."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_distinct_counts,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return rolling_distinct_counts(
+        ev, "ts_ms", ("event_type",), "user_id", 86_400_000, window_buckets=7
+    ).withColumnRenamed("n_distinct", "n_users_7d")
+
+
+ORACLES["events_rolling_users"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms,
+         user_id
+  FROM events
+),
+grain AS (SELECT DISTINCT event_type, bucket_start_ms, user_id FROM e),
+obs AS (SELECT DISTINCT event_type, bucket_start_ms FROM e),
+contrib AS (
+  SELECT event_type, bucket_start_ms + i * 86400000 AS bucket_start_ms, user_id
+  FROM grain, unnest(range(0, 7)) AS t(i)
+)
+SELECT c.event_type, c.bucket_start_ms,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_7d
+FROM contrib c
+JOIN obs o ON c.event_type = o.event_type
+          AND c.bucket_start_ms = o.bucket_start_ms
+GROUP BY 1, 2
+"""
+
+
 def q_ivf_radius_search(spark, sf_dir):
     """FAISS-style range search over the probed IVF lists: every
     neighbor with cosine >= 0.25 (unknown-count retrieval; no ranking
@@ -6927,6 +6963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube": q_events_cube,
     "leakage_safe_split": q_leakage_safe_split,
     "ivf_radius_search": q_ivf_radius_search,
+    "events_rolling_users": q_events_rolling_users,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -6958,8 +6995,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
-    "pq_topk": q_pq_topk,
     # --- past the 50-cap: every entry below has a green r01-r03 row ---
+    "pq_topk": q_pq_topk,
     "pq_codes": q_pq_codes,
     "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
     "ivfpq_topk": q_ivfpq_topk,

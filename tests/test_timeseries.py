@@ -318,3 +318,40 @@ def test_anomaly_from_state_equals_direct(spark):
         map(tuple, rolling_count_anomaly_from_state(merged).collect())
     )
     assert direct == served2
+
+
+def test_rolling_distinct_counts_brute_force(spark):
+    """Exact sliding-window distinct equals a Python brute force; repeat
+    entities across the window are counted once (the overcount a
+    sum-of-daily-distincts would make)."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_distinct_counts,
+    )
+
+    day = 100
+    # key "a": user 1 every day 0-9, user 2 on days {0, 5}, user 3 day 9
+    rows = [("a", d * day + 5, 1) for d in range(10)]
+    rows += [("a", 5, 2), ("a", 5 * day + 7, 2), ("a", 9 * day, 3)]
+    # key "b": a single sparse day
+    rows += [("b", 3 * day, 9)]
+    df = spark.createDataFrame(rows, "k string, t long, u long")
+    got = {
+        (r.k, r.bucket_start_ms // day): r.n_distinct
+        for r in rolling_distinct_counts(
+            df, "t", ("k",), "u", day, window_buckets=3
+        ).collect()
+    }
+    by_day = {}
+    for k, t, u in rows:
+        by_day.setdefault((k, t // day), set()).add(u)
+    expect = {}
+    for (k, d), _ in by_day.items():
+        win = set()
+        for s in range(d - 2, d + 1):
+            win |= by_day.get((k, s), set())
+        expect[(k, d)] = len(win)
+    assert got == expect
+    assert got[("a", 1)] == 2   # user 2 from day 0 still in the window
+    assert got[("a", 5)] == 2   # user 2 re-appears
+    assert got[("a", 8)] == 1   # window has shed user 2
+    assert got[("b", 3)] == 1
