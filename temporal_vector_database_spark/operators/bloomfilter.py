@@ -52,7 +52,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "bloom_bitset",
     "bloom_decontaminate",
+    "bloom_probe",
     "eval_bloom_positions",
+    "positions_to_bitset",
 ]
 
 NUM_BITS = 1 << 20
@@ -110,6 +112,20 @@ def eval_bloom_positions(
     return ng.select(F.explode(pos_cols).alias("pos")).distinct()
 
 
+def positions_to_bitset(positions, num_bits: int = NUM_BITS) -> np.ndarray:
+    """Pack an iterable of bit positions into the uint64 bitset. The
+    relational positions table (``eval_bloom_positions`` or the
+    streaming positions state) is the source of truth; this is its
+    dense per-task encoding."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    bits = np.zeros(num_bits // 64, dtype=np.uint64)
+    for p in positions:
+        p = int(p)
+        bits[p >> 6] |= np.uint64(1 << (p & 63))
+    return bits
+
+
 def bloom_bitset(
     eval_docs: DataFrame,
     text_col: str = "text",
@@ -121,16 +137,10 @@ def bloom_bitset(
     driver. The collect is bounded by the filter SIZE (≤ num_bits
     positions, 128 KiB packed at the default), never by data volume —
     the same bounded-sketch discipline as centroid/vocab collects."""
-    if num_bits % 64 != 0:
-        raise ValueError("num_bits must be a multiple of 64")
     rows = eval_bloom_positions(
         eval_docs, text_col, n, num_bits, num_hashes
     ).collect()
-    bits = np.zeros(num_bits // 64, dtype=np.uint64)
-    for r in rows:
-        p = int(r.pos)
-        bits[p >> 6] |= np.uint64(1 << (p & 63))
-    return bits
+    return positions_to_bitset((r.pos for r in rows), num_bits)
 
 
 def bloom_decontaminate(
@@ -155,6 +165,25 @@ def bloom_decontaminate(
     an exchange (contrast curation.decontaminate's (doc_id, ng)
     distinct)."""
     bits = bloom_bitset(eval_docs, text_col, n, num_bits, num_hashes)
+    return bloom_probe(
+        train, bits, text_col, n, num_bits, num_hashes, min_hits, id_col
+    )
+
+
+def bloom_probe(
+    train: DataFrame,
+    bits: np.ndarray,
+    text_col: str = "text",
+    n: int = 3,
+    num_bits: int = NUM_BITS,
+    num_hashes: int = NUM_HASHES,
+    min_hits: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The probe half of :func:`bloom_decontaminate` against an
+    already-materialized bitset — the streaming entry point
+    (``streaming/bloom.py`` maintains the positions state across eval
+    batches and probes document batches with the committed filter)."""
     k = int(num_hashes)
     nb = int(num_bits)
     nn = int(n)

@@ -627,3 +627,70 @@ def test_coalesce_intervals_brute_force_and_associativity(spark, ivs, cut):
             (r.k, r.span_start, r.span_end) for r in merged.collect()
         )
         assert got2 == [(k, s, e) for k, s, e, _ in brute(rows)]
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(_words_st.filter(lambda ws: len(ws) >= 3), min_size=2, max_size=6)
+)
+def test_bloom_decontaminate_superset_of_exact_property(spark, word_lists):
+    """For ANY corpus, the Bloom report dominates the exact one doc-wise:
+    same n_ngrams, n_bloom_hits >= n_contaminated, and no exact
+    contamination ever escapes the Bloom flag (miss => non-overlap)."""
+    from temporal_vector_database_spark.operators.bloomfilter import (
+        bloom_decontaminate,
+    )
+    from temporal_vector_database_spark.operators.curation import decontaminate
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    train = df.where("doc_id > 0")
+    ev = df.where("doc_id = 0")
+    exact = {r.doc_id: r for r in decontaminate(train, ev, n=3, min_hits=1).collect()}
+    bloom = {
+        r.doc_id: r
+        for r in bloom_decontaminate(train, ev, n=3, min_hits=1).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d in exact:
+        assert bloom[d].n_ngrams == exact[d].n_ngrams
+        assert bloom[d].n_bloom_hits >= exact[d].n_contaminated
+        if exact[d].is_contaminated:
+            assert bloom[d].is_contaminated
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 9), st.integers(0, 4)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_rolling_distinct_counts_property(spark, events, w):
+    """For ANY (key, day, entity) stream and window size, the operator
+    equals the set-union brute force on observed buckets exactly."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_distinct_counts,
+    )
+
+    day = 10
+    rows = [(k, d * day + 1, e) for k, d, e in events]
+    df = spark.createDataFrame(rows, "k long, t long, e long")
+    got = {
+        (r.k, r.bucket_start_ms // day): r.n_distinct
+        for r in rolling_distinct_counts(
+            df, "t", ("k",), "e", day, window_buckets=w
+        ).collect()
+    }
+    by_day = {}
+    for k, d, e in events:
+        by_day.setdefault((k, d), set()).add(e)
+    expect = {}
+    for (k, d) in by_day:
+        win = set()
+        for s in range(d - w + 1, d + 1):
+            win |= by_day.get((k, s), set())
+        expect[(k, d)] = len(win)
+    assert got == expect
