@@ -121,6 +121,8 @@ HEADLINE = (
     "leakage_safe_split",
     "ivf_radius_search",
     "events_rolling_users",
+    "corpus_top_ngrams",
+    "events_twa",
 )
 
 

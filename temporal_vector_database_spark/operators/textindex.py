@@ -455,3 +455,44 @@ def bigram_logprob_scores(
             ).alias("bigram_nll"),
         )
     )
+
+
+def corpus_top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-global heavy hitters: the ``k`` most frequent word
+    ``n``-grams with total occurrence and document-frequency counts —
+    the boilerplate census a curation pipeline runs before writing
+    removal rules (cookie banners, licence headers, navigation chrome).
+
+    Exact, not sketched, in two map-side-combinable aggregates: first
+    at (gram, doc) grain — doc_id in the key keeps that exchange as
+    uniform as the corpus — then a gram-keyed rollup whose input is
+    already one row per (gram, doc), so a gram appearing 10^9 times
+    arrives as doc-count rows, not occurrence rows (hot keys are the
+    combiner's best case; contrast a window over the gram key). The
+    global top-k is Spark's TakeOrderedAndProject over the aggregate
+    output: no total sort materializes. Ties break by gram text, so
+    the cut is deterministic in any engine.
+    """
+    from temporal_vector_database_spark.operators.curation import _word_ngrams
+
+    w = _words(text_col)
+    per_doc = (
+        docs.select(F.col("doc_id"), F.explode(_word_ngrams(w, n)).alias("ng"))
+        .groupBy("ng", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    totals = per_doc.groupBy("ng").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count("*").cast("long").alias("doc_freq"),
+    )
+    return (
+        totals.where(F.col("n_occurrences") >= int(min_count))
+        .orderBy(F.desc("n_occurrences"), F.asc("ng"))
+        .limit(int(k))
+    )

@@ -411,3 +411,65 @@ def rolling_distinct_counts(
         .groupBy(*keys, "bucket_start_ms")
         .agg(F.countDistinct("_ent").cast("long").alias("n_distinct"))
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    value_col: str,
+    bucket_ms: int,
+    tiebreak_cols: tuple = (),
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Per-(key, bucket) time-weighted average under LOCF semantics —
+    TimescaleDB's ``time_weight('locf', ...)`` hyperfunction for
+    irregularly sampled series, where a plain ``avg`` over-weights
+    burst periods: each observation holds until the next one in the
+    bucket (the last holds to bucket end), and the average weights
+    values by held duration over the OBSERVED span
+    ``[first_ts, bucket_end)``. Buckets are independent (weighting
+    resets at the boundary), which is what makes the aggregate
+    bucket-local and incremental-friendly.
+
+    Exactness: values quantize to integer ``1/value_scale`` units
+    (the ``events_outliers`` discipline) and durations are integer ms,
+    so the numerator Σ v·d and denominator are exact BIGINTs —
+    published alongside the single final division, the only float.
+    Bound: |num| ≤ max|v|·scale · bucket_ms per key-bucket
+    (~8.6e13 at milli-units × day buckets per held segment; the bigint
+    path holds to ~10^5 segments per bucket at this range — beyond
+    that, widen to decimal).
+
+    Plan: ONE exchange keyed by (key, bucket) shared by the ordering
+    window and the aggregate; ties on the timestamp break by
+    ``tiebreak_cols`` (duplicate timestamps hold for 0 ms except the
+    last, matching the OHLC close tiebreak).
+    """
+    keys = list(key_cols)
+    scale = int(value_scale)
+    base = df.select(
+        *keys,
+        _bucket_expr(time_col, bucket_ms),
+        F.col(time_col).cast("long").alias("_t"),
+        *[F.col(c) for c in tiebreak_cols],
+        F.round(F.col(value_col) * float(scale), 0).cast("long").alias("_v"),
+    )
+    order = [F.asc("_t")] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*keys, "bucket_start_ms").orderBy(*order)
+    bucket_end = F.col("bucket_start_ms") + F.lit(int(bucket_ms))
+    seg = base.withColumn(
+        "_d", F.coalesce(F.lead("_t").over(w), bucket_end) - F.col("_t")
+    )
+    out = seg.groupBy(*keys, "bucket_start_ms").agg(
+        F.sum(F.col("_v") * F.col("_d")).cast("long").alias("twa_num"),
+        (F.lit(int(bucket_ms)) + F.col("bucket_start_ms") - F.min("_t"))
+        .cast("long")
+        .alias("twa_den"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return out.withColumn(
+        "twa",
+        F.col("twa_num").cast("double")
+        / (F.col("twa_den").cast("double") * float(scale)),
+    )

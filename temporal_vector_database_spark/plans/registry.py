@@ -6881,6 +6881,83 @@ GROUP BY 1, 2
 """
 
 
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-global heavy-hitter bigrams (the boilerplate census):
+    top-100 by total occurrences, ties by gram text."""
+    from temporal_vector_database_spark.operators.textindex import (
+        corpus_top_ngrams,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return corpus_top_ngrams(docs, n=2, k=100, min_count=2)
+
+
+ORACLES["corpus_top_ngrams"] = (
+    _WORDS_CTE
+    + """
+, ng AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS ng
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+per AS (SELECT ng, doc_id, count(*) AS c FROM ng GROUP BY 1, 2),
+tot AS (
+  SELECT ng, CAST(sum(c) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS doc_freq
+  FROM per GROUP BY 1
+)
+SELECT ng, n_occurrences, doc_freq FROM tot
+WHERE n_occurrences >= 2
+ORDER BY n_occurrences DESC, ng ASC LIMIT 100
+"""
+)
+
+
+def q_events_twa(spark, sf_dir):
+    """Daily LOCF time-weighted average of the event value per type
+    (TimescaleDB time_weight): exact BIGINT numerator/denominator +
+    the single final division."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return time_weighted_average(
+        ev, "ts_ms", ("event_type",), "value", 86_400_000,
+        tiebreak_cols=("event_id",),
+    )
+
+
+ORACLES["events_twa"] = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+b AS (
+  SELECT event_type, event_id,
+         CAST((ts_ms // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms,
+         ts_ms, CAST(round(value * 1000) AS BIGINT) AS v_e3
+  FROM e
+),
+s AS (
+  SELECT *,
+         coalesce(lead(ts_ms) OVER (PARTITION BY event_type, bucket_start_ms
+                                    ORDER BY ts_ms, event_id),
+                  bucket_start_ms + 86400000) - ts_ms AS d
+  FROM b
+),
+agg AS (
+  SELECT event_type, bucket_start_ms,
+         CAST(sum(v_e3 * d) AS BIGINT) AS twa_num,
+         CAST(bucket_start_ms + 86400000 - min(ts_ms) AS BIGINT) AS twa_den,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT event_type, bucket_start_ms, twa_num, twa_den, n_events,
+       CAST(twa_num AS DOUBLE) / (CAST(twa_den AS DOUBLE) * 1000.0) AS twa
+FROM agg
+"""
+
+
 def q_ivf_radius_search(spark, sf_dir):
     """FAISS-style range search over the probed IVF lists: every
     neighbor with cosine >= 0.25 (unknown-count retrieval; no ranking
@@ -6964,6 +7041,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "ivf_radius_search": q_ivf_radius_search,
     "events_rolling_users": q_events_rolling_users,
+    "corpus_top_ngrams": q_corpus_top_ngrams,
+    "events_twa": q_events_twa,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -6993,9 +7072,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
+    # --- past the 50-cap: every entry below has a green r01-r03 row ---
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
-    # --- past the 50-cap: every entry below has a green r01-r03 row ---
     "pq_topk": q_pq_topk,
     "pq_codes": q_pq_codes,
     "events_rolling_anomaly_state": q_events_rolling_anomaly_state,

@@ -289,3 +289,24 @@ def test_bigram_logprob_scores_empty_and_whitespace_docs(spark):
     )
     out = {r.doc_id for r in bigram_logprob_scores(docs).collect()}
     assert out == {0}
+
+
+def test_corpus_top_ngrams_counts_and_ties(spark):
+    from temporal_vector_database_spark.operators.textindex import (
+        corpus_top_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),        # "a b" x2, "b a" x1, "b c" x1
+            (2, "a b z z"),          # "a b" x1, "z z" x1
+            (3, "q r"),              # singleton grams only
+        ],
+        "doc_id long, text string",
+    )
+    rows = corpus_top_ngrams(docs, n=2, k=10, min_count=2).collect()
+    got = {r.ng: (r.n_occurrences, r.doc_freq) for r in rows}
+    assert got == {"a b": (3, 2)}  # the only gram with >= 2 occurrences
+    # k-cut determinism: min_count=1 surfaces all, ordered by count then text
+    all_rows = corpus_top_ngrams(docs, n=2, k=3, min_count=1).collect()
+    assert [r.ng for r in all_rows] == ["a b", "b a", "b c"]

@@ -355,3 +355,37 @@ def test_rolling_distinct_counts_brute_force(spark):
     assert got[("a", 5)] == 2   # user 2 re-appears
     assert got[("a", 8)] == 1   # window has shed user 2
     assert got[("b", 3)] == 1
+
+
+def test_time_weighted_average_brute_force(spark):
+    """TWA equals the hand-computed LOCF integral; a burst of samples
+    does not over-weight its value the way a plain avg does; duplicate
+    timestamps hold for 0 ms except the tiebreak winner."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    # bucket [0, 1000): v=1.0 held [100, 900), then a 10-sample burst of
+    # v=5.0 in [900, 910), last holds to bucket end
+    rows = [(1, 1, 100, 1.0)] + [
+        (1, i + 2, 900 + i, 5.0) for i in range(10)
+    ]
+    # duplicate-ts tie: key 2 has two values at t=0; eid 21 wins the hold
+    rows += [(2, 20, 0, 3.0), (2, 21, 0, 7.0)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    out = {
+        r.k: r
+        for r in time_weighted_average(
+            df, "t", ("k",), "v", 1000, tiebreak_cols=("eid",)
+        ).collect()
+    }
+    r1 = out[1]
+    # num = 1000*800 (v=1 held [100,900)) + 5000*9 (nine 1-ms holds,
+    # t=900..908) + 5000*91 (t=909 holds to bucket end); den = 1000-100
+    assert r1.twa_num == 1000 * 800 + 5000 * 9 + 5000 * 91
+    assert r1.twa_den == 900
+    assert r1.n_events == 11
+    assert r1.twa == r1.twa_num / (r1.twa_den * 1000.0)
+    assert abs(r1.twa - 13 / 9) < 1e-12  # plain avg would be ~4.6
+    r2 = out[2]
+    assert r2.twa_num == 7000 * 1000 and r2.twa_den == 1000 and r2.twa == 7.0
