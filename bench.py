@@ -123,6 +123,7 @@ HEADLINE = (
     "events_rolling_users",
     "corpus_top_ngrams",
     "events_twa",
+    "events_rolling_users_approx",
 )
 
 

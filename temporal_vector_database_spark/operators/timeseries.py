@@ -473,3 +473,55 @@ def time_weighted_average(
         F.col("twa_num").cast("double")
         / (F.col("twa_den").cast("double") * float(scale)),
     )
+
+
+def rolling_distinct_estimate(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    entity_col: str,
+    bucket_ms: int,
+    window_buckets: int = 7,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Sketch-path twin of :func:`rolling_distinct_counts` for LONG
+    windows: per-(key, bucket) HLL sketches (Datasketches
+    ``hll_sketch_agg``) are built ONCE from raw events, then the
+    trailing window unions W SKETCHES per target bucket
+    (``hll_union_agg``) — fan-out is W × (key, bucket) rows of
+    ~2^lg_k-byte state, independent of entity cardinality, where the
+    exact path explodes W × |grain| entity rows. The crossover is why
+    hypertables keep distinct-count sketches as bucket state: a 90-day
+    window over billions of entities unions 90 sketches per key.
+
+    The estimate is within the standard HLL error (~1.04/sqrt(2^lg_k)
+    per sketch; unions do not compound it beyond the sketch bound), and
+    the sketches are mergeable state — maintainable incrementally by
+    the streaming OHLC/rollup discipline.
+    """
+    keys = list(key_cols)
+    w = int(window_buckets)
+    per_bucket = df.groupBy(
+        *keys, _bucket_expr(time_col, bucket_ms)
+    ).agg(F.hll_sketch_agg(F.col(entity_col), F.lit(int(lg_k))).alias("_sk"))
+    observed = per_bucket.select(*keys, "bucket_start_ms")
+    contrib = per_bucket.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("bucket_start_ms"),
+                F.col("bucket_start_ms") + F.lit((w - 1) * int(bucket_ms)),
+                F.lit(int(bucket_ms)),
+            )
+        ).alias("bucket_start_ms"),
+        "_sk",
+    )
+    return (
+        contrib.join(observed, [*keys, "bucket_start_ms"], "left_semi")
+        .groupBy(*keys, "bucket_start_ms")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("_sk"), F.lit(True))
+            ).alias("n_distinct_est")
+        )
+    )

@@ -6881,6 +6881,58 @@ GROUP BY 1, 2
 """
 
 
+def q_events_rolling_users_approx(spark, sf_dir):
+    """Sketch-contract gate for the rolling-distinct HLL path: exact
+    trailing-7-day distinct users per type, plus a boolean pinning the
+    sketch-union estimate within 5% of exact (the
+    ``events_approx_distinct`` discipline — no two engines compute an
+    HLL identically, so the gate hashes the exact value + the bound)."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_distinct_counts,
+        rolling_distinct_estimate,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    args = (ev, "ts_ms", ("event_type",), "user_id", 86_400_000, 7)
+    exact = rolling_distinct_counts(*args).withColumnRenamed(
+        "n_distinct", "n_users_7d"
+    )
+    est = rolling_distinct_estimate(*args)
+    return exact.join(est, ["event_type", "bucket_start_ms"]).select(
+        "event_type",
+        "bucket_start_ms",
+        "n_users_7d",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users_7d"))
+            <= 0.05 * F.col("n_users_7d")
+        ).alias("approx_ok"),
+    )
+
+
+ORACLES["events_rolling_users_approx"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms,
+         user_id
+  FROM events
+),
+grain AS (SELECT DISTINCT event_type, bucket_start_ms, user_id FROM e),
+obs AS (SELECT DISTINCT event_type, bucket_start_ms FROM e),
+contrib AS (
+  SELECT event_type, bucket_start_ms + i * 86400000 AS bucket_start_ms, user_id
+  FROM grain, unnest(range(0, 7)) AS t(i)
+)
+SELECT c.event_type, c.bucket_start_ms,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users_7d,
+       TRUE AS approx_ok
+FROM contrib c
+JOIN obs o ON c.event_type = o.event_type
+          AND c.bucket_start_ms = o.bucket_start_ms
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_top_ngrams(spark, sf_dir):
     """Corpus-global heavy-hitter bigrams (the boilerplate census):
     top-100 by total occurrences, ties by gram text."""
@@ -7043,6 +7095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_users": q_events_rolling_users,
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "events_twa": q_events_twa,
+    "events_rolling_users_approx": q_events_rolling_users_approx,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -7071,8 +7124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
-    "language_id": q_language_id,
     # --- past the 50-cap: every entry below has a green r01-r03 row ---
+    "language_id": q_language_id,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,

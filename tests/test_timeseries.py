@@ -389,3 +389,35 @@ def test_time_weighted_average_brute_force(spark):
     assert abs(r1.twa - 13 / 9) < 1e-12  # plain avg would be ~4.6
     r2 = out[2]
     assert r2.twa_num == 7000 * 1000 and r2.twa_den == 1000 and r2.twa == 7.0
+
+
+def test_rolling_distinct_estimate_within_sketch_error(spark):
+    """HLL sketch-union estimate tracks the exact rolling distinct
+    within the configured sketch error on every observed bucket."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        rolling_distinct_counts,
+        rolling_distinct_estimate,
+    )
+
+    day = 100
+    # 3 overlapping cohorts of 400 users sliding across 6 days
+    rows = [
+        (1, d * day + 3, 1000 * (d % 3) + u)
+        for d in range(6)
+        for u in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, u long")
+    args = (df, "t", ("k",), "u", day, 3)
+    exact = {
+        (r.k, r.bucket_start_ms): r.n_distinct
+        for r in rolling_distinct_counts(*args).collect()
+    }
+    est = {
+        (r.k, r.bucket_start_ms): r.n_distinct_est
+        for r in rolling_distinct_estimate(*args).collect()
+    }
+    assert set(exact) == set(est) and len(exact) == 6
+    # days 2+ union three disjoint cohorts -> exact 1200
+    assert exact[(1, 2 * day)] == 1200
+    for key, ex in exact.items():
+        assert abs(est[key] - ex) <= 0.05 * ex, (key, ex, est[key])
