@@ -522,3 +522,34 @@ def test_leakage_safe_split_is_narrow(spark, qmap):
     """Cluster key = md5(text) is pure column math: no exchange."""
     plan = formatted_plan(qmap["leakage_safe_split"](spark, SF_DIR))
     assert "Exchange" not in plan, plan
+
+
+def test_corpus_top_ngrams_topk_no_total_sort(spark, qmap):
+    """The k-cut is TakeOrderedAndProject over the aggregate output —
+    no global Sort/Exchange(rangepartitioning) materializes."""
+    plan = physical_plan(qmap["corpus_top_ngrams"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_events_twa_single_key_exchange(spark, qmap):
+    """Ordering window and aggregate share the (key, bucket) key: ONE
+    shuffle exchange end-to-end."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_twa"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(1)
+
+
+def test_rolling_users_bounded_exchanges(spark, qmap):
+    """Exact sliding distinct: grain dedup + semi-join + final distinct
+    aggregate — bounded exchanges, all keyed by (key, bucket[, entity]),
+    and never a window over raw events."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_rolling_users"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(5)
+    plan = formatted_plan(qmap["events_rolling_users"](spark, SF_DIR))
+    assert "Window" not in plan
