@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "bloom_bitset",
     "bloom_decontaminate",
+    "bloom_params",
     "bloom_probe",
     "eval_bloom_positions",
     "positions_to_bitset",
@@ -59,6 +60,25 @@ __all__ = [
 
 NUM_BITS = 1 << 20
 NUM_HASHES = 4
+
+
+def bloom_params(n_items: int, target_fpr: float = 0.001) -> tuple[int, int]:
+    """(num_bits, num_hashes) sized for ``n_items`` filter entries at
+    ``target_fpr``: the textbook m = -n·ln(p)/ln(2)², k = (m/n)·ln(2),
+    with m rounded UP to the next power of two (so the modulo stays a
+    clean mask of the uniform hash) and k clamped to [1, 8]. Size the
+    filter by the EVAL suite's gram count — corpus size is irrelevant
+    to the build, which is the whole point of the probe-side design."""
+    import math
+
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not (0.0 < target_fpr < 1.0):
+        raise ValueError("target_fpr must be in (0, 1)")
+    m = -n_items * math.log(target_fpr) / (math.log(2) ** 2)
+    num_bits = 1 << max(6, math.ceil(math.log2(m)))
+    k = max(1, min(8, round(num_bits / n_items * math.log(2))))
+    return num_bits, int(k)
 
 
 def _words(text_col: str):

@@ -92,3 +92,27 @@ def test_bitset_matches_positions(spark):
 def test_num_bits_must_be_word_aligned(spark):
     with pytest.raises(ValueError):
         bloom_bitset(_docs(spark), num_bits=100)
+
+
+def test_bloom_params_sizing():
+    import math
+
+    import pytest
+
+    from temporal_vector_database_spark.operators.bloomfilter import (
+        bloom_params,
+    )
+
+    m, k = bloom_params(70_000, 0.001)
+    assert m == 1 << 20 and 1 <= k <= 8  # the module defaults' regime
+    # empirical FPR at the returned params stays near target:
+    # (1 - e^{-kn/m})^k
+    fpr = (1 - math.exp(-k * 70_000 / m)) ** k
+    assert fpr < 0.002
+    # power-of-two and monotonicity
+    m2, _ = bloom_params(1_000_000, 0.001)
+    assert m2 > m and (m2 & (m2 - 1)) == 0
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
