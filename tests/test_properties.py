@@ -694,3 +694,52 @@ def test_rolling_distinct_counts_property(spark, events, w):
             win |= by_day.get((k, s), set())
         expect[(k, d)] = len(win)
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),      # key
+            st.integers(0, 299),    # t within 3 buckets of width 100
+            st.integers(-50, 50),   # value in 1/8 units
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_time_weighted_average_matches_integral_property(spark, events):
+    """TWA equals the brute-force LOCF integral for ANY event set:
+    per (key, bucket), num = sum of v*(hold duration) with the last
+    observation holding to bucket end, den = bucket_end - first_ts."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    rows = [
+        (k, i, t, v / 8.0) for i, (k, t, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    got = {
+        (r.k, r.bucket_start_ms): (r.twa_num, r.twa_den, r.n_events, r.twa)
+        for r in time_weighted_average(
+            df, "t", ("k",), "v", 100, tiebreak_cols=("eid",)
+        ).collect()
+    }
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for k, eid, t, v in rows:
+        by_bucket[(k, (t // 100) * 100)].append((t, eid, v))
+    assert set(got) == set(by_bucket)
+    for (k, b), obs in by_bucket.items():
+        obs.sort()
+        end = b + 100
+        num = 0
+        for i, (t, _, v) in enumerate(obs):
+            nxt = obs[i + 1][0] if i + 1 < len(obs) else end
+            num += round(v * 1000) * (nxt - t)
+        den = end - obs[0][0]
+        gn, gd, gc, gt = got[(k, b)]
+        assert (gn, gd, gc) == (num, den, len(obs))
+        assert gt == num / (den * 1000.0)
