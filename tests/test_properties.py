@@ -743,3 +743,33 @@ def test_time_weighted_average_matches_integral_property(spark, events):
         gn, gd, gc, gt = got[(k, b)]
         assert (gn, gd, gc) == (num, den, len(obs))
         assert gt == num / (den * 1000.0)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(_words_st.filter(lambda ws: len(ws) >= 3), min_size=2, max_size=6),
+    st.integers(1, 3),
+)
+def test_streaming_bloom_state_batching_invariance(
+    spark, tmp_path_factory, word_lists, nb
+):
+    """ANY batching of the same eval suite commits the identical
+    positions state (union-distinct associativity), hence identical
+    downstream probes."""
+    from temporal_vector_database_spark.operators.bloomfilter import (
+        eval_bloom_positions,
+    )
+    from temporal_vector_database_spark.streaming.bloom import (
+        process_eval_bloom_batch,
+        read_bloom_positions,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    state = str(tmp_path_factory.mktemp("bloom_state"))
+    for b in range(nb):
+        part = df.where(F.col("doc_id") % nb == b)
+        process_eval_bloom_batch(part, b, state)
+    got = sorted(r.pos for r in read_bloom_positions(spark, state).collect())
+    want = sorted(r.pos for r in eval_bloom_positions(df).collect())
+    assert got == want
