@@ -124,6 +124,7 @@ HEADLINE = (
     "corpus_top_ngrams",
     "events_twa",
     "events_rolling_users_approx",
+    "ivfpq_topk_persisted",
 )
 
 
@@ -166,11 +167,13 @@ def main() -> None:
     from temporal_vector_database_spark.plans.registry import events_ts_range
     from temporal_vector_database_spark.sources.fixtures import (
         ensure_events_zordered,
+        ensure_ivfpq_index,
         ensure_mrl_index,
     )
 
     ensure_events_zordered(spark, sf_dir)
     ensure_mrl_index(spark, sf_dir)
+    ensure_ivfpq_index(spark, sf_dir)
     events_ts_range(spark, sf_dir)
 
     # production layout: bucketed versions table, built outside the clock

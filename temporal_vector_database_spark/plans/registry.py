@@ -5368,6 +5368,8 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     return ivfpq_residual_topk(emb, queries, k=10, nprobe=2, m=4)
 
 
+ORACLES["ivfpq_topk_persisted"] = ORACLES["ivfpq_topk"]
+
 ORACLES["ivfpq_residual_topk"] = (
     _QEMB_CTE
     + """
@@ -6881,6 +6883,26 @@ GROUP BY 1, 2
 """
 
 
+def q_ivfpq_topk_persisted(spark, sf_dir):
+    """IVF-PQ against the persisted codes layout: the corpus encode (the
+    dominant cost of the on-the-fly ``ivfpq_topk``) is paid once at
+    index build; serving prunes to probed lists and scans m-int codes.
+    Bit-equal to ``ivfpq_topk``, so the same oracle gates both."""
+    from temporal_vector_database_spark.operators.search import (
+        ivfpq_topk_persisted,
+    )
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_ivfpq_index,
+    )
+
+    path = ensure_ivfpq_index(spark, sf_dir, m=4)
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_persisted(spark, path, queries, k=10, nprobe=2, m=4)
+
+
 def q_events_rolling_users_approx(spark, sf_dir):
     """Sketch-contract gate for the rolling-distinct HLL path: exact
     trailing-7-day distinct users per type, plus a boolean pinning the
@@ -7131,6 +7153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "pq_codes": q_pq_codes,
     "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
+    "ivfpq_topk_persisted": q_ivfpq_topk_persisted,
     "ivfpq_topk": q_ivfpq_topk,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,

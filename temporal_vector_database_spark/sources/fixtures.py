@@ -514,3 +514,23 @@ def ensure_mrl_index(spark, sf_dir: str, prefix_dims: int = 16) -> str:
 
         write_mrl_index(_quantized_embeddings(spark, sf_dir), out, prefix_dims)
     return out
+
+
+def ensure_ivfpq_index(spark, sf_dir: str, m: int = 4) -> str:
+    """Persisted IVF-PQ index fixture (idempotent): PQ codes partitioned
+    by inverted list + centroid/codebook tables
+    (``operators.search.write_ivfpq_index``). The corpus encode is paid
+    here, once — serving never touches embedding bytes."""
+    out = os.path.join(fixture_dir(sf_dir), f"ivfpq_index_{m}")
+    if not os.path.exists(
+        os.path.join(out, "codes", "_SUCCESS")
+    ) or not os.path.exists(os.path.join(out, "codebooks", "_SUCCESS")):
+        from temporal_vector_database_spark.operators.search import (
+            write_ivfpq_index,
+        )
+        from temporal_vector_database_spark.plans.registry import (
+            _quantized_embeddings,
+        )
+
+        write_ivfpq_index(_quantized_embeddings(spark, sf_dir), out, m)
+    return out

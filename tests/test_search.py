@@ -1002,3 +1002,32 @@ def test_ivf_radius_search_threshold_and_topk_consistency(spark, sf_dir):
     assert radius == above  # same pool, same sims, same cut
     qids = {q for q, _ in radius}
     assert all((q, q) in radius for q in qids)  # self-match ~= 1.0
+
+
+def test_ivfpq_persisted_bit_equals_inmemory(spark, sf_dir, tmp_path):
+    """Serving from the persisted codes layout is bit-identical to the
+    on-the-fly ivfpq_topk — encode-at-build changes nothing downstream."""
+    from temporal_vector_database_spark.operators.search import (
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+        write_ivfpq_index,
+    )
+    from temporal_vector_database_spark.plans.registry import (
+        _quantized_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, m=4)
+    mem = sorted(map(tuple, ivfpq_topk(emb, queries, k=10, nprobe=2, m=4).collect()))
+    per = sorted(
+        map(
+            tuple,
+            ivfpq_topk_persisted(spark, path, queries, k=10, nprobe=2, m=4).collect(),
+        )
+    )
+    assert mem == per and len(mem) > 0
