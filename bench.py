@@ -125,6 +125,7 @@ HEADLINE = (
     "events_twa",
     "events_rolling_users_approx",
     "ivfpq_topk_persisted",
+    "pq_topk_persisted",
 )
 
 

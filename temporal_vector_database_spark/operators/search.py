@@ -1826,3 +1826,35 @@ def ivfpq_topk_persisted(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
     )
+
+
+def pq_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Flat-PQ ADC against a ``write_ivfpq_index`` layout (no list
+    pruning — every codes row is scored, the exhaustive-but-compressed
+    tier): bit-equal to ``pq_topk``, with the corpus encode paid at
+    index build and the scan carrying m ints per vector instead of
+    embedding bytes."""
+    import os
+
+    from pyspark.sql import Window
+
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes = spark.read.parquet(os.path.join(path, "codes")).drop("centroid_id")
+    luts = _pq_luts(queries, cb, m, emb_col)
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        "query_id", "vid", _adc_expr(m).alias("adc_score")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
+    )

@@ -5370,6 +5370,8 @@ def q_ivfpq_residual_topk(spark, sf_dir):
 
 ORACLES["ivfpq_topk_persisted"] = ORACLES["ivfpq_topk"]
 
+ORACLES["pq_topk_persisted"] = ORACLES["pq_topk"]
+
 ORACLES["ivfpq_residual_topk"] = (
     _QEMB_CTE
     + """
@@ -6903,6 +6905,22 @@ def q_ivfpq_topk_persisted(spark, sf_dir):
     return ivfpq_topk_persisted(spark, path, queries, k=10, nprobe=2, m=4)
 
 
+def q_pq_topk_persisted(spark, sf_dir):
+    """Flat-PQ ADC from the persisted codes (no pruning, compressed
+    exhaustive tier) — bit-equal to ``pq_topk``, same oracle."""
+    from temporal_vector_database_spark.operators.search import pq_topk_persisted
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_ivfpq_index,
+    )
+
+    path = ensure_ivfpq_index(spark, sf_dir, m=4)
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return pq_topk_persisted(spark, path, queries, k=10, m=4)
+
+
 def q_events_rolling_users_approx(spark, sf_dir):
     """Sketch-contract gate for the rolling-distinct HLL path: exact
     trailing-7-day distinct users per type, plus a boolean pinning the
@@ -7154,6 +7172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
     "ivfpq_topk_persisted": q_ivfpq_topk_persisted,
+    "pq_topk_persisted": q_pq_topk_persisted,
     "ivfpq_topk": q_ivfpq_topk,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
