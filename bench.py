@@ -126,6 +126,7 @@ HEADLINE = (
     "events_rolling_users_approx",
     "ivfpq_topk_persisted",
     "pq_topk_persisted",
+    "ivfpq_residual_topk_persisted",
 )
 
 
@@ -169,12 +170,14 @@ def main() -> None:
     from temporal_vector_database_spark.sources.fixtures import (
         ensure_events_zordered,
         ensure_ivfpq_index,
+        ensure_ivfpq_residual_index,
         ensure_mrl_index,
     )
 
     ensure_events_zordered(spark, sf_dir)
     ensure_mrl_index(spark, sf_dir)
     ensure_ivfpq_index(spark, sf_dir)
+    ensure_ivfpq_residual_index(spark, sf_dir)
     events_ts_range(spark, sf_dir)
 
     # production layout: bucketed versions table, built outside the clock

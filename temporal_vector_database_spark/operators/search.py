@@ -1858,3 +1858,114 @@ def pq_topk_persisted(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
     )
+
+
+def write_ivfpq_residual_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 4,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    codeword_mod: int = 20,
+    codeword_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Persist the residual-encoded IVF-PQ index (FAISS ``IndexIVFPQ``):
+    residual codes partitioned by inverted list, centroid table, and the
+    RESIDUAL codebooks. The build pays centroid assignment + residual
+    formation + the codes argmin once; serving adds only the per-probe
+    ``dot(q, c)`` constant to the same broadcast-LUT ADC."""
+    import os
+
+    cents, assign = ivf_assign(
+        embeddings, centroid_mod, centroid_rem, id_col, emb_col
+    )
+    res = assign.join(F.broadcast(cents), "centroid_id").select(
+        "vid",
+        "centroid_id",
+        F.zip_with("emb", "c_emb", lambda x, c: x - c).alias("r_emb"),
+    )
+    cb = pq_codebooks(
+        res, m, codeword_mod, codeword_rem, id_col="vid", emb_col="r_emb"
+    )
+    codes = pq_encode(res, cb, m, id_col="vid", emb_col="r_emb").join(
+        res.select("vid", "centroid_id"), "vid"
+    )
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "codes")
+    )
+    cents.select("centroid_id", "c_emb", "c_nrm").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+
+def ivfpq_residual_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ serving from a ``write_ivfpq_residual_index``
+    layout — bit-equal to ``ivfpq_residual_topk`` (same oracle):
+    ADC = per-probe ``dot(q, c)`` constant + residual LUT sum over the
+    pruned m-int codes scan; no embedding bytes, no encode at query
+    time."""
+    import os
+
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.functions.vector import dot, l2_norm
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    q = queries.select(
+        F.col("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        l2_norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "centroid_id",
+        dot(F.col("q_emb"), F.col("c_emb")).alias("qc_dot"),
+        _guarded_sim("q_emb", "c_emb", "q_nrm", "c_nrm").alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id", "qc_dot")
+    )
+    probe_ids = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    cid_type = cents.schema["centroid_id"].dataType.simpleString()
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .where(F.col("centroid_id").isin(probe_ids))
+        .withColumn("centroid_id", F.col("centroid_id").cast(cid_type))
+    )
+    luts = _pq_luts(queries, cb, m, emb_col)
+    scored = (
+        probes.join(codes, "centroid_id")
+        .join(F.broadcast(luts), "query_id")
+        .select(
+            "query_id", "vid", (F.col("qc_dot") + _adc_expr(m)).alias("adc_score")
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("vid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
+    )

@@ -6921,6 +6921,24 @@ def q_pq_topk_persisted(spark, sf_dir):
     return pq_topk_persisted(spark, path, queries, k=10, m=4)
 
 
+def q_ivfpq_residual_topk_persisted(spark, sf_dir):
+    """Residual IVF-PQ from the persisted codes layout — bit-equal to
+    ``ivfpq_residual_topk``, same oracle."""
+    from temporal_vector_database_spark.operators.search import (
+        ivfpq_residual_topk_persisted,
+    )
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_ivfpq_residual_index,
+    )
+
+    path = ensure_ivfpq_residual_index(spark, sf_dir, m=4)
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return ivfpq_residual_topk_persisted(spark, path, queries, k=10, nprobe=2, m=4)
+
+
 def q_events_rolling_users_approx(spark, sf_dir):
     """Sketch-contract gate for the rolling-distinct HLL path: exact
     trailing-7-day distinct users per type, plus a boolean pinning the
@@ -7173,6 +7191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
     "ivfpq_topk_persisted": q_ivfpq_topk_persisted,
     "pq_topk_persisted": q_pq_topk_persisted,
+    "ivfpq_residual_topk_persisted": q_ivfpq_residual_topk_persisted,
     "ivfpq_topk": q_ivfpq_topk,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
@@ -7303,3 +7322,5 @@ def oracle_map(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     before any Spark query has touched them."""
     fix = ensure_fixtures(sf_dir) if os.path.isdir(sf_dir) else fixture_dir(sf_dir)
     return {name: sql.replace("{FIX}", fix) for name, sql in ORACLES.items()}
+
+ORACLES["ivfpq_residual_topk_persisted"] = ORACLES["ivfpq_residual_topk"]

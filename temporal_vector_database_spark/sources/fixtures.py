@@ -534,3 +534,21 @@ def ensure_ivfpq_index(spark, sf_dir: str, m: int = 4) -> str:
 
         write_ivfpq_index(_quantized_embeddings(spark, sf_dir), out, m)
     return out
+
+
+def ensure_ivfpq_residual_index(spark, sf_dir: str, m: int = 4) -> str:
+    """Persisted residual-encoded IVF-PQ index fixture (idempotent) —
+    ``operators.search.write_ivfpq_residual_index``."""
+    out = os.path.join(fixture_dir(sf_dir), f"ivfpq_res_index_{m}")
+    if not os.path.exists(
+        os.path.join(out, "codes", "_SUCCESS")
+    ) or not os.path.exists(os.path.join(out, "codebooks", "_SUCCESS")):
+        from temporal_vector_database_spark.operators.search import (
+            write_ivfpq_residual_index,
+        )
+        from temporal_vector_database_spark.plans.registry import (
+            _quantized_embeddings,
+        )
+
+        write_ivfpq_residual_index(_quantized_embeddings(spark, sf_dir), out, m)
+    return out

@@ -1055,3 +1055,34 @@ def test_pq_persisted_bit_equals_inmemory(spark, sf_dir, tmp_path):
         map(tuple, pq_topk_persisted(spark, path, queries, k=10, m=4).collect())
     )
     assert mem == per and len(mem) > 0
+
+
+def test_ivfpq_residual_persisted_bit_equals_inmemory(spark, sf_dir, tmp_path):
+    from temporal_vector_database_spark.operators.search import (
+        ivfpq_residual_topk,
+        ivfpq_residual_topk_persisted,
+        write_ivfpq_residual_index,
+    )
+    from temporal_vector_database_spark.plans.registry import (
+        _quantized_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq_res")
+    write_ivfpq_residual_index(emb, path, m=4)
+    mem = sorted(
+        map(tuple, ivfpq_residual_topk(emb, queries, k=10, nprobe=2, m=4).collect())
+    )
+    per = sorted(
+        map(
+            tuple,
+            ivfpq_residual_topk_persisted(
+                spark, path, queries, k=10, nprobe=2, m=4
+            ).collect(),
+        )
+    )
+    assert mem == per and len(mem) > 0
