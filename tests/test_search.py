@@ -1086,3 +1086,46 @@ def test_ivfpq_residual_persisted_bit_equals_inmemory(spark, sf_dir, tmp_path):
         )
     )
     assert mem == per and len(mem) > 0
+
+
+def test_ivfpq_persisted_codes_scan_prunes(spark, sf_dir, tmp_path):
+    """Both persisted PQ tiers must push the probed centroid ids into
+    PartitionFilters on the CODES scan — unprobed lists' files are never
+    opened (the at-scale contract of the layout)."""
+    import contextlib
+    import io
+
+    from temporal_vector_database_spark.operators.search import (
+        ivfpq_residual_topk_persisted,
+        ivfpq_topk_persisted,
+        write_ivfpq_index,
+        write_ivfpq_residual_index,
+    )
+    from temporal_vector_database_spark.plans.registry import (
+        _quantized_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    p1 = str(tmp_path / "pq")
+    p2 = str(tmp_path / "pqr")
+    write_ivfpq_index(emb, p1, m=4)
+    write_ivfpq_residual_index(emb, p2, m=4)
+
+    def partition_filters(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return [
+            ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln
+        ]
+
+    for df in (
+        ivfpq_topk_persisted(spark, p1, queries, k=10, nprobe=2, m=4),
+        ivfpq_residual_topk_persisted(spark, p2, queries, k=10, nprobe=2, m=4),
+    ):
+        pf = partition_filters(df)
+        assert any("centroid_id" in ln and " IN " in ln for ln in pf), pf
