@@ -7154,6 +7154,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "events_twa": q_events_twa,
     "events_rolling_users_approx": q_events_rolling_users_approx,
+    # --- (2b) bit-equal twins with no driver row yet ---
+    "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
+    "ivfpq_topk_persisted": q_ivfpq_topk_persisted,
+    "pq_topk_persisted": q_pq_topk_persisted,
+    "ivfpq_residual_topk_persisted": q_ivfpq_residual_topk_persisted,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -7178,20 +7183,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signature": q_minhash_signature,
     "dedup_near_pairs": q_dedup_near_pairs,
     "dedup_incremental": q_dedup_incremental,
+    # --- past the 50-cap: every entry below has a green r01-r03 row ---
     "simhash_signature": q_simhash_signature,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
-    # --- past the 50-cap: every entry below has a green r01-r03 row ---
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
     "pq_codes": q_pq_codes,
-    "events_rolling_anomaly_state": q_events_rolling_anomaly_state,
-    "ivfpq_topk_persisted": q_ivfpq_topk_persisted,
-    "pq_topk_persisted": q_pq_topk_persisted,
-    "ivfpq_residual_topk_persisted": q_ivfpq_residual_topk_persisted,
     "ivfpq_topk": q_ivfpq_topk,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
