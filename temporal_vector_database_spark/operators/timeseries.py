@@ -525,3 +525,130 @@ def rolling_distinct_estimate(
             ).alias("n_distinct_est")
         )
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    value_col: str,
+    bucket_ms: int,
+    tiebreak_cols: tuple = (),
+) -> DataFrame:
+    """M4 visualization-preserving downsample (Jugel et al., VLDB 2014):
+    per (key, pixel-bucket), the four extremum points — first, last,
+    value-min, value-max — which are exactly the points a line renderer
+    needs for a pixel-perfect plot of the full series at that width.
+
+    Unlike LTTB (whose anchor depends on the previously selected point,
+    an inherently sequential recurrence), M4 is a pure associative
+    aggregate: every output column is a min/max of a struct, so the
+    state is mergeable (map-side combine, incremental maintenance by
+    the :func:`ohlc_merge` discipline) and the plan is ONE exchange.
+
+    Determinism: first/last tie-break on ``tiebreak_cols`` after the
+    timestamp (the OHLC open/close rule); argmin/argmax of the value
+    tie-break toward the EARLIEST/LATEST (t, tiebreaks) respectively via
+    lexicographic struct ordering. No arithmetic on values anywhere —
+    every published number is a raw input value, exact in any engine.
+
+    Beyond-reference breadth: the reference has no time-series surface;
+    its closest analogue is per-version timeline listing
+    (``core/data_structures.py``).
+    """
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        _bucket_expr(time_col, bucket_ms),
+        F.col(time_col).cast("long").alias("_t"),
+        *[F.col(c) for c in tiebreak_cols],
+        F.col(value_col).alias("_v"),
+    )
+    tbs = [F.col(c).alias(f"tb{i}") for i, c in enumerate(tiebreak_cols)]
+    by_time = F.struct(F.col("_t").alias("t"), *tbs, F.col("_v").alias("v"))
+    by_value = F.struct(F.col("_v").alias("v"), F.col("_t").alias("t"), *tbs)
+    out = base.groupBy(*keys, "bucket_start_ms").agg(
+        F.min(by_time).alias("_f"),
+        F.max(by_time).alias("_l"),
+        F.min(by_value).alias("_lo"),
+        F.max(by_value).alias("_hi"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return out.select(
+        *keys,
+        "bucket_start_ms",
+        F.col("_f").getField("t").alias("t_first"),
+        F.col("_f").getField("v").alias("v_first"),
+        F.col("_l").getField("t").alias("t_last"),
+        F.col("_l").getField("v").alias("v_last"),
+        F.col("_lo").getField("t").alias("t_min"),
+        F.col("_lo").getField("v").alias("v_min"),
+        F.col("_hi").getField("t").alias("t_max"),
+        F.col("_hi").getField("v").alias("v_max"),
+        "n_events",
+    )
+
+
+def counter_agg(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    value_col: str,
+    bucket_ms: int,
+    tiebreak_cols: tuple = (),
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Monotone-counter aggregation with reset detection — the
+    Prometheus ``increase``/``rate`` and TimescaleDB ``counter_agg``
+    semantics for cumulative metrics that restart from zero on process
+    restarts: per key, consecutive-sample deltas are summed when
+    non-negative; a negative delta is a RESET, and the counter is
+    assumed to have restarted at 0 and climbed to the current sample,
+    so the full current value is the contribution.
+
+    Each delta is attributed to the bucket of its CURRENT sample; the
+    first sample of a key contributes nothing (there is no prior
+    observation to diff against — Prometheus behaves identically).
+    Resets are detected across bucket boundaries, not just within
+    buckets, so per-bucket increases sum to the whole-series increase.
+
+    Exactness: values quantize to integer ``1/value_scale`` units so
+    the per-bucket increase is an exact BIGINT sum; the published
+    ``rate_per_sec`` is one division of that exact integer by the
+    constant bucket duration (a single correctly-rounded IEEE op).
+
+    Plan: ONE exchange — the lag window shuffles by key, and the
+    (key, bucket) aggregation is satisfied by the same partitioning
+    (subset-cluster co-partitioning).
+    """
+    keys = list(key_cols)
+    scale = int(value_scale)
+    base = df.select(
+        *keys,
+        _bucket_expr(time_col, bucket_ms),
+        F.col(time_col).cast("long").alias("_t"),
+        *[F.col(c) for c in tiebreak_cols],
+        F.round(F.col(value_col) * float(scale), 0).cast("long").alias("_v"),
+    )
+    order = [F.asc("_t")] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    d = base.withColumn("_prev", F.lag("_v").over(w))
+    d = d.withColumn(
+        "_contrib",
+        F.when(F.col("_prev").isNull(), F.lit(None).cast("long"))
+        .when(F.col("_v") >= F.col("_prev"), F.col("_v") - F.col("_prev"))
+        .otherwise(F.col("_v")),
+    ).withColumn(
+        "_reset",
+        (F.col("_prev").isNotNull() & (F.col("_v") < F.col("_prev"))).cast("long"),
+    )
+    out = d.groupBy(*keys, "bucket_start_ms").agg(
+        F.coalesce(F.sum("_contrib"), F.lit(0)).cast("long").alias("increase_units"),
+        F.sum("_reset").cast("long").alias("n_resets"),
+        F.count("*").cast("long").alias("n_samples"),
+    )
+    return out.withColumn(
+        "rate_per_sec",
+        F.col("increase_units").cast("double")
+        / (float(scale) * (int(bucket_ms) / 1000.0)),
+    )

@@ -7068,6 +7068,110 @@ FROM agg
 """
 
 
+def q_events_m4(spark, sf_dir):
+    """M4 downsample of the event value series per type at day grain:
+    first/last/min/max points per pixel bucket, every number a raw
+    input value (no arithmetic), tie-broken by event_id."""
+    from temporal_vector_database_spark.operators.timeseries import m4_downsample
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return m4_downsample(
+        ev, "ts_ms", ("event_type",), "value", 86_400_000,
+        tiebreak_cols=("event_id",),
+    )
+
+
+ORACLES["events_m4"] = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+),
+b AS (
+  SELECT event_type, event_id, ts_ms, value,
+         CAST((ts_ms // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms
+  FROM e
+),
+f AS (
+  SELECT event_type, bucket_start_ms, ts_ms AS t_first, value AS v_first
+  FROM b QUALIFY row_number() OVER (PARTITION BY event_type, bucket_start_ms
+                                    ORDER BY ts_ms, event_id, value) = 1
+),
+l AS (
+  SELECT event_type, bucket_start_ms, ts_ms AS t_last, value AS v_last
+  FROM b QUALIFY row_number() OVER (PARTITION BY event_type, bucket_start_ms
+                                    ORDER BY ts_ms DESC, event_id DESC, value DESC) = 1
+),
+lo AS (
+  SELECT event_type, bucket_start_ms, ts_ms AS t_min, value AS v_min
+  FROM b QUALIFY row_number() OVER (PARTITION BY event_type, bucket_start_ms
+                                    ORDER BY value, ts_ms, event_id) = 1
+),
+hi AS (
+  SELECT event_type, bucket_start_ms, ts_ms AS t_max, value AS v_max
+  FROM b QUALIFY row_number() OVER (PARTITION BY event_type, bucket_start_ms
+                                    ORDER BY value DESC, ts_ms DESC, event_id DESC) = 1
+),
+n AS (
+  SELECT event_type, bucket_start_ms, CAST(count(*) AS BIGINT) AS n_events
+  FROM b GROUP BY 1, 2
+)
+SELECT n.event_type, n.bucket_start_ms,
+       f.t_first, f.v_first, l.t_last, l.v_last,
+       lo.t_min, lo.v_min, hi.t_max, hi.v_max, n.n_events
+FROM n
+JOIN f USING (event_type, bucket_start_ms)
+JOIN l USING (event_type, bucket_start_ms)
+JOIN lo USING (event_type, bucket_start_ms)
+JOIN hi USING (event_type, bucket_start_ms)
+"""
+
+
+def q_events_counter_rate(spark, sf_dir):
+    """Prometheus-style counter increase/rate per (user, day) treating
+    the event value as a cumulative gauge with restarts: negative
+    consecutive deltas are resets contributing the full restarted
+    value. Exact integer milli-unit sums; one division for the rate."""
+    from temporal_vector_database_spark.operators.timeseries import counter_agg
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return counter_agg(
+        ev, "ts_ms", ("user_id",), "value", 86_400_000,
+        tiebreak_cols=("event_id",),
+    )
+
+
+ORACLES["events_counter_rate"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 1000) AS BIGINT) AS v_e3
+  FROM events
+),
+d AS (
+  SELECT user_id, event_id, ts_ms, v_e3,
+         CAST((ts_ms // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms,
+         lag(v_e3) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+  FROM e
+),
+c AS (
+  SELECT user_id, bucket_start_ms,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN v_e3 >= prev THEN v_e3 - prev
+              ELSE v_e3 END AS contrib,
+         CASE WHEN prev IS NOT NULL AND v_e3 < prev THEN 1 ELSE 0 END AS reset
+  FROM d
+)
+SELECT user_id, bucket_start_ms,
+       CAST(coalesce(sum(contrib), 0) AS BIGINT) AS increase_units,
+       CAST(sum(reset) AS BIGINT) AS n_resets,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(coalesce(sum(contrib), 0) AS DOUBLE) / (1000.0 * 86400.0)
+         AS rate_per_sec
+FROM c GROUP BY 1, 2
+"""
+
+
+
 def q_ivf_radius_search(spark, sf_dir):
     """FAISS-style range search over the probed IVF lists: every
     neighbor with cosine >= 0.25 (unknown-count retrieval; no ranking
@@ -7159,6 +7263,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk_persisted": q_ivfpq_topk_persisted,
     "pq_topk_persisted": q_pq_topk_persisted,
     "ivfpq_residual_topk_persisted": q_ivfpq_residual_topk_persisted,
+    # --- (2c) round-5 additions ---
+    "events_m4": q_events_m4,
+    "events_counter_rate": q_events_counter_rate,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

@@ -421,3 +421,105 @@ def test_rolling_distinct_estimate_within_sketch_error(spark):
     assert exact[(1, 2 * day)] == 1200
     for key, ex in exact.items():
         assert abs(est[key] - ex) <= 0.05 * ex, (key, ex, est[key])
+
+
+def test_m4_downsample_extremum_points_and_ties(spark):
+    from temporal_vector_database_spark.operators.timeseries import m4_downsample
+
+    rows = [
+        # key "a", bucket 0 (width 100): min at t=30, max at t=60;
+        # value ties at the max (7.0 at t=60 and t=80) -> latest wins
+        ("a", 1, 10, 5.0), ("a", 2, 30, 1.0), ("a", 3, 60, 7.0),
+        ("a", 4, 80, 7.0), ("a", 5, 90, 4.0),
+        # key "a", bucket 100: single event -> all four points coincide
+        ("a", 6, 150, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+    got = {
+        (r.k, r.bucket_start_ms): r
+        for r in m4_downsample(df, "t", ("k",), "v", 100,
+                               tiebreak_cols=("eid",)).collect()
+    }
+    a0 = got[("a", 0)]
+    assert (a0.t_first, a0.v_first) == (10, 5.0)
+    assert (a0.t_last, a0.v_last) == (90, 4.0)
+    assert (a0.t_min, a0.v_min) == (30, 1.0)
+    # max value tie (7.0) -> argmax tie-breaks toward the LATEST point
+    assert (a0.t_max, a0.v_max) == (80, 7.0)
+    assert a0.n_events == 5
+    a1 = got[("a", 100)]
+    assert (a1.t_first, a1.v_first) == (150, 3.0)
+    assert (a1.t_last, a1.v_last) == (150, 3.0)
+    assert (a1.t_min, a1.t_max) == (150, 150)
+    assert a1.n_events == 1
+
+
+def test_m4_points_are_sufficient_for_min_max_rendering(spark):
+    """The defining M4 property: per bucket, the emitted points are the
+    bucket's exact value extrema and time extrema (brute-force check)."""
+    import random
+
+    from temporal_vector_database_spark.operators.timeseries import m4_downsample
+
+    rng = random.Random(7)
+    rows = [(1, i, rng.randrange(0, 1000), round(rng.uniform(-5, 5), 6))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    out = {r.bucket_start_ms: r
+           for r in m4_downsample(df, "t", ("k",), "v", 100,
+                                  tiebreak_cols=("eid",)).collect()}
+    by_bucket = {}
+    for _, _, t, v in rows:
+        by_bucket.setdefault(t - t % 100, []).append((t, v))
+    assert set(out) == set(by_bucket)
+    for b, pts in by_bucket.items():
+        r = out[b]
+        assert r.v_min == min(v for _, v in pts)
+        assert r.v_max == max(v for _, v in pts)
+        assert r.t_first == min(t for t, _ in pts)
+        assert r.t_last == max(t for t, _ in pts)
+        assert r.n_events == len(pts)
+
+
+def test_counter_agg_reset_semantics(spark):
+    from temporal_vector_database_spark.operators.timeseries import counter_agg
+
+    rows = [
+        # key 1: 10 -> 25 (+15), 25 -> 5 RESET (contributes 5),
+        #        5 -> 30 (+25) but lands in the next bucket
+        (1, 1, 10, 10.0), (1, 2, 40, 25.0), (1, 3, 70, 5.0),
+        (1, 4, 150, 30.0),
+        # key 2: single sample -> no deltas, increase 0
+        (2, 5, 20, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    out = counter_agg(df, "t", ("k",), "v", 100,
+                      tiebreak_cols=("eid",), value_scale=1)
+    got = {(r.k, r.bucket_start_ms):
+           (r.increase_units, r.n_resets, r.n_samples) for r in out.collect()}
+    assert got[(1, 0)] == (15 + 5, 1, 3)     # first sample contributes nothing
+    assert got[(1, 100)] == (25, 0, 1)       # delta across the bucket boundary
+    assert got[(2, 0)] == (0, 0, 1)
+
+
+def test_counter_agg_bucket_increases_sum_to_series_increase(spark):
+    """Per-bucket increases partition the whole-series increase: summing
+    them equals counter_agg at one giant bucket."""
+    import random
+
+    rng = random.Random(11)
+    rows, v = [], 0.0
+    for i in range(300):
+        v = v + rng.uniform(0, 3) if rng.random() > 0.1 else rng.uniform(0, 2)
+        rows.append((i % 3, i, i * 7, round(v, 3)))
+    df = spark.createDataFrame(rows, "k long, eid long, t long, v double")
+    from temporal_vector_database_spark.operators.timeseries import counter_agg
+
+    fine = counter_agg(df, "t", ("k",), "v", 100, tiebreak_cols=("eid",))
+    coarse = counter_agg(df, "t", ("k",), "v", 1 << 40, tiebreak_cols=("eid",))
+    fine_tot = {r.k: r.total for r in
+                fine.groupBy("k").agg(F.sum("increase_units").alias("total"),
+                                      F.sum("n_resets").alias("resets"))
+                .collect()}
+    coarse_tot = {r.k: r.increase_units for r in coarse.collect()}
+    assert fine_tot == coarse_tot
