@@ -1969,3 +1969,62 @@ def ivfpq_residual_topk_persisted(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("vid").alias(id_col), "adc_score", "rank")
     )
+
+
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    attr_col: str,
+    filter_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-query attribute-FILTERED approximate top-k — the filtered
+    vector search every production store ships (pgvector + WHERE,
+    Qdrant/Weaviate payload filters, FAISS IDSelector): each query row
+    carries its own required attribute value in ``filter_col``, and only
+    corpus vectors whose ``attr_col`` equals it are eligible neighbors.
+
+    Strategy is SINGLE-STAGE filtering (filter DURING traversal, before
+    ranking): the probed-list candidates join the corpus attribute and
+    drop non-matching rows BEFORE the per-query top-k window, so the
+    result still contains k *matching* neighbors (post-filtering would
+    return fewer; pre-filtering the corpus would rebuild the index per
+    distinct filter value). The mod-seeded IVF assignment is independent
+    of the query set, so the same index serves every filter.
+
+    Plan: candidate generation is the shared ``_ivf_candidates`` body
+    (broadcast centroids, probed-list equi-join); the attribute join is
+    an equi-join on vid bounded by the probed candidates; the per-query
+    want-value table is broadcast (|queries| rows). In a persisted
+    layout the attribute travels WITH the list entries (the
+    ``write_ivf_index`` pattern), collapsing the vid join into the scan.
+    """
+    from pyspark.sql import Window
+
+    cands = _ivf_candidates(
+        embeddings,
+        queries.select("query_id", emb_col),
+        nprobe, centroid_mod, centroid_rem, id_col, emb_col, False,
+    )
+    attrs = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(attr_col).alias("_attr")
+    )
+    want = queries.select("query_id", F.col(filter_col).alias("_want"))
+    eligible = (
+        cands.join(attrs, "vid")
+        .join(F.broadcast(want), "query_id")
+        .where(F.col("_attr") == F.col("_want"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        eligible.where(F.col("sim") > 0)
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vid").alias(id_col),
+                F.col("_attr").alias(attr_col), "sim")
+    )

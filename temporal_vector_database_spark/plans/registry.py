@@ -7068,6 +7068,55 @@ FROM agg
 """
 
 
+def q_ivf_filtered_topk(spark, sf_dir):
+    """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
+    neighbors sharing ITS OWN label — the filter applies before ranking,
+    so all k slots hold matching vectors (single-stage filtering)."""
+    from temporal_vector_database_spark.operators.search import ivf_filtered_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1024) / 1024,
+        ).alias("embedding"),
+        "label",
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        "embedding",
+        F.col("label").alias("want_label"),
+    )
+    return ivf_filtered_topk(
+        emb, queries, attr_col="label", filter_col="want_label", k=10, nprobe=2
+    )
+
+
+ORACLES["ivf_filtered_topk"] = (
+    _QEMB_CTE
+    + _ivf_ranked_body().replace(
+        "ranked AS (", """labeled AS (
+  SELECT c.query_id, c.vid, c.sim, el.label
+  FROM cands c
+  JOIN embeddings el ON c.vid = el.vec_id
+  JOIN embeddings eq ON c.query_id = eq.vec_id
+  WHERE el.label = eq.label
+),
+ranked AS ("""
+    ).replace(
+        "FROM cands WHERE sim > 0",
+        "FROM labeled WHERE sim > 0",
+    ).replace(
+        "SELECT query_id, vid AS vec_id, sim,",
+        "SELECT query_id, vid AS vec_id, sim, label,",
+    )
+    + """
+SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= 10
+"""
+)
+
+
+
 def q_events_m4(spark, sf_dir):
     """M4 downsample of the event value series per type at day grain:
     first/last/min/max points per pixel bucket, every number a raw
@@ -7266,6 +7315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (2c) round-5 additions ---
     "events_m4": q_events_m4,
     "events_counter_rate": q_events_counter_rate,
+    "ivf_filtered_topk": q_ivf_filtered_topk,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

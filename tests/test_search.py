@@ -1129,3 +1129,56 @@ def test_ivfpq_persisted_codes_scan_prunes(spark, sf_dir, tmp_path):
     ):
         pf = partition_filters(df)
         assert any("centroid_id" in ln and " IN " in ln for ln in pf), pf
+
+
+def test_ivf_filtered_topk_single_stage_semantics(spark, sf_dir):
+    """Filtered ANN: every hit carries the query's wanted label, and the
+    result is exactly the label-matching subset of the probed candidate
+    pool re-ranked — i.e. the filter applies BEFORE the top-k window
+    (single-stage), not after it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.search import (
+        ivf_filtered_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1024) / 1024,
+        ).alias("embedding"),
+        "label",
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        "embedding",
+        F.col("label").alias("want_label"),
+    )
+    k = 5
+    got = ivf_filtered_topk(
+        emb, queries, attr_col="label", filter_col="want_label", k=k, nprobe=2
+    ).collect()
+    assert got
+    want = {r.query_id: r.want_label for r in queries.collect()}
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in got:
+        assert r.label == want[r.query_id]
+
+    # single-stage reference: unfiltered candidates at huge k, filter by
+    # label in python, re-rank, take k — must match exactly
+    pool = ivf_topk(emb, queries, k=10**6, nprobe=2).collect()
+    from collections import defaultdict
+
+    byq = defaultdict(list)
+    for r in pool:
+        if labels[r.vec_id] == want[r.query_id]:
+            byq[r.query_id].append((-r.sim, r.vec_id))
+    expect = set()
+    for q, rows in byq.items():
+        for rank, (_, vid) in enumerate(sorted(rows)[:k], start=1):
+            expect.add((q, rank, vid))
+    assert {(r.query_id, r.rank, r.vec_id) for r in got} == expect
