@@ -7068,6 +7068,74 @@ FROM agg
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): top-200 documents
+    whose hashed n-gram bag is most target-like, target = the English
+    subset; weights are exact fixed-point-log2 BIGINTs."""
+    from temporal_vector_database_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    target = docs.where(F.col("lang") == "en")
+    return dsir_select(docs, target, k=200, n_buckets=4096)
+
+
+def _dsir_oracle_sql() -> str:
+    from temporal_vector_database_spark.operators.dsir import (
+        fixed_log2_duckdb_sql as s,
+    )
+
+    lam = (
+        f"(({s('ct + 1')} - {s('nt + 4096')})"
+        f" - ({s('cr + 1')} - {s('nr + 4096')}))"
+    )
+    return (
+        _WORDS_CTE
+        + f"""
+, grams AS (
+  SELECT doc_id, w[i] AS gram
+  FROM w, unnest(range(1, len(w) + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+b AS (
+  SELECT doc_id, CAST({_H_U32_SQL} AS BIGINT) % 4096 AS bucket
+  FROM (SELECT doc_id, md5(gram) AS h FROM grams)
+),
+tb AS (
+  SELECT b.bucket FROM b JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+),
+tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tb GROUP BY 1),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tb),
+rt AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM b),
+grid AS (SELECT i AS bucket FROM unnest(range(0, 4096)) AS t(i)),
+lam AS (
+  SELECT g.bucket, CAST({lam} AS BIGINT) AS lambda_units
+  FROM (SELECT grid.bucket,
+               coalesce(tc.ct, 0) AS ct, coalesce(rc.cr, 0) AS cr
+        FROM grid LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)) g
+  CROSS JOIN tt CROSS JOIN rt
+),
+perdoc AS (
+  SELECT b.doc_id,
+         CAST(sum(l.lambda_units) AS BIGINT) AS weight_units,
+         CAST(count(*) AS BIGINT) AS n_grams
+  FROM b JOIN lam l USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.weight_units, 0) AS BIGINT) AS weight_units,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY weight_units DESC, d.doc_id ASC LIMIT 200
+"""
+    )
+
+
+ORACLES["dsir_select"] = _dsir_oracle_sql()
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7316,6 +7384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_m4": q_events_m4,
     "events_counter_rate": q_events_counter_rate,
     "ivf_filtered_topk": q_ivf_filtered_topk,
+    "dsir_select": q_dsir_select,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
