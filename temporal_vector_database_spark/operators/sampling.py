@@ -341,3 +341,75 @@ def leakage_safe_split(
     for name, b in zip(reversed(names[:-1]), reversed(bounds)):
         expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict,
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    n_range_buckets: int = 1024,
+) -> DataFrame:
+    """Build a training MIXTURE under per-source token budgets: for each
+    source, documents are taken in the deterministic md5-draw order
+    until the source's token budget is exhausted (the doc that would
+    cross the budget is excluded) — how a data mix ("X billion tokens of
+    web, Y of code, Z of books") is actually materialized from a curated
+    corpus.
+
+    Scale story — a DISTRIBUTED PREFIX SUM, not a per-source window: a
+    per-source running sum ordered by the draw would put each source's
+    entire corpus into ONE window partition (a single task per source at
+    100 TB). Instead the draw's u32 range splits into
+    ``n_range_buckets`` RANGE buckets (bucket = u32 div (2^32/B), so
+    bucket order IS draw order); per-(source, bucket) token sums — B
+    rows per source — get a tiny window cumsum whose offsets broadcast
+    back, and the inner cumsum runs within each (source, bucket) slice.
+    global_cum = offset + inner cumsum, exact BIGINT, identical to the
+    naive single-window form (the oracle computes the naive form).
+
+    Budgets are a plain dict (source → max tokens); sources absent from
+    it pass unfiltered. Output: the selected rows plus ``cum_tokens``
+    (the source's running total INCLUDING the row).
+    """
+    span = _U32_SPAN // int(n_range_buckets)
+    u = _u32(F.col(key_col))
+    base = df.withColumn("_u", u).withColumn(
+        "_rb", (F.col("_u") / F.lit(span)).cast("long")
+    )
+    # per-(source, range-bucket) partial sums -> tiny offset table
+    parts = base.groupBy(source_col, "_rb").agg(
+        F.sum(tokens_col).cast("long").alias("_part")
+    )
+    woff = (
+        Window.partitionBy(source_col)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = parts.withColumn(
+        "_off", F.coalesce(F.sum("_part").over(woff), F.lit(0)).cast("long")
+    ).select(source_col, "_rb", "_off")
+    # inner cumsum within the (source, bucket) slice, then add the offset
+    win = (
+        Window.partitionBy(source_col, "_rb")
+        .orderBy(F.asc("_u"), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), [source_col, "_rb"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("_off") + F.sum(tokens_col).over(win)).cast("long"),
+        )
+    )
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(s, int(b)) for s, b in sorted(budgets.items())],
+        f"{source_col} string, _budget long",
+    )
+    return (
+        cum.join(F.broadcast(bdf), source_col, "left")
+        .where(F.col("_budget").isNull() | (F.col("cum_tokens") <= F.col("_budget")))
+        .drop("_u", "_rb", "_off", "_budget")
+    )

@@ -7136,6 +7136,55 @@ ORACLES["dsir_select"] = _dsir_oracle_sql()
 
 
 
+def q_token_budget_mixture(spark, sf_dir):
+    """Materialize a training mixture under per-source token budgets
+    (distributed prefix-sum selection; the oracle is the naive
+    single-window running sum — bit-equal by construction)."""
+    from temporal_vector_database_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long"),
+    )
+    out = token_budget_select(
+        docs,
+        {"src0": 3000, "src1": 2000, "src5": 800},
+        n_range_buckets=64,
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+ORACLES["token_budget_mixture"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+u AS (SELECT doc_id, source, n_tokens, CAST({_H_U32_SQL} AS BIGINT) AS u32 FROM t),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u32, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM u
+),
+b AS (
+  SELECT * FROM (VALUES ('src0', 3000), ('src1', 2000), ('src5', 800))
+    AS v(source, budget)
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c LEFT JOIN b USING (source)
+WHERE b.budget IS NULL OR c.cum_tokens <= b.budget
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7385,6 +7434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_counter_rate": q_events_counter_rate,
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "dsir_select": q_dsir_select,
+    "token_budget_mixture": q_token_budget_mixture,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

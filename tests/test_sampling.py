@@ -232,3 +232,42 @@ def test_leakage_safe_split_weight_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         leakage_safe_split(df, weights=(0.5, 0.5), names=("a", "b", "c"))
+
+
+def test_token_budget_select_matches_naive_window_and_caps_budget(spark):
+    """Two-phase prefix-sum selection == naive per-source running-sum
+    selection, and no selected source exceeds its budget."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.sampling import (
+        _u32,
+        token_budget_select,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, f"s{i % 3}", rng.randrange(1, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budgets = {"s0": 900, "s1": 40}  # s2 unbudgeted
+    got = token_budget_select(df, budgets, n_range_buckets=8).collect()
+
+    # naive reference in python: per-source running sum in draw order,
+    # keep rows whose INCLUSIVE running total fits the budget
+    u = {r.doc_id: r.u for r in df.select("doc_id", _u32(F.col("doc_id")).alias("u")).collect()}
+    got_map = {r.doc_id: r.cum_tokens for r in got}
+    expect = {}
+    for s in ("s0", "s1", "s2"):
+        cum = 0
+        for did, src, nt in sorted(rows, key=lambda r: (u[r[0]], r[0])):
+            if src != s:
+                continue
+            cum += nt
+            if s not in budgets or cum <= budgets[s]:
+                expect[did] = cum
+    assert got_map == expect
+    per_source = {}
+    for r in got:
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_tokens
+    assert per_source["s0"] <= 900 and per_source["s1"] <= 40
+    assert per_source["s2"] == sum(nt for _, s, nt in rows if s == "s2")
