@@ -7185,6 +7185,109 @@ WHERE b.budget IS NULL OR c.cum_tokens <= b.budget
 
 
 
+def q_neardup_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (3 unrolled power iterations, BIGINT
+    1e-12-unit ranks) over the symmetrized sign-band LSH near-dup
+    graph — centrality picks the canonical doc of each duplication
+    neighborhood."""
+    from temporal_vector_database_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from temporal_vector_database_spark.operators.graph import pagerank_fixed
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    pairs = embedding_near_duplicates(emb, min_cosine=0.4)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    pr = pagerank_fixed(edges, n_iter=3)
+    return pr.select(F.col("id").alias("vec_id"), "pr_units", "deg")
+
+
+ORACLES["neardup_pagerank"] = (
+    _QEMB_CTE
+    + """
+, bucket AS (
+  SELECT vec_id, band_id,
+         (CASE WHEN emb[4 * band_id + 1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 4] >= 0 THEN 8 ELSE 0 END) AS band_val
+  FROM en, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM pairs p JOIN en ea ON p.a_id = ea.vec_id JOIN en eb ON p.b_id = eb.vec_id
+),
+keep AS (SELECT a_id, b_id FROM scored WHERE sim >= 0.4),
+ed AS (
+  SELECT a_id AS src, b_id AS dst FROM keep
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM keep
+),
+nodes AS (SELECT DISTINCT src AS id FROM (SELECT src FROM ed UNION ALL SELECT dst AS src FROM ed)),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (
+  SELECT id, CAST(CAST(1000000000000 AS BIGINT) // nn.n AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT ed.dst AS id,
+         CAST(sum((p.pr * 85) // (100 * deg.deg)) AS BIGINT) AS m
+  FROM ed JOIN pr0 p ON ed.src = p.id JOIN deg ON ed.src = deg.src
+  GROUP BY 1
+),
+pr1 AS (
+  SELECT nodes.id,
+         CAST(CAST(1000000000000 AS BIGINT) * 15 // (100 * nn.n)
+              + coalesce(c1.m, 0) AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id
+),
+c2 AS (
+  SELECT ed.dst AS id,
+         CAST(sum((p.pr * 85) // (100 * deg.deg)) AS BIGINT) AS m
+  FROM ed JOIN pr1 p ON ed.src = p.id JOIN deg ON ed.src = deg.src
+  GROUP BY 1
+),
+pr2 AS (
+  SELECT nodes.id,
+         CAST(CAST(1000000000000 AS BIGINT) * 15 // (100 * nn.n)
+              + coalesce(c2.m, 0) AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id
+),
+c3 AS (
+  SELECT ed.dst AS id,
+         CAST(sum((p.pr * 85) // (100 * deg.deg)) AS BIGINT) AS m
+  FROM ed JOIN pr2 p ON ed.src = p.id JOIN deg ON ed.src = deg.src
+  GROUP BY 1
+),
+pr3 AS (
+  SELECT nodes.id,
+         CAST(CAST(1000000000000 AS BIGINT) * 15 // (100 * nn.n)
+              + coalesce(c3.m, 0) AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
+),
+fin AS (SELECT 1)
+SELECT nodes.id AS vec_id, pr3.pr AS pr_units,
+       CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg
+FROM nodes JOIN pr3 ON nodes.id = pr3.id
+LEFT JOIN deg ON nodes.id = deg.src
+"""
+)
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7435,6 +7538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_filtered_topk": q_ivf_filtered_topk,
     "dsir_select": q_dsir_select,
     "token_budget_mixture": q_token_budget_mixture,
+    "neardup_pagerank": q_neardup_pagerank,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
