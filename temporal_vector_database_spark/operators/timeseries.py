@@ -597,6 +597,7 @@ def counter_agg(
     bucket_ms: int,
     tiebreak_cols: tuple = (),
     value_scale: int = 1000,
+    carry: DataFrame | None = None,
 ) -> DataFrame:
     """Monotone-counter aggregation with reset detection — the
     Prometheus ``increase``/``rate`` and TimescaleDB ``counter_agg``
@@ -620,6 +621,14 @@ def counter_agg(
     Plan: ONE exchange — the lag window shuffles by key, and the
     (key, bucket) aggregation is satisfied by the same partitioning
     (subset-cluster co-partitioning).
+
+    ``carry`` (the streaming seam): an optional per-key LAST-SAMPLE
+    table in the quantized state schema (keys…, ``_t``, tiebreaks…,
+    ``_v``) from which the first in-batch delta of each key is seeded —
+    carried rows act only as lag sources and are excluded from every
+    aggregate (``streaming/counter.py``). Requires per-key event-time
+    monotonicity across batches, the module's streaming-arrival
+    contract.
     """
     keys = list(key_cols)
     scale = int(value_scale)
@@ -629,10 +638,22 @@ def counter_agg(
         F.col(time_col).cast("long").alias("_t"),
         *[F.col(c) for c in tiebreak_cols],
         F.round(F.col(value_col) * float(scale), 0).cast("long").alias("_v"),
-    )
+    ).withColumn("_carried", F.lit(False))
+    if carry is not None:
+        seed = carry.select(
+            *keys,
+            (F.col("_t") - F.pmod(F.col("_t"), F.lit(int(bucket_ms))))
+            .cast("long")
+            .alias("bucket_start_ms"),
+            "_t",
+            *[F.col(c) for c in tiebreak_cols],
+            "_v",
+        ).withColumn("_carried", F.lit(True))
+        base = base.unionByName(seed)
     order = [F.asc("_t")] + [F.asc(c) for c in tiebreak_cols]
     w = Window.partitionBy(*keys).orderBy(*order)
     d = base.withColumn("_prev", F.lag("_v").over(w))
+    d = d.where(~F.col("_carried"))
     d = d.withColumn(
         "_contrib",
         F.when(F.col("_prev").isNull(), F.lit(None).cast("long"))

@@ -523,3 +523,93 @@ def test_counter_agg_bucket_increases_sum_to_series_increase(spark):
                 .collect()}
     coarse_tot = {r.k: r.increase_units for r in coarse.collect()}
     assert fine_tot == coarse_tot
+
+
+def test_streaming_counter_state_equals_batch_and_replay_noop(spark, tmp_path):
+    """Counter maintenance over 3 TIME-ORDERED micro-batches (the
+    arrival contract) ends with buckets == one-shot counter_agg —
+    including a reset that falls exactly ON a batch boundary; replaying
+    a committed batch changes nothing."""
+    from temporal_vector_database_spark.operators.timeseries import counter_agg
+    from temporal_vector_database_spark.streaming.counter import (
+        counter_report,
+        process_counter_batch,
+        read_counter_state,
+    )
+
+    rows = [
+        # key 1: climbs, RESETS at t=110 (first row of batch 2), climbs
+        (1, 1, 10, 10.0), (1, 2, 60, 25.0),
+        (1, 3, 110, 4.0), (1, 4, 160, 9.0),
+        (1, 5, 210, 12.0),
+        # key 2: monotone across all three batches
+        (2, 6, 20, 1.0), (2, 7, 120, 2.5), (2, 8, 220, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, event_id long, ts_ms long, v double")
+    state = str(tmp_path / "counter_state")
+    kw = dict(time_col="ts_ms", key_cols=("k",), value_col="v",
+              bucket_ms=100, tiebreak_cols=("event_id",), value_scale=1000)
+    batches = [
+        df.where(F.col("ts_ms") < 100),
+        df.where((F.col("ts_ms") >= 100) & (F.col("ts_ms") < 200)),
+        df.where(F.col("ts_ms") >= 200),
+    ]
+    for bid, b in enumerate(batches):
+        process_counter_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(
+            (r.k, r.bucket_start_ms, r.increase_units, r.n_resets,
+             r.n_samples, r.rate_per_sec)
+            for r in d.collect()
+        )
+
+    want = canon(counter_agg(df, "ts_ms", ("k",), "v", 100,
+                             ("event_id",), 1000))
+    buckets, last = read_counter_state(spark, state)
+    assert canon(counter_report(buckets, 100, 1000)) == want
+    # the boundary reset was detected across batches
+    by = {(r.k, r.bucket_start_ms): r.n_resets for r in buckets.collect()}
+    assert by[(1, 100)] == 1
+    # last-sample state is each key's final sample
+    got_last = {r.k: (r._t, r._v) for r in last.collect()}
+    assert got_last == {1: (210, 12000), 2: (220, 7000)}
+    # replay an already-committed batch -> no-op
+    process_counter_batch(batches[1], 1, state, **kw)
+    buckets2, _ = read_counter_state(spark, state)
+    assert canon(counter_report(buckets2, 100, 1000)) == want
+
+
+def test_run_counter_stream_real_source_smoke(spark, tmp_path):
+    """run_counter_stream over a parquet file source (AvailableNow)
+    equals the one-shot batch aggregate."""
+    import os
+
+    from temporal_vector_database_spark.operators.timeseries import counter_agg
+    from temporal_vector_database_spark.streaming.counter import (
+        counter_report,
+        read_counter_state,
+        run_counter_stream,
+    )
+
+    rows = [(1, i, i * 40, float(v)) for i, v in
+            enumerate([5, 9, 2, 6, 11, 3], start=1)]
+    df = spark.createDataFrame(rows, "k long, event_id long, ts_ms long, v double")
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    run_counter_stream(
+        stream, state, str(tmp_path / "ckpt"),
+        time_col="ts_ms", key_cols=("k",), value_col="v",
+        bucket_ms=100, tiebreak_cols=("event_id",), value_scale=1,
+    )
+    buckets, _ = read_counter_state(spark, state)
+
+    def canon(d):
+        return sorted((r.k, r.bucket_start_ms, r.increase_units,
+                       r.n_resets, r.n_samples) for r in d.collect())
+
+    assert canon(counter_report(buckets, 100, 1)) == canon(
+        counter_agg(df, "ts_ms", ("k",), "v", 100, ("event_id",), 1)
+    )
