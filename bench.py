@@ -127,6 +127,13 @@ HEADLINE = (
     "ivfpq_topk_persisted",
     "pq_topk_persisted",
     "ivfpq_residual_topk_persisted",
+    # round-5 additions
+    "events_m4",
+    "events_counter_rate",
+    "ivf_filtered_topk",
+    "dsir_select",
+    "token_budget_mixture",
+    "neardup_pagerank",
 )
 
 

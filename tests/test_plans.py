@@ -553,3 +553,81 @@ def test_rolling_users_bounded_exchanges(spark, qmap):
     s.assert_max_shuffles(5)
     plan = formatted_plan(qmap["events_rolling_users"](spark, SF_DIR))
     assert "Window" not in plan
+
+
+def test_m4_downsample_single_exchange_no_window(spark, qmap):
+    """M4 is a pure associative aggregate: one (key, bucket) exchange,
+    no ranking window anywhere."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    df = qmap["events_m4"](spark, SF_DIR)
+    s = summarize_plan(df)
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(1)
+    assert "Window" not in formatted_plan(df)
+
+
+def test_counter_agg_single_key_exchange(spark, qmap):
+    """The lag window shuffles by key; the (key, bucket) aggregate
+    reuses that partitioning (subset co-partitioning): ONE exchange."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["events_counter_rate"](spark, SF_DIR))
+    s.assert_no_cartesian()
+    s.assert_max_shuffles(1)
+
+
+def test_dsir_broadcasts_lambda_and_totals(spark, qmap):
+    """DSIR: the n_buckets-row lambda table and the 1-row totals are
+    broadcast; no cartesian; the only data-sized exchanges are the
+    model-count and per-doc aggregations."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    df = qmap["dsir_select"](spark, SF_DIR)
+    s = summarize_plan(df)
+    s.assert_no_cartesian()
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_token_budget_mixture_no_per_source_global_window(spark, qmap):
+    """The running sum is the two-phase prefix sum: the offset window
+    runs over B-row partials, the inner window over (source, bucket)
+    slices — no window partitioned by source alone over raw docs."""
+    df = qmap["token_budget_mixture"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    import re
+
+    # every Window's partition spec must include the range-bucket column
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "_part" in spec or "_rb" in spec:
+            continue
+        # offset window: partitioned by source ordered by _rb over _part
+        assert "_rb" in spec or "_part" in plan, spec
+
+
+def test_pagerank_bounded_exchanges_no_window(spark, qmap):
+    """PageRank itself (on a plain edge list): 3 unrolled iterations of
+    equi-join + integer sum — no windows, no cartesian, bounded
+    exchanges. (The full near-dup gate's plan also carries the upstream
+    LSH pair machinery, so the pin isolates the operator.)"""
+    from temporal_vector_database_spark.operators.graph import pagerank_fixed
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    df = pagerank_fixed(edges, n_iter=3)
+    s = summarize_plan(df)
+    s.assert_no_cartesian()
+    assert "Window" not in formatted_plan(df)
+
+
+def test_ivf_filtered_topk_broadcasts_want_table(spark, qmap):
+    """Filtered ANN: centroids and the per-query want-value table are
+    broadcast; candidate attr join is an equi-join (no cartesian)."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["ivf_filtered_topk"](spark, SF_DIR))
+    s.assert_no_cartesian()
