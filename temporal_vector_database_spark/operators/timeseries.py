@@ -673,3 +673,77 @@ def counter_agg(
         F.col("increase_units").cast("double")
         / (float(scale) * (int(bucket_ms) / 1000.0)),
     )
+
+
+def series_correlation(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+    value_col: str,
+    bucket_ms: int,
+    value_scale: int = 1,
+) -> DataFrame:
+    """Pairwise Pearson correlation BETWEEN series ("do logins and
+    purchases move together day to day?"): each series is reduced to
+    its per-bucket value sum, pairs align on their COMMON buckets, and
+    the correlation comes from exact integer moments.
+
+    Exactness discipline: per-bucket sums are BIGINTs in
+    ``1/value_scale`` units, the five pair moments (Σx, Σy, Σxy, Σx²,
+    Σy²) are exact BIGINT sums, and the published ``corr`` is composed
+    ONLY of IEEE-correctly-rounded ops (int→double conversions below
+    2^53, two sqrts, multiply, divide) in a fixed expression shape — so
+    it is bit-identical in any engine, unlike a libm-based formula
+    (``corr()`` built-ins differ across engines in summation order).
+    Zero-variance series publish NULL. Overflow headroom: |Σxy| must
+    stay under 2^53 for the exactness argument; with whole-unit
+    quantization (scale=1) that holds to per-bucket sums of ~3e7 across
+    ~1e4 common buckets — rescale ``value_scale`` down for hotter
+    series.
+
+    Plan: one (series, bucket) aggregation over raw events; the pair
+    join runs over the REDUCED per-bucket table (|series|·|buckets|
+    rows, broadcast-joined on bucket), so the quadratic term is in the
+    number of SERIES, never events — the standard correlation-matrix
+    shape. For very large series counts, block the pair space.
+    """
+    scale = int(value_scale)
+    per = df.groupBy(
+        F.col(series_col).alias("s"), _bucket_expr(time_col, bucket_ms)
+    ).agg(
+        F.sum(F.round(F.col(value_col) * float(scale), 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a = per.select(
+        F.col("s").alias("series_a"), "bucket_start_ms", F.col("x").alias("xa")
+    )
+    b = per.select(
+        F.col("s").alias("series_b"), "bucket_start_ms", F.col("x").alias("xb")
+    )
+    pairs = a.join(F.broadcast(b), "bucket_start_ms").where(
+        F.col("series_a") < F.col("series_b")
+    )
+    m = pairs.groupBy("series_a", "series_b").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    va = (F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vb = (F.col("n_buckets") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.withColumn(
+        "corr",
+        F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        ).otherwise(F.lit(None).cast("double")),
+    )

@@ -7288,6 +7288,56 @@ LEFT JOIN deg ON nodes.id = deg.src
 
 
 
+def q_events_type_corr(spark, sf_dir):
+    """Pairwise Pearson correlation between event-type daily value
+    series — exact BIGINT moments; the published corr is composed only
+    of IEEE-correctly-rounded ops (engine-bit-stable)."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        series_correlation,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return series_correlation(
+        ev, "ts_ms", "event_type", "value", 86_400_000, value_scale=1
+    )
+
+
+ORACLES["events_type_corr"] = """
+WITH e AS (
+  SELECT event_type AS s,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms,
+         CAST(round(value) AS BIGINT) AS v
+  FROM events
+),
+per AS (
+  SELECT s, bucket_start_ms, CAST(sum(v) AS BIGINT) AS x
+  FROM e GROUP BY 1, 2
+),
+p AS (
+  SELECT a.s AS series_a, b.s AS series_b,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(a.x) AS BIGINT) AS sx,
+         CAST(sum(b.x) AS BIGINT) AS sy,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.x * b.x) AS BIGINT) AS syy
+  FROM per a JOIN per b
+    ON a.bucket_start_ms = b.bucket_start_ms AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT series_a, series_b, n_buckets, sx, sy, sxy, sxx, syy,
+       CASE WHEN CAST(n_buckets * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_buckets * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_buckets * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_buckets * syy - sy * sy AS DOUBLE)))
+            ELSE NULL END AS corr
+FROM p
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7539,6 +7589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "token_budget_mixture": q_token_budget_mixture,
     "neardup_pagerank": q_neardup_pagerank,
+    "events_type_corr": q_events_type_corr,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

@@ -613,3 +613,35 @@ def test_run_counter_stream_real_source_smoke(spark, tmp_path):
     assert canon(counter_report(buckets, 100, 1)) == canon(
         counter_agg(df, "ts_ms", ("k",), "v", 100, ("event_id",), 1)
     )
+
+
+def test_series_correlation_brute_force_and_edges(spark):
+    """Pairwise Pearson vs numpy on the per-bucket sums; perfect linear
+    pairs hit +/-1 exactly at the moment level; zero variance -> NULL."""
+    import numpy as np
+
+    from temporal_vector_database_spark.operators.timeseries import (
+        series_correlation,
+    )
+
+    rows = []
+    # series A and B perfectly anti-correlated; C constant; D noisy
+    for day in range(6):
+        t = day * 100
+        rows += [("A", t, float(day + 1)), ("B", t, float(10 - day)),
+                 ("C", t, 5.0), ("D", t, float((day * 7) % 5))]
+    df = spark.createDataFrame(rows, "s string, ts long, v double")
+    out = {(r.series_a, r.series_b): r
+           for r in series_correlation(df, "ts", "s", "v", 100).collect()}
+    # deterministic but unclamped: sqrt(va)*sqrt(vb) can land one ulp
+    # past the mathematical bound
+    assert abs(out[("A", "B")].corr - (-1.0)) < 1e-15
+    assert out[("A", "C")].corr is None          # zero variance side
+    # numpy parity on the noisy pair
+    a = np.array([day + 1 for day in range(6)], dtype=float)
+    d = np.array([(day * 7) % 5 for day in range(6)], dtype=float)
+    want = float(np.corrcoef(a, d)[0, 1])
+    assert abs(out[("A", "D")].corr - want) < 1e-12
+    # moments are exact integers
+    r = out[("A", "B")]
+    assert (r.n_buckets, r.sx, r.sy) == (6, 21, 45)
