@@ -104,25 +104,36 @@ def _bucketed(grams: DataFrame, n_buckets: int) -> DataFrame:
     return grams.select("_id", b)
 
 
-def dsir_lambda_table(
-    raw_docs: DataFrame,
-    target_docs: DataFrame,
+def bucket_counts(
+    docs: DataFrame,
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """The per-bucket importance-weight table
-    ``(bucket, lambda_units)`` where ``lambda_units`` is the add-one
-    smoothed log-likelihood ratio in 1/2^16 log2-units:
+    """Per-bucket gram-occurrence counts ``(bucket, c)`` for a corpus —
+    the sufficient statistic of the DSIR multinomial model. PURELY
+    ADDITIVE: counts over a union of corpora are the sums of per-corpus
+    counts, which is what makes the model maintainable incrementally
+    (``streaming/dsir.py``)."""
+    b = _bucketed(_doc_grams(docs, id_col, text_col), n_buckets)
+    return b.groupBy("bucket").agg(F.count("*").cast("long").alias("c"))
+
+
+def lambda_from_counts(
+    spark,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """λ table from precomputed model counts (the shared read side of
+    the batch and streaming paths): ``(bucket, lambda_units)`` with the
+    add-one smoothed LLR in 1/2^16 log2-units,
     ``[score(ct+1) − score(Nt+V)] − [score(cr+1) − score(Nr+V)]``.
     ``n_buckets`` rows — broadcastable index state."""
-    spark = raw_docs.sparkSession
-    tb = _bucketed(_doc_grams(target_docs, id_col, text_col), n_buckets)
-    rb = _bucketed(_doc_grams(raw_docs, id_col, text_col), n_buckets)
-    tc = tb.groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
-    rc = rb.groupBy("bucket").agg(F.count("*").cast("long").alias("cr"))
-    tt = tb.agg(F.count("*").cast("long").alias("nt"))
-    rt = rb.agg(F.count("*").cast("long").alias("nr"))
+    tc = target_counts.select("bucket", F.col("c").alias("ct"))
+    rc = raw_counts.select("bucket", F.col("c").alias("cr"))
+    tt = tc.agg(F.sum("ct").cast("long").alias("nt"))
+    rt = rc.agg(F.sum("cr").cast("long").alias("nr"))
     grid = (
         spark.range(int(n_buckets))
         .select(F.col("id").alias("bucket"))
@@ -134,8 +145,8 @@ def dsir_lambda_table(
             "bucket",
             F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
             F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
-            "nt",
-            "nr",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+            F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
         )
     )
     lam = F.expr(
@@ -143,6 +154,23 @@ def dsir_lambda_table(
         f" - ({_fixed_log2_sql('cr + 1')} - {_fixed_log2_sql('nr + ' + str(int(n_buckets)))})"
     )
     return grid.select("bucket", lam.cast("long").alias("lambda_units"))
+
+
+def dsir_lambda_table(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-shot λ table straight from the two corpora (composes
+    :func:`bucket_counts` + :func:`lambda_from_counts`)."""
+    return lambda_from_counts(
+        raw_docs.sparkSession,
+        bucket_counts(target_docs, n_buckets, id_col, text_col),
+        bucket_counts(raw_docs, n_buckets, id_col, text_col),
+        n_buckets,
+    )
 
 
 def dsir_weights(

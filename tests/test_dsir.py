@@ -91,3 +91,48 @@ def test_dsir_weights_cover_all_docs_and_empty_docs_weight_zero(spark):
     # the doc weight is the whole-bag log-likelihood ratio, as in the
     # paper — so the comparison normalizes per gram)
     assert got[1][0] / got[1][1] > got[3][0] / got[3][1]
+
+
+def test_streaming_dsir_counts_equal_one_shot_and_replay_noop(spark, tmp_path):
+    """Folding doc batches into the counts state commits bit-identical
+    model counts to the one-shot aggregation (additivity), so the
+    derived lambda table — and therefore every document weight — is
+    bit-identical too; replaying a committed batch changes nothing."""
+    from temporal_vector_database_spark.operators.dsir import (
+        bucket_counts,
+        dsir_lambda_table,
+        lambda_from_counts,
+    )
+    from temporal_vector_database_spark.streaming.dsir import (
+        process_dsir_counts_batch,
+        read_counts_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common word") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    nb = 128
+    tdir, rdir = str(tmp_path / "target"), str(tmp_path / "raw")
+    for bid, lo in enumerate(range(0, 40, 10)):
+        b = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10))
+        process_dsir_counts_batch(b, bid, rdir, n_buckets=nb)
+        tb = b.where(F.col("doc_id") % 5 == 0)
+        process_dsir_counts_batch(tb, bid, tdir, n_buckets=nb)
+
+    tc, rc = read_counts_state(spark, tdir), read_counts_state(spark, rdir)
+    want_rc = {r.bucket: r.c for r in bucket_counts(docs, nb).collect()}
+    assert {r.bucket: r.c for r in rc.collect()} == want_rc
+
+    lam_stream = {r.bucket: r.lambda_units
+                  for r in lambda_from_counts(spark, tc, rc, nb).collect()}
+    lam_batch = {r.bucket: r.lambda_units
+                 for r in dsir_lambda_table(docs, target, nb).collect()}
+    assert lam_stream == lam_batch
+
+    # replay a committed batch -> state unchanged
+    process_dsir_counts_batch(docs.where(F.col("doc_id") < 10), 0, rdir,
+                              n_buckets=nb)
+    rc2 = read_counts_state(spark, rdir)
+    assert {r.bucket: r.c for r in rc2.collect()} == want_rc
