@@ -413,3 +413,46 @@ def token_budget_select(
         .where(F.col("_budget").isNull() | (F.col("cum_tokens") <= F.col("_budget")))
         .drop("_u", "_rb", "_off", "_budget")
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-SIZE sample of exactly ``k`` rows with inclusion
+    probability proportional to an integer weight — Efraimidis &
+    Spirakis (2006) A-ES weighted reservoir sampling, the
+    without-replacement complement of the Bernoulli
+    ``quality_weighted_sample`` (whose output size is random): rank by
+    the exponential clock ``-log(u)/w`` and keep the k smallest.
+
+    Determinism discipline: ``u`` is the md5 u32 draw, and the log is
+    the EXACT fixed-point log2 of ``operators/dsir.py`` —
+    ``-log2(u) = 32·2^16 − score(u32+1)`` in 1/2^16 units — so the
+    priority ``floor(-log2(u)·2^20 / w)`` is a BIGINT identical in any
+    engine (libm-free; same sample on Spark and DuckDB, ties → lower
+    key). The integer floor is a documented surrogate of the real
+    A-ES clock, bit-reproducible at the cost of a ≤2^-20 relative
+    quantization of the priority.
+
+    Plan: one projection + global top-k (TakeOrdered: per-partition
+    k-heaps merged on k·P rows — no full sort)."""
+    from temporal_vector_database_spark.operators.dsir import _fixed_log2_sql
+
+    prio = F.expr(
+        f"(({32 * 65536} - {_fixed_log2_sql(f'{_u32_sql(key_col)} + 1')})"
+        f" * {1 << 20}) div CAST({weight_col} AS BIGINT)"
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority_units", prio.cast("long"))
+        .orderBy(F.asc("priority_units"), F.asc(key_col))
+        .limit(int(k))
+    )
+
+
+def _u32_sql(key_col: str) -> str:
+    """The md5→u32 draw as a SQL snippet (the `_u32` Column twin)."""
+    return f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"

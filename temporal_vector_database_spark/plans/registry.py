@@ -7338,6 +7338,47 @@ FROM p
 
 
 
+def q_weighted_reservoir(spark, sf_dir):
+    """Exactly-150-document sample with inclusion probability
+    proportional to n_chars (Efraimidis-Spirakis A-ES, fixed-point-log2
+    exponential clocks — bit-identical in any engine)."""
+    from temporal_vector_database_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return weighted_reservoir_sample(docs, k=150, weight_col="n_chars").select(
+        "doc_id", "n_chars", "priority_units"
+    )
+
+
+def _weighted_reservoir_oracle() -> str:
+    from temporal_vector_database_spark.operators.dsir import (
+        fixed_log2_duckdb_sql as s,
+    )
+
+    neg = f"({32 * 65536} - {s('u32 + 1')})"
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+  WHERE n_chars > 0
+),
+u AS (SELECT doc_id, n_chars, CAST({_H_U32_SQL} AS BIGINT) AS u32 FROM h),
+p AS (
+  SELECT doc_id, n_chars,
+         CAST(({neg} * {1 << 20}) // CAST(n_chars AS BIGINT) AS BIGINT)
+           AS priority_units
+  FROM u
+)
+SELECT doc_id, n_chars, priority_units FROM p
+ORDER BY priority_units ASC, doc_id ASC LIMIT 150
+"""
+
+
+ORACLES["weighted_reservoir"] = _weighted_reservoir_oracle()
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7590,6 +7631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture": q_token_budget_mixture,
     "neardup_pagerank": q_neardup_pagerank,
     "events_type_corr": q_events_type_corr,
+    "weighted_reservoir": q_weighted_reservoir,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

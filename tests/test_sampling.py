@@ -271,3 +271,35 @@ def test_token_budget_select_matches_naive_window_and_caps_budget(spark):
         per_source[r.source] = per_source.get(r.source, 0) + r.n_tokens
     assert per_source["s0"] <= 900 and per_source["s1"] <= 40
     assert per_source["s2"] == sum(nt for _, s, nt in rows if s == "s2")
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark):
+    """A-ES reservoir: exactly k rows, python-mirror parity of the
+    integer clocks, and heavier rows are over-represented."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.sampling import (
+        _u32,
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, 10 if i % 10 else 10_000) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    k = 100
+    got = weighted_reservoir_sample(df, k=k, weight_col="w").collect()
+    assert len(got) == k
+
+    u = {r.doc_id: r.u for r in df.select(
+        "doc_id", _u32(F.col("doc_id")).alias("u")).collect()}
+
+    def clock(did, w):
+        x = u[did] + 1
+        L = x.bit_length() - 1
+        s = L * 65536 + ((x - (1 << L)) * 65536) // (1 << L)
+        return ((32 * 65536 - s) << 20) // w
+
+    expect = sorted(((clock(d, w), d) for d, w in rows))[:k]
+    assert sorted((r.priority_units, r.doc_id) for r in got) == expect
+    # the 10% heavy rows (1000x weight) dominate the sample
+    heavy = sum(1 for r in got if r.doc_id % 10 == 0)
+    assert heavy > k * 0.7
