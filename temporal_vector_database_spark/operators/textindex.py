@@ -496,3 +496,72 @@ def corpus_top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("ng"))
         .limit(int(k))
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the word
+    pairs that co-occur far more than their unigram frequencies predict
+    ("new york"-style units worth single tokens; the classic
+    Church & Hanks 1990 association measure). Top-``k`` adjacent-word
+    bigrams with corpus count ≥ ``min_count`` ranked by PMI.
+
+    Determinism discipline: PMI = log2(c_ab·N / (c_a·c_b)) is published
+    in the EXACT fixed-point-log2 units of ``operators/dsir.py`` —
+    ``pmi_units = [score(c_ab) + score(N)] − [score(c_a) + score(c_b)]``
+    — a BIGINT identical in any engine (the metric is DEFINED as the
+    fixed-point formula; within 4·0.086 of true log2·2^16). ``N`` is
+    the unigram total.
+
+    Plan: one bigram count + one unigram count aggregation (map-side
+    combined heavy-hitter shape); unigram counts join back onto the
+    ≥min_count bigram survivors; 1-row totals broadcast; global top-k
+    via TakeOrdered — no full sort.
+    """
+    from temporal_vector_database_spark.operators.dsir import _fixed_log2_sql
+
+    ws = _words(text_col)
+    toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+    uni = toks.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("cw")
+    )
+    bi = (
+        toks.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    lambda w, i: F.struct(
+                        w.alias("a"),
+                        F.element_at(F.col("ws"), i + F.lit(2)).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= int(min_count))
+    )
+    total = uni.agg(F.sum("cw").cast("long").alias("n_total"))
+    scored = (
+        bi.join(uni.select(F.col("w").alias("a"), F.col("cw").alias("c_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("cw").alias("c_b")), "b")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi_units",
+            F.expr(
+                f"({_fixed_log2_sql('c_ab')} + {_fixed_log2_sql('n_total')})"
+                f" - ({_fixed_log2_sql('c_a')} + {_fixed_log2_sql('c_b')})"
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select("a", "b", "c_ab", "c_a", "c_b", "pmi_units")
+        .orderBy(F.desc("pmi_units"), F.asc("a"), F.asc("b"))
+        .limit(int(k))
+    )

@@ -7379,6 +7379,55 @@ ORACLES["weighted_reservoir"] = _weighted_reservoir_oracle()
 
 
 
+def q_collocations_pmi(spark, sf_dir):
+    """Top-100 collocations (adjacent-word bigrams, count >= 3) by
+    fixed-point-log2 PMI — deterministic Church & Hanks association."""
+    from temporal_vector_database_spark.operators.textindex import (
+        collocations_pmi,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return collocations_pmi(docs, k=100, min_count=3)
+
+
+def _collocations_oracle() -> str:
+    from temporal_vector_database_spark.operators.dsir import (
+        fixed_log2_duckdb_sql as s,
+    )
+
+    pmi = (
+        f"(({s('c_ab')} + {s('n_total')}) - ({s('c_a')} + {s('c_b')}))"
+    )
+    return (
+        _WORDS_CTE
+        + f"""
+, uni AS (
+  SELECT w_, CAST(count(*) AS BIGINT) AS cw FROM (
+    SELECT unnest(w) AS w_ FROM w
+  ) GROUP BY 1
+),
+bi AS (
+  SELECT w[i] AS a, w[i + 1] AS b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM uni),
+j AS (
+  SELECT bi.a, bi.b, bi.c_ab, ua.cw AS c_a, ub.cw AS c_b, tot.n_total
+  FROM bi JOIN uni ua ON bi.a = ua.w_ JOIN uni ub ON bi.b = ub.w_
+  CROSS JOIN tot
+)
+SELECT a, b, c_ab, c_a, c_b, CAST({pmi} AS BIGINT) AS pmi_units
+FROM j
+ORDER BY pmi_units DESC, a ASC, b ASC LIMIT 100
+"""
+    )
+
+
+ORACLES["collocations_pmi"] = _collocations_oracle()
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7632,6 +7681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_pagerank": q_neardup_pagerank,
     "events_type_corr": q_events_type_corr,
     "weighted_reservoir": q_weighted_reservoir,
+    "collocations_pmi": q_collocations_pmi,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

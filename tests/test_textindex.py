@@ -310,3 +310,34 @@ def test_corpus_top_ngrams_counts_and_ties(spark):
     # k-cut determinism: min_count=1 surfaces all, ordered by count then text
     all_rows = corpus_top_ngrams(docs, n=2, k=3, min_count=1).collect()
     assert [r.ng for r in all_rows] == ["a b", "b a", "b c"]
+
+
+def test_collocations_pmi_ranks_true_collocation_first(spark):
+    """A pair that ALWAYS co-occurs outranks frequent-but-independent
+    pairs; the fixed-point PMI matches the python mirror."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.operators.textindex import (
+        collocations_pmi,
+    )
+
+    # "new york" always adjacent (5x); "the cat"/"the dog" frequent but
+    # 'the' is everywhere -> low PMI
+    docs = spark.createDataFrame(
+        [(i, "the cat saw the dog near new york today") for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = collocations_pmi(docs, k=50, min_count=2).collect()
+    rows = {(r.a, r.b): r for r in got}
+    assert ("new", "york") in rows
+    top = got[0]
+    # every bigram here occurs 5x; PMI separates by unigram rarity
+    assert rows[("new", "york")].pmi_units > rows[("the", "cat")].pmi_units
+
+    def score(x):
+        L = x.bit_length() - 1
+        return L * 65536 + ((x - (1 << L)) * 65536) // (1 << L)
+
+    r = rows[("new", "york")]
+    want = (score(r.c_ab) + score(45)) - (score(r.c_a) + score(r.c_b))
+    assert r.pmi_units == want and r.c_ab == 5 and r.c_a == 5
