@@ -138,3 +138,41 @@ def key_skew_profile(
             "n_distinct_keys",
         )
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple = ("doc_id",),
+    compare_cols: tuple = ("text",),
+) -> DataFrame:
+    """Changefeed between two dataset versions — the dataset-level CDC a
+    curated-corpus pipeline needs for auditing what a re-run changed
+    ("v2 removed 1.2M docs, rewrote 40k"): per key, status ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` with the md5 content
+    digests of both sides (digest compare, so arbitrarily wide payloads
+    diff at hash cost; NULL payload columns digest as empty string).
+
+    Plan: digests are row-local projections; the diff is ONE full outer
+    equi-join on the key (co-partitioned sides, no windows). At lake
+    scale this runs partition-parallel over both snapshots — the
+    Delta/Iceberg ``table_changes`` shape recomputed from plain
+    parquet.
+    """
+    digest = F.md5(
+        F.concat_ws(
+            "",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare_cols],
+        )
+    )
+    keys = list(key_cols)
+    o = old.select(*keys, digest.alias("old_hash"))
+    n = new.select(*keys, digest.alias("new_hash"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, "old_hash", "new_hash", status.alias("status"))

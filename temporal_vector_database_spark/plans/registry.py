@@ -7428,6 +7428,44 @@ ORACLES["collocations_pmi"] = _collocations_oracle()
 
 
 
+def q_dataset_diff(spark, sf_dir):
+    """Dataset-version changefeed: v1 = documents minus doc_id%89==0;
+    v2 = documents minus doc_id%97==0 with text upper-cased where
+    doc_id%7==0 — per-key added/removed/changed/unchanged statuses."""
+    from temporal_vector_database_spark.operators.relational import dataset_diff
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    v1 = docs.where(F.col("doc_id") % 89 != 0)
+    v2 = docs.where(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return dataset_diff(v1, v2, key_cols=("doc_id",), compare_cols=("text",))
+
+
+ORACLES["dataset_diff"] = """
+WITH v1 AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS old_hash
+  FROM documents WHERE doc_id % 89 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END,
+                      '')) AS new_hash
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_hash, new_hash,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7682,6 +7720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_corr": q_events_type_corr,
     "weighted_reservoir": q_weighted_reservoir,
     "collocations_pmi": q_collocations_pmi,
+    "dataset_diff": q_dataset_diff,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

@@ -182,3 +182,20 @@ def test_key_skew_profile_exact_on_crafted_skew(spark):
         (2, "warm", 3, 3 / 11, 11, 4),
         (3, "a", 1, 1 / 11, 11, 4),  # tie with b -> key order
     ]
+
+
+def test_dataset_diff_statuses(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")], "id long, payload string"
+    )
+    got = {r.id: r.status for r in
+           dataset_diff(old, new, ("id",), ("payload",)).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 5: "added"}
