@@ -134,6 +134,10 @@ HEADLINE = (
     "dsir_select",
     "token_budget_mixture",
     "neardup_pagerank",
+    "events_type_corr",
+    "weighted_reservoir",
+    "collocations_pmi",
+    "dataset_diff",
 )
 
 
