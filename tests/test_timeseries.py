@@ -645,3 +645,45 @@ def test_series_correlation_brute_force_and_edges(spark):
     # moments are exact integers
     r = out[("A", "B")]
     assert (r.n_buckets, r.sx, r.sy) == (6, 21, 45)
+
+
+def test_streaming_correlation_state_equals_one_shot(spark, tmp_path):
+    """Folding event batches (with a LATE row) into per-bucket sums and
+    deriving corr from state is bit-identical to the one-shot operator;
+    replaying a committed batch changes nothing."""
+    import random
+
+    from temporal_vector_database_spark.operators.timeseries import (
+        series_correlation,
+    )
+    from temporal_vector_database_spark.streaming.correlation import (
+        correlation_from_state,
+        process_series_sum_batch,
+        read_series_state,
+    )
+
+    rng = random.Random(9)
+    rows = [(f"s{i % 3}", (i % 10) * 100 + rng.randrange(100),
+             float(rng.randrange(1, 50))) for i in range(200)]
+    df = spark.createDataFrame(rows, "s string, ts long, v double")
+    state = str(tmp_path / "corr_state")
+    kw = dict(time_col="ts", series_col="s", value_col="v",
+              bucket_ms=100, value_scale=1)
+    # batch split by hash — late arrivals relative to event time
+    batches = [df.where(F.crc32(F.concat_ws(",", "s", "ts", "v")) % 3 == i)
+               for i in range(3)]
+    for bid, b in enumerate(batches):
+        process_series_sum_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(
+            (r.series_a, r.series_b, r.n_buckets, r.sx, r.sy, r.sxy,
+             r.sxx, r.syy, r.corr)
+            for r in d.collect()
+        )
+
+    want = canon(series_correlation(df, "ts", "s", "v", 100, value_scale=1))
+    got = canon(correlation_from_state(read_series_state(spark, state)))
+    assert got == want
+    process_series_sum_batch(batches[0], 0, state, **kw)  # replay
+    assert canon(correlation_from_state(read_series_state(spark, state))) == want
