@@ -2028,3 +2028,74 @@ def ivf_filtered_topk(
         .select("query_id", "rank", F.col("vid").alias(id_col),
                 F.col("_attr").alias(attr_col), "sim")
     )
+
+
+def maxsim_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    m: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT MaxSim, Khattab & Zaharia 2020) rerank:
+    vectors are treated as ``m`` token sub-vectors, and the query-doc
+    score is Σ over query sub-vectors of the MAX cosine against any doc
+    sub-vector — the fine-grained interaction a single-vector dot
+    product collapses away. Serving shape mirrors ColBERT's: a cheap
+    first stage produces ``shortlist`` (query_id, vid) pairs (brute
+    cosine, IVF, anything), and MaxSim runs only on those pairs.
+
+    Determinism: each per-subspace maximum is an order-free aggregate,
+    and the final score sums the m maxima in a FIXED expression order
+    (wide conditional-max columns, not a float SUM aggregate whose
+    combine order varies) — bit-stable in any engine on the quantized
+    grid.
+
+    Plan: sub-vector expansion is row-local; the shortlist joins each
+    side by its id (bounded by |shortlist|·m²); one (query_id, vid)
+    aggregate; one per-query top-k window over k·|queries| rows.
+    """
+    from pyspark.sql import Window
+
+    from temporal_vector_database_spark.functions.vector import l2_norm
+
+    qs = _subspaces(
+        queries.select("query_id", emb_col), "query_id", "query_id", emb_col, m
+    ).select(
+        F.col("query_id"), F.col("subspace").alias("qi"),
+        F.col("sub").alias("q_sub"), l2_norm(F.col("sub")).alias("q_nrm"),
+    )
+    ds = _subspaces(
+        embeddings.select(id_col, emb_col), id_col, "vid", emb_col, m
+    ).select(
+        F.col("vid"), F.col("subspace").alias("dj"),
+        F.col("sub").alias("d_sub"), l2_norm(F.col("sub")).alias("d_nrm"),
+    )
+    sl = shortlist.select("query_id", F.col(id_col).alias("vid"))
+    pairs = (
+        sl.join(qs, "query_id")
+        .join(ds, "vid")
+        .select(
+            "query_id", "vid", "qi",
+            _guarded_sim("q_sub", "d_sub", "q_nrm", "d_nrm").alias("c"),
+        )
+    )
+    wide = pairs.groupBy("query_id", "vid").agg(
+        *[
+            F.max(F.when(F.col("qi") == i, F.col("c"))).alias(f"mx_{i}")
+            for i in range(m)
+        ]
+    )
+    score = None
+    for i in range(m):
+        term = F.coalesce(F.col(f"mx_{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    scored = wide.withColumn("maxsim", score)
+    wk = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", "rank", F.col("vid").alias(id_col), "maxsim")
+    )

@@ -7466,6 +7466,104 @@ FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 
 
 
+def q_maxsim_rerank(spark, sf_dir):
+    """ColBERT-style late interaction: brute top-50 full-vector cosine
+    shortlist, then MaxSim (sum of per-query-subvector maxima over doc
+    subvectors, m=4) reranks to top-10."""
+    from temporal_vector_database_spark.operators.search import (
+        maxsim_rerank,
+        topk_cosine,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    shortlist = topk_cosine(
+        emb, queries, k=50, id_cols=("vec_id",), impl="sql"
+    ).select("query_id", "vec_id")
+    return maxsim_rerank(emb, queries, shortlist, m=4, k=10)
+
+
+ORACLES["maxsim_rerank"] = (
+    _QEMB_CTE
+    + """
+, q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qe, nrm AS nq FROM en WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, en.vec_id,
+         CASE WHEN q.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(q.qe, en.emb) / (q.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN q
+),
+rk AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM scored WHERE sim > 0
+),
+sl AS (SELECT query_id, vec_id FROM rk WHERE rn <= 50),
+sgrid AS (SELECT unnest([0, 1, 2, 3]) AS s),
+qsub AS (
+  SELECT q.query_id, s.s AS qi,
+         list_slice(q.qe, s.s * (len(q.qe) // 4) + 1, (s.s + 1) * (len(q.qe) // 4)) AS sub
+  FROM q CROSS JOIN sgrid s
+),
+qsn AS (
+  SELECT query_id, qi, sub,
+         sqrt(list_sum(list_transform(sub, x -> x * x))) AS nrm
+  FROM qsub
+),
+dsub AS (
+  SELECT en.vec_id AS vid, s.s AS dj,
+         list_slice(en.emb, s.s * (len(en.emb) // 4) + 1, (s.s + 1) * (len(en.emb) // 4)) AS sub
+  FROM en CROSS JOIN sgrid s
+),
+dsn AS (
+  SELECT vid, dj, sub,
+         sqrt(list_sum(list_transform(sub, x -> x * x))) AS nrm
+  FROM dsub
+),
+wide AS (
+  SELECT sl.query_id, sl.vec_id,
+         max(CASE WHEN qs.qi = 0 THEN
+           CASE WHEN qs.nrm > 0 AND ds.nrm > 0
+                THEN list_dot_product(qs.sub, ds.sub) / (qs.nrm * ds.nrm)
+                ELSE 0.0 END END) AS mx0,
+         max(CASE WHEN qs.qi = 1 THEN
+           CASE WHEN qs.nrm > 0 AND ds.nrm > 0
+                THEN list_dot_product(qs.sub, ds.sub) / (qs.nrm * ds.nrm)
+                ELSE 0.0 END END) AS mx1,
+         max(CASE WHEN qs.qi = 2 THEN
+           CASE WHEN qs.nrm > 0 AND ds.nrm > 0
+                THEN list_dot_product(qs.sub, ds.sub) / (qs.nrm * ds.nrm)
+                ELSE 0.0 END END) AS mx2,
+         max(CASE WHEN qs.qi = 3 THEN
+           CASE WHEN qs.nrm > 0 AND ds.nrm > 0
+                THEN list_dot_product(qs.sub, ds.sub) / (qs.nrm * ds.nrm)
+                ELSE 0.0 END END) AS mx3
+  FROM sl
+  JOIN qsn qs ON sl.query_id = qs.query_id
+  JOIN dsn ds ON sl.vec_id = ds.vid
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT query_id, vec_id,
+         coalesce(mx0, 0.0) + coalesce(mx1, 0.0) + coalesce(mx2, 0.0)
+           + coalesce(mx3, 0.0) AS maxsim
+  FROM wide
+),
+rk2 AS (
+  SELECT query_id, vec_id, maxsim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY maxsim DESC, vec_id) AS INTEGER) AS rank
+  FROM fin
+)
+SELECT query_id, rank, vec_id, maxsim FROM rk2 WHERE rank <= 10
+"""
+)
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7721,6 +7819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_reservoir": q_weighted_reservoir,
     "collocations_pmi": q_collocations_pmi,
     "dataset_diff": q_dataset_diff,
+    "maxsim_rerank": q_maxsim_rerank,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

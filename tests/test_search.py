@@ -1182,3 +1182,32 @@ def test_ivf_filtered_topk_single_stage_semantics(spark, sf_dir):
         for rank, (_, vid) in enumerate(sorted(rows)[:k], start=1):
             expect.add((q, rank, vid))
     assert {(r.query_id, r.rank, r.vec_id) for r in got} == expect
+
+
+def test_maxsim_rerank_identical_subvectors_reduce_to_cosine(spark):
+    """When every sub-vector of a doc equals the query's sub-vectors,
+    MaxSim = m * 1.0; and a doc matching only ONE subspace scores ~1
+    while the full-vector cosine treats them very differently —
+    the late-interaction signal."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.operators.search import maxsim_rerank
+
+    q = [1.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.5, 0.25]  # m=4 subvecs of dim 2
+    docs = [
+        (1, q),                                         # identical
+        (2, [1.0, 0.0] + [9.0, -3.0] * 3),              # matches subspace 0 only
+        (3, [-1.0, 0.5] * 4),                           # unrelated
+    ]
+    emb = spark.createDataFrame(docs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(10, q)], "query_id int, embedding array<double>")
+    shortlist = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3)], "query_id int, vec_id long"
+    )
+    got = {r.vec_id: (r.rank, r.maxsim)
+           for r in maxsim_rerank(emb, queries, shortlist, m=4, k=3).collect()}
+    assert got[1][0] == 1 and abs(got[1][1] - 4.0) < 1e-12
+    # doc 2: subspace 0 max-cos == 1; others < 1 -> score in (1, 4)
+    assert 1.0 < got[2][1] < 4.0
+    assert got[2][0] == 2
+    assert got[3][1] < got[2][1]
