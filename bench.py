@@ -138,6 +138,7 @@ HEADLINE = (
     "weighted_reservoir",
     "collocations_pmi",
     "dataset_diff",
+    "maxsim_rerank",
 )
 
 
