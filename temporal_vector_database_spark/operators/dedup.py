@@ -1536,3 +1536,95 @@ def near_dup_pairs_from_band_store(
             " n_match int, est_jaccard double"
         ),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_containment: float = 0.6,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: n-gram set containment
+    ``C(A→B) = |A∩B| / |A|`` in both directions — the measure that
+    catches quote-inclusion and superset duplicates (a short doc fully
+    embedded in a long one has high containment but LOW Jaccard,
+    because the union is dominated by the long doc; Broder 1997
+    distinguishes "resemblance" from "containment" for exactly this).
+    A pair survives when EITHER direction reaches ``min_containment``.
+
+    Candidates come from the same MinHash-LSH banding as
+    ``ngram_jaccard_pairs`` (bounded, no all-pairs); the verify is the
+    join form — each candidate pair carries both docs' hashed shingle
+    sets through ``array_intersect`` in codegen. Containments are
+    integer ratios (|A∩B|, |A|, |B| exact) — bit-stable anywhere.
+
+    Caveat shared with all MinHash-LSH pipelines: banding recall is
+    tuned for RESEMBLANCE, so extreme-asymmetry pairs (tiny |A|, huge
+    |B|) may not collide in any band; production containment hunts at
+    100 TB key the bands on the SMALL side's shingles (documented
+    tradeoff — the oracle gates exactly this plan's semantics).
+    """
+    rows_per_band = num_hashes // bands
+
+    def band_exprs():
+        return [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+
+    shsets = (
+        _shingles(docs, text_col, width)
+        .distinct()
+        .withColumn("shh", F.expr(_token_hash32_expr("sh")).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shh").alias("shset"))
+        .select("doc_id", "shset", F.size("shset").cast("long").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    sig = minhash_signatures(docs, text_col, num_hashes, width).localCheckpoint(
+        eager=False
+    )
+    bucket = sig.select("doc_id", *band_exprs()).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    pairs = (
+        bucket.alias("a")
+        .join(
+            bucket.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    a_sets = shsets.select(
+        F.col("doc_id").alias("a_id"), F.col("shset").alias("a_set"), F.col("n_sh").alias("n_a")
+    )
+    b_sets = shsets.select(
+        F.col("doc_id").alias("b_id"), F.col("shset").alias("b_set"), F.col("n_sh").alias("n_b")
+    )
+    out = (
+        pairs.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long"))
+        .withColumn(
+            "containment_a", F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+        )
+        .withColumn(
+            "containment_b", F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+        )
+    )
+    thr = float(min_containment)
+    return out.where(
+        (F.col("containment_a") >= thr) | (F.col("containment_b") >= thr)
+    ).select("a_id", "b_id", "n_inter", "n_a", "n_b", "containment_a", "containment_b")

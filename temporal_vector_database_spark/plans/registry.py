@@ -7564,6 +7564,41 @@ SELECT query_id, rank, vec_id, maxsim FROM rk2 WHERE rank <= 10
 
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dup over MinHash-LSH candidates:
+    |A-inter-B|/|A| and /|B|, pair kept when either side >= 0.5 —
+    catches subset/quote duplicates Jaccard misses."""
+    from temporal_vector_database_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_containment_pairs(docs, min_containment=0.5)
+
+
+ORACLES["ngram_containment"] = (
+    ORACLES["ngram_jaccard"]
+    .replace(
+        """SELECT a_id, b_id, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+FROM scored WHERE CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.4""",
+        """SELECT a_id, b_id, n_inter, n_a, n_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.5
+   OR CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.5""",
+    )
+    .replace(
+        """  SELECT p.a_id, p.b_id, COALESCE(i.n_inter, 0) AS n_inter,
+         sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0) AS n_union""",
+        """  SELECT p.a_id, p.b_id, COALESCE(i.n_inter, 0) AS n_inter,
+         sa.n_sh AS n_a, sb.n_sh AS n_b""",
+    )
+)
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7820,6 +7855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations_pmi": q_collocations_pmi,
     "dataset_diff": q_dataset_diff,
     "maxsim_rerank": q_maxsim_rerank,
+    "ngram_containment": q_ngram_containment,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

@@ -544,3 +544,32 @@ def test_curation_report_banded_pairs_matches_default(spark, sf_dir):
     key = lambda r: (r.predicted_lang, r.source)
     assert sorted(map(tuple, banded)) == sorted(map(tuple, default))
     assert len(banded) > 0
+
+
+def test_ngram_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment ~1.0 on
+    the short side while Jaccard stays under a typical 0.4 gate."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"w{i}" for i in range(14))
+    rows = [(1, short), (2, short + " " + filler), (3, "totally different text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r
+           for r in ngram_containment_pairs(docs, min_containment=0.5).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment_a == 1.0         # short side FULLY contained
+    assert r.n_inter == r.n_a <= r.n_b
+    # jaccard on the same pair understates the duplication badly (union
+    # dominated by the long side) — the asymmetric measure is the signal.
+    # (At extreme asymmetry the pair stops colliding in any band at all:
+    # the documented recall tradeoff of resemblance-tuned banding.)
+    jac = {(p.a_id, p.b_id): p.jaccard
+           for p in ngram_jaccard_pairs(docs, min_jaccard=0.0, verify="join").collect()}
+    assert jac[(1, 2)] < r.containment_a - 0.3
