@@ -747,3 +747,68 @@ def series_correlation(
             (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    value_col: str,
+    period_buckets: int = 7,
+    bucket_ms: int = 86_400_000,
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Seasonal index per (key, phase): how each phase of a cycle (day
+    of week by default) compares to the key's overall mean — the
+    multiplicative seasonal profile behind dashboard "vs typical
+    Monday" baselines and seasonality-adjusted anomaly gates.
+
+    ``phase = pmod(epoch_bucket, period_buckets)`` — pure integer
+    TZ-free math (with day buckets and period 7, phase 4 = Thursday,
+    since epoch day 0 was a Thursday; no calendar function anywhere).
+
+    index = phase_mean / overall_mean, published as the exact integer
+    cross-products ``idx_num = phase_sum·n_total`` and
+    ``idx_den = n_phase·total_sum`` plus their single IEEE division —
+    deterministic cross-engine (operands stay below 2^53 for per-key
+    sums up to ~3e9 milli-units × 1e6 events; rescale for more).
+
+    Plan: one (key, phase) aggregation + a key-level rollup broadcast
+    back — two bounded exchanges, no windows.
+    """
+    keys = list(key_cols)
+    scale = int(value_scale)
+    base = df.select(
+        *keys,
+        F.pmod(
+            (F.col(time_col) - F.pmod(F.col(time_col), F.lit(int(bucket_ms))))
+            / F.lit(int(bucket_ms)),
+            F.lit(int(period_buckets)),
+        )
+        .cast("int")
+        .alias("phase"),
+        F.round(F.col(value_col) * float(scale), 0).cast("long").alias("_v"),
+    )
+    per_phase = base.groupBy(*keys, "phase").agg(
+        F.sum("_v").cast("long").alias("phase_sum"),
+        F.count("*").cast("long").alias("n_phase"),
+    )
+    totals = per_phase.groupBy(*keys).agg(
+        F.sum("phase_sum").cast("long").alias("total_sum"),
+        F.sum("n_phase").cast("long").alias("n_total"),
+    )
+    out = per_phase.join(F.broadcast(totals), keys).select(
+        *keys,
+        "phase",
+        "phase_sum",
+        "n_phase",
+        (F.col("phase_sum") * F.col("n_total")).cast("long").alias("idx_num"),
+        (F.col("n_phase") * F.col("total_sum")).cast("long").alias("idx_den"),
+    )
+    return out.withColumn(
+        "seasonal_index",
+        F.when(
+            F.col("idx_den") != 0,
+            F.col("idx_num").cast("double") / F.col("idx_den").cast("double"),
+        ).otherwise(F.lit(None).cast("double")),
+    )

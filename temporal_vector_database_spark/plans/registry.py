@@ -7599,6 +7599,51 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.5
 
 
 
+def q_events_seasonality(spark, sf_dir):
+    """Day-of-week seasonal index of the event value per type —
+    TZ-free integer phase math, exact cross-product moments, one
+    IEEE division for the index."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return seasonal_profile(ev, "ts_ms", ("event_type",), "value")
+
+
+ORACLES["events_seasonality"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(((epoch_ms(ts) - epoch_ms(ts) % 86400000) / 86400000) % 7 AS INTEGER)
+           AS phase,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+pp AS (
+  SELECT event_type, phase,
+         CAST(sum(v) AS BIGINT) AS phase_sum,
+         CAST(count(*) AS BIGINT) AS n_phase
+  FROM e GROUP BY 1, 2
+),
+tt AS (
+  SELECT event_type,
+         CAST(sum(phase_sum) AS BIGINT) AS total_sum,
+         CAST(sum(n_phase) AS BIGINT) AS n_total
+  FROM pp GROUP BY 1
+)
+SELECT pp.event_type, pp.phase, pp.phase_sum, pp.n_phase,
+       CAST(pp.phase_sum * tt.n_total AS BIGINT) AS idx_num,
+       CAST(pp.n_phase * tt.total_sum AS BIGINT) AS idx_den,
+       CASE WHEN pp.n_phase * tt.total_sum <> 0
+            THEN CAST(pp.phase_sum * tt.n_total AS DOUBLE)
+                 / CAST(pp.n_phase * tt.total_sum AS DOUBLE)
+            ELSE NULL END AS seasonal_index
+FROM pp JOIN tt USING (event_type)
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7856,6 +7901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_diff": q_dataset_diff,
     "maxsim_rerank": q_maxsim_rerank,
     "ngram_containment": q_ngram_containment,
+    "events_seasonality": q_events_seasonality,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

@@ -687,3 +687,27 @@ def test_streaming_correlation_state_equals_one_shot(spark, tmp_path):
     assert got == want
     process_series_sum_batch(batches[0], 0, state, **kw)  # replay
     assert canon(correlation_from_state(read_series_state(spark, state))) == want
+
+
+def test_seasonal_profile_phase_math_and_index(spark):
+    """Phase is TZ-free integer math (epoch-day mod 7); indices weight
+    phases against the key's overall mean exactly."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    day = 86_400_000
+    rows = []
+    # key "a": value 10 on phase 0 days, 20 on phase 1 days (2 each)
+    for d, v in [(0, 10.0), (7, 10.0), (1, 20.0), (8, 20.0)]:
+        rows.append(("a", d * day + 5, v))
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r.phase: r for r in
+           seasonal_profile(df, "ts", ("k",), "v").collect()}
+    assert set(got) == {0, 1}
+    # overall mean 15: phase 0 index = 10/15, phase 1 = 20/15
+    assert abs(got[0].seasonal_index - 10 / 15) < 1e-15
+    assert abs(got[1].seasonal_index - 20 / 15) < 1e-15
+    assert got[0].idx_num == 10_000 * 2 * 4  # phase_sum * n_total
+    assert got[0].idx_den == 2 * 60_000      # n_phase * total_sum
+    # epoch day 0 is phase 0 here; day 1 phase 1; day 7 wraps to 0
