@@ -139,6 +139,8 @@ HEADLINE = (
     "collocations_pmi",
     "dataset_diff",
     "maxsim_rerank",
+    "ngram_containment",
+    "events_seasonality",
 )
 
 
