@@ -141,6 +141,7 @@ HEADLINE = (
     "maxsim_rerank",
     "ngram_containment",
     "events_seasonality",
+    "events_conversion_latency",
 )
 
 

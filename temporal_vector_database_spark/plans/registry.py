@@ -7644,6 +7644,69 @@ FROM pp JOIN tt USING (event_type)
 
 
 
+def q_events_conversion_latency(spark, sf_dir):
+    """Time-to-convert: per user the FIRST 'click' and the first
+    'purchase' AFTER it; corpus-level exact interpolated latency
+    quantiles (ms) + integer moments. Min-struct firsts are
+    partial-aggregatable (no per-user window over raw events)."""
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts_ms").cast("long").alias("t_click")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_ms").cast("long").alias("t_p")
+    )
+    lat = (
+        clicks.join(purchases, "user_id")
+        .where(F.col("t_p") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_p").alias("t_purchase"),
+            F.first("t_click").alias("t_click2"),
+        )
+        .select(
+            "user_id",
+            (F.col("t_purchase") - F.col("t_click2")).cast("long").alias("latency_ms"),
+        )
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.sum("latency_ms").cast("long").alias("latency_sum_ms"),
+        F.min("latency_ms").cast("long").alias("latency_min_ms"),
+        F.max("latency_ms").cast("long").alias("latency_max_ms"),
+        F.expr("percentile(latency_ms, 0.5D)").alias("p50_ms"),
+        F.expr("percentile(latency_ms, 0.9D)").alias("p90_ms"),
+    )
+
+
+ORACLES["events_conversion_latency"] = """
+WITH c AS (
+  SELECT user_id, CAST(min(epoch_ms(ts)) AS BIGINT) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS t_p
+  FROM events WHERE event_type = 'purchase'
+),
+lat AS (
+  SELECT c.user_id,
+         CAST(min(p.t_p) - c.t_click AS BIGINT) AS latency_ms
+  FROM c JOIN p ON c.user_id = p.user_id AND p.t_p >= c.t_click
+  GROUP BY c.user_id, c.t_click
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(sum(latency_ms) AS BIGINT) AS latency_sum_ms,
+       CAST(min(latency_ms) AS BIGINT) AS latency_min_ms,
+       CAST(max(latency_ms) AS BIGINT) AS latency_max_ms,
+       quantile_cont(latency_ms, 0.5) AS p50_ms,
+       quantile_cont(latency_ms, 0.9) AS p90_ms
+FROM lat
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7902,6 +7965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxsim_rerank": q_maxsim_rerank,
     "ngram_containment": q_ngram_containment,
     "events_seasonality": q_events_seasonality,
+    "events_conversion_latency": q_events_conversion_latency,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
