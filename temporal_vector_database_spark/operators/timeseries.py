@@ -556,6 +556,23 @@ def m4_downsample(
     its closest analogue is per-version timeline listing
     (``core/data_structures.py``).
     """
+    return m4_report(
+        m4_state(df, time_col, key_cols, value_col, bucket_ms, tiebreak_cols)
+    )
+
+
+def m4_state(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    value_col: str,
+    bucket_ms: int,
+    tiebreak_cols: tuple = (),
+) -> DataFrame:
+    """MERGEABLE M4 partial state — the four extremum structs plus the
+    count, every column an associative min/max/sum (the ``ohlc_state``
+    discipline): fold fresh batches with :func:`m4_merge`, project with
+    :func:`m4_report`."""
     keys = list(key_cols)
     base = df.select(
         *keys,
@@ -567,14 +584,35 @@ def m4_downsample(
     tbs = [F.col(c).alias(f"tb{i}") for i, c in enumerate(tiebreak_cols)]
     by_time = F.struct(F.col("_t").alias("t"), *tbs, F.col("_v").alias("v"))
     by_value = F.struct(F.col("_v").alias("v"), F.col("_t").alias("t"), *tbs)
-    out = base.groupBy(*keys, "bucket_start_ms").agg(
+    return base.groupBy(*keys, "bucket_start_ms").agg(
         F.min(by_time).alias("_f"),
         F.max(by_time).alias("_l"),
         F.min(by_value).alias("_lo"),
         F.max(by_value).alias("_hi"),
         F.count("*").cast("long").alias("n_events"),
     )
-    return out.select(
+
+
+def m4_merge(state: DataFrame, new_state: DataFrame) -> DataFrame:
+    """Fold fresh partial state into an existing M4 table — union +
+    re-aggregate over STATE rows only; exactness vs full rebuild is
+    pinned in tests (late points re-open their pixel)."""
+    keys = [c for c in state.columns
+            if c not in ("bucket_start_ms", "_f", "_l", "_lo", "_hi", "n_events")]
+    return state.unionByName(new_state).groupBy(*keys, "bucket_start_ms").agg(
+        F.min("_f").alias("_f"),
+        F.max("_l").alias("_l"),
+        F.min("_lo").alias("_lo"),
+        F.max("_hi").alias("_hi"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def m4_report(state: DataFrame) -> DataFrame:
+    """Read-side projection of M4 state into the four plot points."""
+    keys = [c for c in state.columns
+            if c not in ("bucket_start_ms", "_f", "_l", "_lo", "_hi", "n_events")]
+    return state.select(
         *keys,
         "bucket_start_ms",
         F.col("_f").getField("t").alias("t_first"),

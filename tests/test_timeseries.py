@@ -711,3 +711,33 @@ def test_seasonal_profile_phase_math_and_index(spark):
     assert got[0].idx_num == 10_000 * 2 * 4  # phase_sum * n_total
     assert got[0].idx_den == 2 * 60_000      # n_phase * total_sum
     # epoch day 0 is phase 0 here; day 1 phase 1; day 7 wraps to 0
+
+
+def test_m4_incremental_merge_equals_full_rebuild(spark):
+    """Continuous-aggregate discipline for M4: folding batch partials
+    with m4_merge equals the one-shot downsample — including a late
+    point that IS the bucket's true minimum."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        m4_downsample,
+        m4_merge,
+        m4_report,
+        m4_state,
+    )
+
+    rows = [
+        ("a", 1, 10, 5.0), ("a", 2, 30, 1.0), ("a", 3, 60, 7.0),
+        ("a", 4, 90, 4.0), ("a", 5, 150, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, t long, v double")
+    args = ("t", ("k",), "v", 100, ("eid",))
+    b1 = df.where(F.col("eid").isin(1, 3, 5))
+    b2 = df.where(F.col("eid").isin(2, 4))   # eid 2 = late true minimum
+    state = m4_merge(m4_state(b1, *args), m4_state(b2, *args))
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    assert canon(m4_report(state)) == canon(m4_downsample(df, *args))
+    got = {(r.k, r.bucket_start_ms): (r.t_min, r.v_min)
+           for r in m4_report(state).collect()}
+    assert got[("a", 0)] == (30, 1.0)  # late point re-opened the minimum
