@@ -1538,6 +1538,74 @@ def near_dup_pairs_from_band_store(
     )
 
 
+def _bucket_containment_fn(min_containment: float, chunk_rows: int):
+    """Grouped-map verifier for CONTAINMENT: same bucket BLAS product as
+    `_bucket_verify_fn`, but the per-pair statistics are the directed
+    ratios inter/|A| and inter/|B| (pair kept when either reaches the
+    threshold); the canonicalizing swap swaps the sizes with the ids."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        nb = len(ids)
+        empty = pd.DataFrame(
+            {
+                "a_id": ids[:0],
+                "b_id": ids[:0],
+                "n_inter": np.array([], dtype=np.int64),
+                "n_a": np.array([], dtype=np.int64),
+                "n_b": np.array([], dtype=np.int64),
+                "containment_a": np.array([], dtype=np.float64),
+                "containment_b": np.array([], dtype=np.float64),
+            }
+        )
+        if nb < 2:
+            return empty
+        band_id = int(pdf["band_id"].iloc[0])
+        prev = [pd.factorize(pdf[f"band_{j}"])[0] for j in range(band_id)]
+        sets = pdf["shset"].to_list()
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        vocab, inv = np.unique(np.concatenate(sets), return_inverse=True)
+        m = np.zeros((nb, len(vocab)), dtype=np.float32)
+        m[np.repeat(np.arange(nb), lens), inv] = 1.0
+        frames = []
+        for st in range(0, nb, chunk_rows):
+            e = min(st + chunk_rows, nb)
+            c = m[st:e] @ m.T
+            keep2d = np.triu(np.ones((e - st, nb), dtype=bool), k=st + 1)
+            keep2d &= _cell_mask2d(pdf, st, e)
+            for codes in prev:
+                keep2d &= codes[st:e, None] != codes[None, :]
+            loc, j = np.nonzero(keep2d)
+            i = loc + st
+            inter = np.rint(c[loc, j]).astype(np.int64)
+            na, nbn = lens[i], lens[j]
+            ca = inter / na
+            cb = inter / nbn
+            keep = (ca >= min_containment) | (cb >= min_containment)
+            i, j = i[keep], j[keep]
+            inter, na, nbn, ca, cb = inter[keep], na[keep], nbn[keep], ca[keep], cb[keep]
+            a, b = ids[i], ids[j]
+            swap = a > b
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.where(swap, b, a),
+                        "b_id": np.where(swap, a, b),
+                        "n_inter": inter,
+                        "n_a": np.where(swap, nbn, na),
+                        "n_b": np.where(swap, na, nbn),
+                        "containment_a": np.where(swap, cb, ca),
+                        "containment_b": np.where(swap, ca, cb),
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    return fn
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1545,6 +1613,8 @@ def ngram_containment_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     min_containment: float = 0.6,
+    verify: str = "matrix",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: n-gram set containment
     ``C(A→B) = |A∩B| / |A|`` in both directions — the measure that
@@ -1577,6 +1647,42 @@ def ngram_containment_pairs(
             ).alias(f"band_{b}")
             for b in range(bands)
         ]
+
+    if verify == "matrix":
+        # bucket-grouped BLAS verify (the jaccard default): each doc's
+        # set moves once per band instead of once per candidate pair
+        id_type = next(
+            f.dataType.simpleString() for f in docs.schema.fields if f.name == "doc_id"
+        )
+        digested = _spread(docs.select("doc_id", text_col)).mapInPandas(
+            _doc_digest_fn(text_col, num_hashes, width, with_set=True),
+            schema=(
+                f"doc_id {id_type}, "
+                + ", ".join(f"mh_{h} string" for h in range(num_hashes))
+                + ", shset array<bigint>"
+            ),
+        )
+        combined = digested.select("doc_id", "shset", *band_exprs()).localCheckpoint(
+            eager=False
+        )
+        grouped = combined.select(
+            "doc_id",
+            "shset",
+            *[F.col(f"band_{b}") for b in range(bands)],
+            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        return _apply_per_bucket(
+            grouped,
+            ["band_id", "band_hash"],
+            _bucket_containment_fn(float(min_containment), chunk_rows),
+            schema=(
+                f"a_id {id_type}, b_id {id_type}, n_inter bigint,"
+                " n_a bigint, n_b bigint,"
+                " containment_a double, containment_b double"
+            ),
+        )
 
     shsets = (
         _shingles(docs, text_col, width)

@@ -573,3 +573,26 @@ def test_ngram_containment_catches_subset_dup_jaccard_misses(spark):
     jac = {(p.a_id, p.b_id): p.jaccard
            for p in ngram_jaccard_pairs(docs, min_jaccard=0.0, verify="join").collect()}
     assert jac[(1, 2)] < r.containment_a - 0.3
+
+
+def test_ngram_containment_matrix_equals_join_verify(spark, sf_dir):
+    """The bucket-BLAS containment verifier and the pair-join verifier
+    compute identical pairs and statistics on real fixture docs."""
+    import os
+
+    from temporal_vector_database_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def canon(df):
+        return sorted(
+            (r.a_id, r.b_id, r.n_inter, r.n_a, r.n_b,
+             round(r.containment_a, 12), round(r.containment_b, 12))
+            for r in df.collect()
+        )
+
+    mx = canon(ngram_containment_pairs(docs, min_containment=0.5))
+    jn = canon(ngram_containment_pairs(docs, min_containment=0.5, verify="join"))
+    assert mx == jn and len(mx) > 0
