@@ -850,3 +850,62 @@ def seasonal_profile(
             F.col("idx_num").cast("double") / F.col("idx_den").cast("double"),
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+def series_trend(
+    df: DataFrame,
+    time_col: str,
+    key_cols: tuple,
+    value_col: str,
+    bucket_ms: int = 86_400_000,
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Per-key least-squares trend (slope/intercept) of the bucketed
+    value series — "is this metric drifting up?" without a timeseries
+    library: slope = (nΣtv − ΣtΣv) / (nΣt² − (Σt)²) over per-bucket
+    value sums, with t re-based to bucket INDEX (0, 1, 2, …, via the
+    key's min bucket) so the integer moments stay far below 2^53.
+
+    Moments are exact BIGINTs; slope and intercept are each one
+    IEEE-correctly-rounded division of exact integer cross-terms —
+    deterministic cross-engine (the `series_correlation` discipline).
+    Keys with < 2 buckets (or zero time variance) publish NULLs.
+
+    Plan: one (key, bucket) aggregation; a key-level min-bucket rollup
+    broadcast back; one final key aggregation. No windows.
+    """
+    keys = list(key_cols)
+    scale = int(value_scale)
+    per = df.groupBy(*keys, _bucket_expr(time_col, bucket_ms)).agg(
+        F.sum(F.round(F.col(value_col) * float(scale), 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    base = per.groupBy(*keys).agg(F.min("bucket_start_ms").alias("b0"))
+    idx = per.join(F.broadcast(base), keys).select(
+        *keys,
+        ((F.col("bucket_start_ms") - F.col("b0")) / F.lit(int(bucket_ms)))
+        .cast("long")
+        .alias("t"),
+        "v",
+    )
+    m = idx.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("t") * F.col("v")).cast("long").alias("stv"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    slope = F.when(
+        den > 0,
+        (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast("double") / den,
+    ).otherwise(F.lit(None).cast("double"))
+    return m.withColumn("slope_units_per_bucket", slope).withColumn(
+        "intercept_units",
+        F.when(
+            den > 0,
+            (F.col("stt") * F.col("sv") - F.col("st") * F.col("stv")).cast("double")
+            / den,
+        ).otherwise(F.lit(None).cast("double")),
+    )

@@ -7707,6 +7707,55 @@ FROM lat
 
 
 
+def q_events_trend(spark, sf_dir):
+    """Per-event-type least-squares daily trend from exact integer
+    moments (bucket-index re-based); slope/intercept are single IEEE
+    divisions of exact cross-terms."""
+    from temporal_vector_database_spark.operators.timeseries import series_trend
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return series_trend(ev, "ts_ms", ("event_type",), "value")
+
+
+ORACLES["events_trend"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS b,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+),
+per AS (
+  SELECT event_type, b, CAST(sum(v) AS BIGINT) AS v FROM e GROUP BY 1, 2
+),
+b0 AS (SELECT event_type, min(b) AS b0 FROM per GROUP BY 1),
+idx AS (
+  SELECT per.event_type, CAST((per.b - b0.b0) / 86400000 AS BIGINT) AS t, per.v
+  FROM per JOIN b0 USING (event_type)
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(t * v) AS BIGINT) AS stv,
+         CAST(sum(t * t) AS BIGINT) AS stt
+  FROM idx GROUP BY 1
+)
+SELECT event_type, n, st, sv, stv, stt,
+       CASE WHEN CAST(n * stt - st * st AS DOUBLE) > 0
+            THEN CAST(n * stv - st * sv AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE)
+            ELSE NULL END AS slope_units_per_bucket,
+       CASE WHEN CAST(n * stt - st * st AS DOUBLE) > 0
+            THEN CAST(stt * sv - st * stv AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE)
+            ELSE NULL END AS intercept_units
+FROM m
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -7966,6 +8015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "events_seasonality": q_events_seasonality,
     "events_conversion_latency": q_events_conversion_latency,
+    "events_trend": q_events_trend,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

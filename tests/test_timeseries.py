@@ -741,3 +741,23 @@ def test_m4_incremental_merge_equals_full_rebuild(spark):
     got = {(r.k, r.bucket_start_ms): (r.t_min, r.v_min)
            for r in m4_report(state).collect()}
     assert got[("a", 0)] == (30, 1.0)  # late point re-opened the minimum
+
+
+def test_series_trend_exact_line_and_degenerate_key(spark):
+    """A perfectly linear series recovers its slope/intercept exactly;
+    a single-bucket key publishes NULLs."""
+    from temporal_vector_database_spark.operators.timeseries import series_trend
+
+    rows = []
+    for d in range(5):           # key a: v = 3*d + 7 (in value units)
+        rows.append(("a", d * 100 + 1, float(3 * d + 7)))
+    rows.append(("b", 42, 5.0))  # single bucket
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    got = {r.k: r for r in
+           series_trend(df, "ts", ("k",), "v", bucket_ms=100,
+                        value_scale=1).collect()}
+    assert got["a"].slope_units_per_bucket == 3.0
+    assert got["a"].intercept_units == 7.0
+    assert got["a"].n == 5 and got["a"].stt == 30
+    assert got["b"].slope_units_per_bucket is None
+    assert got["b"].intercept_units is None
