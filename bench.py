@@ -142,6 +142,8 @@ HEADLINE = (
     "ngram_containment",
     "events_seasonality",
     "events_conversion_latency",
+    "events_trend",
+    "events_user_entropy",
 )
 
 

@@ -176,3 +176,48 @@ def dataset_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*keys, "old_hash", "new_hash", status.alias("status"))
+
+
+def group_entropy(
+    df: DataFrame,
+    key_cols: tuple,
+    cat_col: str,
+) -> DataFrame:
+    """Shannon entropy of a categorical distribution per key —
+    behavioral diversity ("does this user do one thing or many?"),
+    the profiling/segmentation primitive.
+
+    H = Σ (c_i/N)·(log2 N − log2 c_i), published as the exact BIGINT
+    numerator ``entropy_num_units = Σ c_i·(score(N) − score(c_i))`` in
+    the fixed-point-log2 units of ``operators/dsir.py`` (libm-free,
+    engine-bit-stable) plus the single IEEE division
+    ``entropy_bits = num / (N·2^16)``. Zero for single-category keys;
+    exact log2(k) for k equal categories at powers of two.
+
+    Plan: one (key, category) count + one key-level rollup — two
+    map-side-combined exchanges, no windows.
+    """
+    from temporal_vector_database_spark.operators.dsir import _fixed_log2_sql
+
+    keys = list(key_cols)
+    counts = df.groupBy(*keys, F.col(cat_col).alias("_cat")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = counts.groupBy(*keys).agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_categories"),
+    )
+    j = counts.join(F.broadcast(tot), keys)
+    term = F.expr(
+        f"c * ({_fixed_log2_sql('n_total')} - {_fixed_log2_sql('c')})"
+    ).cast("long")
+    out = j.groupBy(*keys).agg(
+        F.sum(term).cast("long").alias("entropy_num_units"),
+        F.first("n_total").alias("n_total"),
+        F.first("n_categories").alias("n_categories"),
+    )
+    return out.withColumn(
+        "entropy_bits",
+        F.col("entropy_num_units").cast("double")
+        / (F.col("n_total").cast("double") * 65536.0),
+    )

@@ -7756,6 +7756,50 @@ FROM m
 
 
 
+def q_events_user_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type distribution —
+    fixed-point-log2 numerator (exact BIGINT) + one IEEE division."""
+    from temporal_vector_database_spark.operators.relational import group_entropy
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return group_entropy(ev, ("user_id",), "event_type")
+
+
+def _entropy_oracle() -> str:
+    from temporal_vector_database_spark.operators.dsir import (
+        fixed_log2_duckdb_sql as s,
+    )
+
+    return f"""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_categories
+  FROM c GROUP BY 1
+),
+j AS (
+  SELECT c.user_id, c.c, t.n_total, t.n_categories,
+         CAST(c.c * ({s('t.n_total')} - {s('c.c')}) AS BIGINT) AS term
+  FROM c JOIN t USING (user_id)
+)
+SELECT user_id,
+       CAST(sum(term) AS BIGINT) AS entropy_num_units,
+       CAST(min(n_total) AS BIGINT) AS n_total,
+       CAST(min(n_categories) AS BIGINT) AS n_categories,
+       CAST(sum(term) AS DOUBLE) / (CAST(min(n_total) AS DOUBLE) * 65536.0)
+         AS entropy_bits
+FROM j GROUP BY 1
+"""
+
+
+ORACLES["events_user_entropy"] = _entropy_oracle()
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -8016,6 +8060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonality": q_events_seasonality,
     "events_conversion_latency": q_events_conversion_latency,
     "events_trend": q_events_trend,
+    "events_user_entropy": q_events_user_entropy,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

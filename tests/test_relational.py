@@ -199,3 +199,24 @@ def test_dataset_diff_statuses(spark):
            dataset_diff(old, new, ("id",), ("payload",)).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed",
                    4: "unchanged", 5: "added"}
+
+
+def test_group_entropy_uniform_and_degenerate(spark):
+    """k equal categories at a power of two give exactly log2(k) bits;
+    a single-category key gives exactly 0."""
+    from temporal_vector_database_spark.operators.relational import group_entropy
+
+    rows = (
+        [(1, f"c{i % 4}") for i in range(8)]    # 4 equal categories -> 2 bits
+        + [(2, "only") for _ in range(5)]        # 1 category -> 0 bits
+        + [(3, "a"), (3, "a"), (3, "b")]         # 2/3 vs 1/3 split
+    )
+    df = spark.createDataFrame(rows, "k long, cat string")
+    got = {r.k: r for r in group_entropy(df, ("k",), "cat").collect()}
+    assert got[1].entropy_bits == 2.0 and got[1].n_categories == 4
+    assert got[2].entropy_bits == 0.0 and got[2].entropy_num_units == 0
+    # fixed-point surrogate is within the interp error of true H(1/3,2/3)
+    import math
+
+    true_h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[3].entropy_bits - true_h) < 0.1
