@@ -144,6 +144,7 @@ HEADLINE = (
     "events_conversion_latency",
     "events_trend",
     "events_user_entropy",
+    "heavy_hitters_sketch",
 )
 
 

@@ -565,3 +565,92 @@ def collocations_pmi(
         .orderBy(F.desc("pmi_units"), F.asc("a"), F.asc("b"))
         .limit(int(k))
     )
+
+
+def heavy_hitters_sketch(
+    docs: DataFrame,
+    k_track: int = 64,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Misra–Gries / SpaceSaving heavy-hitter CANDIDATES from mergeable
+    per-partition summaries — the sketch path beside the exact
+    ``corpus_top_ngrams``: each partition keeps a ``k_track``-counter
+    MG summary over its n-gram stream; summaries merge by counter
+    addition + decrement-by-(k+1)-th (the standard mergeable-summaries
+    result, Agarwal et al. PODS'12), so the reduce tree is associative
+    and the final summary's deficit is bounded by N/(k_track+1).
+
+    CONTRACT (the HLL/quantile-sketch discipline): the published values
+    are NOT the sketch's raw counts — candidate SETS depend on stream
+    partition order, so raw MG output can never be oracle-gated.
+    Instead the operator joins candidates back to their EXACT corpus
+    counts and publishes every candidate whose exact count clears
+    ``N/(k_track+1)`` — a set that provably CONTAINS every true heavy
+    hitter above the threshold (MG never evicts an item with count
+    above the deficit bound), making the output deterministic and the
+    guarantee checkable: the oracle computes the same
+    exact-count-over-threshold set directly.
+
+    Plan: the MG pass is one ``mapInPandas`` over the gram stream (no
+    shuffle); candidates are ≤ k_track·partitions rows; the exact-count
+    join is a semi-join-sized aggregation over grams. At 100 TB the MG
+    pass bounds the candidate set without the full gram shuffle the
+    exact census pays.
+    """
+    import pandas as pd
+
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+    grams = toks.where(F.size("ws") >= n).select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ws"), 1, F.size("ws") - F.lit(n - 1)),
+                lambda w, i: F.concat_ws(
+                    " ",
+                    w,
+                    *[F.element_at(F.col("ws"), i + F.lit(j + 1)) for j in range(1, n)],
+                ),
+            )
+        ).alias("gram")
+    )
+
+    kt = int(k_track)
+
+    def mg(batches):
+        # weighted Misra-Gries: per Arrow batch, fold the batch's
+        # value_counts (C-speed) into the k-counter summary; on
+        # overflow subtract the minimum counter from all and drop
+        # zeros. Every decrement round removes >= (k+1)*min mass, so
+        # total decrements <= N_p/(k+1) — an item with true partition
+        # count above that deficit can never be evicted.
+        import numpy as np
+
+        counters: dict = {}
+        for pdf in batches:
+            for g, c in pdf["gram"].value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > kt:
+                # single batched decrement: subtract the (len-kt)-th
+                # smallest counter from everything and drop <= 0 — at
+                # most kt survivors, and the removed mass still covers
+                # >= (kt+1) * m, preserving the deficit bound
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                m = int(np.partition(vals, len(vals) - kt - 1)[len(vals) - kt - 1])
+                counters = {g: c - m for g, c in counters.items() if c > m}
+        if counters:
+            yield pd.DataFrame(
+                {"gram": list(counters), "mg_count": list(counters.values())}
+            )
+
+    summaries = grams.mapInPandas(mg, schema="gram string, mg_count long")
+    cands = summaries.select("gram").distinct()
+    exact = grams.join(F.broadcast(cands), "gram", "left_semi").groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    total = grams.agg(F.count("*").cast("long").alias("n_grams"))
+    out = exact.crossJoin(F.broadcast(total))
+    return out.where(
+        F.col("n_occurrences") * (kt + 1) > F.col("n_grams")
+    ).select("gram", "n_occurrences", "n_grams")

@@ -7800,6 +7800,35 @@ ORACLES["events_user_entropy"] = _entropy_oracle()
 
 
 
+def q_heavy_hitters_sketch(spark, sf_dir):
+    """Misra-Gries sketch-path heavy hitters with the deterministic
+    superset contract: published rows are the candidates' EXACT counts
+    over the N/(k+1) threshold — provably every true heavy hitter."""
+    from temporal_vector_database_spark.operators.textindex import (
+        heavy_hitters_sketch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return heavy_hitters_sketch(docs, k_track=64, n=2)
+
+
+ORACLES["heavy_hitters_sketch"] = (
+    _WORDS_CTE
+    + """
+, ng AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_grams FROM ng),
+cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences FROM ng GROUP BY 1)
+SELECT cnt.gram, cnt.n_occurrences, tot.n_grams
+FROM cnt CROSS JOIN tot
+WHERE cnt.n_occurrences * 65 > tot.n_grams
+"""
+)
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -8061,6 +8090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_conversion_latency": q_events_conversion_latency,
     "events_trend": q_events_trend,
     "events_user_entropy": q_events_user_entropy,
+    "heavy_hitters_sketch": q_heavy_hitters_sketch,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

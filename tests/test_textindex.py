@@ -341,3 +341,36 @@ def test_collocations_pmi_ranks_true_collocation_first(spark):
     r = rows[("new", "york")]
     want = (score(r.c_ab) + score(45)) - (score(r.c_a) + score(r.c_b))
     assert r.pmi_units == want and r.c_ab == 5 and r.c_a == 5
+
+
+def test_heavy_hitters_sketch_superset_contract_under_repartition(spark):
+    """The published set equals the exact over-threshold set under ANY
+    partitioning — the MG candidate union provably contains every true
+    heavy hitter, and the exact-count filter trims the rest."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.operators.textindex import (
+        heavy_hitters_sketch,
+    )
+
+    # one dominant bigram ("hot pair") + a long tail
+    rows = [(i, "hot pair filler" + str(i) + " tail" + str(i % 17)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(kt):
+        grams = Counter()
+        for _, t in rows:
+            ws = t.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                grams[a + " " + b] += 1
+        n = sum(grams.values())
+        return {g: (c, n) for g, c in grams.items() if c * (kt + 1) > n}
+
+    for parts in (1, 7, 32):
+        got = {r.gram: (r.n_occurrences, r.n_grams)
+               for r in heavy_hitters_sketch(
+                   docs.repartition(parts), k_track=8, n=2).collect()}
+        assert got == brute(8)
+        assert "hot pair" in got
