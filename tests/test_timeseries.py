@@ -761,3 +761,40 @@ def test_series_trend_exact_line_and_degenerate_key(spark):
     assert got["a"].n == 5 and got["a"].stt == 30
     assert got["b"].slope_units_per_bucket is None
     assert got["b"].intercept_units is None
+
+
+def test_streaming_m4_state_equals_batch_and_replay_noop(spark, tmp_path):
+    """3 micro-batches with a late extremum end with state == one-shot
+    m4_downsample; replaying a committed batch changes nothing."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        m4_downsample,
+        m4_report,
+    )
+    from temporal_vector_database_spark.streaming.m4 import (
+        process_m4_batch,
+        read_m4_state,
+    )
+
+    rows = [
+        ("a", 1, 10, 5.0), ("a", 2, 30, 1.0), ("a", 3, 60, 7.0),
+        ("a", 4, 90, 4.0), ("a", 5, 150, 3.0), ("b", 6, 20, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, event_id long, ts_ms long, v double")
+    state = str(tmp_path / "m4_state")
+    kw = dict(time_col="ts_ms", key_cols=("k",), value_col="v",
+              bucket_ms=100, tiebreak_cols=("event_id",))
+    batches = [
+        df.where(F.col("event_id").isin(1, 5)),
+        df.where(F.col("event_id").isin(3, 6)),
+        df.where(F.col("event_id").isin(2, 4)),  # late true min of (a, 0)
+    ]
+    for bid, b in enumerate(batches):
+        process_m4_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    want = canon(m4_downsample(df, "ts_ms", ("k",), "v", 100, ("event_id",)))
+    assert canon(m4_report(read_m4_state(spark, state))) == want
+    process_m4_batch(batches[1], 1, state, **kw)  # replay -> no-op
+    assert canon(m4_report(read_m4_state(spark, state))) == want
