@@ -567,6 +567,35 @@ def collocations_pmi(
     )
 
 
+def _mg_partition_fn(kt: int):
+    """Per-partition weighted Misra-Gries summary (<= ``kt`` counters):
+    per Arrow batch, fold the batch's value_counts (C-speed) into the
+    summary; on overflow subtract the (len-kt)-th smallest counter from
+    everything and drop <= 0 — at most kt survivors, and the removed
+    mass covers >= (kt+1)·m, so total decrements <= N_p/(kt+1) and an
+    item with true partition count above that deficit is never evicted.
+    Shared by the batch operator and ``streaming/heavyhitters.py``
+    (partition summaries are themselves mergeable MG summaries)."""
+    import numpy as np
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for g, c in pdf["gram"].value_counts().items():
+                counters[g] = counters.get(g, 0) + int(c)
+            if len(counters) > kt:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                m = int(np.partition(vals, len(vals) - kt - 1)[len(vals) - kt - 1])
+                counters = {g: c - m for g, c in counters.items() if c > m}
+        if counters:
+            yield pd.DataFrame(
+                {"gram": list(counters), "mg_count": list(counters.values())}
+            )
+
+    return mg
+
+
 def heavy_hitters_sketch(
     docs: DataFrame,
     k_track: int = 64,
@@ -599,8 +628,6 @@ def heavy_hitters_sketch(
     pass bounds the candidate set without the full gram shuffle the
     exact census pays.
     """
-    import pandas as pd
-
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
     grams = toks.where(F.size("ws") >= n).select(
@@ -617,34 +644,9 @@ def heavy_hitters_sketch(
     )
 
     kt = int(k_track)
-
-    def mg(batches):
-        # weighted Misra-Gries: per Arrow batch, fold the batch's
-        # value_counts (C-speed) into the k-counter summary; on
-        # overflow subtract the minimum counter from all and drop
-        # zeros. Every decrement round removes >= (k+1)*min mass, so
-        # total decrements <= N_p/(k+1) — an item with true partition
-        # count above that deficit can never be evicted.
-        import numpy as np
-
-        counters: dict = {}
-        for pdf in batches:
-            for g, c in pdf["gram"].value_counts().items():
-                counters[g] = counters.get(g, 0) + int(c)
-            if len(counters) > kt:
-                # single batched decrement: subtract the (len-kt)-th
-                # smallest counter from everything and drop <= 0 — at
-                # most kt survivors, and the removed mass still covers
-                # >= (kt+1) * m, preserving the deficit bound
-                vals = np.fromiter(counters.values(), dtype=np.int64)
-                m = int(np.partition(vals, len(vals) - kt - 1)[len(vals) - kt - 1])
-                counters = {g: c - m for g, c in counters.items() if c > m}
-        if counters:
-            yield pd.DataFrame(
-                {"gram": list(counters), "mg_count": list(counters.values())}
-            )
-
-    summaries = grams.mapInPandas(mg, schema="gram string, mg_count long")
+    summaries = grams.mapInPandas(
+        _mg_partition_fn(kt), schema="gram string, mg_count long"
+    )
     cands = summaries.select("gram").distinct()
     exact = grams.join(F.broadcast(cands), "gram", "left_semi").groupBy("gram").agg(
         F.count("*").cast("long").alias("n_occurrences")

@@ -374,3 +374,49 @@ def test_heavy_hitters_sketch_superset_contract_under_repartition(spark):
                    docs.repartition(parts), k_track=8, n=2).collect()}
         assert got == brute(8)
         assert "hot pair" in got
+
+
+def test_streaming_heavy_hitters_superset_and_replay_noop(spark, tmp_path):
+    """Folding per-batch MG summaries preserves the global guarantee:
+    after 3 batches every gram with total count > N/(k+1) is in the
+    committed summary; replaying a committed batch changes nothing."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.streaming.heavyhitters import (
+        hh_candidates,
+        process_hh_batch,
+        read_hh_state,
+    )
+
+    rows = [(i, "hot pair x" + str(i) + " tail" + str(i % 13)) for i in range(240)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "hh_state")
+    kt = 8
+    for bid in range(3):
+        b = docs.where(F.col("doc_id") % 3 == bid)
+        process_hh_batch(b, bid, state, k_track=kt, n=2)
+
+    grams = Counter()
+    for _, t in rows:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            grams[a + " " + b] += 1
+    n = sum(grams.values())
+    true_hh = {g for g, c in grams.items() if c * (kt + 1) > n}
+    cands = {r.gram for r in hh_candidates(spark, state, kt).collect()}
+    assert true_hh and true_hh <= cands            # superset guarantee
+    _, total = read_hh_state(spark, state)
+    assert total == n                              # exact stream total
+    # deficit bound: committed counts within N/(k+1) of truth
+    for r in hh_candidates(spark, state, kt).collect():
+        assert grams[r.gram] >= r.mg_count >= grams[r.gram] - n // (kt + 1) - 1
+    # replay a committed batch -> no-op
+    before = sorted((r.gram, r.mg_count)
+                    for r in hh_candidates(spark, state, kt).collect())
+    process_hh_batch(docs.where(F.col("doc_id") % 3 == 1), 1, state,
+                     k_track=kt, n=2)
+    after = sorted((r.gram, r.mg_count)
+                   for r in hh_candidates(spark, state, kt).collect())
+    assert after == before
