@@ -145,6 +145,7 @@ HEADLINE = (
     "events_trend",
     "events_user_entropy",
     "heavy_hitters_sketch",
+    "dataset_drift",
 )
 
 

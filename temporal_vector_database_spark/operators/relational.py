@@ -221,3 +221,44 @@ def group_entropy(
         F.col("entropy_num_units").cast("double")
         / (F.col("n_total").cast("double") * 65536.0),
     )
+
+
+def dataset_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group drift report between two dataset versions — the
+    monitoring complement of :func:`dataset_diff`: document and token
+    counts per group on each side plus their deltas, all exact BIGINTs
+    (a re-run of a curation pipeline answers "which sources shrank and
+    by how many tokens?" from this one table).
+
+    Plan: one aggregation per side (map-side combined) + a full outer
+    join on the group key — group cardinality rows, trivially
+    broadcastable.
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+        return df.groupBy(group_col).agg(
+            F.count("*").cast("long").alias(f"{tag}_docs"),
+            F.sum(toks.cast("long")).cast("long").alias(f"{tag}_tokens"),
+            F.sum(F.length(text_col).cast("long")).cast("long").alias(f"{tag}_chars"),
+        )
+
+    o, n = side(old, "v1"), side(new, "v2")
+    j = o.join(n, group_col, "full_outer")
+    out = j.select(
+        group_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("v1_docs", "v2_docs", "v1_tokens", "v2_tokens",
+                      "v1_chars", "v2_chars")
+        ],
+    )
+    return out.withColumn(
+        "delta_docs", (F.col("v2_docs") - F.col("v1_docs")).cast("long")
+    ).withColumn(
+        "delta_tokens", (F.col("v2_tokens") - F.col("v1_tokens")).cast("long")
+    )

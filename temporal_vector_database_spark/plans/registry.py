@@ -7829,6 +7829,60 @@ WHERE cnt.n_occurrences * 65 > tot.n_grams
 
 
 
+def q_dataset_drift(spark, sf_dir):
+    """Per-source drift between the same two synthetic dataset versions
+    as dataset_diff: exact doc/token/char counts per side + deltas."""
+    from temporal_vector_database_spark.operators.relational import dataset_drift
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    v1 = docs.where(F.col("doc_id") % 89 != 0)
+    v2 = docs.where(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return dataset_drift(v1, v2)
+
+
+ORACLES["dataset_drift"] = """
+WITH v1 AS (SELECT * FROM documents WHERE doc_id % 89 <> 0),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+),
+a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v1_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS v1_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS v1_chars
+  FROM v1 GROUP BY 1
+),
+b AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v2_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS v2_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS v2_chars
+  FROM v2 GROUP BY 1
+)
+SELECT coalesce(a.source, b.source) AS source,
+       CAST(coalesce(v1_docs, 0) AS BIGINT) AS v1_docs,
+       CAST(coalesce(v2_docs, 0) AS BIGINT) AS v2_docs,
+       CAST(coalesce(v1_tokens, 0) AS BIGINT) AS v1_tokens,
+       CAST(coalesce(v2_tokens, 0) AS BIGINT) AS v2_tokens,
+       CAST(coalesce(v1_chars, 0) AS BIGINT) AS v1_chars,
+       CAST(coalesce(v2_chars, 0) AS BIGINT) AS v2_chars,
+       CAST(coalesce(v2_docs, 0) - coalesce(v1_docs, 0) AS BIGINT) AS delta_docs,
+       CAST(coalesce(v2_tokens, 0) - coalesce(v1_tokens, 0) AS BIGINT)
+         AS delta_tokens
+FROM a FULL OUTER JOIN b ON a.source = b.source
+"""
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -8091,6 +8145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trend": q_events_trend,
     "events_user_entropy": q_events_user_entropy,
     "heavy_hitters_sketch": q_heavy_hitters_sketch,
+    "dataset_drift": q_dataset_drift,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
