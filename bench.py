@@ -146,6 +146,7 @@ HEADLINE = (
     "events_user_entropy",
     "heavy_hitters_sketch",
     "dataset_drift",
+    "fuzzy_decontaminate",
 )
 
 

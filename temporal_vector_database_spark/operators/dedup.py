@@ -1734,3 +1734,98 @@ def ngram_containment_pairs(
     return out.where(
         (F.col("containment_a") >= thr) | (F.col("containment_b") >= thr)
     ).select("a_id", "b_id", "n_inter", "n_a", "n_b", "containment_a", "containment_b")
+
+
+def cross_corpus_near_dup(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    width: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """FUZZY lexical decontamination: corpus documents that are
+    NEAR-duplicates of any eval/benchmark document — the GPT-3/Llama
+    "fuzzy dedup against test sets" step that exact n-gram overlap
+    (``decontaminate``) and Bloom probes miss when the leaked copy is
+    lightly edited, and that embedding decontamination
+    (``semantic_decontaminate``) catches only if an encoder exists.
+
+    CROSS-corpus MinHash-LSH: both sides get the standard signatures,
+    candidates come from an equi-join of band hashes (corpus side ×
+    eval side — never a self-join), and candidates verify with the
+    exact hashed-shingle Jaccard (integer ratio, engine-exact). Output:
+    one row per contaminated corpus doc with its best-matching eval doc
+    (max jaccard, ties → lower eval id).
+
+    Scale: the eval side is small (benchmarks) — its banded signatures
+    broadcast, so the corpus side never shuffles: scan → band explode →
+    broadcast join → verify. Recall is the banding curve at
+    ``min_jaccard``; tighten bands/hashes for stricter contracts.
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = num_hashes // bands
+
+    def band_exprs():
+        return [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+
+    def side(docs: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        sig = minhash_signatures(docs, text_col, num_hashes, width)
+        bucket = sig.select("doc_id", *band_exprs()).select(
+            F.col("doc_id").alias(f"{tag}_id"),
+            F.posexplode(
+                F.array(*[F.col(f"band_{b}") for b in range(bands)])
+            ).alias("band_id", "band_hash"),
+        )
+        sets = (
+            _shingles(docs, text_col, width)
+            .distinct()
+            .withColumn("shh", F.expr(_token_hash32_expr("sh")).cast("long"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("shh").alias(f"{tag}_set"))
+            .select(
+                F.col("doc_id").alias(f"{tag}_id"),
+                f"{tag}_set",
+                F.size(f"{tag}_set").cast("long").alias(f"n_{tag}"),
+            )
+        )
+        return bucket, sets
+
+    cb, cs = side(corpus, "c")
+    eb, es = side(eval_docs, "e")
+    pairs = (
+        cb.join(F.broadcast(eb), ["band_id", "band_hash"])
+        .select("c_id", "e_id")
+        .distinct()
+    )
+    scored = (
+        pairs.join(cs, "c_id")
+        .join(F.broadcast(es), "e_id")
+        .withColumn("n_inter", F.size(F.array_intersect("c_set", "e_set")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_c") + F.col("n_e") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= float(min_jaccard))
+    )
+    w = Window.partitionBy("c_id").orderBy(F.desc("jaccard"), F.asc("e_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("c_id").alias("doc_id"),
+            F.col("e_id").alias("eval_doc_id"),
+            "n_inter",
+            "jaccard",
+        )
+    )

@@ -7883,6 +7883,73 @@ FROM a FULL OUTER JOIN b ON a.source = b.source
 
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy lexical decontamination: corpus docs (doc_id % 25 != 0)
+    that near-duplicate any eval doc (doc_id % 25 == 0) at exact-shingle
+    jaccard >= 0.5, via cross-corpus MinHash-LSH (eval side broadcast)."""
+    from temporal_vector_database_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    return cross_corpus_near_dup(corpus, ev, min_jaccard=0.5)
+
+
+ORACLES["fuzzy_decontaminate"] = (
+    _SHINGLES_CTE
+    + """
+, banded AS (
+  SELECT *,
+         md5(mh_0 || '|' || mh_1) AS band_0, md5(mh_2 || '|' || mh_3) AS band_1,
+         md5(mh_4 || '|' || mh_5) AS band_2, md5(mh_6 || '|' || mh_7) AS band_3
+  FROM sig
+),
+bucket AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+         unnest([band_0, band_1, band_2, band_3]) AS band_hash
+  FROM banded
+),
+pairs AS (
+  SELECT DISTINCT c.doc_id AS c_id, e.doc_id AS e_id
+  FROM bucket c JOIN bucket e
+    ON c.band_id = e.band_id AND c.band_hash = e.band_hash
+  WHERE c.doc_id % 25 <> 0 AND e.doc_id % 25 = 0
+),
+shd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(DISTINCT shh) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+inter AS (
+  SELECT p.c_id, p.e_id, CAST(count(DISTINCT a.shh) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.c_id
+  JOIN shd b ON b.doc_id = p.e_id AND b.shh = a.shh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.c_id, p.e_id, COALESCE(i.n_inter, 0) AS n_inter,
+         CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+           / CAST(sc.n_sh + se.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON p.c_id = i.c_id AND p.e_id = i.e_id
+  JOIN sizes sc ON sc.doc_id = p.c_id
+  JOIN sizes se ON se.doc_id = p.e_id
+),
+best AS (
+  SELECT c_id, e_id, n_inter, jaccard,
+         row_number() OVER (PARTITION BY c_id ORDER BY jaccard DESC, e_id) AS rn
+  FROM scored WHERE jaccard >= 0.5
+)
+SELECT c_id AS doc_id, e_id AS eval_doc_id, n_inter, jaccard
+FROM best WHERE rn = 1
+"""
+)
+ORACLES["fuzzy_decontaminate"] = ORACLES["fuzzy_decontaminate"].replace(
+    "{SHH}", _token_hash32_expr("sh")
+)
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -8146,6 +8213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_entropy": q_events_user_entropy,
     "heavy_hitters_sketch": q_heavy_hitters_sketch,
     "dataset_drift": q_dataset_drift,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

@@ -596,3 +596,26 @@ def test_ngram_containment_matrix_equals_join_verify(spark, sf_dir):
     mx = canon(ngram_containment_pairs(docs, min_containment=0.5))
     jn = canon(ngram_containment_pairs(docs, min_containment=0.5, verify="join"))
     assert mx == jn and len(mx) > 0
+
+
+def test_fuzzy_decontaminate_catches_edited_leak(spark):
+    """A lightly edited copy of an eval doc is flagged (exact n-gram
+    overlap would already be broken by the edit at gram grain); clean
+    docs are not; the best-match eval id is correct."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from temporal_vector_database_spark.operators.dedup import (
+        cross_corpus_near_dup,
+    )
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    leaked = eval_text.replace("lazy", "sleepy")   # light edit
+    rows_eval = [(100, eval_text), (101, "completely unrelated benchmark prompt")]
+    rows_corpus = [(1, leaked), (2, "ordinary web document about cooking pasta")]
+    ev = spark.createDataFrame(rows_eval, "doc_id long, text string")
+    corpus = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           cross_corpus_near_dup(corpus, ev, min_jaccard=0.5).collect()}
+    assert set(got) == {1}
+    assert got[1].eval_doc_id == 100
+    assert got[1].jaccard >= 0.5
