@@ -631,3 +631,46 @@ def test_ivf_filtered_topk_broadcasts_want_table(spark, qmap):
 
     s = summarize_plan(qmap["ivf_filtered_topk"](spark, SF_DIR))
     s.assert_no_cartesian()
+
+
+def test_heavy_hitters_mg_pass_no_shuffle_before_candidates(spark, qmap):
+    """The MG summary pass is mapInPandas over the gram projection —
+    the plan's only exchanges serve the bounded exact-count join and
+    the candidate aggregation, and the candidate/total sides are
+    broadcast."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    df = qmap["heavy_hitters_sketch"](spark, SF_DIR)
+    s = summarize_plan(df)
+    s.assert_no_cartesian()
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_side(spark, qmap):
+    """Cross-corpus decontamination: the eval band table and eval sets
+    are broadcast — the corpus side carries no eval-sized shuffle."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    df = qmap["fuzzy_decontaminate"](spark, SF_DIR)
+    s = summarize_plan(df)
+    s.assert_no_cartesian()
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_maxsim_rerank_no_cartesian_bounded_joins(spark, qmap):
+    """Late interaction: every join is an equi-join on query_id/vid —
+    the m^2 blowup stays inside the shortlist, never corpus x corpus."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["maxsim_rerank"](spark, SF_DIR))
+    s.assert_no_cartesian()
+
+
+def test_dataset_diff_single_full_outer_join(spark, qmap):
+    """The diff is one co-partitioned full-outer equi-join; digests are
+    row-local (no window, no extra exchange class)."""
+    df = qmap["dataset_diff"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert plan.count("FullOuter") >= 1
