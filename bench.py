@@ -147,6 +147,7 @@ HEADLINE = (
     "heavy_hitters_sketch",
     "dataset_drift",
     "fuzzy_decontaminate",
+    "ngram_containment_short",
 )
 
 

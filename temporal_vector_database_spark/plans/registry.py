@@ -7950,6 +7950,95 @@ ORACLES["fuzzy_decontaminate"] = ORACLES["fuzzy_decontaminate"].replace(
 
 
 
+def q_ngram_containment_short(spark, sf_dir):
+    """Ground-truth containment twin: ALL pairs over the doc_id%20==0
+    subset (banding-free — quantifies exactly what the LSH candidates
+    can miss), exact hashed-shingle sets, same metric columns."""
+    from temporal_vector_database_spark.operators.dedup import (
+        _shingles,
+        _token_hash32_expr,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+        F.col("doc_id") % 20 == 0
+    )
+    shsets = (
+        _shingles(docs, "text", 3)
+        .distinct()
+        .withColumn("shh", F.expr(_token_hash32_expr("sh")).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shh").alias("shset"))
+        .select("doc_id", "shset", F.size("shset").cast("long").alias("n_sh"))
+    )
+    a = shsets.select(
+        F.col("doc_id").alias("a_id"), F.col("shset").alias("a_set"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = shsets.select(
+        F.col("doc_id").alias("b_id"), F.col("shset").alias("b_set"),
+        F.col("n_sh").alias("n_b"),
+    )
+    out = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long"))
+        .withColumn(
+            "containment_a",
+            F.col("n_inter").cast("double") / F.col("n_a").cast("double"),
+        )
+        .withColumn(
+            "containment_b",
+            F.col("n_inter").cast("double") / F.col("n_b").cast("double"),
+        )
+    )
+    return out.where(
+        (F.col("containment_a") >= 0.5) | (F.col("containment_b") >= 0.5)
+    ).select("a_id", "b_id", "n_inter", "n_a", "n_b",
+             "containment_a", "containment_b")
+
+
+ORACLES["ngram_containment_short"] = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substring(text, i, 3))) AS sh
+  FROM d
+),
+shd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(DISTINCT shh) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.a_id, p.b_id, CAST(count(DISTINCT a.shh) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.a_id
+  JOIN shd b ON b.doc_id = p.b_id AND b.shh = a.shh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.a_id, p.b_id, COALESCE(i.n_inter, 0) AS n_inter,
+         sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM pairs p
+  LEFT JOIN inter i ON p.a_id = i.a_id AND p.b_id = i.b_id
+  JOIN sizes sa ON sa.doc_id = p.a_id
+  JOIN sizes sb ON sb.doc_id = p.b_id
+)
+SELECT a_id, b_id, n_inter, n_a, n_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+FROM scored
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.5
+   OR CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.5
+"""
+from temporal_vector_database_spark.operators.dedup import _token_hash32_expr as _th
+ORACLES["ngram_containment_short"] = ORACLES["ngram_containment_short"].replace(
+    "{SHH}", _th("sh")
+)
+
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -8214,6 +8303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_sketch": q_heavy_hitters_sketch,
     "dataset_drift": q_dataset_drift,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "ngram_containment_short": q_ngram_containment_short,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
