@@ -1763,6 +1763,17 @@ def cross_corpus_near_dup(
     broadcast, so the corpus side never shuffles: scan → band explode →
     broadcast join → verify. Recall is the banding curve at
     ``min_jaccard``; tighten bands/hashes for stricter contracts.
+
+    The exact shingle SETS used by the verify step are built only for
+    CANDIDATE docs: the corpus scan is semi-joined against the banded
+    candidate ids *before* set construction, so the full-corpus set
+    materialization never happens — at 100 TB the expensive work
+    touches only docs that share a band with a benchmark doc (the eval
+    side stays full: it is broadcast-sized). The sets themselves are
+    built ROW-LOCALLY (``array_distinct`` over a ``transform`` of the
+    shingle hashes — no explode, no distinct shuffle, no ``collect_set``
+    aggregate), so the set-build subtree carries ZERO exchanges
+    (plan-pinned in ``tests/test_plans.py``).
     """
     from pyspark.sql import Window
 
@@ -1778,34 +1789,52 @@ def cross_corpus_near_dup(
             for b in range(bands)
         ]
 
-    def side(docs: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+    def side_bucket(docs: DataFrame, tag: str) -> DataFrame:
         sig = minhash_signatures(docs, text_col, num_hashes, width)
-        bucket = sig.select("doc_id", *band_exprs()).select(
+        return sig.select("doc_id", *band_exprs()).select(
             F.col("doc_id").alias(f"{tag}_id"),
             F.posexplode(
                 F.array(*[F.col(f"band_{b}") for b in range(bands)])
             ).alias("band_id", "band_hash"),
         )
-        sets = (
-            _shingles(docs, text_col, width)
-            .distinct()
-            .withColumn("shh", F.expr(_token_hash32_expr("sh")).cast("long"))
-            .groupBy("doc_id")
-            .agg(F.collect_set("shh").alias(f"{tag}_set"))
-            .select(
-                F.col("doc_id").alias(f"{tag}_id"),
-                f"{tag}_set",
-                F.size(f"{tag}_set").cast("long").alias(f"n_{tag}"),
-            )
-        )
-        return bucket, sets
 
-    cb, cs = side(corpus, "c")
-    eb, es = side(eval_docs, "e")
+    def side_sets(docs: DataFrame, tag: str) -> DataFrame:
+        # row-local set build: shingle digests, 32-bit hashes, and the
+        # distinct-set all inside one projection — no explode, no
+        # distinct shuffle, no collect_set aggregate (the hash32 set
+        # equals the old distinct-shingles→hash→collect_set: both
+        # dedupe at the hash32 grain).
+        digs = (
+            f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+            f" i -> md5(substring({text_col}, i, {width})))"
+        )
+        set_expr = (
+            f"array_distinct(transform({digs},"
+            f" d -> CAST({_hash32_from_digest_expr('d')} AS BIGINT)))"
+        )
+        return docs.select(
+            F.col("doc_id").alias(f"{tag}_id"),
+            F.expr(set_expr).alias(f"{tag}_set"),
+        ).withColumn(f"n_{tag}", F.size(f"{tag}_set").cast("long"))
+
+    cb = side_bucket(corpus, "c")
+    eb = side_bucket(eval_docs, "e")
+    es = side_sets(eval_docs, "e")
+    # candidate pairs are small (docs sharing a band with a benchmark
+    # doc); localCheckpoint so the band join runs once, feeding both the
+    # candidate-id prune and the final score join
     pairs = (
         cb.join(F.broadcast(eb), ["band_id", "band_hash"])
         .select("c_id", "e_id")
         .distinct()
+        .localCheckpoint()
+    )
+    cand_ids = pairs.select(F.col("c_id").alias("doc_id")).distinct()
+    # _spread: a single-file fixture reads as 1 partition — the row-local
+    # set build would otherwise run on one core (at 100 TB the scan is
+    # already parallel and this is a no-op)
+    cs = side_sets(
+        _spread(corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi")), "c"
     )
     scored = (
         pairs.join(cs, "c_id")

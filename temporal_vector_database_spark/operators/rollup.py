@@ -173,10 +173,12 @@ def rollup_merge(rollup: DataFrame, new_versions: DataFrame, bucket: str = "day"
     )
 
 
-def rollup_report(rollup: DataFrame) -> DataFrame:
+def rollup_report(rollup: DataFrame, key_col: str = "bucket_start") -> DataFrame:
     """Read-side projection: derived averages over the mergeable state
     (avg = sum/count at read time — storing averages would make the
-    state unmergeable)."""
+    state unmergeable). ``key_col`` names the bucket key column of the
+    input state (``bucket_start`` timestamp from ``version_rollup`` or
+    ``bucket_day`` BIGINT from ``version_rollup_days``)."""
     # published doubles are (rounded-to-integer nano-units) / 1e9: the
     # integer round happens on an integer/integer quotient, and the final
     # division is one IEEE op — no decimal round() of an irrational
@@ -186,7 +188,7 @@ def rollup_report(rollup: DataFrame) -> DataFrame:
     ).cast("long")
     return rollup.select(
         "content_id",
-        "bucket_start",
+        key_col,
         *(_c for _c in ("n_versions", "n_bases", "n_deltas")),
         (avg_mag_e9.cast("double") / F.lit(1000000000.0)).alias("avg_magnitude"),
         (F.col("mag_max_e9").cast("double") / F.lit(1000000000.0)).alias("max_magnitude"),

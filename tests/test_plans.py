@@ -658,6 +658,22 @@ def test_fuzzy_decontaminate_broadcasts_eval_side(spark, qmap):
     assert "BroadcastHashJoin" in formatted_plan(df)
 
 
+def test_fuzzy_decontaminate_pruned_rowlocal_set_build(spark, qmap):
+    """r06 pin: the exact shingle-set build is (a) candidate-PRUNED — a
+    LeftSemi broadcast join against the banded candidate ids gates the
+    corpus scan — and (b) ROW-LOCAL (array_distinct over a transform):
+    no collect_set aggregate and no shingle explode anywhere, so the
+    full-corpus set materialization + shuffle of the r05 shape is gone."""
+    df = qmap["fuzzy_decontaminate"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "collect_set" not in plan
+    assert "array_distinct" in plan
+    # explode appears only for band posting lists (4/doc), never shingles:
+    # the shingle path would explode via the `sh` alias
+    assert " AS sh#" not in plan
+
+
 def test_maxsim_rerank_no_cartesian_bounded_joins(spark, qmap):
     """Late interaction: every join is an equi-join on query_id/vid —
     the m^2 blowup stays inside the shortlist, never corpus x corpus."""
