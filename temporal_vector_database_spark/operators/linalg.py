@@ -66,6 +66,57 @@ def column_means(embeddings: DataFrame, emb_col: str = "embedding") -> list[floa
     return [r["s"] / r["n"] for r in rows]
 
 
+def _assemble_cov(
+    embeddings: DataFrame, emb_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Driver-side covariance assembly shared by ``pca_fit`` and
+    ``pca_trace_check``: ``C = G/n - mu mu^T`` from the distributed Gram
+    matrix + means. Every entry is a fixed chain of IEEE
+    correctly-rounded ops on exact dyadic-grid sums, so C is
+    bit-identical across engines and partition orders. Returns
+    ``(n, mu, C)``."""
+    n = embeddings.count()
+    g_rows = gram_matrix(embeddings, emb_col).collect()
+    dim = max(r["i"] for r in g_rows)
+    G = np.zeros((dim, dim))
+    for r in g_rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+    mu = np.array(column_means(embeddings, emb_col))
+    C = G / n - np.outer(mu, mu)
+    return n, mu, C
+
+
+def pca_trace_check(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Value-level oracle contract for the PCA path (the check behind
+    the otherwise rows-only ``pca_topk``): publishes ONE row with
+
+    - ``n_vectors``: corpus size;
+    - ``trace_e9``: ``sum_d floor(C_dd * 1e9 + 0.5)`` — per-dim e9
+      rounding FIRST, then an exact BIGINT sum, so the value is
+      independent of cross-dim float addition order. Each ``C_dd`` is
+      ``ss_d/n - (s_d/n)^2`` on exact dyadic-grid sums — bit-identical
+      to a relational recomputation (the DuckDB oracle replays it);
+    - ``eig_trace_diff_e12``: ``floor((sum(eigh eigenvalues) -
+      trace(C)) * 1e12 + 0.5)`` — trace preservation of the FULL
+      eigendecomposition at 1e-12 grain; LAPACK's error is ~1e-14 *
+      ||C||, so any real defect in the Gram assembly or the
+      decomposition publishes nonzero while the correct pipeline
+      deterministically publishes 0 (the oracle's literal).
+    """
+    import math
+
+    n, _mu, C = _assemble_cov(embeddings, emb_col)
+    trace_e9 = sum(int(math.floor(float(C[d, d]) * 1e9 + 0.5)) for d in range(C.shape[0]))
+    vals = np.linalg.eigh(C)[0]
+    diff = float(np.sum(vals)) - float(np.trace(C))
+    diff_e12 = int(math.floor(diff * 1e12 + 0.5))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(int(n), trace_e9, diff_e12)],
+        "n_vectors long, trace_e9 long, eig_trace_diff_e12 long",
+    )
+
+
 def pca_fit(
     embeddings: DataFrame,
     n_components: int = 8,
@@ -76,14 +127,7 @@ def pca_fit(
     ``eigh``. Components are sign-normalized (largest-|.| coordinate
     positive; ties -> earliest index) so the basis is deterministic.
     Returns (mu[dim], W[dim, n_components])."""
-    n = embeddings.count()
-    g_rows = gram_matrix(embeddings, emb_col).collect()
-    dim = max(r["i"] for r in g_rows)
-    G = np.zeros((dim, dim))
-    for r in g_rows:
-        G[r["i"] - 1, r["j"] - 1] = r["g"]
-    mu = np.array(column_means(embeddings, emb_col))
-    C = G / n - np.outer(mu, mu)
+    _n, mu, C = _assemble_cov(embeddings, emb_col)
     vals, vecs = np.linalg.eigh(C)
     order = np.argsort(vals)[::-1][:n_components]
     W = vecs[:, order]

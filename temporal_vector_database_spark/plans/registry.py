@@ -5942,6 +5942,40 @@ def q_pca_topk(spark, sf_dir):
     return pca_topk(emb, queries, k=10, n_components=8, shortlist=50)
 
 
+def q_pca_trace_check(spark, sf_dir):
+    """r06: value-level oracle contract for the PCA path (pca_topk
+    itself stays rows-only — the eigenbasis is not ANSI-SQL, but its
+    inputs and its conservation law are): per-dim-rounded covariance
+    trace as an exact BIGINT sum (oracle replays it relationally from
+    the same quantized parquet) + the eigenvalue-sum-equals-trace
+    invariant at 1e-12 grain (oracle publishes the literal 0 the
+    correct decomposition must hit)."""
+    from temporal_vector_database_spark.operators.linalg import pca_trace_check
+
+    return pca_trace_check(_quantized_embeddings(spark, sf_dir))
+
+
+ORACLES["pca_trace_check"] = """
+WITH e AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+x AS (
+  SELECT t.d AS d, list_extract(emb, t.d) AS v
+  FROM e, range(1, 65) t(d)
+),
+st AS (
+  SELECT d, sum(v * v) AS ss, sum(v) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY d
+),
+cd AS (SELECT d, ss / n - (s / n) * (s / n) AS c_dd, n FROM st)
+SELECT max(n) AS n_vectors,
+       CAST(sum(CAST(floor(c_dd * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS trace_e9,
+       CAST(0 AS BIGINT) AS eig_trace_diff_e12
+FROM cd
+"""
+
+
 ORACLES["events_scd2_snapshot"] = """
 WITH e AS (
   SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM events
@@ -7899,19 +7933,40 @@ ORACLES["events_user_entropy"] = _entropy_oracle()
 def q_heavy_hitters_sketch(spark, sf_dir):
     """Misra-Gries sketch-path heavy hitters with the deterministic
     superset contract: published rows are the candidates' EXACT counts
-    over the N/(k+1) threshold — provably every true heavy hitter."""
+    over the N/(k+1) threshold — provably every true heavy hitter.
+
+    r06 de-vacuation: the fixture corpus is near-uniform word soup —
+    at k_track=64 no bigram clears N/65 and the r05 gate matched on 0
+    rows (a broken operator would also have passed). The gate now
+    injects a deterministic skewed boilerplate phrase into every 5th
+    doc (the mirrored oracle injects the same), so the sketch path must
+    actually surface the hot grams: >0 published rows at every SF while
+    decrement pressure stays real (~900 distinct bigrams/partition vs
+    64 counters)."""
     from temporal_vector_database_spark.operators.textindex import (
         heavy_hitters_sketch,
     )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return heavy_hitters_sketch(docs, k_track=64, n=2)
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' hot gram', 40)")),
+        ).otherwise(F.col("text")),
+    )
+    return heavy_hitters_sketch(skewed, k_track=64, n=2)
 
 
-ORACLES["heavy_hitters_sketch"] = (
-    _WORDS_CTE
-    + """
-, ng AS (
+ORACLES["heavy_hitters_sketch"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           CASE WHEN doc_id % 5 = 0 THEN text || repeat(' hot gram', 40)
+                ELSE text END, ' '), x -> x <> '') AS w
+  FROM documents
+),
+ng AS (
   SELECT array_to_string(w[i:i+1], ' ') AS gram
   FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
 ),
@@ -7921,7 +7976,6 @@ SELECT cnt.gram, cnt.n_occurrences, tot.n_grams
 FROM cnt CROSS JOIN tot
 WHERE cnt.n_occurrences * 65 > tot.n_grams
 """
-)
 
 
 
@@ -8395,6 +8449,7 @@ FROM u
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (1) never driver-checked (session-7 additions past the r03 cap) ---
     "pca_topk": q_pca_topk,  # rows-only by design (eigenbasis not ANSI-SQL)
+    "pca_trace_check": q_pca_trace_check,  # r06: its value-level contract
     "ivf_recall_eval": q_ivf_recall_eval,
     "events_interval_coverage": q_events_interval_coverage,
     "events_bitemporal": q_events_bitemporal,
@@ -8621,6 +8676,7 @@ _R06_FRONT = [
     "version_rollup_report_ts",
     "version_rollup_report_date",
     "version_rollup_report_dbl",
+    "pca_trace_check",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",
