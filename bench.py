@@ -249,6 +249,21 @@ def main() -> None:
         timings[name] = min(raw[name])
 
     total = round(sum(timings.values()), 3)
+    # contamination self-labeling (r06): publish per-query spread =
+    # median/min so a reader can adjudicate host contention from the
+    # artifact alone — identical plans on a quiet host rep within ~1.2x;
+    # under external load the median inflates while min stays near the
+    # plan's steady state. `contended` trips when the run-level median
+    # of spreads exceeds 2x.
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    spread = {
+        n: round(_median(r) / max(min(r), 1e-9), 2) for n, r in raw.items()
+    }
+    contended = _median(list(spread.values())) > 2.0 if spread else False
     # Per-query detail (mins + raw reps) goes to a sidecar file and an
     # EARLY stdout line; the driver captures only a bounded tail of
     # stdout, so the final line must stay short (r03's combined line
@@ -259,6 +274,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reps": raw,
+        "spread": spread,
+        "contended": contended,
         "sf": sf,
     }
     sidecar = os.path.join(REPO, "BENCH_LOCAL.json")
@@ -278,6 +295,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "contended": contended,
                 "detail": "BENCH_LOCAL.json",
             }
         )

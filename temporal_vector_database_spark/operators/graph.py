@@ -53,7 +53,21 @@ def pagerank_fixed(
     Output: ``(id, pr_units BIGINT, deg BIGINT)`` for every node
     appearing in the edge list. Ranks of nodes with no in-edges settle
     at the teleport floor ``(1−d)·S/N``.
+
+    Contract: requires ``0 < damping_num <= damping_den`` (a damping
+    factor above 1 makes the teleport term negative and the iteration
+    divergent — validated, raises ``ValueError``). DANGLING NODES (out-
+    degree 0) do not redistribute their rank mass — it simply decays
+    toward the teleport floor, so total mass is conserved only on
+    graphs where every node has an out-edge (the symmetrized near-dup
+    graph this serves always does). For general directed graphs with
+    sinks, add self-loops or symmetrize before calling.
     """
+    if not (0 < int(damping_num) <= int(damping_den)):
+        raise ValueError(
+            f"pagerank_fixed requires 0 < damping_num <= damping_den, got "
+            f"{damping_num}/{damping_den}"
+        )
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("id"))

@@ -151,7 +151,15 @@ def dataset_diff(
     ("v2 removed 1.2M docs, rewrote 40k"): per key, status ``added`` /
     ``removed`` / ``changed`` / ``unchanged`` with the md5 content
     digests of both sides (digest compare, so arbitrarily wide payloads
-    diff at hash cost; NULL payload columns digest as empty string).
+    diff at hash cost).
+
+    The digested encoding is UNAMBIGUOUS (ADVICE r05): each column is
+    tagged NULL-vs-value and length-prefixed (``N|`` vs
+    ``V<len>:<val>|``), so boundary-shifted multi-column payloads
+    (('ab','c') vs ('a','bc')) and NULL↔'' changes produce different
+    digests — a bare ``concat_ws('')`` would hash them identically and
+    misreport 'unchanged'. The encoding is plain ANSI string ops, so
+    the DuckDB oracle replays it verbatim.
 
     Plan: digests are row-local projections; the diff is ONE full outer
     equi-join on the key (co-partitioned sides, no windows). At lake
@@ -159,12 +167,14 @@ def dataset_diff(
     Delta/Iceberg ``table_changes`` shape recomputed from plain
     parquet.
     """
-    digest = F.md5(
-        F.concat_ws(
-            "",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare_cols],
+
+    def _enc(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N|")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s, F.lit("|"))
         )
-    )
+
+    digest = F.md5(F.concat(*[_enc(c) for c in compare_cols]))
     keys = list(key_cols)
     o = old.select(*keys, digest.alias("old_hash"))
     n = new.select(*keys, digest.alias("new_hash"))
@@ -207,7 +217,10 @@ def group_entropy(
         F.sum("c").cast("long").alias("n_total"),
         F.count("*").cast("long").alias("n_categories"),
     )
-    j = counts.join(F.broadcast(tot), keys)
+    # no broadcast hint: `tot` has one row PER KEY (unbounded cardinality,
+    # e.g. per user_id at 100 TB) — let AQE pick broadcast when it is
+    # actually small; the equi-join shuffles co-partitioned otherwise
+    j = counts.join(tot, keys)
     term = F.expr(
         f"c * ({_fixed_log2_sql('n_total')} - {_fixed_log2_sql('c')})"
     ).cast("long")

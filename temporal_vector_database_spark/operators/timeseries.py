@@ -30,6 +30,37 @@ def _bucket_expr(time_col: str, bucket_ms: int):
     return (t - F.pmod(t, w)).cast("long").alias("bucket_start_ms")
 
 
+def _state_keys(
+    state: DataFrame, key_cols: tuple[str, ...] | None, state_cols: tuple[str, ...]
+) -> list[str]:
+    """Resolve the key columns of a mergeable state table.
+
+    Explicit ``key_cols`` are validated: they must exist in the frame
+    and be DISJOINT from the reserved state column names (a user key
+    column named ``high``/``n_events``/``_f``/… would otherwise be
+    silently folded into the merge and corrupt it — raises instead).
+    With ``key_cols=None`` the keys are inferred by excluding the state
+    names, which is only safe when no key collides with them — pass
+    them explicitly whenever the key schema is user-controlled."""
+    if key_cols is not None:
+        keys = list(key_cols)
+        clash = sorted(set(keys) & set(state_cols))
+        if clash:
+            raise ValueError(
+                f"key columns {clash} collide with reserved state column "
+                f"names {sorted(state_cols)}; rename the key columns"
+            )
+        missing = [k for k in keys if k not in state.columns]
+        if missing:
+            raise ValueError(f"key columns {missing} not in state {state.columns}")
+        return keys
+    return [c for c in state.columns if c not in state_cols]
+
+
+_OHLC_STATE_COLS = ("bucket_start_ms", "o", "c", "high", "low", "n_events")
+_M4_STATE_COLS = ("bucket_start_ms", "_f", "_l", "_lo", "_hi", "n_events")
+
+
 def ohlc_state(
     df: DataFrame,
     time_col: str,
@@ -69,12 +100,18 @@ def ohlc_state(
     )
 
 
-def ohlc_merge(state: DataFrame, new_state: DataFrame) -> DataFrame:
+def ohlc_merge(
+    state: DataFrame,
+    new_state: DataFrame,
+    key_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Fold freshly-aggregated partial state into an existing OHLC
     table — union + re-aggregate over STATE rows; history is never
-    rescanned. Exactness vs a full rebuild is pinned in tests."""
-    keys = [c for c in state.columns
-            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    rescanned. Exactness vs a full rebuild is pinned in tests. Pass
+    ``key_cols`` explicitly when the key schema is user-controlled
+    (see :func:`_state_keys` — a key named like a state column raises
+    instead of silently corrupting the merge)."""
+    keys = _state_keys(state, key_cols, _OHLC_STATE_COLS)
     return state.unionByName(new_state).groupBy(*keys, "bucket_start_ms").agg(
         F.min("o").alias("o"),
         F.max("c").alias("c"),
@@ -84,10 +121,11 @@ def ohlc_merge(state: DataFrame, new_state: DataFrame) -> DataFrame:
     )
 
 
-def ohlc_report(state: DataFrame) -> DataFrame:
+def ohlc_report(
+    state: DataFrame, key_cols: tuple[str, ...] | None = None
+) -> DataFrame:
     """Read-side projection of the mergeable state into bars."""
-    keys = [c for c in state.columns
-            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    keys = _state_keys(state, key_cols, _OHLC_STATE_COLS)
     return state.select(
         *keys,
         "bucket_start_ms",
@@ -129,6 +167,7 @@ def resample_locf_from_state(
     bucket_ms: int,
     lo_ms: int,
     hi_ms: int,
+    key_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Gap-filled LOCF serving from MAINTAINED OHLC state instead of the
     raw event table: the per-bucket closing observation is exactly the
@@ -137,8 +176,7 @@ def resample_locf_from_state(
     queries without ever rescanning events — cost is |keys| x n_buckets,
     independent of history. Equals :func:`resample_locf` over the raw
     events the state was built from (pinned in tests)."""
-    keys = [c for c in state.columns
-            if c not in ("bucket_start_ms", "o", "c", "high", "low", "n_events")]
+    keys = _state_keys(state, key_cols, _OHLC_STATE_COLS)
     lo_b = (int(lo_ms) // int(bucket_ms)) * int(bucket_ms)
     hi_b = (int(hi_ms) // int(bucket_ms)) * int(bucket_ms)
     grid = (
@@ -593,12 +631,16 @@ def m4_state(
     )
 
 
-def m4_merge(state: DataFrame, new_state: DataFrame) -> DataFrame:
+def m4_merge(
+    state: DataFrame,
+    new_state: DataFrame,
+    key_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Fold fresh partial state into an existing M4 table — union +
     re-aggregate over STATE rows only; exactness vs full rebuild is
-    pinned in tests (late points re-open their pixel)."""
-    keys = [c for c in state.columns
-            if c not in ("bucket_start_ms", "_f", "_l", "_lo", "_hi", "n_events")]
+    pinned in tests (late points re-open their pixel). Pass ``key_cols``
+    explicitly for user-controlled key schemas (see :func:`_state_keys`)."""
+    keys = _state_keys(state, key_cols, _M4_STATE_COLS)
     return state.unionByName(new_state).groupBy(*keys, "bucket_start_ms").agg(
         F.min("_f").alias("_f"),
         F.max("_l").alias("_l"),
@@ -608,10 +650,9 @@ def m4_merge(state: DataFrame, new_state: DataFrame) -> DataFrame:
     )
 
 
-def m4_report(state: DataFrame) -> DataFrame:
+def m4_report(state: DataFrame, key_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Read-side projection of M4 state into the four plot points."""
-    keys = [c for c in state.columns
-            if c not in ("bucket_start_ms", "_f", "_l", "_lo", "_hi", "n_events")]
+    keys = _state_keys(state, key_cols, _M4_STATE_COLS)
     return state.select(
         *keys,
         "bucket_start_ms",
@@ -835,7 +876,9 @@ def seasonal_profile(
         F.sum("phase_sum").cast("long").alias("total_sum"),
         F.sum("n_phase").cast("long").alias("n_total"),
     )
-    out = per_phase.join(F.broadcast(totals), keys).select(
+    # per-key totals are unbounded-cardinality — no broadcast hint (AQE
+    # decides; the co-partitioned equi-join is safe at any key count)
+    out = per_phase.join(totals, keys).select(
         *keys,
         "phase",
         "phase_sum",
@@ -872,7 +915,9 @@ def series_trend(
     Keys with < 2 buckets (or zero time variance) publish NULLs.
 
     Plan: one (key, bucket) aggregation; a key-level min-bucket rollup
-    broadcast back; one final key aggregation. No windows.
+    equi-joined back (AQE broadcasts it when small — no hint, since the
+    rollup is one row per key and key cardinality is unbounded); one
+    final key aggregation. No windows.
     """
     keys = list(key_cols)
     scale = int(value_scale)
@@ -882,7 +927,8 @@ def series_trend(
         .alias("v")
     )
     base = per.groupBy(*keys).agg(F.min("bucket_start_ms").alias("b0"))
-    idx = per.join(F.broadcast(base), keys).select(
+    # one row per key — unbounded cardinality, so no broadcast hint
+    idx = per.join(base, keys).select(
         *keys,
         ((F.col("bucket_start_ms") - F.col("b0")) / F.lit(int(bucket_ms)))
         .cast("long")

@@ -7575,16 +7575,27 @@ def q_dataset_diff(spark, sf_dir):
     return dataset_diff(v1, v2, key_cols=("doc_id",), compare_cols=("text",))
 
 
+# digest encoding mirrors operators/relational.py dataset_diff: NULL-vs-
+# value tag + length prefix per column ('N|' / 'V<len>:<val>|') so
+# boundary shifts and NULL<->'' changes can't hash-collide
 ORACLES["dataset_diff"] = """
 WITH v1 AS (
-  SELECT doc_id, md5(coalesce(text, '')) AS old_hash
+  SELECT doc_id,
+         md5(CASE WHEN text IS NULL THEN 'N|'
+                  ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text || '|'
+             END) AS old_hash
   FROM documents WHERE doc_id % 89 <> 0
 ),
 v2 AS (
   SELECT doc_id,
-         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END,
-                      '')) AS new_hash
-  FROM documents WHERE doc_id % 97 <> 0
+         md5(CASE WHEN t2 IS NULL THEN 'N|'
+                  ELSE 'V' || CAST(length(t2) AS VARCHAR) || ':' || t2 || '|'
+             END) AS new_hash
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS t2
+    FROM documents WHERE doc_id % 97 <> 0
+  )
 )
 SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_hash, new_hash,
        CASE WHEN old_hash IS NULL THEN 'added'

@@ -1,0 +1,40 @@
+"""Shared versioned-state helpers for the foreachBatch maintenance
+modules (counter/m4/ohlc/rollup/dsir/gram/correlation/heavyhitters/
+bloom/coverage).
+
+Commit scheme: each processed micro-batch writes its full state under
+``state_dir/v=<batch_id>/`` and readers take the highest committed
+version — so a REPLAYED batch (same id redelivered after a failure,
+the only redelivery Structured Streaming performs) is a no-op.
+
+Replay vs regression (ADVICE r05): if the streaming CHECKPOINT dir is
+deleted/recreated while ``state_dir`` persists, batch ids restart at 0
+and every new batch would look like a replay — the old ``vs[-1] >=
+batch_id`` guard then silently dropped ALL new data forever. The guard
+now distinguishes the two: an id EQUAL to the committed head is a
+legitimate redelivery (skip); an id BELOW it is a checkpoint/state
+identity mismatch and raises instead of no-oping.
+"""
+
+from __future__ import annotations
+
+
+def replay_guard(vs: list[int], batch_id: int, state_dir: str) -> bool:
+    """Return True when ``batch_id`` is a redelivery of the committed
+    head (caller skips the batch); raise when it REGRESSES below the
+    head — that means the stream's checkpoint was deleted or points at
+    a different source while ``state_dir`` kept its history, and
+    continuing would silently drop every future batch."""
+    if not vs:
+        return False
+    head = vs[-1]
+    if batch_id < head:
+        raise RuntimeError(
+            f"streaming state at {state_dir!r} has committed version "
+            f"{head} but received batch_id {batch_id}: the query's "
+            "checkpoint dir was likely deleted/recreated (batch ids "
+            "restart at 0) while the state dir persisted. Refusing to "
+            "no-op — restart with a fresh state_dir or restore the "
+            "original checkpoint."
+        )
+    return batch_id == head

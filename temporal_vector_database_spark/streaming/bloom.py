@@ -41,6 +41,7 @@ from temporal_vector_database_spark.operators.bloomfilter import (
     eval_bloom_positions,
     positions_to_bitset,
 )
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -82,7 +83,7 @@ def process_eval_bloom_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
+    if replay_guard(vs, batch_id, state_dir):
         return
     new_pos = eval_bloom_positions(batch_df, text_col, n, num_bits, num_hashes)
     prev = (

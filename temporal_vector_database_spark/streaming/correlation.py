@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.timeseries import _bucket_expr
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -57,7 +58,7 @@ def process_series_sum_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
+    if replay_guard(vs, batch_id, state_dir):
         return
     scale = int(value_scale)
     delta = batch_df.groupBy(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.temporal import coalesce_intervals
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -59,7 +60,7 @@ def process_coverage_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
+    if replay_guard(vs, batch_id, state_dir):
         return
     keys = list(key_cols)
     fresh = batch_df.select(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.dsir import bucket_counts
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -59,7 +60,7 @@ def process_dsir_counts_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
+    if replay_guard(vs, batch_id, state_dir):
         return
     delta = bucket_counts(batch_df, n_buckets, id_col, text_col)
     prev = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}")) if vs else None

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.linalg import gram_matrix
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -81,7 +82,7 @@ def process_gram_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
+    if replay_guard(vs, batch_id, state_dir):
         return
     part = _batch_state(batch_df, emb_col)
     if vs:

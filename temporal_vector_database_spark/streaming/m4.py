@@ -12,6 +12,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from temporal_vector_database_spark.operators.timeseries import m4_merge, m4_state
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -47,7 +48,7 @@ def process_m4_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
+    if replay_guard(vs, batch_id, state_dir):
         return
     part = m4_state(batch_df, time_col, key_cols, value_col, bucket_ms, tiebreak_cols)
     prev = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}")) if vs else None

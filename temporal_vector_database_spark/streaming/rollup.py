@@ -29,6 +29,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from temporal_vector_database_spark.operators.rollup import rollup_merge, version_rollup
+from temporal_vector_database_spark.streaming._state import replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
@@ -59,8 +60,8 @@ def process_rollup_batch(
         return
     spark = batch_df.sparkSession
     vs = _committed_versions(state_dir)
-    if vs and vs[-1] >= batch_id:
-        return  # this batch (or a later one) already committed — replay no-op
+    if replay_guard(vs, batch_id, state_dir):
+        return
     prev = spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}")) if vs else None
     merged = (
         rollup_merge(prev, batch_df, bucket) if prev is not None else version_rollup(batch_df, bucket)

@@ -131,8 +131,9 @@ def test_streaming_dsir_counts_equal_one_shot_and_replay_noop(spark, tmp_path):
                  for r in dsir_lambda_table(docs, target, nb).collect()}
     assert lam_stream == lam_batch
 
-    # replay a committed batch -> state unchanged
-    process_dsir_counts_batch(docs.where(F.col("doc_id") < 10), 0, rdir,
-                              n_buckets=nb)
+    # redeliver the HEAD batch -> state unchanged
+    process_dsir_counts_batch(
+        docs.where(F.col("doc_id") >= 30), 3, rdir, n_buckets=nb
+    )
     rc2 = read_counts_state(spark, rdir)
     assert {r.bucket: r.c for r in rc2.collect()} == want_rc

@@ -220,3 +220,22 @@ def test_group_entropy_uniform_and_degenerate(spark):
 
     true_h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(got[3].entropy_bits - true_h) < 0.1
+
+
+def test_dataset_diff_unambiguous_digest(spark):
+    """ADVICE r05: boundary-shifted multi-column payloads and NULL<->''
+    flips must report 'changed' (the old concat_ws('') digest hashed
+    them identically)."""
+    from temporal_vector_database_spark.operators.relational import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "ab", "c"), (2, None, "x"), (3, "same", "same")],
+        "id int, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "bc"), (2, "", "x"), (3, "same", "same")],
+        "id int, a string, b string",
+    )
+    got = {r.id: r.status
+           for r in dataset_diff(old, new, ("id",), ("a", "b")).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}

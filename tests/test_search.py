@@ -787,8 +787,8 @@ def test_streaming_gram_state_equals_one_shot_pca(spark, sf_dir, tmp_path):
     mu_b, W_b = pca_fit(emb, n_components=8)
     assert np.array_equal(mu_s, mu_b)
     assert np.array_equal(W_s, W_b)
-    # replay a committed batch -> state unchanged
-    process_gram_batch(emb.where(F.col("vec_id") % 3 == 1), 1, state)
+    # redeliver the HEAD batch -> state unchanged
+    process_gram_batch(emb.where(F.col("vec_id") % 3 == 2), 2, state)
     mu_r, W_r = pca_from_state(spark, state, n_components=8)
     assert np.array_equal(mu_r, mu_s) and np.array_equal(W_r, W_s)
 

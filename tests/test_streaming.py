@@ -246,3 +246,28 @@ def test_scd2_stream_equals_batch_and_replay_noop(spark, tmp_path):
     # replay batch 1 → no-op
     process_scd2_batch(b1, 1, store, **kw)
     assert canon(read_scd2_store(spark, store)) == canon(want)
+
+
+def test_replay_guard_raises_on_checkpoint_regression(spark, tmp_path):
+    """ADVICE r05: a batch id BELOW the committed state head means the
+    stream's checkpoint was deleted/recreated while the state dir
+    persisted (ids restart at 0 and every batch would silently no-op
+    forever) — the guard must raise, not drop data."""
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.streaming.m4 import process_m4_batch
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 5.0), ("a", 2, 150, 3.0)],
+        "k string, event_id long, ts_ms long, v double",
+    )
+    state = str(tmp_path / "m4_state")
+    kw = dict(time_col="ts_ms", key_cols=("k",), value_col="v",
+              bucket_ms=100, tiebreak_cols=("event_id",))
+    process_m4_batch(df.where(F.col("event_id") == 1), 0, state, **kw)
+    process_m4_batch(df.where(F.col("event_id") == 2), 1, state, **kw)
+    # head redelivery: fine
+    process_m4_batch(df.where(F.col("event_id") == 2), 1, state, **kw)
+    # regression below head: fresh-checkpoint signature -> raise
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        process_m4_batch(df.where(F.col("event_id") == 1), 0, state, **kw)

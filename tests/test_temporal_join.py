@@ -228,7 +228,7 @@ def test_streaming_coverage_equals_batch_and_replay_noop(spark, tmp_path):
     got = canon(read_coverage_state(spark, state))
     assert got == want
     assert (1, 0, 40, 3) in got          # bridge merged two spans, count exact
-    process_coverage_batch(batches[1], 1, state, **kw)   # replay -> no-op
+    process_coverage_batch(batches[2], 2, state, **kw)   # head redelivery -> no-op
     assert canon(read_coverage_state(spark, state)) == want
 
 

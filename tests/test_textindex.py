@@ -412,10 +412,10 @@ def test_streaming_heavy_hitters_superset_and_replay_noop(spark, tmp_path):
     # deficit bound: committed counts within N/(k+1) of truth
     for r in hh_candidates(spark, state, kt).collect():
         assert grams[r.gram] >= r.mg_count >= grams[r.gram] - n // (kt + 1) - 1
-    # replay a committed batch -> no-op
+    # redeliver the HEAD batch -> no-op
     before = sorted((r.gram, r.mg_count)
                     for r in hh_candidates(spark, state, kt).collect())
-    process_hh_batch(docs.where(F.col("doc_id") % 3 == 1), 1, state,
+    process_hh_batch(docs.where(F.col("doc_id") % 3 == 2), 2, state,
                      k_track=kt, n=2)
     after = sorted((r.gram, r.mg_count)
                    for r in hh_candidates(spark, state, kt).collect())

@@ -189,8 +189,9 @@ def test_streaming_ohlc_state_equals_batch_and_replay_noop(spark, tmp_path):
 
     want = canon(ohlc(df, "ts_ms", ("k",), "v", 100, ("event_id",)))
     assert canon(ohlc_report(read_ohlc_state(spark, state))) == want
-    # replay an already-committed batch -> no-op
-    process_ohlc_batch(batches[1], 1, state, **kw)
+    # redeliver the HEAD batch (the only replay Structured Streaming
+    # performs) -> no-op; older ids now raise (see _state.replay_guard)
+    process_ohlc_batch(batches[2], 2, state, **kw)
     assert canon(ohlc_report(read_ohlc_state(spark, state))) == want
 
 
@@ -574,8 +575,8 @@ def test_streaming_counter_state_equals_batch_and_replay_noop(spark, tmp_path):
     # last-sample state is each key's final sample
     got_last = {r.k: (r._t, r._v) for r in last.collect()}
     assert got_last == {1: (210, 12000), 2: (220, 7000)}
-    # replay an already-committed batch -> no-op
-    process_counter_batch(batches[1], 1, state, **kw)
+    # redeliver the HEAD batch -> no-op
+    process_counter_batch(batches[2], 2, state, **kw)
     buckets2, _ = read_counter_state(spark, state)
     assert canon(counter_report(buckets2, 100, 1000)) == want
 
@@ -685,7 +686,7 @@ def test_streaming_correlation_state_equals_one_shot(spark, tmp_path):
     want = canon(series_correlation(df, "ts", "s", "v", 100, value_scale=1))
     got = canon(correlation_from_state(read_series_state(spark, state)))
     assert got == want
-    process_series_sum_batch(batches[0], 0, state, **kw)  # replay
+    process_series_sum_batch(batches[2], 2, state, **kw)  # head redelivery
     assert canon(correlation_from_state(read_series_state(spark, state))) == want
 
 
@@ -796,5 +797,39 @@ def test_streaming_m4_state_equals_batch_and_replay_noop(spark, tmp_path):
 
     want = canon(m4_downsample(df, "ts_ms", ("k",), "v", 100, ("event_id",)))
     assert canon(m4_report(read_m4_state(spark, state))) == want
-    process_m4_batch(batches[1], 1, state, **kw)  # replay -> no-op
+    process_m4_batch(batches[2], 2, state, **kw)  # head redelivery -> no-op
     assert canon(m4_report(read_m4_state(spark, state))) == want
+
+
+def test_state_merge_key_collision_raises(spark):
+    """ADVICE r05: a user key column named like a reserved state column
+    ('high', 'n_events', '_f', ...) must raise when passed explicitly,
+    not be silently folded into the merge; valid explicit keys work and
+    match inference."""
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.operators.timeseries import (
+        m4_merge,
+        m4_state,
+        ohlc_merge,
+        ohlc_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (1, 250, 3.0)],
+        "k int, ts_ms long, v double",
+    )
+    st = ohlc_state(df, "ts_ms", ("k",), "v", 100)
+    with _pytest.raises(ValueError, match="collide"):
+        ohlc_merge(st, st, key_cols=("high",))
+    with _pytest.raises(ValueError, match="not in state"):
+        ohlc_merge(st, st, key_cols=("nope",))
+    got = {tuple(r) for r in ohlc_merge(st, st, key_cols=("k",)).collect()}
+    want = {tuple(r) for r in ohlc_merge(st, st).collect()}
+    assert got == want and len(got) > 0
+
+    m4 = m4_state(df, "ts_ms", ("k",), "v", 100)
+    with _pytest.raises(ValueError, match="collide"):
+        m4_merge(m4, m4, key_cols=("_f",))
+    got4 = {tuple(r) for r in m4_merge(m4, m4, key_cols=("k",)).collect()}
+    assert got4 == {tuple(r) for r in m4_merge(m4, m4).collect()}
