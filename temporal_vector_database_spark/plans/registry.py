@@ -7336,6 +7336,85 @@ def q_neardup_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("vec_id"), "pr_units", "deg")
 
 
+ORACLES["neardup_triangles"] = (
+    _QEMB_CTE
+    + """
+, bucket AS (
+  SELECT vec_id, band_id,
+         (CASE WHEN emb[4 * band_id + 1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 4] >= 0 THEN 8 ELSE 0 END) AS band_val
+  FROM en, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM pairs p JOIN en ea ON p.a_id = ea.vec_id JOIN en eb ON p.b_id = eb.vec_id
+),
+ce AS (SELECT a_id AS a, b_id AS b FROM scored WHERE sim >= 0.2),
+nodes AS (SELECT a AS id FROM ce UNION ALL SELECT b AS id FROM ce),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND ce.a < ce.b)
+              THEN ce.a ELSE ce.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND ce.a < ce.b)
+              THEN ce.b ELSE ce.a END AS w,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND ce.a < ce.b)
+              THEN db.deg ELSE da.deg END AS degw
+  FROM ce JOIN deg da ON ce.a = da.id JOIN deg db ON ce.b = db.id
+),
+tri AS (
+  SELECT e1.u AS u, e1.w AS w1, e2.w AS w2
+  FROM o e1 JOIN o e2 ON e1.u = e2.u
+   AND (e1.degw < e2.degw OR (e1.degw = e2.degw AND e1.w < e2.w))
+  JOIN o e3 ON e3.u = e1.w AND e3.w = e2.w
+),
+corners AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS id FROM tri
+    UNION ALL SELECT w1 AS id FROM tri
+    UNION ALL SELECT w2 AS id FROM tri
+  ) GROUP BY 1
+)
+SELECT d.id AS vec_id, d.deg,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * coalesce(c.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE NULL END AS ccoef
+FROM deg d LEFT JOIN corners c ON d.id = c.id
+"""
+)
+
+
+def q_neardup_triangles(spark, sf_dir):
+    """r06: exact triangle counts + clustering coefficient per node of
+    the symmetrized sign-band LSH near-dup graph (rank-oriented
+    node-iterator, each triangle counted once at its lowest-(deg,id)
+    corner) — closure QA for duplication neighborhoods. min_cosine=0.2
+    (vs the pagerank gate's 0.4): the fixture's 0.4-graph is a
+    triangle-free sparse matching, while 0.2 yields real closure
+    structure (2,412 triangle corners over 500 nodes at sf0.01) so the
+    gate checks actual triangle math, not an all-zeros column."""
+    from temporal_vector_database_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from temporal_vector_database_spark.operators.graph import triangle_counts
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    pairs = embedding_near_duplicates(emb, min_cosine=0.2)
+    tri = triangle_counts(pairs, src_col="a_id", dst_col="b_id")
+    return tri.select(F.col("id").alias("vec_id"), "deg", "n_triangles", "ccoef")
+
+
 ORACLES["neardup_pagerank"] = (
     _QEMB_CTE
     + """
@@ -8504,6 +8583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "token_budget_mixture": q_token_budget_mixture,
     "neardup_pagerank": q_neardup_pagerank,
+    "neardup_triangles": q_neardup_triangles,
     "events_type_corr": q_events_type_corr,
     "weighted_reservoir": q_weighted_reservoir,
     "collocations_pmi": q_collocations_pmi,
@@ -8688,6 +8768,7 @@ _R06_FRONT = [
     "version_rollup_report_date",
     "version_rollup_report_dbl",
     "pca_trace_check",
+    "neardup_triangles",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",

@@ -56,3 +56,49 @@ def test_pagerank_fixed_mass_nearly_conserved(spark):
     assert total <= scale
     # 3 iterations, each loses < 1 unit per (edge + node)
     assert total > scale - 3 * (len(sym) + len(rows)) - len(rows)
+
+
+def test_triangle_counts_k4_and_path(spark):
+    """K4: every node sits in C(3,2)=3 triangles with ccoef 1.0; a path
+    graph has zero triangles and ccoef 0 (or NULL at deg<2)."""
+    from temporal_vector_database_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    got = {r.id: (r.deg, r.n_triangles, r.ccoef) for r in triangle_counts(df).collect()}
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: (r.deg, r.n_triangles, r.ccoef) for r in triangle_counts(path).collect()}
+    assert got == {0: (1, 0, None), 1: (2, 0, 0.0), 2: (2, 0, 0.0), 3: (1, 0, None)}
+
+
+def test_triangle_counts_brute_force_parity(spark):
+    """Random graph: per-node counts equal the O(n^3) itertools brute
+    force; input direction/duplication/self-loops are canonicalized."""
+    import itertools
+    import random
+
+    from temporal_vector_database_spark.operators.graph import triangle_counts
+
+    rng = random.Random(17)
+    n = 20
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.3}
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in sorted(adj):
+        if not adj[v]:
+            continue
+        t = sum(1 for x, y in itertools.combinations(sorted(adj[v]), 2) if y in adj[x])
+        d = len(adj[v])
+        want[v] = (d, t, (2.0 * t) / (d * (d - 1)) if d >= 2 else None)
+
+    # feed messy input: both directions, dups, a self-loop
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges] + [(5, 5)]
+    rows += rows[:7]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.id: (r.deg, r.n_triangles, r.ccoef) for r in triangle_counts(df).collect()}
+    assert got == want
