@@ -656,3 +656,94 @@ def heavy_hitters_sketch(
     return out.where(
         F.col("n_occurrences") * (kt + 1) > F.col("n_grams")
     ).select("gram", "n_occurrences", "n_grams")
+
+
+def cms_estimate_check(
+    docs: DataFrame,
+    k_track: int = 64,
+    n: int = 2,
+    depth: int = 4,
+    width: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) point estimates
+    beside the Misra-Gries candidate path (:func:`heavy_hitters_sketch`)
+    — CMS answers "how often does THIS gram occur?" from
+    ``depth x width`` counters instead of a full census.
+
+    Unlike most sketches, CMS is VALUE-LEVEL deterministic: counters
+    are pure integer sums per (row, bucket) with engine-portable
+    md5-prefix bucket hashes, and the estimate is the min over ``depth``
+    counters — no partition-order dependence anywhere, so the DuckDB
+    oracle replays the exact estimates (contrast MG, whose raw counts
+    are stream-order-dependent and deliberately unpublished).
+
+    Published rows: every gram whose EXACT count clears
+    ``N/(k_track+1)`` (the deterministic hot set shared with the MG
+    gate), with its exact count and its CMS estimate — the one-sided
+    guarantee ``cms_est >= n_occurrences`` (overcount only, bounded by
+    N·e/width per row in expectation) is visible in the data; the
+    default ``width=256`` is deliberately smaller than realistic gram
+    vocabularies so collisions actually occur and the gate checks
+    bucket-sum math, not a no-collision identity.
+
+    Plan: counters build from the per-gram partial counts (a map-side-
+    combined gram-keyed aggregate, then a depth×width-bounded bucket
+    rollup — bucket sums of per-gram counts are EXACTLY the stream's
+    counter increments, summed in any order); estimates are a
+    broadcast-sized join of the hot set against the counter table. At
+    100 TB the counter table is ``depth*width`` rows regardless of
+    corpus size — the mergeable-summaries shape.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+    grams = toks.where(F.size("ws") >= n).select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ws"), 1, F.size("ws") - F.lit(n - 1)),
+                lambda w, i: F.concat_ws(
+                    " ",
+                    w,
+                    *[F.element_at(F.col("ws"), i + F.lit(j + 1)) for j in range(1, n)],
+                ),
+            )
+        ).alias("gram")
+    )
+    kt, d, wdt = int(k_track), int(depth), int(width)
+    exact = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n_occurrences"))
+    total = grams.agg(F.count("*").cast("long").alias("n_grams"))
+
+    def bucket(r_col, gram_col):
+        return (
+            _u32(F.concat_ws("|", F.col(r_col).cast("string"), F.col(gram_col)))
+            % F.lit(wdt)
+        ).alias("b")
+
+    counters = (
+        exact.select(
+            "gram",
+            "n_occurrences",
+            F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+        )
+        .select("r", bucket("r", "gram"), F.col("n_occurrences").alias("c"))
+        .groupBy("r", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    hot = (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * (kt + 1) > F.col("n_grams"))
+        .select("gram", "n_occurrences", "n_grams")
+    )
+    probes = hot.select(
+        "gram",
+        "n_occurrences",
+        "n_grams",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select("gram", "n_occurrences", "n_grams", "r", bucket("r", "gram"))
+    return (
+        probes.join(counters, ["r", "b"])
+        .groupBy("gram", "n_occurrences", "n_grams")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .select("gram", "n_occurrences", "cms_est", "n_grams")
+    )

@@ -8069,6 +8069,79 @@ WHERE cnt.n_occurrences * 65 > tot.n_grams
 
 
 
+def q_cms_estimate_check(spark, sf_dir):
+    """r06: Count-Min sketch point estimates for the deterministic hot
+    set (same skewed injection as heavy_hitters_sketch) — counters are
+    pure integer bucket sums with portable md5-prefix hashes, so the
+    oracle replays the EXACT estimates; width=256 forces real
+    collisions (est > exact) so bucket-sum math is actually checked."""
+    from temporal_vector_database_spark.operators.textindex import (
+        cms_estimate_check,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' hot gram', 40)")),
+        ).otherwise(F.col("text")),
+    )
+    return cms_estimate_check(skewed, k_track=64, n=2, depth=4, width=256)
+
+
+_CMS_B = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+ORACLES["cms_estimate_check"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           CASE WHEN doc_id % 5 = 0 THEN text || repeat(' hot gram', 40)
+                ELSE text END, ' '), x -> x <> '') AS w
+  FROM documents
+),
+ng AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+exact AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences FROM ng GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_grams FROM ng),
+hashed AS (
+  SELECT gram, n_occurrences, r,
+         substring(md5(CAST(r AS VARCHAR) || '|' || gram), 1, 8) AS hh
+  FROM exact, unnest([0, 1, 2, 3]) AS t(r)
+),
+cnt AS (
+  SELECT r, CAST({_CMS_B} AS BIGINT) % 256 AS b,
+         CAST(sum(n_occurrences) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2
+),
+hot AS (
+  SELECT gram, n_occurrences, n_grams
+  FROM exact CROSS JOIN tot WHERE n_occurrences * 65 > n_grams
+),
+probes AS (
+  SELECT gram, n_occurrences, n_grams, r,
+         CAST({_CMS_B.replace("hh", "ph")} AS BIGINT) % 256 AS b
+  FROM (
+    SELECT gram, n_occurrences, n_grams, r,
+           substring(md5(CAST(r AS VARCHAR) || '|' || gram), 1, 8) AS ph
+    FROM hot, unnest([0, 1, 2, 3]) AS t(r)
+  )
+)
+SELECT p.gram, p.n_occurrences, CAST(min(c.c) AS BIGINT) AS cms_est, p.n_grams
+FROM probes p JOIN cnt c ON p.r = c.r AND p.b = c.b
+GROUP BY p.gram, p.n_occurrences, p.n_grams
+"""
+
+
 def q_dataset_drift(spark, sf_dir):
     """Per-source drift between the same two synthetic dataset versions
     as dataset_diff: exact doc/token/char counts per side + deltas."""
@@ -8595,6 +8668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trend": q_events_trend,
     "events_user_entropy": q_events_user_entropy,
     "heavy_hitters_sketch": q_heavy_hitters_sketch,
+    "cms_estimate_check": q_cms_estimate_check,
     "dataset_drift": q_dataset_drift,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "ngram_containment_short": q_ngram_containment_short,
@@ -8769,6 +8843,7 @@ _R06_FRONT = [
     "version_rollup_report_dbl",
     "pca_trace_check",
     "neardup_triangles",
+    "cms_estimate_check",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",

@@ -420,3 +420,26 @@ def test_streaming_heavy_hitters_superset_and_replay_noop(spark, tmp_path):
     after = sorted((r.gram, r.mg_count)
                    for r in hh_candidates(spark, state, kt).collect())
     assert after == before
+
+
+def test_cms_estimate_overcount_guarantee(spark):
+    """CMS one-sided error: for every published gram the estimate is
+    >= the exact count, and with width << vocabulary the estimate
+    strictly overcounts at least once (collisions are real); k_track
+    low enough that every gram is 'hot' so the guarantee is checked for
+    the full vocabulary."""
+    from temporal_vector_database_spark.operators.textindex import (
+        cms_estimate_check,
+    )
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(30))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # k_track=0 -> threshold N/1: nothing passes; use k_track large so
+    # every bigram (13*13 max kinds over 29*40=1160 grams) is hot
+    out = cms_estimate_check(docs, k_track=10**6, n=2, depth=4, width=16)
+    got = out.collect()
+    # the stride corpus has exactly 13 distinct bigrams (w_k -> w_{k+1 mod 13})
+    assert len(got) == 13
+    assert all(r.cms_est >= r.n_occurrences for r in got)
+    assert any(r.cms_est > r.n_occurrences for r in got)
+    assert all(r.n_grams == 29 * 40 for r in got)
