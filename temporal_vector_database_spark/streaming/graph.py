@@ -1,0 +1,101 @@
+"""Streaming maintenance of the near-dup graph + warm PageRank serving
+(the r05 verdict's "incremental PageRank on the band-store graph"
+stretch item, done with the IVF-store discipline).
+
+Why not literal incremental PageRank: the fixed-point iteration is a
+global recurrence — a delta edge perturbs every rank, so any
+"incremental" formulation either approximates (violating the repo's
+engine-bit-stable policy) or recomputes. What IS incremental at 100 TB
+is the expensive part: discovering near-dup EDGES (shingling, banding,
+verification). This module maintains the canonical edge set per
+micro-batch (union-distinct, versioned commits, replay-idempotent via
+the shared guard), and serving runs :func:`pagerank_fixed`'s bounded
+integer iterations over the maintained edges — bit-identical to the
+batch operator on the same graph (pinned in tests), with the per-batch
+cost proportional to the batch's pairs, never the corpus.
+
+Reference: no counterpart (`core/vector_database.py` has no graph
+surface); the batch operator is ``operators/graph.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.graph import pagerank_fixed
+from temporal_vector_database_spark.streaming._state import replay_guard
+
+
+def _committed_versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v=") and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def process_edges_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+) -> None:
+    """Fold one micro-batch of near-dup pairs into the canonical edge
+    set (``a < b``, deduped). Replay of the committed head is a no-op;
+    a batch id below it raises (checkpoint/state identity mismatch)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    vs = _committed_versions(state_dir)
+    if replay_guard(vs, batch_id, state_dir):
+        return
+    a, b = F.col(src_col), F.col(dst_col)
+    new_e = (
+        batch_df.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    prev = (
+        spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}")) if vs else None
+    )
+    merged = new_e if prev is None else prev.unionByName(new_e).distinct()
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={batch_id}"))
+    for v in vs[:-1]:
+        shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+
+
+def read_edges_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current canonical edge set (a < b), or None before any commit."""
+    vs = _committed_versions(state_dir)
+    if not vs:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+
+
+def pagerank_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame | None:
+    """Serve PageRank from the maintained edge set: symmetrize + the
+    batch operator's fixed-point iterations — bit-identical to
+    ``pagerank_fixed`` over the union of all ingested pairs (integer
+    state has no order dependence to drift)."""
+    ce = read_edges_state(spark, state_dir)
+    if ce is None:
+        return None
+    edges = ce.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        ce.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_fixed(
+        edges, n_iter=n_iter, damping_num=damping_num, damping_den=damping_den
+    )

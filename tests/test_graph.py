@@ -102,3 +102,39 @@ def test_triangle_counts_brute_force_parity(spark):
     df = spark.createDataFrame(rows, "src long, dst long")
     got = {r.id: (r.deg, r.n_triangles, r.ccoef) for r in triangle_counts(df).collect()}
     assert got == want
+
+
+def test_streaming_pagerank_state_equals_batch_and_replay(spark, tmp_path):
+    """Edge-store maintenance: after 3 micro-batches of pairs (with
+    cross-batch duplicates), pagerank_from_state is bit-identical to
+    pagerank_fixed over the full symmetrized pair set; head redelivery
+    is a no-op."""
+    from temporal_vector_database_spark.operators.graph import pagerank_fixed
+    from temporal_vector_database_spark.streaming.graph import (
+        pagerank_from_state,
+        process_edges_batch,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 1), (2, 4)]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    state = str(tmp_path / "edges")
+    batches = [
+        df.where((F.col("a_id") + F.col("b_id")) % 3 == r) for r in range(3)
+    ]
+    # inject duplicates + reversed orientation into batch 1
+    batches[1] = batches[1].unionByName(
+        spark.createDataFrame([(3, 1), (2, 1)], "a_id long, b_id long")
+    )
+    for bid, b in enumerate(batches):
+        process_edges_batch(b, bid, state)
+
+    sym = df.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst")).unionByName(
+        df.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    want = sorted(tuple(r) for r in pagerank_fixed(sym, n_iter=3).collect())
+    got = sorted(tuple(r) for r in pagerank_from_state(spark, state, n_iter=3).collect())
+    assert got == want
+
+    process_edges_batch(batches[2], 2, state)  # head redelivery -> no-op
+    got2 = sorted(tuple(r) for r in pagerank_from_state(spark, state, n_iter=3).collect())
+    assert got2 == want
