@@ -148,6 +148,11 @@ HEADLINE = (
     "dataset_drift",
     "fuzzy_decontaminate",
     "ngram_containment_short",
+    # r06 additions
+    "pca_trace_check",
+    "neardup_triangles",
+    "cms_estimate_check",
+    "version_rollup_report_date",
 )
 
 
