@@ -628,20 +628,7 @@ def heavy_hitters_sketch(
     pass bounds the candidate set without the full gram shuffle the
     exact census pays.
     """
-    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
-    grams = toks.where(F.size("ws") >= n).select(
-        F.explode(
-            F.transform(
-                F.slice(F.col("ws"), 1, F.size("ws") - F.lit(n - 1)),
-                lambda w, i: F.concat_ws(
-                    " ",
-                    w,
-                    *[F.element_at(F.col("ws"), i + F.lit(j + 1)) for j in range(1, n)],
-                ),
-            )
-        ).alias("gram")
-    )
+    grams = _gram_stream(docs, n, id_col, text_col)
 
     kt = int(k_track)
     summaries = grams.mapInPandas(
@@ -656,6 +643,64 @@ def heavy_hitters_sketch(
     return out.where(
         F.col("n_occurrences") * (kt + 1) > F.col("n_grams")
     ).select("gram", "n_occurrences", "n_grams")
+
+
+def _gram_stream(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Word ``n``-gram occurrence stream (one row per occurrence) —
+    shared by the MG and CMS sketch paths."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
+    return toks.where(F.size("ws") >= n).select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ws"), 1, F.size("ws") - F.lit(n - 1)),
+                lambda w, i: F.concat_ws(
+                    " ",
+                    w,
+                    *[F.element_at(F.col("ws"), i + F.lit(j + 1)) for j in range(1, n)],
+                ),
+            )
+        ).alias("gram")
+    )
+
+
+def _cms_bucket(r_col: str, gram_col: str, width: int):
+    """Engine-portable CMS bucket: md5-prefix u32 of ``r|gram`` mod width."""
+    return (
+        _u32(F.concat_ws("|", F.col(r_col).cast("string"), F.col(gram_col)))
+        % F.lit(int(width))
+    ).alias("b")
+
+
+def cms_counters(
+    docs: DataFrame,
+    n: int = 2,
+    depth: int = 4,
+    width: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min counter table ``(r, b, c)`` over the word n-gram stream
+    — ``depth x width`` rows regardless of corpus size, PURELY ADDITIVE
+    (bucket sums of per-gram counts equal the stream's increments in any
+    order), so counter tables from any batching of the corpus fold by
+    integer sum (the streaming twin's contract)."""
+    d = int(depth)
+    exact = (
+        _gram_stream(docs, n, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        exact.select(
+            "gram", "c", F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r")
+        )
+        .select("r", _cms_bucket("r", "gram", width), "c")
+        .groupBy("r", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
 
 
 def cms_estimate_check(
@@ -696,40 +741,12 @@ def cms_estimate_check(
     100 TB the counter table is ``depth*width`` rows regardless of
     corpus size — the mergeable-summaries shape.
     """
-    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    toks = docs.select(F.col(id_col).alias("_id"), ws.alias("ws"))
-    grams = toks.where(F.size("ws") >= n).select(
-        F.explode(
-            F.transform(
-                F.slice(F.col("ws"), 1, F.size("ws") - F.lit(n - 1)),
-                lambda w, i: F.concat_ws(
-                    " ",
-                    w,
-                    *[F.element_at(F.col("ws"), i + F.lit(j + 1)) for j in range(1, n)],
-                ),
-            )
-        ).alias("gram")
-    )
+    grams = _gram_stream(docs, n, id_col, text_col)
     kt, d, wdt = int(k_track), int(depth), int(width)
     exact = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n_occurrences"))
     total = grams.agg(F.count("*").cast("long").alias("n_grams"))
-
-    def bucket(r_col, gram_col):
-        return (
-            _u32(F.concat_ws("|", F.col(r_col).cast("string"), F.col(gram_col)))
-            % F.lit(wdt)
-        ).alias("b")
-
-    counters = (
-        exact.select(
-            "gram",
-            "n_occurrences",
-            F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
-        )
-        .select("r", bucket("r", "gram"), F.col("n_occurrences").alias("c"))
-        .groupBy("r", "b")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
+    counters = cms_counters(docs, n=n, depth=d, width=wdt, id_col=id_col,
+                            text_col=text_col)
     hot = (
         exact.crossJoin(F.broadcast(total))
         .where(F.col("n_occurrences") * (kt + 1) > F.col("n_grams"))
@@ -740,7 +757,7 @@ def cms_estimate_check(
         "n_occurrences",
         "n_grams",
         F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
-    ).select("gram", "n_occurrences", "n_grams", "r", bucket("r", "gram"))
+    ).select("gram", "n_occurrences", "n_grams", "r", _cms_bucket("r", "gram", wdt))
     return (
         probes.join(counters, ["r", "b"])
         .groupBy("gram", "n_occurrences", "n_grams")

