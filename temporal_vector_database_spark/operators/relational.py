@@ -140,6 +140,56 @@ def key_skew_profile(
     )
 
 
+def _enc_col(c: str):
+    """Unambiguous per-column string encoding for digesting: NULL-vs-
+    value tag + length prefix (``N|`` / ``V<len>:<val>|``) — boundary
+    shifts between adjacent columns and NULL↔'' flips cannot collide.
+    Plain ANSI string ops, so DuckDB oracles replay it verbatim."""
+    s = F.col(c).cast("string")
+    return F.when(s.isNull(), F.lit("N|")).otherwise(
+        F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s, F.lit("|"))
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    key_cols: tuple = ("doc_id",),
+    compare_cols: tuple = ("text",),
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Order-invariant dataset fingerprint (the pt-table-checksum /
+    snapshot-verify primitive): did two copies of a table — before/after
+    a migration, two replicas, a rewrite — end up row-identical, without
+    moving either copy? One row per ``group_cols`` value (or one global
+    row) with exact ``n_rows`` plus two XOR fingerprints over per-row
+    md5 digests of the unambiguously-encoded key+payload columns.
+
+    Determinism/scale: XOR is commutative/associative and overflow-free,
+    so the fingerprint is identical under any partitioning and any row
+    count (a SUM fingerprint would overflow BIGINT past ~2^31 rows of
+    u32 digests). ``hi``/``lo`` are independent u32 slices of the same
+    md5, giving 64 fingerprint bits. Caveat (standard for XOR
+    checksums): two IDENTICAL full rows cancel — the digest includes the
+    key columns, so cancellation requires duplicate keys with identical
+    payloads, which the changefeed contract already forbids.
+
+    Plan: digests are row-local; ONE map-side-combined aggregate; no
+    joins, no windows — a full-table scan is the floor for any checksum.
+    """
+    cols = list(key_cols) + list(compare_cols)
+    dig = F.md5(F.concat(*[_enc_col(c) for c in cols]))
+    hi = F.conv(F.substring(dig, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(dig, 9, 8), 16, 10).cast("bigint")
+    gk = list(group_cols)
+    rows = df.select(*gk, hi.alias("_hi"), lo.alias("_lo"))
+    agg = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(_hi)").cast("long").alias("xor_hi"),
+        F.expr("bit_xor(_lo)").cast("long").alias("xor_lo"),
+    ]
+    return rows.groupBy(*gk).agg(*agg) if gk else rows.agg(*agg)
+
+
 def dataset_diff(
     old: DataFrame,
     new: DataFrame,
@@ -168,13 +218,7 @@ def dataset_diff(
     parquet.
     """
 
-    def _enc(c: str):
-        s = F.col(c).cast("string")
-        return F.when(s.isNull(), F.lit("N|")).otherwise(
-            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s, F.lit("|"))
-        )
-
-    digest = F.md5(F.concat(*[_enc(c) for c in compare_cols]))
+    digest = F.md5(F.concat(*[_enc_col(c) for c in compare_cols]))
     keys = list(key_cols)
     o = old.select(*keys, digest.alias("old_hash"))
     n = new.select(*keys, digest.alias("new_hash"))

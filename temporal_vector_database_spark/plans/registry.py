@@ -8142,6 +8142,65 @@ GROUP BY p.gram, p.n_occurrences, p.n_grams
 """
 
 
+def q_table_checksum(spark, sf_dir):
+    """r06: order-invariant per-source table fingerprint (the
+    pt-table-checksum primitive for migration/replica verification):
+    exact row count + two XOR fingerprints over per-row md5 digests of
+    the unambiguously-encoded key+payload columns — identical under any
+    partitioning, overflow-free at any row count."""
+    from temporal_vector_database_spark.operators.relational import table_checksum
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return table_checksum(
+        docs,
+        key_cols=("doc_id",),
+        compare_cols=("text", "lang", "n_chars"),
+        group_cols=("source",),
+    )
+
+
+def _hex2int(col: str, start: int) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substring({col}, {start + i}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+ORACLES["table_checksum"] = f"""
+WITH enc AS (
+  SELECT source,
+         md5(
+           CASE WHEN doc_id IS NULL THEN 'N|'
+                ELSE 'V' || CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                     || ':' || CAST(doc_id AS VARCHAR) || '|' END ||
+           CASE WHEN text IS NULL THEN 'N|'
+                ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text || '|' END ||
+           CASE WHEN lang IS NULL THEN 'N|'
+                ELSE 'V' || CAST(length(lang) AS VARCHAR) || ':' || lang || '|' END ||
+           CASE WHEN n_chars IS NULL THEN 'N|'
+                ELSE 'V' || CAST(length(CAST(n_chars AS VARCHAR)) AS VARCHAR)
+                     || ':' || CAST(n_chars AS VARCHAR) || '|' END
+         ) AS dig
+  FROM documents
+),
+h AS (
+  SELECT source,
+         CAST({_hex2int("dig", 1)} AS BIGINT) AS hi,
+         CAST({_hex2int("dig", 9)} AS BIGINT) AS lo
+  FROM enc
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(hi) AS BIGINT) AS xor_hi,
+       CAST(bit_xor(lo) AS BIGINT) AS xor_lo
+FROM h GROUP BY source
+"""
+
+
 def q_dataset_drift(spark, sf_dir):
     """Per-source drift between the same two synthetic dataset versions
     as dataset_diff: exact doc/token/char counts per side + deltas."""
@@ -8670,6 +8729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_sketch": q_heavy_hitters_sketch,
     "cms_estimate_check": q_cms_estimate_check,
     "dataset_drift": q_dataset_drift,
+    "table_checksum": q_table_checksum,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "ngram_containment_short": q_ngram_containment_short,
     # --- (3) §2 core rows, last driver-checked r01 ---
@@ -8844,6 +8904,7 @@ _R06_FRONT = [
     "pca_trace_check",
     "neardup_triangles",
     "cms_estimate_check",
+    "table_checksum",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",

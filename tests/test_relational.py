@@ -239,3 +239,43 @@ def test_dataset_diff_unambiguous_digest(spark):
     got = {r.id: r.status
            for r in dataset_diff(old, new, ("id",), ("a", "b")).collect()}
     assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_table_checksum_detects_any_change_and_is_order_invariant(spark):
+    """Fingerprint equality <=> row-identical content: any single-cell
+    change, row add, or row drop flips at least one fingerprint;
+    reordering/partitioning changes nothing; NULL vs '' differ."""
+    from temporal_vector_database_spark.operators.relational import table_checksum
+
+    rows = [(i, f"t{i}", "en" if i % 2 else None) for i in range(50)]
+    base = spark.createDataFrame(rows, "id long, text string, lang string")
+
+    def fp(df):
+        r = table_checksum(df, ("id",), ("text", "lang")).collect()[0]
+        return (r.n_rows, r.xor_hi, r.xor_lo)
+
+    want = fp(base)
+    # order / partitioning invariance
+    assert fp(base.orderBy(F.desc("id")).repartition(7)) == want
+    # single cell change
+    changed = base.withColumn(
+        "text", F.when(F.col("id") == 17, F.lit("t17x")).otherwise(F.col("text"))
+    )
+    assert fp(changed) != want
+    # NULL vs '' is a change
+    nulled = base.withColumn(
+        "lang", F.when(F.col("id") == 0, F.lit("")).otherwise(F.col("lang"))
+    )
+    assert fp(nulled) != want
+    # row drop changes n_rows AND the xor
+    dropped = base.where(F.col("id") != 3)
+    got = table_checksum(dropped, ("id",), ("text", "lang")).collect()[0]
+    assert got.n_rows == 49 and (got.xor_hi, got.xor_lo) != want[1:]
+
+    # grouped form: per-group fingerprints localize the difference
+    g1 = {r.lang: (r.n_rows, r.xor_hi, r.xor_lo)
+          for r in table_checksum(base, ("id",), ("text",), ("lang",)).collect()}
+    g2 = {r.lang: (r.n_rows, r.xor_hi, r.xor_lo)
+          for r in table_checksum(changed, ("id",), ("text",), ("lang",)).collect()}
+    diff = {k for k in g1 if g1[k] != g2[k]}
+    assert diff == {"en"}  # id 17 is odd -> 'en' group
