@@ -153,6 +153,7 @@ HEADLINE = (
     "neardup_triangles",
     "cms_estimate_check",
     "version_rollup_report_date",
+    "table_checksum",
 )
 
 

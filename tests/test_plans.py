@@ -674,6 +674,17 @@ def test_fuzzy_decontaminate_pruned_rowlocal_set_build(spark, qmap):
     assert " AS sh#" not in plan
 
 
+def test_table_checksum_single_aggregate_no_joins(spark, qmap):
+    """The fingerprint is one map-side-combined aggregate over a
+    row-local digest projection: no joins, no windows, no second
+    exchange class — a full scan is the floor for any checksum."""
+    df = qmap["table_checksum"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # one partial->final agg exchange (+AQE read)
+
+
 def test_maxsim_rerank_no_cartesian_bounded_joins(spark, qmap):
     """Late interaction: every join is an equi-join on query_id/vid —
     the m^2 blowup stays inside the shortlist, never corpus x corpus."""
