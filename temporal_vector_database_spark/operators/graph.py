@@ -147,6 +147,14 @@ def triangle_counts(
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
     )
+    # the canonical edge list is referenced 5x downstream (degree, both
+    # orientation joins, wedge build x2, wedge close) — materialize it
+    # once so an expensive upstream (LSH band join + verify) doesn't
+    # recompute per reference (measured 4.5 s -> ~1.5 s at sf0.1); at
+    # cluster scale this is the standard persist-the-edge-side of
+    # iterative graph algorithms (same discipline as pagerank_fixed's
+    # reusable big side)
+    ce = ce.localCheckpoint()
     deg = (
         ce.select(F.col("a").alias("id"))
         .unionByName(ce.select(F.col("b").alias("id")))
