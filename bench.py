@@ -154,6 +154,7 @@ HEADLINE = (
     "cms_estimate_check",
     "version_rollup_report_date",
     "table_checksum",
+    "zipf_fit",
 )
 
 

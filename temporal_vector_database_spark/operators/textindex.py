@@ -764,3 +764,84 @@ def cms_estimate_check(
         .agg(F.min("c").cast("long").alias("cms_est"))
         .select("gram", "n_occurrences", "cms_est", "n_grams")
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf power-law fit over the corpus unigram distribution — the
+    corpus-health diagnostic (natural language sits near slope −1 on
+    log freq vs log rank; template/boilerplate corpora flatten, spam
+    steepens): least-squares slope/intercept of ``log2(freq)`` vs
+    ``log2(rank)`` over the top ``top_k`` word types (the head is where
+    the law holds; the tail deviates by construction).
+
+    Float policy (SCALE.md): both logs are the exact fixed-point log2
+    of ``operators/dsir.py`` (BIGINT, 2^16 units, libm-free), moments
+    are exact BIGINT sums, and slope/intercept are single IEEE
+    divisions of exact integer cross-terms — engine-bit-stable, so the
+    DuckDB oracle hash-matches the doubles (the `series_trend`
+    discipline).
+
+    Plan: one map-side-combined word count; the rank window runs over
+    the ``top_k``-row head (TakeOrdered cut, never a global sort of the
+    vocabulary); moments are one tiny aggregate.
+
+    Output (one row): ``n_types``, ``n_tokens`` (full vocabulary),
+    ``k_fit``, ``zipf_slope``, ``zipf_intercept_bits`` (intercept in
+    log2 units at rank 1).
+    """
+    from temporal_vector_database_spark.operators.dsir import (
+        LOG2_SCALE,
+        _fixed_log2_sql,
+    )
+
+    cnt = (
+        docs.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = cnt.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("word")).limit(int(top_k))
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("word")))
+        .cast("long"),
+    )
+    xy = ranked.select(
+        F.expr(_fixed_log2_sql("rank")).alias("x"),
+        F.expr(_fixed_log2_sql("c")).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    out = tot.crossJoin(F.broadcast(m))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    slope = F.when(
+        den != F.lit(0), num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    return out.select(
+        "n_types",
+        "n_tokens",
+        F.col("n").alias("k_fit"),
+        slope.alias("zipf_slope"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / (F.col("n") * F.lit(int(LOG2_SCALE))).cast("double")
+        ).alias("zipf_intercept_bits"),
+    )

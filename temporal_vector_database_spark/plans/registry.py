@@ -8142,6 +8142,63 @@ GROUP BY p.gram, p.n_occurrences, p.n_grams
 """
 
 
+def q_zipf_fit(spark, sf_dir):
+    """r06: Zipf power-law fit over the corpus unigram head — exact
+    fixed-point-log2 rank/freq pairs, exact BIGINT moments, slope and
+    intercept each composed of IEEE-correctly-rounded ops on exact
+    integers (the series_trend discipline, so the doubles hash-match)."""
+    from temporal_vector_database_spark.operators.textindex import zipf_fit
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return zipf_fit(docs, top_k=1000)
+
+
+ORACLES["zipf_fit"] = (
+    _WORDS_CTE
+    + """
+, tok AS (SELECT unnest(w) AS word FROM w),
+cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt),
+top AS (
+  SELECT word, c,
+         CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rank
+  FROM cnt ORDER BY c DESC, word LIMIT 1000
+),
+xy AS (SELECT CAST({L2RANK} AS BIGINT) AS x, CAST({L2C} AS BIGINT) AS y FROM top),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy
+),
+m2 AS (
+  SELECT n, sx, sy,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den
+  FROM m
+),
+sl AS (
+  SELECT n, sx, sy,
+         CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+              ELSE NULL END AS zipf_slope
+  FROM m2
+)
+SELECT tot.n_types, tot.n_tokens, sl.n AS k_fit, sl.zipf_slope,
+       (CAST(sl.sy AS DOUBLE) - sl.zipf_slope * CAST(sl.sx AS DOUBLE))
+         / CAST(sl.n * 65536 AS DOUBLE) AS zipf_intercept_bits
+FROM tot CROSS JOIN sl
+"""
+)
+from temporal_vector_database_spark.operators.dsir import (  # noqa: E402
+    fixed_log2_duckdb_sql as _fl2,
+)
+
+ORACLES["zipf_fit"] = (
+    ORACLES["zipf_fit"].replace("{L2RANK}", _fl2("rank")).replace("{L2C}", _fl2("c"))
+)
+
+
 def q_table_checksum(spark, sf_dir):
     """r06: order-invariant per-source table fingerprint (the
     pt-table-checksum primitive for migration/replica verification):
@@ -8728,6 +8785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_entropy": q_events_user_entropy,
     "heavy_hitters_sketch": q_heavy_hitters_sketch,
     "cms_estimate_check": q_cms_estimate_check,
+    "zipf_fit": q_zipf_fit,
     "dataset_drift": q_dataset_drift,
     "table_checksum": q_table_checksum,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -8905,6 +8963,7 @@ _R06_FRONT = [
     "neardup_triangles",
     "cms_estimate_check",
     "table_checksum",
+    "zipf_fit",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",

@@ -498,3 +498,30 @@ def test_streaming_cms_state_equals_batch_and_serves_estimates(spark, tmp_path):
     unseen = spark.createDataFrame([("zzz qqq",)], "gram string")
     est = cms_point_estimates(counters, unseen, depth=4, width=64).collect()[0]
     assert est.cms_est >= 0
+
+
+def test_zipf_fit_slopes_separate_zipfian_from_uniform(spark):
+    """A corpus drawn with word frequency ∝ 1/rank fits slope ≈ −1; a
+    uniform corpus fits near 0 — the diagnostic separates them. Exact
+    moment invariants: k_fit == min(top_k, n_types), counts exact."""
+    from temporal_vector_database_spark.operators.textindex import zipf_fit
+
+    # zipfian: word i appears floor(1200/i) times
+    words = []
+    for i in range(1, 60):
+        words += [f"z{i}"] * (1200 // i)
+    zdocs = spark.createDataFrame(
+        [(k, " ".join(words[k::10])) for k in range(10)], "doc_id long, text string"
+    )
+    zf = zipf_fit(zdocs, top_k=50).collect()[0]
+    assert zf.k_fit == 50 and zf.n_types == 59
+    assert -1.2 < zf.zipf_slope < -0.8
+
+    # uniform: every word the same count
+    udocs = spark.createDataFrame(
+        [(k, " ".join(f"u{i}" for i in range(40))) for k in range(10)],
+        "doc_id long, text string",
+    )
+    uf = zipf_fit(udocs, top_k=50).collect()[0]
+    assert uf.k_fit == 40 and uf.n_tokens == 400
+    assert abs(uf.zipf_slope) < 0.05
