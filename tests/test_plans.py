@@ -674,6 +674,33 @@ def test_fuzzy_decontaminate_pruned_rowlocal_set_build(spark, qmap):
     assert " AS sh#" not in plan
 
 
+def test_neardup_triangles_no_cartesian(spark, qmap):
+    """Triangle counting: every join is an equi-join (wedge build on u,
+    wedge close on (w1, w2), degree/orientation on node ids) — no
+    cartesian anywhere; the expensive edge upstream is checkpointed so
+    it is scanned, not recomputed, per reference."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    df = qmap["neardup_triangles"](spark, SF_DIR)
+    summarize_plan(df).assert_no_cartesian()
+
+
+def test_cms_counters_bounded_state_no_window(spark, qmap):
+    """CMS gate: counters are plain aggregates (no window functions);
+    the only cartesian-shaped node is the broadcast of the 1-row gram
+    total (the bloom/skew-profile pattern)."""
+    df = qmap["cms_estimate_check"](spark, SF_DIR)
+    assert "Window" not in formatted_plan(df)
+
+
+def test_zipf_fit_topk_cut_not_global_sort(spark, qmap):
+    """The rank window runs over the top-k head: the vocabulary-wide
+    ordering must be a TakeOrdered k-cut, never a materialized global
+    Sort of all word types."""
+    plan = formatted_plan(qmap["zipf_fit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_table_checksum_single_aggregate_no_joins(spark, qmap):
     """The fingerprint is one map-side-combined aggregate over a
     row-local digest projection: no joins, no windows, no second

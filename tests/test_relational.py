@@ -279,3 +279,30 @@ def test_table_checksum_detects_any_change_and_is_order_invariant(spark):
           for r in table_checksum(changed, ("id",), ("text",), ("lang",)).collect()}
     diff = {k for k in g1 if g1[k] != g2[k]}
     assert diff == {"en"}  # id 17 is odd -> 'en' group
+
+
+def test_streaming_checksum_state_equals_batch_and_replay(spark, tmp_path):
+    """Append-only fingerprint fold: 3 micro-batches commit the same
+    fingerprint as one-shot table_checksum over all rows (global AND
+    grouped); head redelivery is a no-op."""
+    from temporal_vector_database_spark.operators.relational import table_checksum
+    from temporal_vector_database_spark.streaming.checksum import (
+        process_checksum_batch,
+        read_checksum_state,
+    )
+
+    rows = [(i, f"payload {i}", "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, text string, grp string")
+    state = str(tmp_path / "ck")
+    kw = dict(key_cols=("id",), compare_cols=("text",), group_cols=("grp",))
+    batches = [df.where(F.col("id") % 3 == r) for r in range(3)]
+    for bid, b in enumerate(batches):
+        process_checksum_batch(b, bid, state, **kw)
+
+    def canon(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    want = canon(table_checksum(df, **kw))
+    assert canon(read_checksum_state(spark, state)) == want
+    process_checksum_batch(batches[2], 2, state, **kw)  # head redelivery
+    assert canon(read_checksum_state(spark, state)) == want
