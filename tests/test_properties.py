@@ -773,3 +773,72 @@ def test_streaming_bloom_state_batching_invariance(
     got = sorted(r.pos for r in read_bloom_positions(spark, state).collect())
     want = sorted(r.pos for r in eval_bloom_positions(df).collect())
     assert got == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Property: per-node triangle counts equal the O(n^3) brute force
+    on arbitrary graphs, regardless of input orientation/duplication."""
+    import itertools
+
+    from temporal_vector_database_spark.operators.graph import triangle_counts
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    adj: dict[int, set[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {
+        v: sum(
+            1
+            for x, y in itertools.combinations(sorted(ns), 2)
+            if y in adj[x]
+        )
+        for v, ns in adj.items()
+    }
+    rows = [(a, b) for a, b in edges]  # original orientations, dups possible upstream
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.id: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.text(max_size=6), st.one_of(st.none(), st.text(max_size=6))),
+        min_size=1,
+        max_size=12,
+    ),
+    pick=st.integers(0, 10**6),
+)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_table_checksum_detects_any_single_cell_change(spark, rows, pick):
+    """Property: perturbing ONE cell of ONE row always changes the
+    fingerprint (64 fingerprint bits; an md5 collision on adjacent
+    encodings would be required to defeat it)."""
+    from temporal_vector_database_spark.operators.relational import table_checksum
+
+    base = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, a string, b string"
+    )
+    i = pick % len(rows)
+    a, b = rows[i]
+    mut = [(j, (x if j != i else (None if x == "" else (x or "") + "!")), y)
+           for j, (x, y) in enumerate((r[0], r[1]) for r in rows)]
+    mutated = spark.createDataFrame(
+        [(j, x, y) for j, x, y in mut], "id long, a string, b string"
+    )
+
+    def fp(df):
+        r = table_checksum(df, ("id",), ("a", "b")).collect()[0]
+        return (r.n_rows, r.xor_hi, r.xor_lo)
+
+    assert fp(base) != fp(mutated) or rows[i][0] == (
+        None if rows[i][0] == "" else (rows[i][0] or "") + "!"
+    )
