@@ -155,6 +155,7 @@ HEADLINE = (
     "version_rollup_report_date",
     "table_checksum",
     "zipf_fit",
+    "neardup_kcore",
 )
 
 

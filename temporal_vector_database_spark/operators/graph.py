@@ -202,3 +202,91 @@ def triangle_counts(
             / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    max_iter: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership of an UNDIRECTED graph
+    (canonicalized/deduped like :func:`triangle_counts`): repeatedly
+    peel nodes whose degree within the surviving subgraph is below
+    ``k`` — the densest-community extractor for duplication
+    neighborhoods (a 2-core separates genuinely clustered near-dup
+    structure from dangling chains that transitive closure would
+    over-merge).
+
+    BOUNDED peeling (``max_iter`` rounds, early-stopped at the
+    fixpoint) with an explicit CONVERGENCE CERTIFICATE: the published
+    ``converged`` column is true iff the final round removed nothing —
+    then the result IS the exact k-core, not an upper bound. Peeling is
+    monotone, so extra rounds after the fixpoint are no-ops and an
+    early-stopped run publishes exactly what the fully-unrolled
+    computation would (the oracle unrolls all rounds).
+
+    Plan: per round, two broadcast-or-shuffled semi-joins of the
+    (checkpointed) edge list against the shrinking alive set + one
+    integer degree aggregate; the edge relation is materialized once
+    and reused every round (the iterative-graph discipline shared with
+    ``pagerank_fixed``/``triangle_counts``). Only per-round COUNTS come
+    back to the driver.
+
+    Output: ``(id, deg_in_core BIGINT, converged BOOLEAN)`` for every
+    node of the final surviving set, where ``deg_in_core`` is the
+    degree within the survivor-induced subgraph.
+    """
+    if int(k) < 1:
+        raise ValueError(f"kcore requires k >= 1, got {k}")
+    if int(max_iter) < 1:
+        raise ValueError(f"kcore requires max_iter >= 1, got {max_iter}")
+    a, b = F.col(src_col), F.col(dst_col)
+    ce = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = (
+        ce.select(F.col("a").alias("id"))
+        .unionByName(ce.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = alive.count()
+    converged = False
+    for _ in range(int(max_iter)):
+        ea = ce.join(alive.withColumnRenamed("id", "a"), "a", "left_semi").join(
+            alive.withColumnRenamed("id", "b"), "b", "left_semi"
+        )
+        deg = (
+            ea.select(F.col("a").alias("id"))
+            .unionByName(ea.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= int(k)).select("id").localCheckpoint()
+        n_new = alive.count()
+        if n_new == n_prev:
+            converged = True
+            break
+        n_prev = n_new
+    ef = ce.join(alive.withColumnRenamed("id", "a"), "a", "left_semi").join(
+        alive.withColumnRenamed("id", "b"), "b", "left_semi"
+    )
+    degf = (
+        ef.select(F.col("a").alias("id"))
+        .unionByName(ef.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg_in_core"))
+    )
+    return (
+        alive.join(degf, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("deg_in_core"), F.lit(0)).cast("long").alias("deg_in_core"),
+            F.lit(bool(converged)).alias("converged"),
+        )
+    )

@@ -7395,6 +7395,100 @@ FROM deg d LEFT JOIN corners c ON d.id = c.id
 )
 
 
+def q_neardup_kcore(spark, sf_dir):
+    """r06: 2-core membership of the sign-band LSH near-dup graph at
+    min_cosine=0.3 — separates genuinely clustered duplication
+    structure (220 of 420 nodes at sf0.01, 6 peel rounds) from dangling
+    chains; bounded peeling with a published convergence certificate
+    (the fixture reaches its fixpoint well inside max_iter=8, so the
+    result is the exact core, not an upper bound)."""
+    from temporal_vector_database_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from temporal_vector_database_spark.operators.graph import kcore
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    pairs = embedding_near_duplicates(emb, min_cosine=0.3)
+    core = kcore(pairs, k=2, max_iter=8, src_col="a_id", dst_col="b_id")
+    return core.select(F.col("id").alias("vec_id"), "deg_in_core", "converged")
+
+
+def _kcore_oracle_sql(k: int, max_iter: int) -> str:
+    """Unrolled peeling rounds over the ``ce(a, b)`` canonical-edge CTE
+    (the pagerank-oracle discipline: bounded integer recurrences unroll
+    into a CTE chain). Peeling is monotone, so the fully-unrolled chain
+    equals the engine's early-stopped run."""
+    # MATERIALIZED everywhere: without the hint DuckDB re-inlines each
+    # a{i} into every downstream reference (2 refs/round -> exponential
+    # plan, observed as fd exhaustion re-opening the parquet) — the
+    # mmr_rerank oracle lesson
+    parts = [
+        "a0 AS MATERIALIZED (SELECT a AS id FROM ce UNION SELECT b AS id FROM ce)",
+    ]
+    for i in range(1, max_iter + 1):
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT ce.a, ce.b FROM ce"
+            f" JOIN a{i - 1} x ON ce.a = x.id JOIN a{i - 1} y ON ce.b = y.id)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM"
+            f" (SELECT a AS id FROM e{i} UNION ALL SELECT b AS id FROM e{i})"
+            f" GROUP BY 1)"
+        )
+        parts.append(f"a{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k})")
+    n, p = max_iter, max_iter - 1
+    parts.append(
+        f"ef AS (SELECT ce.a, ce.b FROM ce"
+        f" JOIN a{n} x ON ce.a = x.id JOIN a{n} y ON ce.b = y.id)"
+    )
+    parts.append(
+        "df AS (SELECT id, CAST(count(*) AS BIGINT) AS deg_in_core FROM"
+        " (SELECT a AS id FROM ef UNION ALL SELECT b AS id FROM ef) GROUP BY 1)"
+    )
+    parts.append(
+        f"conv AS (SELECT (SELECT count(*) FROM a{p}) = (SELECT count(*) FROM a{n})"
+        f" AS converged)"
+    )
+    return (
+        ", ".join(parts)
+        + f"""
+SELECT a{n}.id AS vec_id,
+       CAST(coalesce(df.deg_in_core, 0) AS BIGINT) AS deg_in_core,
+       conv.converged
+FROM a{n} LEFT JOIN df ON a{n}.id = df.id CROSS JOIN conv
+"""
+    )
+
+
+ORACLES["neardup_kcore"] = (
+    _QEMB_CTE
+    + """
+, bucket AS (
+  SELECT vec_id, band_id,
+         (CASE WHEN emb[4 * band_id + 1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 4] >= 0 THEN 8 ELSE 0 END) AS band_val
+  FROM en, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM pairs p JOIN en ea ON p.a_id = ea.vec_id JOIN en eb ON p.b_id = eb.vec_id
+),
+ce AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM scored WHERE sim >= 0.3),
+"""
+    + _kcore_oracle_sql(k=2, max_iter=8)
+)
+
+
 def q_neardup_triangles(spark, sf_dir):
     """r06: exact triangle counts + clustering coefficient per node of
     the symmetrized sign-band LSH near-dup graph (rank-oriented
@@ -8773,6 +8867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture": q_token_budget_mixture,
     "neardup_pagerank": q_neardup_pagerank,
     "neardup_triangles": q_neardup_triangles,
+    "neardup_kcore": q_neardup_kcore,
     "events_type_corr": q_events_type_corr,
     "weighted_reservoir": q_weighted_reservoir,
     "collocations_pmi": q_collocations_pmi,
@@ -8964,6 +9059,7 @@ _R06_FRONT = [
     "cms_estimate_check",
     "table_checksum",
     "zipf_fit",
+    "neardup_kcore",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",

@@ -138,3 +138,46 @@ def test_streaming_pagerank_state_equals_batch_and_replay(spark, tmp_path):
     process_edges_batch(batches[2], 2, state)  # head redelivery -> no-op
     got2 = sorted(tuple(r) for r in pagerank_from_state(spark, state, n_iter=3).collect())
     assert got2 == want
+
+
+def test_kcore_semantics_and_certificate(spark):
+    """Cycle+pendant: the 2-core is exactly the cycle (pendant peeled);
+    a path has an empty 2-core; truncated max_iter publishes
+    converged=False; brute-force parity on a random graph."""
+    import random
+
+    from temporal_vector_database_spark.operators.graph import kcore
+
+    # 5-cycle with a pendant chain 10-11 hanging off node 0
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 10), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.deg_in_core, r.converged) for r in kcore(df, k=2).collect()}
+    assert got == {i: (2, True) for i in range(5)}
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert kcore(path, k=2).count() == 0
+
+    # long path, one peel round only: endpoints dropped, not a fixpoint
+    long_path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    part = kcore(long_path, k=2, max_iter=1).collect()
+    assert len(part) == 7 and all(not r.converged for r in part)
+
+    # brute-force parity
+    rng = random.Random(5)
+    redges = {(a, b) for a in range(15) for b in range(a + 1, 15) if rng.random() < 0.2}
+    adj = {}
+    for a, b in redges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if sum(1 for u in adj[v] if u in alive) < 2}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+    rdf = spark.createDataFrame(list(redges), "src long, dst long")
+    got = {r.id: r.deg_in_core for r in kcore(rdf, k=2, max_iter=20).collect()}
+    assert got == want
