@@ -156,6 +156,7 @@ HEADLINE = (
     "table_checksum",
     "zipf_fit",
     "neardup_kcore",
+    "jaccard_exact_join",
 )
 
 

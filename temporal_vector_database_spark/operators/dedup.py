@@ -1858,3 +1858,127 @@ def cross_corpus_near_dup(
             "jaccard",
         )
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 7,
+    min_jaccard_num: int = 1,
+    min_jaccard_den: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-recall Jaccard similarity self-join via PREFIX FILTERING
+    (PPJoin family, Xiao et al. WWW'08) — the recall-complete tier of
+    the dedup ladder: MinHash banding (`near_duplicate_pairs`) trades
+    recall for cost along the S-curve; this join provably returns
+    EVERY pair with shingle-set Jaccard >= t.
+
+    Prefix theorem: order all tokens by global rarity (document
+    frequency asc, token asc). If J(A,B) >= t then |A∩B| >= ceil(t·|A|)
+    (since |A∪B| >= |A|), so A and B must share a token among each
+    side's first ``n − ceil(t·n) + 1`` rarest tokens — candidate pairs
+    are an equi-join of PREFIX tokens only; everything else is safely
+    pruned. The threshold is the exact rational ``min_jaccard_num /
+    min_jaccard_den`` and the verify comparison is pure integers
+    (``n_inter·den >= num·(n_a + n_b − n_inter)``) — no float anywhere
+    until the published jaccard column.
+
+    Scale: the prefix join's cost concentrates on RARE tokens (short
+    posting lists) by construction — the frequent-token quadratic
+    blowup that kills naive token joins is exactly what the prefix
+    order prunes. Per-doc prefix extraction is one doc-keyed window
+    (rank by global df); the verify intersect runs on row-locally built
+    hashed sets (no explode/collect_set shuffle — the
+    `cross_corpus_near_dup` discipline).
+
+    Output: one row per unordered pair ``a_id < b_id`` with
+    ``(n_inter, n_a, n_b, jaccard)``.
+    """
+    tn, td = int(min_jaccard_num), int(min_jaccard_den)
+    if not (0 < tn <= td):
+        raise ValueError(f"threshold must satisfy 0 < num <= den, got {tn}/{td}")
+    digs = (
+        f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+        f" i -> md5(substring({text_col}, i, {width})))"
+    )
+    set_expr = (
+        f"array_distinct(transform({digs},"
+        f" d -> CAST({_hash32_from_digest_expr('d')} AS BIGINT)))"
+    )
+    # _spread: a single-file scan is one partition and the md5-per-
+    # shingle HOF would run on one core; checkpoint: `sets` feeds the
+    # token stream AND both verify sides, `prefix` self-joins — without
+    # materialization the set build recomputes per reference
+    sets = (
+        _spread(docs)
+        .select(F.col(id_col).alias("_id"), F.expr(set_expr).alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set").cast("long"))
+        .localCheckpoint()
+    )
+    tok = sets.select("_id", "n_sh", F.explode("sh_set").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix_len = F.col("n_sh") - F.expr(f"({tn} * n_sh + {td} - 1) div {td}") + F.lit(1)
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("tok", "_id", "n_sh")
+        .localCheckpoint()
+    )
+    # length filter (the second PPJoin prune, also exact): J >= t forces
+    # t·max(n_a, n_b) <= min(n_a, n_b) — pairs with incompatible set
+    # sizes never leave the token join
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa._id") < F.col("pb._id"))
+            & (F.col("pa.n_sh") * F.lit(tn) <= F.col("pb.n_sh") * F.lit(td))
+            & (F.col("pb.n_sh") * F.lit(tn) <= F.col("pa.n_sh") * F.lit(td)),
+        )
+        .select(F.col("pa._id").alias("a_id"), F.col("pb._id").alias("b_id"))
+        .distinct()
+        .localCheckpoint()  # feeds the id-prune AND the verify join
+    )
+    # verify sides pruned to candidate members (the cross_corpus_near_dup
+    # discipline: at corpus scale only docs that survived the prefix
+    # filter carry their sets into the verify join)
+    cand_ids = (
+        cand.select(F.col("a_id").alias("_id"))
+        .unionByName(cand.select(F.col("b_id").alias("_id")))
+        .distinct()
+    )
+    vsets = sets.join(F.broadcast(cand_ids), "_id", "left_semi")
+    sa = vsets.select(
+        F.col("_id").alias("a_id"), F.col("sh_set").alias("a_set"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = vsets.select(
+        F.col("_id").alias("b_id"), F.col("sh_set").alias("b_set"),
+        F.col("n_sh").alias("n_b"),
+    )
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long"))
+        .where(
+            F.col("n_inter") * F.lit(td)
+            >= F.lit(tn) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        "n_inter",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -8406,6 +8406,88 @@ FROM a FULL OUTER JOIN b ON a.source = b.source
 
 
 
+def q_jaccard_exact_join(spark, sf_dir):
+    """r06: EXACT-recall Jaccard self-join (PPJoin prefix filtering) at
+    t=1/2 over width-7 shingle sets — the recall-complete dedup tier
+    beside the banding-recall LSH path. Corpus = the doc_id % 10 == 0
+    subset plus lightly-edited copies (first 20 chars dropped, ids
+    offset by 10^6) of its doc_id % 25 == 0 docs, so the exact join
+    must find every (original, copy) pair — banding could miss
+    borderline ones; prefix filtering provably cannot.
+
+    Why a subset: this fixture's ~30-word vocabulary yields only ~5.8k
+    distinct width-7 shingles, so every doc's 'rarest' prefix tokens
+    still post ~114 docs and candidates go quadratic (10.3M pairs
+    full-corpus at sf0.1 — measured) — adversarial for ANY exact-recall
+    token join, whose floor is the corpus's true similarity structure.
+    On natural text rare shingles are actually rare and the prefix
+    lists are short; the subset keeps the gate honest and bounded."""
+    from temporal_vector_database_spark.operators.dedup import jaccard_prefix_join
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+        F.col("doc_id") % 10 == 0
+    )
+    leaks = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.expr("substring(text, 21)").alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(leaks)
+    return jaccard_prefix_join(both, width=7, min_jaccard_num=1, min_jaccard_den=2)
+
+
+ORACLES["jaccard_exact_join"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substring(text, 21) AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                               i -> substring(text, i, 7))) AS g
+  FROM base
+),
+tok AS (SELECT DISTINCT doc_id AS _id, {SHH} AS tok FROM sh),
+nn AS (SELECT _id, CAST(count(*) AS BIGINT) AS n_sh FROM tok GROUP BY 1),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+rk AS (
+  SELECT t._id, t.tok,
+         row_number() OVER (PARTITION BY t._id ORDER BY f.df, t.tok) AS rn,
+         nn.n_sh
+  FROM tok t JOIN freq f ON t.tok = f.tok JOIN nn ON t._id = nn._id
+),
+prefix AS (
+  SELECT tok, _id FROM rk
+  WHERE rn <= n_sh - ((1 * n_sh + 2 - 1) // 2) + 1
+),
+cand AS (
+  SELECT DISTINCT pa._id AS a_id, pb._id AS b_id
+  FROM prefix pa JOIN prefix pb ON pa.tok = pb.tok AND pa._id < pb._id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN tok ta ON ta._id = c.a_id
+  JOIN tok tb ON tb._id = c.b_id AND tb.tok = ta.tok
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       na.n_sh AS n_a, nb.n_sh AS n_b,
+       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         / CAST(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+JOIN nn na ON na._id = c.a_id
+JOIN nn nb ON nb._id = c.b_id
+WHERE coalesce(i.n_inter, 0) * 2 >= 1 * (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0))
+"""
+ORACLES["jaccard_exact_join"] = ORACLES["jaccard_exact_join"].replace(
+    "{SHH}", _token_hash32_expr("g")
+)
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     """Fuzzy lexical decontamination: corpus docs that near-duplicate
     any eval/benchmark doc at exact-shingle jaccard >= 0.5, via
@@ -8884,6 +8966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_drift": q_dataset_drift,
     "table_checksum": q_table_checksum,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "jaccard_exact_join": q_jaccard_exact_join,
     "ngram_containment_short": q_ngram_containment_short,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
@@ -9060,6 +9143,7 @@ _R06_FRONT = [
     "table_checksum",
     "zipf_fit",
     "neardup_kcore",
+    "jaccard_exact_join",
     # (2) re-run context: the green integer gate + the red report twin,
     # and the two retuned/replanned gates (same oracles)
     "version_rollup",

@@ -619,3 +619,51 @@ def test_fuzzy_decontaminate_catches_edited_leak(spark):
     assert set(got) == {1}
     assert got[1].eval_doc_id == 100
     assert got[1].jaccard >= 0.5
+
+
+def test_jaccard_prefix_join_exact_recall_vs_brute_force(spark):
+    """The prefix-filter contract: EVERY pair with shingle-set Jaccard
+    >= t is returned — parity against the all-pairs brute force on a
+    corpus with injected borderline near-dups; thresholds are exact
+    rationals (integer compare, no float epsilon)."""
+    import hashlib
+
+    from temporal_vector_database_spark.operators.dedup import jaccard_prefix_join
+
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    texts = {
+        1: base,
+        2: base.replace("lazy", "slow"),            # heavy overlap
+        3: base[10:],                               # prefix-dropped copy
+        4: "completely different content about cooking pasta tonight",
+        5: "completely different content about cooking pizza tonight",
+        6: "unrelated short text",
+    }
+    width, tn, td = 5, 1, 3  # t = 1/3
+
+    def shset(t):
+        n = max(len(t) - width + 1, 1)
+        out = set()
+        for i in range(n):
+            d = hashlib.md5(t[i : i + width].encode()).hexdigest()
+            # little-endian-nibble u32 — mirrors _hash32_from_digest_expr
+            out.add(sum(int(c, 16) * (16 ** p) for p, c in enumerate(d[:8])))
+        return out
+
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                A, B = shset(texts[a]), shset(texts[b])
+                ni = len(A & B)
+                if ni * td >= tn * (len(A) + len(B) - ni):
+                    want.add((a, b, ni))
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id, r.n_inter)
+        for r in jaccard_prefix_join(
+            docs, width=width, min_jaccard_num=tn, min_jaccard_den=td
+        ).collect()
+    }
+    assert got == want and len(want) >= 3
