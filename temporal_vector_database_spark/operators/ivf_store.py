@@ -1,7 +1,8 @@
 """Incremental maintenance of the persisted IVF index — the LSM /
 merge-on-read pattern (Delta/Iceberg-style) applied to ANN serving
-(beyond-reference; the reference rebuilds its FAISS index wholesale,
-/root/reference/core/vector_search.py — here index maintenance is
+(beyond-reference; the reference re-scans every base snapshot per
+search, /root/reference/storage/storage_engine.py — here index
+maintenance is
 an incremental data-layout operation).
 
 Layout under ``<path>/``::

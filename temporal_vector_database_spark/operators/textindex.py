@@ -22,7 +22,7 @@ Scale posture:
   doc-keyed score aggregate — two bounded shuffles, no all-pairs.
 
 Reference: no counterpart (the reference has no text surface at all;
-its closest analogue is vector search ``core/vector_database.py``).
+its closest analogue is vector search ``storage/storage_engine.py``).
 """
 
 from __future__ import annotations

@@ -3919,8 +3919,8 @@ WITH st AS (
   SELECT content_id,
          make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS bucket_start,
          count(*) AS n_versions,
-         sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS n_bases,
-         sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS n_deltas,
+         CAST(sum(CASE WHEN kind <> 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_bases,
+         CAST(sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_deltas,
          CAST(sum(CASE WHEN kind = 'delta'
                   THEN CAST(round(magnitude * 1000000000.0) AS BIGINT) END) AS BIGINT) AS mag_sum_e9,
          CAST(max(CASE WHEN kind = 'delta'

@@ -14,7 +14,7 @@ integer iterations over the maintained edges — bit-identical to the
 batch operator on the same graph (pinned in tests), with the per-batch
 cost proportional to the batch's pairs, never the corpus.
 
-Reference: no counterpart (`core/vector_database.py` has no graph
+Reference: no counterpart (`storage/storage_engine.py` has no graph
 surface); the batch operator is ``operators/graph.py``.
 """
 
