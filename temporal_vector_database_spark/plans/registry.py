@@ -112,30 +112,30 @@ def q_ingest_encode(spark, sf_dir):
 
 
 def q_ingest_late(spark, sf_dir):
-    """Out-of-order ingest gate (ROWS-ONLY by design): withhold two
-    mid-history versions (ts ranks 4 and 7) of every content ending in
-    1 or 3, ingest the rest, then deliver the withheld rows LATE via
-    ingest_late. Delta encoding is deliberately LOSSY (sub-threshold
-    dims dropped, chained against reconstructions — SURVEY.md §7 risk
-    1), so reconstruct-then-re-encode is NOT bit-equal to the
-    all-at-once encode and no ANSI-SQL oracle can replicate the
-    sequential lossy encoder. The real contracts are pinned in
-    tests/test_ingest.py instead: (a) on supra-threshold timelines the
-    round trip IS bit-exact vs all-at-once ingest, and (b) on the lossy
-    fixture every re-encoded version reconstructs within the per-dim
-    sparsity-threshold error bound of its merged-timeline input."""
+    """Out-of-order ingest gate (oracle-gated since r07): withhold two
+    mid-history versions (seqs 3 and 6) of every supra-threshold late
+    fixture content, ingest the rest, deliver the withheld rows LATE
+    via ingest_late, and value-compare the re-encoded final state
+    against the committed all-at-once encode
+    (versions_late_full.parquet, written by the INDEPENDENT fixture
+    encoder — the ingest_encode gate pattern). On supra-threshold
+    timelines (every changed dim >= 1/64 > the 0.01 threshold) delta
+    encoding is lossless, so reconstruct → merge → re-encode is
+    bit-exact vs all-at-once ingest (tests/test_ingest.py contract
+    (a)); the LOSSY-fixture error-bound contract stays pinned in
+    tests/test_ingest.py::test_ingest_late_error_bound_on_lossy_fixture.
+    The reference's write path appends late arrivals at the tail,
+    silently mis-ordering history (storage/storage_engine.py:417-437)
+    — this gate pins the repaired semantics."""
     from temporal_vector_database_spark.operators.ingest import ingest, ingest_late
 
-    raw = spark.read.parquet(_fix(sf_dir, "versions_raw")).where(
-        ~F.col("content_id").startswith("corrupt")
-    )
-    affected = F.col("content_id").rlike("[13]$")
-    is_late = affected & F.col("seq").isin(4, 7)
+    raw = spark.read.parquet(_fix(sf_dir, "versions_late_raw"))
+    is_late = F.col("seq").isin(3, 6)
     early = raw.where(~is_late).drop("seq")
     late = raw.where(is_late).select("content_id", "ts", "embedding")
     stored = ingest(early, FIXTURE_CONFIG)
     out = ingest_late(
-        stored.where(affected),
+        stored,
         late,
         FIXTURE_CONFIG,
         policy=raw.select("content_id", "base_interval").distinct(),
@@ -147,6 +147,7 @@ def q_ingest_late(spark, sf_dir):
         "from_seq",
         "n_changed",
         "magnitude",
+        "version_id",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x).alias("esum"),
         F.aggregate("sparse_val", F.lit(0.0), lambda a, x: a + x).alias("vsum"),
     )
@@ -619,13 +620,16 @@ def q_cluster_capped_sample(spark, sf_dir):
 
 def q_wordpiece_tokens(spark, sf_dir):
     """Greedy longest-match-first WordPiece segmentation against a
-    corpus-derived top-256 subword vocab. ROWS-ONLY by design: the
-    per-word greedy loop (each match advances the cursor) is not
-    ANSI-SQL expressible; the cover-exactly / longest-first / OOV
-    fallback invariants and the deterministic vocab top-K are pinned in
-    tests/test_tokenize.py. Output fingerprints the piece sequence per
-    doc (pieces_md5), so reruns/engines agreeing on segmentation hash
-    identically."""
+    corpus-derived top-256 subword vocab. Oracle-gated since r07: the
+    per-word greedy loop (each match advances the cursor) is a
+    RECURSIVE CTE in the oracle — cursor state (pos, acc, np) per word,
+    the longest-match choice as a CASE over vocab-list membership at
+    j=4,3,2 with the j=1 OOV fallback — the same bounded-iteration
+    precedent as the kcore peel oracle. The cover-exactly /
+    longest-first / OOV invariants and the deterministic vocab top-K
+    stay pinned in tests/test_tokenize.py. Output fingerprints the
+    piece sequence per doc (pieces_md5), so engines agreeing on
+    segmentation hash identically."""
     from temporal_vector_database_spark.operators.tokenize import (
         build_subword_vocab,
         wordpiece_tokenize,
@@ -2491,6 +2495,19 @@ SELECT content_id, seq, kind, from_seq, n_changed, magnitude,
 FROM {_VOK}
 """
 
+# r07: the late-ingest final-state contract. The expected state is the
+# committed all-at-once encode of the supra-threshold late fixture
+# (versions_late_full.parquet, independent fixture encoder); the Spark
+# side re-derives it through the full out-of-order path (ingest early →
+# reconstruct → merge late → re-encode). Dyadic 2^-6 grid → all sums
+# exact → esum/vsum order-independent bit-equal; magnitude is numpy
+# sqrt over exact diffs in both encoders.
+ORACLES["ingest_late"] = """
+SELECT content_id, seq, kind, from_seq, n_changed, magnitude, version_id,
+       list_sum(embedding) AS esum, list_sum(sparse_val) AS vsum
+FROM read_parquet('{FIX}/versions_late_full.parquet')
+"""
+
 ORACLES["nearest_base"] = f"""
 SELECT content_id, seq,
        max(CASE WHEN kind='base' THEN seq END)
@@ -2867,6 +2884,71 @@ SELECT doc_id, md5(text) AS text_hash,
        CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count,
        doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
 FROM documents
+"""
+
+# r07: the greedy longest-match loop unrolled into a recursive CTE.
+# State per (doc, word): cursor pos, accumulated piece string, piece
+# count; each step consumes the longest vocab gram at the cursor
+# (CASE j=4,3,2 over a materialized 256-gram list) or one OOV char
+# (j=1 fallback — mirrors tokenize.py's `if j == 1 or w[i:i+j] in
+# vocab_set`). Terminal rows are pos = len(w)+1 (unique per word:
+# j >= 1 so pos strictly advances). Iterations are bounded by max word
+# length. n_words/n_pieces CAST to INTEGER (Spark publishes int32);
+# md5 of the space-joined pieces matches hashlib.md5 on the same text.
+ORACLES["wordpiece_tokens"] = """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+),
+grams AS (
+  SELECT unnest(flatten(list_transform(
+           generate_series(1, least(4, length(w))),
+           n -> list_transform(generate_series(1, length(w) - n + 1),
+                               i -> substr(w, CAST(i AS INTEGER), CAST(n AS INTEGER))))))
+         AS gram
+  FROM words
+),
+vocab AS (
+  SELECT gram FROM (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+  ORDER BY cnt DESC, gram ASC LIMIT 256
+),
+vl AS MATERIALIZED (SELECT list(gram) AS gs FROM vocab),
+seg AS (
+  SELECT doc_id, widx, w, 1 AS pos, CAST('' AS VARCHAR) AS acc, 0 AS np
+  FROM words
+  UNION ALL
+  SELECT doc_id, widx, w, pos + j,
+         CASE WHEN acc = '' THEN piece ELSE acc || ' ' || piece END,
+         np + 1
+  FROM (
+    SELECT s.doc_id, s.widx, s.w, s.pos, s.acc, s.np,
+           CASE WHEN s.pos + 3 <= length(s.w)
+                     AND list_contains(vl.gs, substr(s.w, s.pos, 4)) THEN 4
+                WHEN s.pos + 2 <= length(s.w)
+                     AND list_contains(vl.gs, substr(s.w, s.pos, 3)) THEN 3
+                WHEN s.pos + 1 <= length(s.w)
+                     AND list_contains(vl.gs, substr(s.w, s.pos, 2)) THEN 2
+                ELSE 1 END AS j
+    FROM seg s CROSS JOIN vl
+    WHERE s.pos <= length(s.w)
+  ) stepped
+  CROSS JOIN LATERAL (SELECT substr(w, pos, j) AS piece) p
+),
+wordpieces AS (
+  SELECT doc_id, widx, acc, np FROM seg WHERE pos = length(w) + 1
+),
+docagg AS (
+  SELECT doc_id, count(*) AS nw, sum(np) AS npc,
+         string_agg(acc, ' ' ORDER BY widx) AS allp
+  FROM wordpieces GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.nw, 0) AS INTEGER) AS n_words,
+       CAST(coalesce(a.npc, 0) AS INTEGER) AS n_pieces,
+       md5(coalesce(a.allp, '')) AS pieces_md5
+FROM documents d LEFT JOIN docagg a ON d.doc_id = a.doc_id
 """
 
 ORACLES["token_stats"] = """

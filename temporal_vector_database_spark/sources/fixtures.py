@@ -50,7 +50,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_VERSION = "v1"
+FIXTURE_VERSION = "v2"  # v2 (r07): + supra-threshold late-ingest family
 GRID = 1.0 / (1 << 20)  # quantization grid for version-1 embeddings
 STEP = 1.0 / (1 << 7)  # all injected changes are multiples of this
 EPOCH_US = 1735689600_000_000  # 2025-01-01T00:00:00 UTC, microseconds
@@ -328,6 +328,53 @@ def ensure_fixtures(sf_dir: str) -> str:
     # k far beyond index size → exercises the k cap (storage_engine.py:460)
     query_rows.append({"query_id": qid + 1, "embedding": seed1.tolist(), "k": 1_000_000})
 
+    # --- supra-threshold late-ingest family (r07) ----------------------------
+    # Timelines whose every changed dim moves by >= 1/64 (supra the 0.01
+    # sparsity threshold): delta encode is LOSSLESS on them by
+    # construction, so the out-of-order ingest roundtrip (reconstruct →
+    # merge late rows → re-encode) is bit-equal to the all-at-once encode
+    # (tests/test_ingest.py contract (a)). The all-at-once encode is
+    # committed here by the INDEPENDENT fixture encoder and serves as the
+    # ingest_late oracle's expected final state — the same cross-engine
+    # gate pattern as ingest_encode vs versions.parquet. Values live on
+    # the 2^-6 dyadic grid, so every sum/diff is exact float64 in any
+    # engine and any order.
+    late_version_rows: list[dict] = []
+    late_raw_rows: list[dict] = []
+    n_late = max(2, len(embs) // 25)
+    dim_late = 16
+    n_late_ver = 9
+    for c in range(n_late):
+        base = np.array(
+            [((c * 7 + d) % 9 - 4) / 64.0 for d in range(dim_late)], dtype=np.float64
+        )
+        raws = [base]
+        cur = base
+        for k in range(2, n_late_ver + 1):
+            noise = np.zeros(dim_late, dtype=np.float64)
+            for d in range(dim_late):
+                if (k + d + c) % 3 == 0:
+                    noise[d] = (1 + (k + d) % 2) / 64.0
+            cur = cur + noise
+            raws.append(cur)
+        cid = f"late{c:05d}"
+        start = EPOCH_US + (200_000 + c) % 1_000_000 * MINUTE_US
+        ts_list = [start + (k - 1) * DAY_US for k in range(1, n_late_ver + 1)]
+        late_version_rows.extend(
+            _encode_timeline(cid, ts_list, raws, BASE_INTERVAL, [False] * n_late_ver)
+        )
+        for k, (ts, raw) in enumerate(zip(ts_list, raws), start=1):
+            late_raw_rows.append(
+                {
+                    "content_id": cid,
+                    "seq": k,
+                    "ts": ts,
+                    "embedding": raw.tolist(),
+                    "force_base": False,
+                    "base_interval": BASE_INTERVAL,
+                }
+            )
+
     # --- as-of probes ---------------------------------------------------------
     probe_rows: list[dict] = []
     pid = 0
@@ -349,6 +396,14 @@ def ensure_fixtures(sf_dir: str) -> str:
     try:
         _write(os.path.join(tmp, "versions.parquet"), version_rows, _SCHEMA_VERSIONS)
         _write(os.path.join(tmp, "versions_raw.parquet"), raw_rows, _SCHEMA_RAW)
+        _write(
+            os.path.join(tmp, "versions_late_raw.parquet"), late_raw_rows, _SCHEMA_RAW
+        )
+        _write(
+            os.path.join(tmp, "versions_late_full.parquet"),
+            late_version_rows,
+            _SCHEMA_VERSIONS,
+        )
         _write(os.path.join(tmp, "queries_vec.parquet"), query_rows, _SCHEMA_QUERIES)
         _write(os.path.join(tmp, "asof_probes.parquet"), probe_rows, _SCHEMA_PROBES)
         with open(os.path.join(tmp, f"_DONE_{FIXTURE_VERSION}"), "w") as f:
