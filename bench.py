@@ -157,6 +157,10 @@ HEADLINE = (
     "zipf_fit",
     "neardup_kcore",
     "jaccard_exact_join",
+    # r07 additions
+    "ngram_containment_small",
+    "ingest_late",
+    "wordpiece_tokens",
 )
 
 

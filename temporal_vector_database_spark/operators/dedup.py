@@ -1606,6 +1606,123 @@ def _bucket_containment_fn(min_containment: float, chunk_rows: int):
     return fn
 
 
+def _containment_prefix_pairs(
+    docs: DataFrame, text_col: str, width: int, min_containment: float
+) -> DataFrame:
+    """Exact-recall containment self-join (``band_on="small"`` tier of
+    :func:`ngram_containment_pairs` — see its docstring for the prefix
+    theorem). Small side emits its ``n − ceil(t·n) + 1`` rarest hashed
+    shingles; the container side posts ALL shingles; the smaller-set
+    side of each candidate pair is forced onto the prefix side by the
+    join condition, so every pair passing the integer verify gate is
+    found. Same row-local set build + candidate-pruned verify
+    discipline as ``jaccard_prefix_join``."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(float(min_containment)))
+    tn, td = frac.numerator, frac.denominator
+    if not (0 < tn <= td):
+        raise ValueError(f"min_containment must be in (0, 1], got {min_containment}")
+    if td > 10_000:
+        # exact integer math: keep tn·n_sh far from BIGINT range. A
+        # threshold like 1/3 should be passed as a short decimal (0.333).
+        raise ValueError(
+            f"min_containment must be a short decimal (denominator <= 1e4), got {frac}"
+        )
+    shingle_arr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+        f" i -> substring({text_col}, i, {width}))"
+    )
+    set_expr = (
+        f"array_distinct(transform({shingle_arr},"
+        f" s -> CAST({_token_hash32_expr('s')} AS BIGINT)))"
+    )
+    sets = (
+        _spread(docs.select("doc_id", text_col))
+        .select(F.col("doc_id").alias("_id"), F.expr(set_expr).alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set").cast("long"))
+        .localCheckpoint()
+    )
+    tok = sets.select("_id", "n_sh", F.explode("sh_set").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy("_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix_len = (
+        F.col("n_sh") - F.expr(f"({tn} * n_sh + {td} - 1) div {td}") + F.lit(1)
+    )
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("tok", "_id", "n_sh")
+        .localCheckpoint()
+    )
+    # prefix side = the smaller set of the pair (ties by id) — exactly
+    # the side the prefix theorem bounds; the container side is the
+    # full posting stream, never prefix-pruned
+    cand = (
+        prefix.alias("pa")
+        .join(
+            tok.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (
+                (F.col("pa.n_sh") < F.col("pb.n_sh"))
+                | (
+                    (F.col("pa.n_sh") == F.col("pb.n_sh"))
+                    & (F.col("pa._id") < F.col("pb._id"))
+                )
+            ),
+        )
+        .select(
+            F.least(F.col("pa._id"), F.col("pb._id")).alias("a_id"),
+            F.greatest(F.col("pa._id"), F.col("pb._id")).alias("b_id"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_ids = (
+        cand.select(F.col("a_id").alias("_id"))
+        .unionByName(cand.select(F.col("b_id").alias("_id")))
+        .distinct()
+    )
+    vsets = sets.join(F.broadcast(cand_ids), "_id", "left_semi")
+    sa = vsets.select(
+        F.col("_id").alias("a_id"),
+        F.col("sh_set").alias("a_set"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = vsets.select(
+        F.col("_id").alias("b_id"),
+        F.col("sh_set").alias("b_set"),
+        F.col("n_sh").alias("n_b"),
+    )
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long")
+        )
+        .where(
+            F.col("n_inter") * F.lit(td)
+            >= F.lit(tn) * F.least(F.col("n_a"), F.col("n_b"))
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        "n_inter",
+        "n_a",
+        "n_b",
+        (F.col("n_inter").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment_a"
+        ),
+        (F.col("n_inter").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment_b"
+        ),
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1615,6 +1732,7 @@ def ngram_containment_pairs(
     min_containment: float = 0.6,
     verify: str = "matrix",
     chunk_rows: int = 2048,
+    band_on: str = "sig",
 ) -> DataFrame:
     """ASYMMETRIC near-dup: n-gram set containment
     ``C(A→B) = |A∩B| / |A|`` in both directions — the measure that
@@ -1630,12 +1748,34 @@ def ngram_containment_pairs(
     sets through ``array_intersect`` in codegen. Containments are
     integer ratios (|A∩B|, |A|, |B| exact) — bit-stable anywhere.
 
-    Caveat shared with all MinHash-LSH pipelines: banding recall is
-    tuned for RESEMBLANCE, so extreme-asymmetry pairs (tiny |A|, huge
-    |B|) may not collide in any band; production containment hunts at
-    100 TB key the bands on the SMALL side's shingles (documented
-    tradeoff — the oracle gates exactly this plan's semantics).
+    Caveat of the default (``band_on="sig"``) candidate tier, shared
+    with all MinHash-LSH pipelines: banding recall is tuned for
+    RESEMBLANCE, so extreme-asymmetry pairs (tiny |A|, huge |B|) may
+    not collide in any band — the signature of B is dominated by its
+    non-A shingles. ``band_on="small"`` is the production fix: key the
+    candidate join on the SMALL side's shingles. Taken to its exact
+    conclusion, bands over the small side degenerate into rare-first
+    PREFIX POSTINGS (the containment analogue of the PPJoin tier,
+    ``jaccard_prefix_join``): if ``C(A→B) >= num/den`` with
+    ``|A| <= |B|`` then ``|A∩B| >= ceil(t·|A|)``, so A shares one of
+    its ``n − ceil(t·n) + 1`` globally-rarest shingles with B — an
+    equi-join of every doc's rarest-prefix against every doc's FULL
+    postings is recall-COMPLETE for the either-direction predicate
+    (the container side cannot be prefix-pruned: containment puts no
+    lower bound on |∩|/|B|). The threshold is handled as the exact
+    rational ``Fraction(str(min_containment))`` and the verify gate is
+    pure integers (``n_inter·den >= num·least(n_a, n_b)``), so recall
+    is provable, not float-dependent — the driver gate for this mode
+    is a brute-force ALL-PAIRS oracle, which only passes because the
+    plan misses nothing. Cost concentrates on rare tokens (short
+    posting lists); at 100 TB the frequent-shingle postings are the
+    pressure point — cap or segment hot shingles there, which trades
+    back recall only on pairs whose every prefix shingle is hot.
     """
+    if band_on not in ("sig", "small"):
+        raise ValueError(f"band_on must be 'sig' or 'small', got {band_on!r}")
+    if band_on == "small":
+        return _containment_prefix_pairs(docs, text_col, width, min_containment)
     rows_per_band = num_hashes // bands
 
     def band_exprs():

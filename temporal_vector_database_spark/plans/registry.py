@@ -8771,6 +8771,90 @@ ORACLES["ngram_containment_short"] = ORACLES["ngram_containment_short"].replace(
 )
 
 
+def q_ngram_containment_small(spark, sf_dir):
+    """r07: EXACT-RECALL containment at extreme asymmetry —
+    ``band_on="small"`` (rare-first prefix postings, the containment
+    analogue of the PPJoin tier; see ``_containment_prefix_pairs``).
+    The fixture injects the exact failure mode of symmetric MinHash
+    banding: a TINY doc (words 5..12 of a long source) fully embedded
+    in its HUGE source — containment_a = ~1.0, Jaccard tiny, and the
+    source's signature is dominated by non-tiny shingles so no band
+    collides (tests/test_dedup_text_search.py pins that the symmetric
+    tier misses these pairs while this tier finds every one). The
+    ORACLE is brute-force ALL-PAIRS over the same corpus — it matches
+    only because the prefix plan is recall-complete, making exact
+    recall itself the driver-gated property."""
+    from temporal_vector_database_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tiny = docs.where((F.col("doc_id") % 50 == 0) & (F.size(words) >= 20)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"),
+    )
+    corpus = base.unionByName(tiny)
+    return ngram_containment_pairs(
+        corpus, width=7, min_containment=0.6, band_on="small"
+    )
+
+
+# brute-force all-pairs truth (no candidate tier at all): hash the same
+# width-7 shingles, integer verify n_inter*5 >= 3*least(n_a, n_b) —
+# exactly the Spark plan's Fraction('0.6') = 3/5 gate. Equality with
+# the prefix-postings plan IS the exact-recall proof.
+ORACLES["ngram_containment_small"] = """
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+tiny AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(list_filter(string_split(text, ' '),
+                                                x -> x <> ''), 5, 12), ' ') AS text
+  FROM documents
+  WHERE doc_id % 50 = 0
+    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+),
+d AS (SELECT * FROM d0 UNION ALL SELECT * FROM tiny),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                               i -> substring(text, i, 7))) AS sh
+  FROM d
+),
+shd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(DISTINCT shh) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT p.a_id, p.b_id, CAST(count(DISTINCT a.shh) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.a_id
+  JOIN shd b ON b.doc_id = p.b_id AND b.shh = a.shh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.a_id, p.b_id, COALESCE(i.n_inter, 0) AS n_inter,
+         sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM pairs p
+  LEFT JOIN inter i ON p.a_id = i.a_id AND p.b_id = i.b_id
+  JOIN sizes sa ON sa.doc_id = p.a_id
+  JOIN sizes sb ON sb.doc_id = p.b_id
+)
+SELECT a_id, b_id, n_inter, n_a, n_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+       CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+FROM scored
+WHERE n_inter * 5 >= 3 * least(n_a, n_b)
+"""
+ORACLES["ngram_containment_small"] = ORACLES["ngram_containment_small"].replace(
+    "{SHH}", _th("sh")
+)
+
 
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
@@ -9050,6 +9134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "jaccard_exact_join": q_jaccard_exact_join,
     "ngram_containment_short": q_ngram_containment_short,
+    "ngram_containment_small": q_ngram_containment_small,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,

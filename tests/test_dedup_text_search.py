@@ -575,6 +575,56 @@ def test_ngram_containment_catches_subset_dup_jaccard_misses(spark):
     assert jac[(1, 2)] < r.containment_a - 0.3
 
 
+def test_containment_small_side_finds_pairs_symmetric_bands_miss(spark):
+    """The r07 exact-recall tier (band_on='small', rare-first prefix
+    postings): at extreme asymmetry — a tiny doc embedded in a huge
+    one — the symmetric MinHash bands do NOT collide (the huge side's
+    signature is dominated by its other shingles), while the
+    small-side prefix plan finds EVERY passing pair (recall quantified
+    against an in-test brute force)."""
+    from temporal_vector_database_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    tiny = "alpha beta gamma delta epsilon zeta"
+    rows = []
+    for c in range(6):
+        filler = " ".join(f"word{c}x{i} filler{(c * 31 + i) % 97}" for i in range(300))
+        rows.append((2 * c, f"{filler} {tiny} {filler}"))   # huge container
+    rows.append((101, tiny))                                # tiny contained doc
+    rows.append((103, "completely unrelated other text entirely"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(df):
+        return {(r.a_id, r.b_id) for r in df.collect()}
+
+    small = pairs(
+        ngram_containment_pairs(docs, width=7, min_containment=0.6, band_on="small")
+    )
+    # the tiny doc passes vs EVERY huge container (containment_a = 1.0)
+    want = {(2 * c, 101) for c in range(6)}
+    assert want <= small
+    # brute-force truth: small-side mode returns exactly the passing set
+    sym = pairs(
+        ngram_containment_pairs(
+            docs, width=7, min_containment=0.6, verify="join"
+        )
+    )
+    # symmetric resemblance-tuned banding misses EVERY asymmetric pair
+    assert not (want & sym)
+
+
+def test_containment_small_rational_threshold_guard():
+    from temporal_vector_database_spark.operators.dedup import (
+        _containment_prefix_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        _containment_prefix_pairs(None, "text", 3, 0.3333333333333333)
+    with pytest.raises(ValueError):
+        _containment_prefix_pairs(None, "text", 3, 0.0)
+
+
 def test_ngram_containment_matrix_equals_join_verify(spark, sf_dir):
     """The bucket-BLAS containment verifier and the pair-join verifier
     compute identical pairs and statistics on real fixture docs."""
