@@ -237,6 +237,13 @@ def kcore(
     Output: ``(id, deg_in_core BIGINT, converged BOOLEAN)`` for every
     node of the final surviving set, where ``deg_in_core`` is the
     degree within the survivor-induced subgraph.
+
+    An EMPTY result is always the exact k-core, regardless of
+    ``max_iter`` (ADVICE r06): the certificate is per-row, so a
+    fully-peeled graph carries no ``converged`` rows — but peeling is
+    monotone (nodes never come back), so once the alive set is empty
+    the exact k-core is empty too. Consumers must not treat
+    empty-without-certificate as indeterminate.
     """
     if int(k) < 1:
         raise ValueError(f"kcore requires k >= 1, got {k}")

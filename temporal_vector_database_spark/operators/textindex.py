@@ -799,6 +799,23 @@ def zipf_fit(
         _fixed_log2_sql,
     )
 
+    # ADVICE r06: the cross-moments n·sxy and n·sxx are exact BIGINT
+    # only while top_k² · (log2(top_k)·S) · (63·S) < 2^63 (S =
+    # LOG2_SCALE; 63 = max log2 of a BIGINT count) — under non-ANSI
+    # Spark an overflow would WRAP silently. Default top_k=1000 is well
+    # inside the bound; the guard turns the wraparound into an error.
+    import math
+
+    S = int(LOG2_SCALE)
+    tk = int(top_k)
+    x_max = max(1, math.ceil(math.log2(max(tk, 2)))) * S
+    if tk * tk * x_max * (63 * S) >= 2**63:
+        raise ValueError(
+            f"top_k={tk} can overflow zipf_fit's exact integer moments"
+            f" (worst-case-safe bound is ~1500 at LOG2_SCALE={S});"
+            " reduce top_k — the Zipf head is where the law holds anyway"
+        )
+
     cnt = (
         docs.select(F.explode(_words(text_col)).alias("word"))
         .groupBy("word")

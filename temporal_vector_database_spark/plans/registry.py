@@ -9288,74 +9288,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# --- r06 rotation -----------------------------------------------------
+# --- r07 rotation -----------------------------------------------------
 # The driver verifies entries in insertion order, capped at 50/round.
-# r05 cleared the entire previous front (see CORRECTNESS_r05.json: every
-# in-cap row green except version_rollup_report's hash), so the r06 cap
-# goes to (1) the never-checked r06 additions (the rollup bisect trio +
-# pca_trace_check), (2) the bisect context pair + the two gates whose
-# plan/params changed this round (heavy_hitters_sketch retune,
-# fuzzy_decontaminate candidate-prune), then (3) the rows whose last
-# driver check is r01 — the §2 core family first, then the r01 dedup/
-# search/text family, then the remaining r01 rows. Everything past the
-# cap holds a green r02/r03/r05 row and is pytest-pinned at HEAD.
-_R06_FRONT = [
-    # (1) never driver-checked
-    "version_rollup_report_ts",
-    "version_rollup_report_date",
-    "version_rollup_report_dbl",
-    "pca_trace_check",
-    "neardup_triangles",
-    "cms_estimate_check",
-    "table_checksum",
-    "zipf_fit",
-    "neardup_kcore",
-    "jaccard_exact_join",
-    # (2) re-run context: the green integer gate + the red report twin,
-    # and the two retuned/replanned gates (same oracles)
-    "version_rollup",
+# r06 went all-green except version_rollup_report (the HUGEINT oracle
+# bug, fixed this round), so the r07 cap goes to (1) the fixed red row
+# + its integer-gate context, (2) the three queries gated or added this
+# round (ingest_late final-state gate, wordpiece_tokens recursive-CTE
+# oracle, the exact-recall small-side containment tier), (3) the 11
+# rows whose last driver check is r01 (multimodal tail + TPC-H shape
+# block), then (4) the oldest r02 rows, verdict-named dedup_survivors /
+# semantic_dedup first. 15 r02 rows + the r03 block roll to r08; after
+# this round no green row predates r02 and none of the §2 core family
+# predates r06.
+_R07_FRONT = [
+    # (1) the fixed red row + context
     "version_rollup_report",
-    "heavy_hitters_sketch",
-    "fuzzy_decontaminate",
-    # (3) §2 core rows, last driver-checked r01
-    "reconstruct_all",
-    "reconstruct_latest",
-    "asof_resolve",
-    "topk_search",
-    "integrity_report",
-    "change_stats",
-    "advisor",
-    "compaction_invariance",
-    "list_contents",
-    "version_id_parse",
-    "storage_stats",
-    "storage_efficiency",
-    "reconstruction_stats",
-    "database_stats",
-    "content_stats",
-    "reconstruct_by_id",
-    # (4) r01-only dedup/search/text family
-    "dedup_exact",
-    "minhash_signature",
-    "dedup_near_pairs",
-    "dedup_incremental",
-    "simhash_signature",
-    "simhash_near_pairs",
-    "ngram_jaccard",
-    "embedding_near_dup",
-    "language_id",
-    "ann_topk",
-    "ivf_topk",
-    "pq_topk",
-    "pq_codes",
-    "ivfpq_topk",
-    "token_stats",
-    "text_quality",
-    "doc_fingerprint",
-    # (5) remaining r01-only rows fill toward the cap
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_resize",
+    "version_rollup",
+    # (2) gated/added this round
+    "ingest_late",
+    "wordpiece_tokens",
+    "ngram_containment_small",
+    # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
     "label_centroids",
@@ -9367,9 +9320,44 @@ _R06_FRONT = [
     "tpch_q14",
     "tpch_q10",
     "tpch_q7",
+    # (4) oldest r02 rows (verdict-named first)
+    "dedup_survivors",
+    "semantic_dedup",
+    "tpch_q8",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "training_pipeline",
+    "revenue_grouping_sets",
+    "tpch_q11_shape",
+    "tpch_q20_shape",
+    "events_moving_stats",
+    "lineitem_stat_aggs",
+    "tpch_q18",
+    "tpch_q4_shape",
+    "tpch_q12_shape",
+    "tpch_q13_shape",
+    "tpch_q16_shape",
+    "tpch_q22_shape",
+    "revenue_cube",
+    "top_orders_per_customer",
+    "top_events_per_user_salted",
+    "salted_revenue_by_priority",
+    "events_sessionize",
+    "events_session_window",
+    "events_type_stats",
+    "events_tumbling",
+    "events_asof_join",
+    "events_interval_join",
+    "events_json_props",
+    "customers_without_orders",
+    "revenue_rollup",
+    "part_setops",
+    "pq_topk_reranked",
+    "training_pipeline_strict",
 ]
-QUERIES = {k: QUERIES[k] for k in _R06_FRONT} | {
-    k: v for k, v in QUERIES.items() if k not in set(_R06_FRONT)
+QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)
 }
 
 

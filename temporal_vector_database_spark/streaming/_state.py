@@ -18,6 +18,31 @@ identity mismatch and raises instead of no-oping.
 
 from __future__ import annotations
 
+import os
+
+
+def committed_versions(
+    state_dir: str, markers: tuple[str, ...] = ("",)
+) -> list[int]:
+    """Committed state versions under ``state_dir``: every ``v=<id>``
+    directory whose required ``markers`` sub-paths all carry a parquet
+    ``_SUCCESS`` (marker ``""`` = the version dir itself). Shared by
+    every foreachBatch maintenance module (ADVICE r06: 13 copies had
+    drifted apart only in which sub-writes must have committed) — a
+    module with multiple per-version writes lists each sub-dir, e.g.
+    ``("buckets", "last")`` for the counter state, so a version whose
+    second write never landed is invisible to readers."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v=") and all(
+            os.path.exists(os.path.join(state_dir, d, m, "_SUCCESS"))
+            for m in markers
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
 
 def replay_guard(vs: list[int], batch_id: int, state_dir: str) -> bool:
     """Return True when ``batch_id`` is a redelivery of the committed

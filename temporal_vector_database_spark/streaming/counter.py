@@ -30,21 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.timeseries import counter_agg
-from temporal_vector_database_spark.streaming._state import replay_guard
+from temporal_vector_database_spark.streaming._state import committed_versions, replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
-        return []
-    out = []
-    for d in os.listdir(state_dir):
-        if (
-            d.startswith("v=")
-            and os.path.exists(os.path.join(state_dir, d, "buckets", "_SUCCESS"))
-            and os.path.exists(os.path.join(state_dir, d, "last", "_SUCCESS"))
-        ):
-            out.append(int(d.split("=", 1)[1]))
-    return sorted(out)
+    return committed_versions(state_dir, markers=("buckets", "last"))
 
 
 def read_counter_state(

@@ -29,17 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.linalg import gram_matrix
-from temporal_vector_database_spark.streaming._state import replay_guard
+from temporal_vector_database_spark.streaming._state import committed_versions, replay_guard
 
 
 def _committed_versions(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
-        return []
-    out = []
-    for d in os.listdir(state_dir):
-        if d.startswith("v=") and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
-            out.append(int(d.split("=", 1)[1]))
-    return sorted(out)
+    return committed_versions(state_dir)
 
 
 def _batch_state(batch_df: DataFrame, emb_col: str) -> DataFrame:

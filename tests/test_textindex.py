@@ -499,6 +499,20 @@ def test_streaming_cms_state_equals_batch_and_serves_estimates(spark, tmp_path):
     est = cms_point_estimates(counters, unseen, depth=4, width=64).collect()[0]
     assert est.cms_est >= 0
 
+    # --- r07 meta persistence (ADVICE r06): the sketch parameters ride
+    # every commit; mismatched reads/folds raise instead of silently
+    # returning wrong estimates; state_dir= auto-loads the right params
+    from temporal_vector_database_spark.streaming.cms import read_cms_meta
+
+    assert read_cms_meta(state) == {"n": 2, "depth": 4, "width": 64}
+    with pytest.raises(ValueError, match="width"):
+        read_cms_state(spark, state, width=256)
+    with pytest.raises(ValueError, match="mismatched|parameters"):
+        process_cms_batch(docs, 3, state, n=2, depth=4, width=256)
+    auto = {r.gram: r.cms_est
+            for r in cms_point_estimates(counters, qg, state_dir=state).collect()}
+    assert auto == batch_est
+
 
 def test_zipf_fit_slopes_separate_zipfian_from_uniform(spark):
     """A corpus drawn with word frequency ∝ 1/rank fits slope ≈ −1; a
