@@ -157,10 +157,9 @@ HEADLINE = (
     "zipf_fit",
     "neardup_kcore",
     "jaccard_exact_join",
-    # r07 additions
+    # r07 additions (ingest_late/wordpiece_tokens already above)
     "ngram_containment_small",
-    "ingest_late",
-    "wordpiece_tokens",
+    "decontaminate_containment",
 )
 
 

@@ -2000,6 +2000,123 @@ def cross_corpus_near_dup(
     )
 
 
+def containment_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    width: int = 7,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """EXACT-RECALL asymmetric decontamination (r07, the cross-corpus
+    generalization of ``_containment_prefix_pairs``): corpus documents
+    that CONTAIN an eval/benchmark document — ``C(E→D) = |E∩D| / |E| >=
+    t`` — the quote-inclusion contamination mode that resemblance-tuned
+    LSH (``cross_corpus_near_dup``) structurally misses: an eval
+    question pasted into a long web page leaves the page's MinHash
+    signature dominated by its other shingles, so no band ever
+    collides, while the CONTAINMENT of the eval side is ~1.0.
+
+    Prefix theorem, one-directional: if ``|E∩D| >= ceil(t·|E|)`` then E
+    misses at most ``|E| − ceil(t·|E|)`` of its shingles, so one of its
+    ``n_e − ceil(t·n_e) + 1`` rarest shingles (rarity = document
+    frequency in the CORPUS — any consistent global order is correct,
+    corpus-df minimizes candidate cost; eval shingles absent from the
+    corpus have df 0 and produce no candidates) appears in D — an
+    equi-join of the eval PREFIX against the corpus' FULL postings is
+    recall-complete. The container side cannot be prefix-pruned
+    (containment puts no bound on |∩|/|D|); the full corpus inverted
+    index is the honest price of exact recall, and it is the index a
+    decontamination deployment maintains anyway. Threshold handled as
+    the exact rational ``Fraction(str(min_containment))``; verify is
+    pure integers ``n_inter·den >= num·n_e``.
+
+    Output: one row per contaminated corpus doc with its best-matching
+    eval doc (max containment, ties → lower eval id): ``(doc_id,
+    eval_doc_id, n_inter, n_eval, containment)``.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(float(min_containment)))
+    tn, td = frac.numerator, frac.denominator
+    if not (0 < tn <= td):
+        raise ValueError(f"min_containment must be in (0, 1], got {min_containment}")
+    if td > 10_000:
+        raise ValueError(
+            f"min_containment must be a short decimal (denominator <= 1e4), got {frac}"
+        )
+    shingle_arr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+        f" i -> substring({text_col}, i, {width}))"
+    )
+    set_expr = (
+        f"array_distinct(transform({shingle_arr},"
+        f" s -> CAST({_token_hash32_expr('s')} AS BIGINT)))"
+    )
+    csets = (
+        _spread(corpus.select("doc_id", text_col))
+        .select(F.col("doc_id").alias("c_id"), F.expr(set_expr).alias("c_set"))
+        .localCheckpoint()
+    )
+    esets = (
+        eval_docs.select("doc_id", text_col)
+        .select(F.col("doc_id").alias("e_id"), F.expr(set_expr).alias("e_set"))
+        .withColumn("n_e", F.size("e_set").cast("long"))
+        .localCheckpoint()
+    )
+    ctok = csets.select("c_id", F.explode("c_set").alias("tok"))
+    cdf = ctok.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    etok = esets.select("e_id", "n_e", F.explode("e_set").alias("tok"))
+    w = Window.partitionBy("e_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix_len = (
+        F.col("n_e") - F.expr(f"({tn} * n_e + {td} - 1) div {td}") + F.lit(1)
+    )
+    # rarity join is a LEFT join: an eval shingle the corpus never
+    # contains is the rarest possible (df 0) — it sorts first, costs
+    # nothing in the posting join, and keeps the prefix bound intact
+    prefix = (
+        etok.join(cdf, "tok", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("tok", "e_id", "n_e")
+    )
+    cand = (
+        F.broadcast(prefix)
+        .join(ctok, "tok")
+        .select("c_id", "e_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_c = cand.select("c_id").distinct()
+    vc = csets.join(F.broadcast(cand_c), "c_id", "left_semi")
+    scored = (
+        cand.join(vc, "c_id")
+        .join(F.broadcast(esets), "e_id")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("e_set", "c_set")).cast("long")
+        )
+        .where(F.col("n_inter") * F.lit(td) >= F.lit(tn) * F.col("n_e"))
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.col("n_e").cast("double"),
+        )
+    )
+    wbest = Window.partitionBy("c_id").orderBy(F.desc("containment"), F.asc("e_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("c_id").alias("doc_id"),
+            F.col("e_id").alias("eval_doc_id"),
+            "n_inter",
+            F.col("n_e").alias("n_eval"),
+            "containment",
+        )
+    )
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     text_col: str = "text",

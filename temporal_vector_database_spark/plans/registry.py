@@ -8856,6 +8856,93 @@ ORACLES["ngram_containment_small"] = ORACLES["ngram_containment_small"].replace(
 )
 
 
+def q_decontaminate_containment(spark, sf_dir):
+    """r07: EXACT-RECALL asymmetric decontamination
+    (``containment_decontaminate`` — the cross-corpus generalization of
+    the small-side prefix tier): eval snippets (words 5..12 of source
+    docs) hunted INSIDE long corpus docs at containment >= 0.8 — the
+    quote-inclusion contamination mode resemblance-tuned LSH
+    (``fuzzy_decontaminate``) structurally misses. Half the eval set's
+    sources are in the corpus (contaminated), half are not (clean
+    negatives). The ORACLE is brute-force eval x corpus — equality is
+    the exact-recall proof."""
+    from temporal_vector_database_spark.operators.dedup import (
+        containment_decontaminate,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 10 == 0)
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+    def snip(m):
+        return docs.where(
+            (F.col("doc_id") % 50 == m) & (F.size(words) >= 20)
+        ).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 5, 8)).alias("text"),
+        )
+
+    eval_docs = snip(0).unionByName(snip(5))
+    return containment_decontaminate(
+        corpus, eval_docs, width=7, min_containment=0.8
+    )
+
+
+# brute-force eval x corpus truth; integer gate n_inter*5 >= 4*n_e is
+# the Spark plan's Fraction('0.8') = 4/5; best match per corpus doc by
+# (containment desc, eval id asc) mirrors the operator's window
+ORACLES["decontaminate_containment"] = """
+WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+ev AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_slice(list_filter(string_split(text, ' '),
+                                                x -> x <> ''), 5, 12), ' ') AS text
+  FROM documents
+  WHERE (doc_id % 50 = 0 OR doc_id % 50 = 5)
+    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+),
+csh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                               i -> substring(text, i, 7))) AS sh
+  FROM c
+),
+esh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                               i -> substring(text, i, 7))) AS sh
+  FROM ev
+),
+cshd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM csh),
+eshd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM esh),
+esz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_e FROM eshd GROUP BY 1),
+inter AS (
+  SELECT e.doc_id AS e_id, cd.doc_id AS c_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM eshd e JOIN cshd cd ON e.shh = cd.shh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.c_id, i.e_id, i.n_inter, s.n_e,
+         CAST(i.n_inter AS DOUBLE) / CAST(s.n_e AS DOUBLE) AS containment
+  FROM inter i JOIN esz s ON i.e_id = s.doc_id
+  WHERE i.n_inter * 5 >= 4 * s.n_e
+),
+best AS (
+  SELECT c_id, e_id, n_inter, n_e, containment,
+         row_number() OVER (PARTITION BY c_id
+                            ORDER BY containment DESC, e_id ASC) AS rn
+  FROM scored
+)
+SELECT c_id AS doc_id, e_id AS eval_doc_id, n_inter, n_e AS n_eval, containment
+FROM best WHERE rn = 1
+"""
+ORACLES["decontaminate_containment"] = ORACLES["decontaminate_containment"].replace(
+    "{SHH}", _th("sh")
+)
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -9135,6 +9222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_exact_join": q_jaccard_exact_join,
     "ngram_containment_short": q_ngram_containment_short,
     "ngram_containment_small": q_ngram_containment_small,
+    "decontaminate_containment": q_decontaminate_containment,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9308,6 +9396,7 @@ _R07_FRONT = [
     "ingest_late",
     "wordpiece_tokens",
     "ngram_containment_small",
+    "decontaminate_containment",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9354,7 +9443,6 @@ _R07_FRONT = [
     "revenue_rollup",
     "part_setops",
     "pq_topk_reranked",
-    "training_pipeline_strict",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

@@ -625,6 +625,39 @@ def test_containment_small_rational_threshold_guard():
         _containment_prefix_pairs(None, "text", 3, 0.0)
 
 
+def test_containment_decontaminate_catches_quoted_eval(spark):
+    """An eval question pasted verbatim inside a long web page: the
+    resemblance-tuned cross-corpus LSH (fuzzy_decontaminate's engine)
+    never collides — the page's signature is dominated by its other
+    shingles — while the exact-recall containment tier flags the page
+    with containment 1.0 and names the right eval doc."""
+    from temporal_vector_database_spark.operators.dedup import (
+        containment_decontaminate,
+        cross_corpus_near_dup,
+    )
+
+    eval_text = "which element has the atomic number twenty six answer iron"
+    filler = " ".join(f"page{i} token{(i * 17) % 83}" for i in range(400))
+    corpus_rows = [
+        (1, f"{filler} {eval_text} {filler}"),   # contaminated page
+        (2, filler + " clean different tail"),   # clean page
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, eval_text), (101, "unrelated benchmark question entirely")],
+        "doc_id long, text string",
+    )
+
+    got = {r.doc_id: r for r in containment_decontaminate(
+        corpus, ev, width=7, min_containment=0.8).collect()}
+    assert set(got) == {1}
+    assert got[1].eval_doc_id == 100 and got[1].containment == 1.0
+    assert got[1].n_inter == got[1].n_eval
+
+    fuzzy = cross_corpus_near_dup(corpus, ev, min_jaccard=0.2).collect()
+    assert not fuzzy  # the structural miss this operator exists to fix
+
+
 def test_ngram_containment_matrix_equals_join_verify(spark, sf_dir):
     """The bucket-BLAS containment verifier and the pair-join verifier
     compute identical pairs and statistics on real fixture docs."""
