@@ -160,6 +160,7 @@ HEADLINE = (
     # r07 additions (ingest_late/wordpiece_tokens already above)
     "ngram_containment_small",
     "decontaminate_containment",
+    "bpe_train",
 )
 
 

@@ -126,3 +126,122 @@ def wordpiece_tokenize(
     return docs.select(id_col, text_col).mapInPandas(
         fn, schema=f"{id_col} {id_t}, n_words int, n_pieces int, pieces_md5 string"
     )
+
+
+def _merge_word(toks: list, left: str, right: str) -> list:
+    """Greedy left-to-right non-overlapping merge of the pair
+    (left, right) — the reference BPE apply step. Overlaps only arise
+    when left == right (runs of the same token): a run of k merges
+    floor(k/2) times at offsets 0, 2, 4, … — the parity rule the
+    relational oracle reproduces with a gaps-and-islands window."""
+    out: list = []
+    i, n = 0, len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == left and toks[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding MERGE-RULE TRAINING (Sennrich et al. 2016) —
+    the tokenizer-training job a 100 TB corpus actually runs, not just
+    inference: iteratively merge the globally most frequent adjacent
+    token pair, n_merges times, and publish the learned merge table.
+
+    Scale posture — the one property that makes corpus-scale BPE
+    tractable: training state is the DISTINCT-WORD table with counts
+    (vocabulary-bounded, millions of rows), never corpus positions.
+    One corpus pass builds it; every merge round is then (a) one
+    pair-count aggregate over the words table (adjacent positions,
+    overlaps included — the reference get_stats semantics), (b) a
+    1-row TakeOrdered argmax (count desc, pair lexicographic asc —
+    fully deterministic), and (c) one Arrow pass applying the greedy
+    non-overlapping merge per word. The only driver traffic is the
+    1-row merge rule per round (a model parameter, the k-row-collect
+    discipline) — the words table itself never leaves the executors;
+    ``localCheckpoint`` truncates the 8-round lineage.
+
+    The DuckDB oracle replays every round RELATIONALLY (per-round CTE
+    chain: lateral-unnest pair counts → argmax → gaps-and-islands
+    parity merge — the ``neardup_kcore`` unrolled-oracle precedent),
+    so the Python greedy loop is value-gated against an independent
+    windowed-SQL formulation of the same semantics.
+
+    Output: ``(merge_rank, left_tok, right_tok, merged, pair_count)``,
+    one row per learned merge in training order.
+
+    Reference: no counterpart (the reference has no text surface);
+    beyond-reference LLM-pipeline operator.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    state = words.select(
+        "word",
+        "c",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    ).localCheckpoint()
+
+    rules: list[tuple] = []
+    for rank in range(1, int(n_merges) + 1):
+        pairs = (
+            state.where(F.size("toks") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(element_at(toks, i) AS l,"
+                        "             element_at(toks, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("c", "p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        rules.append((rank, left, right, left + right, cnt))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["toks"] = [
+                    _merge_word(list(t), _l, _r) for t in pdf["toks"]
+                ]
+                yield pdf
+
+        state = state.mapInPandas(
+            apply_merge, schema="word string, c long, toks array<string>"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rules,
+            columns=["merge_rank", "left_tok", "right_tok", "merged", "pair_count"],
+        ),
+        schema="merge_rank int, left_tok string, right_tok string,"
+        " merged string, pair_count long",
+    )

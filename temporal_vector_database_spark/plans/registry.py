@@ -8943,6 +8943,94 @@ ORACLES["decontaminate_containment"] = ORACLES["decontaminate_containment"].repl
 )
 
 
+def q_bpe_train(spark, sf_dir):
+    """r07: BPE merge-rule TRAINING (Sennrich et al. 2016) over the
+    corpus — 8 rounds of globally-most-frequent adjacent pair merging
+    on the distinct-word training state (vocabulary-bounded, never
+    corpus positions). The oracle replays every round RELATIONALLY
+    (lateral-unnest pair counts → deterministic argmax →
+    gaps-and-islands parity merge — the kcore unrolled-CTE precedent),
+    value-gating the operator's Python greedy apply against an
+    independent windowed-SQL formulation of the same semantics."""
+    from temporal_vector_database_spark.operators.tokenize import bpe_train
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return bpe_train(docs, n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled per-round CTE chain: w{r} is the (word, count, tokens)
+    state entering round r; p{r}/b{r} the pair counts + argmax (count
+    desc, pair lexicographic asc); x..z{r} the greedy non-overlapping
+    merge via the run-parity rule (overlapping occurrences only arise
+    in same-token runs; greedy keeps offsets 0, 2, 4, … of each maximal
+    run of consecutive matches — a gaps-and-islands window)."""
+    parts = [
+        """WITH w1 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c,
+         list_transform(generate_series(1, length(word)),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r2, CAST(sum(c) AS BIGINT) AS cnt
+  FROM w{r}, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (
+  SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+),
+x{r} AS (
+  SELECT word, c, i, toks[i] AS tok,
+         CASE WHEN i < len(toks)
+                   AND toks[i] = (SELECT l FROM b{r})
+                   AND toks[i + 1] = (SELECT r2 FROM b{r}) THEN 1 ELSE 0 END AS m
+  FROM w{r}, unnest(generate_series(1, len(toks))) AS u(i)
+),
+g{r} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp FROM x{r}
+),
+y{r} AS (
+  SELECT word, c, i, tok,
+         CASE WHEN m = 1
+                   AND (i - min(i) OVER (PARTITION BY word, m, grp)) % 2 = 0
+              THEN 1 ELSE 0 END AS kept
+  FROM g{r}
+),
+z{r} AS (
+  SELECT word, c, i, kept,
+         CASE WHEN kept = 1
+              THEN tok || lead(tok) OVER (PARTITION BY word ORDER BY i)
+              ELSE tok END AS tok2,
+         COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY i), 0) AS prev_kept
+  FROM y{r}
+),
+w{r + 1} AS (
+  SELECT word, c, list(tok2 ORDER BY i) AS toks
+  FROM z{r} WHERE prev_kept = 0
+  GROUP BY word, c
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, l AS left_tok,"
+        f" r2 AS right_tok, l || r2 AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+ORACLES["bpe_train"] = _bpe_oracle_sql(8)
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -9223,6 +9311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_short": q_ngram_containment_short,
     "ngram_containment_small": q_ngram_containment_small,
     "decontaminate_containment": q_decontaminate_containment,
+    "bpe_train": q_bpe_train,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9397,6 +9486,7 @@ _R07_FRONT = [
     "wordpiece_tokens",
     "ngram_containment_small",
     "decontaminate_containment",
+    "bpe_train",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9442,7 +9532,6 @@ _R07_FRONT = [
     "customers_without_orders",
     "revenue_rollup",
     "part_setops",
-    "pq_topk_reranked",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

@@ -61,3 +61,48 @@ def test_wordpiece_with_corpus_vocab_covers_all_text(spark, sf_dir):
     )
     bad = joined.where((F.col("n_words") != F.col("nw")) | (F.col("n_pieces") < F.col("n_words")))
     assert bad.count() == 0 and toks.count() == 50
+
+
+def test_merge_word_greedy_parity():
+    """Greedy non-overlapping merge: a run of k identical tokens merges
+    floor(k/2) times at offsets 0, 2, 4, … — the parity rule the
+    relational oracle mirrors."""
+    from temporal_vector_database_spark.operators.tokenize import _merge_word
+
+    assert _merge_word(list("aaa"), "a", "a") == ["aa", "a"]
+    assert _merge_word(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert _merge_word(list("aaaaa"), "a", "a") == ["aa", "aa", "a"]
+    assert _merge_word(list("abab"), "a", "b") == ["ab", "ab"]
+    assert _merge_word(list("xaby"), "a", "b") == ["x", "ab", "y"]
+    assert _merge_word(["ab", "ab", "c"], "ab", "ab") == ["abab", "c"]
+    assert _merge_word([], "a", "b") == []
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-computable corpus: 'aaab' x3 + 'ab' x2. Round 1: (a,a)
+    counts 2 per 'aaab' (overlaps included, Sennrich get_stats) = 6 >
+    (a,b) = 5 -> merge (a,a); 'aaab' -> [aa,a,b]. Round 2: (a,b)
+    appears in 'aaab' (x3) and 'ab' (x2) = 5 -> merge. Round 3:
+    (aa,ab) = 3."""
+    from temporal_vector_database_spark.operators.tokenize import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=3).collect()]
+    assert got == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_train_deterministic_tiebreak_and_early_stop(spark):
+    """Equal-count pairs break lexicographically; a corpus that runs
+    out of pairs stops early with fewer rows."""
+    from temporal_vector_database_spark.operators.tokenize import bpe_train
+
+    docs = spark.createDataFrame([(1, "ba dc")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    # counts all 1 -> lexicographic: (b,a) < (d,c); then no pairs remain
+    assert got == [(1, "b", "a", "ba", 1), (2, "d", "c", "dc", 1)]
