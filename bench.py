@@ -161,6 +161,7 @@ HEADLINE = (
     "ngram_containment_small",
     "decontaminate_containment",
     "bpe_train",
+    "dedup_sorted_neighborhood",
 )
 
 

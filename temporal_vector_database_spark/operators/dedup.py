@@ -2117,6 +2117,150 @@ def containment_decontaminate(
     )
 
 
+def _global_ranks(df: DataFrame, *order_cols: str) -> DataFrame:
+    """Contiguous global ranks 1..N over a total order — the TWO-PHASE
+    distributed formulation: ``repartitionByRange`` on the order
+    columns, per-partition ``row_number`` keyed by ``spark_partition_id``
+    (a DISTRIBUTED window — never the empty-partition-spec global
+    window, which collapses the dataset to one partition), and a
+    broadcast join against the P-row cumulative partition offsets (the
+    only driver traffic). Adds a ``rank`` BIGINT column; the order must
+    be total (include a tiebreaker column) for ranks to be
+    deterministic."""
+    from pyspark.sql import Window
+
+    n_part = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin the partition layout: counts + ranks reuse it
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order_cols)
+    counts = {
+        r._pid: r.cnt
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            "_pid int, _off long",
+        )
+    )
+    return (
+        parted.withColumn("_rn", F.row_number().over(wloc))
+        .join(off_df, "_pid")
+        .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_len: int = 32,
+    window: int = 4,
+    width: int = 3,
+    min_jaccard_num: int = 1,
+    min_jaccard_den: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM, Hernández & Stolfo 1995) near-dup
+    blocking — the third candidate tier beside MinHash banding
+    (probabilistic S-curve) and prefix filtering (exact-recall): sort
+    the corpus by a blocking key (here the lowercased ``key_len``-char
+    text prefix), and verify only pairs within ``window`` positions of
+    the sort order. Catches clusters that share a key prefix
+    regardless of their full-set similarity structure, with candidate
+    count LINEAR in corpus size (n·window) — the cheapest tier when
+    duplication is key-clustered (crawl re-fetches, versioned titles).
+
+    Scale posture — the global sort is the honest cost and Spark's
+    native strength (range-partitioned exchange), but the RANK must
+    not be: a bare ``row_number() OVER (ORDER BY …)`` collapses to ONE
+    partition. This uses the two-phase formulation instead:
+    ``repartitionByRange`` + per-partition ``row_number`` (distributed
+    window keyed by partition id) + broadcast cumulative partition
+    offsets (a P-row driver collect — the k-row-dimension discipline).
+    Candidates are then an EQUI-join on ``rank + d`` (offsets exploded
+    1..window), never a range join; verify is the row-local hashed
+    shingle-set intersect with the exact rational threshold and pure
+    integer comparison (the ``jaccard_prefix_join`` discipline).
+
+    Output: ``(a_id, b_id, rank_dist, n_inter, n_a, n_b, jaccard)``
+    for unordered pairs with J >= num/den, ``a_id < b_id``.
+    """
+    tn, td = int(min_jaccard_num), int(min_jaccard_den)
+    if not (0 < tn <= td):
+        raise ValueError(f"threshold must satisfy 0 < num <= den, got {tn}/{td}")
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    shingle_arr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+        f" i -> substring({text_col}, i, {width}))"
+    )
+    set_expr = (
+        f"array_distinct(transform({shingle_arr},"
+        f" s -> CAST({_token_hash32_expr('s')} AS BIGINT)))"
+    )
+    key = F.lower(F.substring(F.col(text_col), 1, int(key_len)))
+    base = _spread(docs.select("doc_id", text_col)).select(
+        "doc_id",
+        key.alias("_key"),
+        F.expr(set_expr).alias("sh_set"),
+    )
+    ranked = (
+        _global_ranks(base, "_key", "doc_id")
+        .select("doc_id", "sh_set", "rank")
+        .withColumn("n_sh", F.size("sh_set").cast("long"))
+        .localCheckpoint()  # feeds both join sides
+    )
+    probe = ranked.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh_set").alias("a_set"),
+        F.col("n_sh").alias("n_a"),
+        F.explode(
+            F.array(*[(F.col("rank") + F.lit(d)) for d in range(1, int(window) + 1)])
+        ).alias("rank"),
+        F.col("rank").alias("a_rank"),
+    )
+    scored = (
+        probe.join(
+            ranked.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("sh_set").alias("b_set"),
+                F.col("n_sh").alias("n_b"),
+                "rank",
+            ),
+            "rank",
+        )
+        .withColumn("rank_dist", (F.col("rank") - F.col("a_rank")).cast("int"))
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long")
+        )
+        .where(
+            F.col("n_inter") * F.lit(td)
+            >= F.lit(tn) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+    )
+    a, b = F.col("a_id"), F.col("b_id")
+    return scored.select(
+        F.least(a, b).alias("a_id"),
+        F.greatest(a, b).alias("b_id"),
+        "rank_dist",
+        F.when(a < b, F.col("n_inter")).otherwise(F.col("n_inter")).alias("n_inter"),
+        F.when(a < b, F.col("n_a")).otherwise(F.col("n_b")).alias("n_a"),
+        F.when(a < b, F.col("n_b")).otherwise(F.col("n_a")).alias("n_b"),
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
 def jaccard_prefix_join(
     docs: DataFrame,
     text_col: str = "text",

@@ -9031,6 +9031,74 @@ w{r + 1} AS (
 ORACLES["bpe_train"] = _bpe_oracle_sql(8)
 
 
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """r07: sorted-neighborhood blocking (Hernández & Stolfo 1995) —
+    the linear-candidate third tier beside banding (probabilistic) and
+    prefix filtering (exact): global sort on the lowercased 32-char
+    text prefix, verify only pairs within 4 rank positions. The rank
+    is the two-phase distributed formulation (range partition + local
+    row_number + broadcast offsets), NEVER a single-partition global
+    window — pinned in tests/test_plans.py."""
+    from temporal_vector_database_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return sorted_neighborhood_pairs(
+        docs, key_len=32, window=4, width=3, min_jaccard_num=1, min_jaccard_den=2
+    )
+
+
+ORACLES["dedup_sorted_neighborhood"] = """
+WITH d AS (SELECT doc_id, text FROM documents),
+rk AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lower(substr(text, 1, 32)), doc_id) AS rank
+  FROM d
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substring(text, i, 3))) AS sh
+  FROM d
+),
+shd AS (SELECT DISTINCT doc_id, {SHH} AS shh FROM sh),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS ra_id, b.doc_id AS rb_id,
+         CAST(b.rank - a.rank AS INTEGER) AS rank_dist
+  FROM rk a JOIN rk b ON b.rank > a.rank AND b.rank <= a.rank + 4
+),
+inter AS (
+  SELECT c.ra_id, c.rb_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN shd x ON x.doc_id = c.ra_id
+  JOIN shd y ON y.doc_id = c.rb_id AND y.shh = x.shh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.ra_id, c.rb_id, c.rank_dist,
+         COALESCE(i.n_inter, 0) AS n_inter, sa.n_sh AS na, sb.n_sh AS nb
+  FROM cand c
+  LEFT JOIN inter i ON c.ra_id = i.ra_id AND c.rb_id = i.rb_id
+  JOIN sizes sa ON sa.doc_id = c.ra_id
+  JOIN sizes sb ON sb.doc_id = c.rb_id
+  WHERE COALESCE(i.n_inter, 0) * 2 >= 1 * (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0))
+)
+SELECT least(ra_id, rb_id) AS a_id, greatest(ra_id, rb_id) AS b_id, rank_dist,
+       n_inter,
+       CASE WHEN ra_id < rb_id THEN na ELSE nb END AS n_a,
+       CASE WHEN ra_id < rb_id THEN nb ELSE na END AS n_b,
+       CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+FROM scored
+"""
+ORACLES["dedup_sorted_neighborhood"] = ORACLES["dedup_sorted_neighborhood"].replace(
+    "{SHH}", _th("sh")
+)
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -9312,6 +9380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_small": q_ngram_containment_small,
     "decontaminate_containment": q_decontaminate_containment,
     "bpe_train": q_bpe_train,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9487,6 +9556,7 @@ _R07_FRONT = [
     "ngram_containment_small",
     "decontaminate_containment",
     "bpe_train",
+    "dedup_sorted_neighborhood",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9531,7 +9601,6 @@ _R07_FRONT = [
     "events_json_props",
     "customers_without_orders",
     "revenue_rollup",
-    "part_setops",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

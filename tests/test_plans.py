@@ -728,3 +728,34 @@ def test_dataset_diff_single_full_outer_join(spark, qmap):
     plan = formatted_plan(df)
     assert "Window" not in plan
     assert plan.count("FullOuter") >= 1
+
+
+def test_sorted_neighborhood_rank_never_single_partition(spark, qmap):
+    """SNM's global rank must be the two-phase distributed formulation
+    (range partition + per-partition row_number + broadcast offsets):
+    the rank sub-plan must contain NO SinglePartition exchange (a bare
+    row_number() OVER (ORDER BY ...) collapses the corpus to one
+    partition), its window must be keyed by the partition id, and the
+    offsets must ride a broadcast. The full query must stay
+    cartesian-free (the neighbor join is an equi-join on rank + d)."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("_key")
+    )
+    ranked = _global_ranks(df, "_key", "doc_id")
+    plan = formatted_plan(ranked)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan and "_pid" in plan  # distributed, pid-keyed
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # ranks are contiguous 1..N under the total order
+    import operator as _op
+
+    rows = sorted(ranked.collect(), key=_op.attrgetter("rank"))
+    assert [r.rank for r in rows] == list(range(1, 10_001))
+    assert rows == sorted(rows, key=lambda r: (r._key, r.doc_id))
+
+    full = formatted_plan(qmap["dedup_sorted_neighborhood"](spark, SF_DIR))
+    assert "CartesianProduct" not in full and "BroadcastNestedLoopJoin" not in full
