@@ -162,6 +162,7 @@ HEADLINE = (
     "decontaminate_containment",
     "bpe_train",
     "dedup_sorted_neighborhood",
+    "reconstruct_diff",
 )
 
 

@@ -492,3 +492,77 @@ def with_cost_estimate(df: DataFrame, cfg: TVDBConfig = DEFAULT_CONFIG) -> DataF
         "recommended",
         (F.col("cost") < cfg.advisor_max_cost) & (F.col("estimated_error_bound") < 0.05),
     ).withColumn("base_snapshot_distance", (F.col("target_seq") - F.col("base_seq")).cast("int"))
+
+
+def reconstruct_diff(versions: DataFrame, t_a, t_b) -> DataFrame:
+    """Time-travel DIFF (r07, beyond-reference composition of O6+O5):
+    per content, what changed between the as-of states at ``t_a`` and
+    ``t_b`` — "what moved between Monday and Friday", the temporal
+    question a version store exists to answer. The reference can only
+    reconstruct the two states separately and diff client-side
+    (``core/reconstruction_service.py:159-184`` loops point lookups);
+    here both time-travel targets resolve first and the UNION of
+    (content, seq) targets reconstructs in ONE fold pass — a content
+    whose state didn't change between the instants reconstructs once,
+    and the whole diff costs one content_id shuffle end-to-end.
+
+    Only contents with a reconstructable state at BOTH instants
+    publish a row (inclusive ``ts <= t`` as-of semantics, reference
+    quirk #2). Diff columns are exact on the fixture grid: ``diff_sum``
+    (dyadic), ``n_changed`` (count of dims with a bit-exact change),
+    ``magnitude`` (IEEE sqrt of an exact sum of dyadic squares).
+
+    Output: ``(content_id, seq_a, seq_b, n_changed, magnitude,
+    diff_sum)``.
+    """
+    contents = versions.select("content_id").distinct()
+    ra = (
+        asof_resolve(versions, contents.withColumn("t", F.lit(t_a)))
+        .where(F.col("target_seq").isNotNull())
+        .select("content_id", F.col("target_seq").alias("seq_a"))
+    )
+    rb = (
+        asof_resolve(versions, contents.withColumn("t", F.lit(t_b)))
+        .where(F.col("target_seq").isNotNull())
+        .select("content_id", F.col("target_seq").alias("seq_b"))
+    )
+    pairs = ra.join(rb, "content_id")
+    targets = (
+        pairs.select("content_id", F.col("seq_a").alias("target_seq"))
+        .unionByName(pairs.select("content_id", F.col("seq_b").alias("target_seq")))
+        .distinct()
+    )
+    st = reconstruct_at(versions, targets).select(
+        "content_id", "target_seq", "embedding"
+    )
+    j = (
+        pairs.join(
+            st.select(
+                "content_id",
+                F.col("target_seq").alias("seq_a"),
+                F.col("embedding").alias("emb_a"),
+            ),
+            ["content_id", "seq_a"],
+        )
+        .join(
+            st.select(
+                "content_id",
+                F.col("target_seq").alias("seq_b"),
+                F.col("embedding").alias("emb_b"),
+            ),
+            ["content_id", "seq_b"],
+        )
+        .withColumn("diff", F.zip_with("emb_b", "emb_a", lambda x, y: x - y))
+    )
+    return j.select(
+        "content_id",
+        "seq_a",
+        "seq_b",
+        F.size(F.filter("diff", lambda d: d != F.lit(0.0))).cast("long").alias(
+            "n_changed"
+        ),
+        F.sqrt(
+            F.aggregate("diff", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("magnitude"),
+        F.aggregate("diff", F.lit(0.0), lambda a, x: a + x).alias("diff_sum"),
+    )

@@ -9099,6 +9099,85 @@ ORACLES["dedup_sorted_neighborhood"] = ORACLES["dedup_sorted_neighborhood"].repl
 )
 
 
+def q_reconstruct_diff(spark, sf_dir):
+    """r07: time-travel DIFF between two global as-of instants (the
+    max ts of any seq-5 row and of any seq-9 row — staggered content
+    start times make per-content resolved seqs vary, so the gate
+    exercises unequal bases, equal-seq zero diffs, and multi-epoch
+    chains at once). Both targets reconstruct in ONE fold pass
+    (operators/reconstruct.py reconstruct_diff)."""
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_diff,
+    )
+
+    v = _versions_ok(spark, sf_dir)
+    t_a = v.where(F.col("seq") == 5).agg(F.max("ts")).first()[0]
+    t_b = v.where(F.col("seq") == 9).agg(F.max("ts")).first()[0]
+    return reconstruct_diff(v, t_a, t_b)
+
+
+# per-dim replay of BOTH as-of states (base dims + cumulative epoch
+# deltas — the reference accumulates duplicate sparse indices, so the
+# union-sum is the exact fold), then the dim-join diff. n_changed CAST
+# BIGINT (SCALE.md integer-width rule); diff sums/squares live on the
+# 2^-20 dyadic grid so every aggregate is exact in any order.
+ORACLES["reconstruct_diff"] = f"""
+WITH v AS (SELECT * FROM {_VOK}),
+tg AS (
+  SELECT content_id, seq, kind, embedding, sparse_idx, sparse_val,
+         max(CASE WHEN kind = 'base' THEN seq END)
+           OVER (PARTITION BY content_id ORDER BY seq
+                 ROWS UNBOUNDED PRECEDING) AS base_seq
+  FROM v
+),
+ta AS (SELECT max(ts) AS t FROM v WHERE seq = 5),
+tb AS (SELECT max(ts) AS t FROM v WHERE seq = 9),
+ra AS (SELECT content_id, max(seq) AS seq_a FROM v, ta WHERE v.ts <= ta.t GROUP BY 1),
+rb AS (SELECT content_id, max(seq) AS seq_b FROM v, tb WHERE v.ts <= tb.t GROUP BY 1),
+pr AS (
+  SELECT ra.content_id, ra.seq_a, rb.seq_b
+  FROM ra JOIN rb ON ra.content_id = rb.content_id
+),
+tgt AS (
+  SELECT DISTINCT u.content_id, u.target_seq, t.base_seq
+  FROM (SELECT content_id, seq_a AS target_seq FROM pr
+        UNION SELECT content_id, seq_b FROM pr) u
+  JOIN tg t ON u.content_id = t.content_id AND u.target_seq = t.seq
+  WHERE t.base_seq IS NOT NULL
+),
+bdim AS (
+  SELECT s.content_id, s.target_seq,
+         generate_subscripts(b.embedding, 1) AS idx, unnest(b.embedding) AS val
+  FROM tgt s JOIN tg b
+    ON s.content_id = b.content_id AND s.base_seq = b.seq AND b.kind = 'base'
+),
+ddim AS (
+  SELECT s.content_id, s.target_seq,
+         unnest(d.sparse_idx) + 1 AS idx, unnest(d.sparse_val) AS val
+  FROM tgt s JOIN tg d
+    ON s.content_id = d.content_id AND d.kind = 'delta'
+   AND d.base_seq = s.base_seq AND d.seq <= s.target_seq
+),
+state AS (
+  SELECT content_id, target_seq, idx, sum(val) AS val
+  FROM (SELECT * FROM bdim UNION ALL SELECT * FROM ddim)
+  GROUP BY 1, 2, 3
+),
+dd AS (
+  SELECT p.content_id, p.seq_a, p.seq_b, sb.val - sa.val AS diff
+  FROM pr p
+  JOIN state sa ON p.content_id = sa.content_id AND p.seq_a = sa.target_seq
+  JOIN state sb ON p.content_id = sb.content_id AND p.seq_b = sb.target_seq
+   AND sa.idx = sb.idx
+)
+SELECT content_id, seq_a, seq_b,
+       CAST(sum(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       sqrt(sum(diff * diff)) AS magnitude,
+       sum(diff) AS diff_sum
+FROM dd GROUP BY 1, 2, 3
+"""
+
+
 def q_ivf_filtered_topk(spark, sf_dir):
     """Per-query label-filtered ANN: each query (vec_id % 50 == 0) wants
     neighbors sharing ITS OWN label — the filter applies before ranking,
@@ -9381,6 +9460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_containment": q_decontaminate_containment,
     "bpe_train": q_bpe_train,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+    "reconstruct_diff": q_reconstruct_diff,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9557,6 +9637,7 @@ _R07_FRONT = [
     "decontaminate_containment",
     "bpe_train",
     "dedup_sorted_neighborhood",
+    "reconstruct_diff",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9600,7 +9681,6 @@ _R07_FRONT = [
     "events_interval_join",
     "events_json_props",
     "customers_without_orders",
-    "revenue_rollup",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

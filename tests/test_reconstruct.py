@@ -248,3 +248,49 @@ def test_duplicate_sparse_indices_accumulate_in_both_paths(spark):
     for fn in (reconstruct_all, reconstruct_all_folded):
         got = {r.target_seq: r.embedding for r in fn(versions).collect()}
         assert got[2] == [1.5, 2.0, 3.5, 4.0], fn.__name__  # 0.25 applied twice
+
+
+def test_reconstruct_diff_hand_built(spark):
+    """Time-travel diff on a hand-built timeline: bases at 1 and 4,
+    deltas at 2, 3, 5. Diff between t(seq2) and t(seq5) crosses a base
+    boundary; a content resolving to the SAME seq at both instants
+    publishes an all-zeros diff; a content born after t_a publishes no
+    row."""
+    from datetime import datetime, timedelta
+
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_diff,
+    )
+
+    t0 = datetime(2025, 1, 1)
+    d = timedelta(days=1)
+    schema = (
+        "content_id string, seq int, ts timestamp, kind string,"
+        " embedding array<double>, sparse_idx array<int>, sparse_val array<double>,"
+        " from_seq int, magnitude double, n_changed int, total_dims int,"
+        " version_id string, metadata map<string,string>"
+    )
+    rows = [
+        # content A: base1 [1,1,1,1]; +0.5@0; +0.25@2; base4 [2,2,2,2]; -1@3
+        ("A", 1, t0, "base", [1.0, 1.0, 1.0, 1.0], None, None, None, None, None, 4, "A_1", None),
+        ("A", 2, t0 + d, "delta", None, [0], [0.5], 1, 0.5, 1, 4, "A_v2", None),
+        ("A", 3, t0 + 2 * d, "delta", None, [2], [0.25], 2, 0.25, 1, 4, "A_v3", None),
+        ("A", 4, t0 + 3 * d, "base", [2.0, 2.0, 2.0, 2.0], None, None, None, None, None, 4, "A_4", None),
+        ("A", 5, t0 + 4 * d, "delta", None, [3], [-1.0], 4, 1.0, 1, 4, "A_v5", None),
+        # content B: only one version, before both instants -> same state twice
+        ("B", 1, t0, "base", [7.0, 7.0, 7.0, 7.0], None, None, None, None, None, 4, "B_1", None),
+        # content C: born after t_a -> no row
+        ("C", 1, t0 + 10 * d, "base", [9.0], None, None, None, None, None, 1, "C_1", None),
+    ]
+    versions = spark.createDataFrame(rows, schema)
+    t_a = t0 + d          # A resolves seq 2 (state [1.5,1,1,1]), B seq 1
+    t_b = t0 + 4 * d      # A resolves seq 5 (state [2,2,2,1]),   B seq 1
+    got = {r.content_id: r for r in reconstruct_diff(versions, t_a, t_b).collect()}
+    assert set(got) == {"A", "B"}
+    a = got["A"]
+    # diff = [0.5, 1.0, 1.0, 0.0]
+    assert (a.seq_a, a.seq_b, a.n_changed) == (2, 5, 3)
+    assert a.diff_sum == 2.5
+    assert a.magnitude == (0.25 + 1.0 + 1.0) ** 0.5
+    b = got["B"]
+    assert (b.seq_a, b.seq_b, b.n_changed, b.magnitude, b.diff_sum) == (1, 1, 0, 0.0, 0.0)
