@@ -163,6 +163,7 @@ HEADLINE = (
     "bpe_train",
     "dedup_sorted_neighborhood",
     "reconstruct_diff",
+    "bpe_apply",
 )
 
 

@@ -245,3 +245,76 @@ def bpe_train(
         schema="merge_rank int, left_tok string, right_tok string,"
         " merged string, pair_count long",
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE INFERENCE: tokenize every document with a learned merge
+    table (:func:`bpe_train`), applying rules in rank order with the
+    same greedy non-overlapping apply as training — so a corpus
+    tokenized with merges trained on it reproduces the training
+    fold's final word states exactly (the oracle exploits this:
+    it replays the training chain relationally and reads the final
+    state off ``w{R+1}``).
+
+    ``merges`` is the (merge_rank, left_tok, right_tok, …) table —
+    collected driver-side (R rows, a model parameter) — or a plain
+    list of (rank, left, right) tuples. Plan: one narrow Arrow pass
+    over the corpus; the rule list rides the closure. Output:
+    ``(doc_id, n_words, n_tokens, tokens_md5)`` — md5 fingerprints
+    the space-joined token stream, so engines agreeing on the
+    tokenization hash identically (the ``wordpiece_tokenize``
+    contract)."""
+    import hashlib
+
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        rules = [
+            (r.merge_rank, r.left_tok, r.right_tok)
+            for r in merges.select("merge_rank", "left_tok", "right_tok").collect()
+        ]
+    else:
+        rules = [(r[0], r[1], r[2]) for r in merges]
+    rules.sort()
+
+    def fn(batches):
+        cache: dict[str, list[str]] = {}
+
+        def tokenize(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                toks = list(w)
+                for _, left, right in rules:
+                    toks = _merge_word(toks, left, right)
+                cache[w] = got = toks
+            return got
+
+        for pdf in batches:
+            out_id, out_nw, out_nt, out_md5 = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").split(" ") if w]
+                toks: list[str] = []
+                for w in words:
+                    toks.extend(tokenize(w))
+                out_id.append(did)
+                out_nw.append(len(words))
+                out_nt.append(len(toks))
+                out_md5.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "n_words": out_nw,
+                    "n_tokens": out_nt,
+                    "tokens_md5": out_md5,
+                }
+            )
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} {id_t}, n_words int, n_tokens int, tokens_md5 string"
+    )

@@ -9031,6 +9031,47 @@ w{r + 1} AS (
 ORACLES["bpe_train"] = _bpe_oracle_sql(8)
 
 
+def q_bpe_apply(spark, sf_dir):
+    """r07: BPE INFERENCE with the merges trained on the same corpus —
+    rules applied in rank order with the training's greedy apply, so
+    per-word tokenization equals the training fold's final state. The
+    oracle replays the full training chain relationally and reads the
+    tokenization off the final w9 state (no Python on the oracle side
+    at all); md5 fingerprints the token stream per doc."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return bpe_apply(docs, bpe_train(docs, n_merges=8))
+
+
+ORACLES["bpe_apply"] = (
+    _bpe_oracle_sql(8)[: _bpe_oracle_sql(8).rindex("SELECT CAST(1")]
+    + """,
+dw AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+),
+agg AS (
+  SELECT d.doc_id, count(*) AS nw, CAST(sum(len(s.toks)) AS BIGINT) AS nt,
+         string_agg(array_to_string(s.toks, ' '), ' ' ORDER BY d.widx) AS alltok
+  FROM dw d JOIN w9 s ON d.w = s.word
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(a.nw, 0) AS INTEGER) AS n_words,
+       CAST(coalesce(a.nt, 0) AS INTEGER) AS n_tokens,
+       md5(coalesce(a.alltok, '')) AS tokens_md5
+FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+"""
+)
+
+
 def q_dedup_sorted_neighborhood(spark, sf_dir):
     """r07: sorted-neighborhood blocking (Hernández & Stolfo 1995) —
     the linear-candidate third tier beside banding (probabilistic) and
@@ -9461,6 +9502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "reconstruct_diff": q_reconstruct_diff,
+    "bpe_apply": q_bpe_apply,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9638,6 +9680,7 @@ _R07_FRONT = [
     "bpe_train",
     "dedup_sorted_neighborhood",
     "reconstruct_diff",
+    "bpe_apply",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9680,7 +9723,6 @@ _R07_FRONT = [
     "events_asof_join",
     "events_interval_join",
     "events_json_props",
-    "customers_without_orders",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

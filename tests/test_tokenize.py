@@ -106,3 +106,31 @@ def test_bpe_train_deterministic_tiebreak_and_early_stop(spark):
     got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
     # counts all 1 -> lexicographic: (b,a) < (d,c); then no pairs remain
     assert got == [(1, "b", "a", "ba", 1), (2, "d", "c", "dc", 1)]
+
+
+def test_bpe_apply_matches_training_state_and_handles_oov(spark):
+    """Applying trained merges in rank order reproduces the training
+    fold's word states (in-vocab) and degrades to chars + applicable
+    merges on OOV words; rule input works as DataFrame or list."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=3)  # (a,a), (a,b), (aa,ab)
+    out = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+    import hashlib
+
+    # 'aaab' -> [aaab]; 'ab' -> [ab]
+    assert out[1].n_words == 3 and out[1].n_tokens == 3
+    assert out[1].tokens_md5 == hashlib.md5(b"aaab aaab ab").hexdigest()
+    assert out[2].n_tokens == 2
+
+    # OOV: 'aabb' -> aa/b/b via (a,a); 'zz' -> z/z (no rule applies)
+    oov = spark.createDataFrame([(9, "aabb zz")], "doc_id long, text string")
+    r = bpe_apply(oov, [(1, "a", "a"), (2, "a", "b"), (3, "aa", "ab")]).collect()[0]
+    assert r.n_tokens == 5
+    assert r.tokens_md5 == hashlib.md5(b"aa b b z z").hexdigest()
