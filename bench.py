@@ -164,6 +164,7 @@ HEADLINE = (
     "dedup_sorted_neighborhood",
     "reconstruct_diff",
     "bpe_apply",
+    "events_robust_stats",
 )
 
 

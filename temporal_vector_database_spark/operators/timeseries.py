@@ -955,3 +955,94 @@ def series_trend(
             / den,
         ).otherwise(F.lit(None).cast("double")),
     )
+
+
+
+def robust_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    trim_frac_denom: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT order statistics per key — median, MAD (median absolute
+    deviation), and the trimmed mean — the outlier-ROBUST telemetry
+    family beside the moment-based z-scores (``rolling_count_anomaly``)
+    and the sketch path (``events_approx_quantiles``): one corrupted
+    feed value moves a mean arbitrarily far but moves the median by at
+    most one rank.
+
+    Float policy (SCALE.md): values quantize ONCE to exact integer
+    ``scale`` units; every order statistic is then pure integer math
+    over the total ranking ``(v_int, id)`` until one terminal IEEE
+    division — even-count medians publish the exact half-sum
+    ``(lo+hi) / (2·scale)``, and MAD works in 2× units
+    (``|2·v − median2x|``) so it needs no fractional intermediate.
+    Engine-bit-stable by construction.
+
+    Scale posture: per-key rank windows hash-partition by key — the
+    honest formulation for exact per-key order statistics (a key's
+    values must be ordered SOMEWHERE). A pathologically hot key
+    funnels through one task; that is exactly when the approx-quantile
+    sketch path is the right tool — the pair is the documented
+    exact/approx tradeoff. The mid-rank/trim probes fold inside the
+    same grouped aggregate (conditional sums), so beyond the two rank
+    windows there is one hash aggregate per statistic family and a
+    broadcast of the per-key count table.
+
+    Output per key: ``(key_col, n_events, median, trimmed_mean, mad)``.
+    """
+    from pyspark.sql import Window
+
+    s = int(scale)
+    td = int(trim_frac_denom)
+    if td < 3:
+        raise ValueError(f"trim_frac_denom must be >= 3, got {td}")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.round(F.col(value_col) * s).cast("long").alias("v"),
+        F.col(id_col).alias("_id"),
+    )
+    counts = base.groupBy("k").agg(F.count("*").cast("long").alias("_n"))
+    ranked = base.join(F.broadcast(counts), "k").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("v", "_id"))
+    )
+    lo_mid = F.expr("(_n + 1) div 2")
+    hi_mid = F.expr("(_n + 2) div 2")
+    k_t = F.expr(f"_n div {td}")
+    agg1 = ranked.groupBy("k", "_n").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo_mid, F.col("v")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("rn") == hi_mid, F.col("v")).otherwise(F.lit(0)))
+        ).alias("med2x"),
+        F.sum(
+            F.when(
+                (F.col("rn") > k_t) & (F.col("rn") <= F.col("_n") - k_t), F.col("v")
+            ).otherwise(F.lit(0))
+        ).alias("trim_sum"),
+    )
+    dev = (
+        ranked.join(F.broadcast(agg1.select("k", "med2x")), "k")
+        .withColumn("d2", F.abs(F.col("v") * 2 - F.col("med2x")))
+        .withColumn(
+            "drn", F.row_number().over(Window.partitionBy("k").orderBy("d2", "_id"))
+        )
+    )
+    agg2 = dev.groupBy("k", "_n").agg(
+        (
+            F.sum(F.when(F.col("drn") == lo_mid, F.col("d2")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.col("drn") == hi_mid, F.col("d2")).otherwise(F.lit(0)))
+        ).alias("mad4x")
+    )
+    out = agg1.join(agg2, ["k", "_n"])
+    trim_cnt = F.col("_n") - 2 * F.expr(f"_n div {td}")
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("_n").alias("n_events"),
+        (F.col("med2x").cast("double") / F.lit(float(2 * s))).alias("median"),
+        (
+            F.col("trim_sum").cast("double") / (trim_cnt * s).cast("double")
+        ).alias("trimmed_mean"),
+        (F.col("mad4x").cast("double") / F.lit(float(4 * s))).alias("mad"),
+    )

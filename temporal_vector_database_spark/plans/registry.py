@@ -1934,6 +1934,20 @@ def q_events_rank_functions(spark, sf_dir):
     )
 
 
+def q_events_robust_stats(spark, sf_dir):
+    """r07: EXACT per-type order statistics (median / MAD / 10%-trimmed
+    mean) on integer micro-units — the outlier-robust family beside the
+    moment-based z-scores (events_outliers) and the sketch path
+    (events_approx_quantiles). Pure integer math over the total
+    ranking until one terminal IEEE division per published column
+    (operators/timeseries.py robust_stats)."""
+    from temporal_vector_database_spark.operators.timeseries import robust_stats
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    return robust_stats(ev)
+
+
 def q_events_outliers(spark, sf_dir):
     """Z-score anomaly detection per event_type. The measure is
     quantized to integer milli-units FIRST, so the group sums are exact
@@ -2506,6 +2520,47 @@ ORACLES["ingest_late"] = """
 SELECT content_id, seq, kind, from_seq, n_changed, magnitude, version_id,
        list_sum(embedding) AS esum, list_sum(sparse_val) AS vsum
 FROM read_parquet('{FIX}/versions_late_full.parquet')
+"""
+
+ORACLES["events_robust_stats"] = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(round(value * 1000000) AS BIGINT) AS v, event_id AS _id
+  FROM events
+),
+counts AS (SELECT k, CAST(count(*) AS BIGINT) AS _n FROM base GROUP BY 1),
+ranked AS (
+  SELECT b.*, c._n,
+         row_number() OVER (PARTITION BY b.k ORDER BY b.v, b._id) AS rn
+  FROM base b JOIN counts c ON b.k = c.k
+),
+agg1 AS (
+  SELECT k, _n,
+         CAST(sum(CASE WHEN rn = (_n + 1) // 2 THEN v ELSE 0 END)
+            + sum(CASE WHEN rn = (_n + 2) // 2 THEN v ELSE 0 END) AS BIGINT) AS med2x,
+         CAST(sum(CASE WHEN rn > _n // 10 AND rn <= _n - _n // 10
+                  THEN v ELSE 0 END) AS BIGINT) AS trim_sum
+  FROM ranked GROUP BY 1, 2
+),
+dev AS (
+  SELECT r.k, r._n, abs(r.v * 2 - a.med2x) AS d2, r._id
+  FROM ranked r JOIN agg1 a ON r.k = a.k
+),
+devr AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY d2, _id) AS drn FROM dev
+),
+agg2 AS (
+  SELECT k, _n,
+         CAST(sum(CASE WHEN drn = (_n + 1) // 2 THEN d2 ELSE 0 END)
+            + sum(CASE WHEN drn = (_n + 2) // 2 THEN d2 ELSE 0 END) AS BIGINT) AS mad4x
+  FROM devr GROUP BY 1, 2
+)
+SELECT a.k AS event_type, a._n AS n_events,
+       CAST(a.med2x AS DOUBLE) / 2000000.0 AS median,
+       CAST(a.trim_sum AS DOUBLE)
+         / CAST((a._n - 2 * (a._n // 10)) * 1000000 AS DOUBLE) AS trimmed_mean,
+       CAST(g.mad4x AS DOUBLE) / 4000000.0 AS mad
+FROM agg1 a JOIN agg2 g ON a.k = g.k AND a._n = g._n
 """
 
 ORACLES["nearest_base"] = f"""
@@ -9503,6 +9558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "reconstruct_diff": q_reconstruct_diff,
     "bpe_apply": q_bpe_apply,
+    "events_robust_stats": q_events_robust_stats,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9681,6 +9737,7 @@ _R07_FRONT = [
     "dedup_sorted_neighborhood",
     "reconstruct_diff",
     "bpe_apply",
+    "events_robust_stats",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9722,7 +9779,6 @@ _R07_FRONT = [
     "events_tumbling",
     "events_asof_join",
     "events_interval_join",
-    "events_json_props",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)
