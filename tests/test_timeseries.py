@@ -833,3 +833,33 @@ def test_state_merge_key_collision_raises(spark):
         m4_merge(m4, m4, key_cols=("_f",))
     got4 = {tuple(r) for r in m4_merge(m4, m4, key_cols=("k",)).collect()}
     assert got4 == {tuple(r) for r in m4_merge(m4, m4).collect()}
+
+
+def test_robust_stats_hand_computed(spark):
+    """Median/MAD/trimmed-mean on hand-checkable sets: odd and even
+    counts, an outlier the median/MAD shrug off, and the exact
+    half-sum for even medians."""
+    from temporal_vector_database_spark.operators.timeseries import robust_stats
+
+    rows = (
+        # type 'a': values 1..5 plus outlier 1000 -> n=6
+        [(i, "a", float(v)) for i, v in enumerate([3.0, 1.0, 1000.0, 2.0, 5.0, 4.0])]
+        # type 'b': odd count, negative values
+        + [(10 + i, "b", float(v)) for i, v in enumerate([-1.0, 0.5, 2.0])]
+    )
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_type: r for r in robust_stats(ev, trim_frac_denom=3).collect()}
+
+    a = got["a"]
+    # sorted: 1 2 3 4 5 1000; median = (3+4)/2 = 3.5 (exact half-sum)
+    assert a.n_events == 6 and a.median == 3.5
+    # trim n//3=2 from each end: keep 3,4 -> mean 3.5 (outlier gone)
+    assert a.trimmed_mean == 3.5
+    # |2v - 7|: 5 3 1 1 3 1993 -> sorted 1 1 3 3 5 1993; mad4x = 3+3 -> 1.5
+    assert a.mad == 1.5
+
+    b = got["b"]
+    # sorted: -1 0.5 2; median 0.5; trim 1 each end -> mean 0.5
+    assert b.n_events == 3 and b.median == 0.5 and b.trimmed_mean == 0.5
+    # |2v - 1|: 3 0 3 -> sorted 0 3 3 -> mad = (3+3)/4 = 1.5
+    assert b.mad == 1.5
