@@ -9207,8 +9207,12 @@ def q_reconstruct_diff(spark, sf_dir):
     )
 
     v = _versions_ok(spark, sf_dir)
-    t_a = v.where(F.col("seq") == 5).agg(F.max("ts")).first()[0]
-    t_b = v.where(F.col("seq") == 9).agg(F.max("ts")).first()[0]
+    t_a, t_b = (
+        v.agg(
+            F.max(F.when(F.col("seq") == 5, F.col("ts"))),
+            F.max(F.when(F.col("seq") == 9, F.col("ts"))),
+        ).first()
+    )
     return reconstruct_diff(v, t_a, t_b)
 
 
