@@ -165,6 +165,7 @@ HEADLINE = (
     "reconstruct_diff",
     "bpe_apply",
     "events_robust_stats",
+    "events_changepoint",
 )
 
 

@@ -1948,6 +1948,20 @@ def q_events_robust_stats(spark, sf_dir):
     return robust_stats(ev)
 
 
+def q_events_changepoint(spark, sf_dir):
+    """r07: CUSUM cumulative-deviation changepoint scan per event type
+    — exact integer C_t = n*P_t - t*S over the total (ts, id)
+    ordering, lexicographic-struct argmax for the peak, one terminal
+    IEEE division per published double."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        changepoint_scan,
+    )
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "ts_ms", "value")
+    return changepoint_scan(ev)
+
+
 def q_events_outliers(spark, sf_dir):
     """Z-score anomaly detection per event_type. The measure is
     quantized to integer milli-units FIRST, so the group sums are exact
@@ -2520,6 +2534,41 @@ ORACLES["ingest_late"] = """
 SELECT content_id, seq, kind, from_seq, n_changed, magnitude, version_id,
        list_sum(embedding) AS esum, list_sum(sparse_val) AS vsum
 FROM read_parquet('{FIX}/versions_late_full.parquet')
+"""
+
+ORACLES["events_changepoint"] = """
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(round(value * 1000) AS BIGINT) AS v,
+         ts_ms AS _ts, event_id AS _id
+  FROM (SELECT *, epoch_ms(ts) AS ts_ms FROM events)
+),
+stats AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS _n, CAST(sum(v) AS BIGINT) AS _s
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT b.k, s._n,
+         s._n * sum(b.v) OVER (PARTITION BY b.k ORDER BY b._ts, b._id
+                               ROWS UNBOUNDED PRECEDING)
+           - CAST(row_number() OVER (PARTITION BY b.k ORDER BY b._ts, b._id)
+                  AS BIGINT) * s._s AS c,
+         b._ts,
+         CAST(row_number() OVER (PARTITION BY b.k ORDER BY b._ts, b._id)
+              AS BIGINT) AS t
+  FROM base b JOIN stats s ON b.k = s.k
+),
+pk AS (
+  SELECT k, _n, abs(c) AS absc, _ts, t,
+         row_number() OVER (PARTITION BY k
+                            ORDER BY abs(c) DESC, _ts ASC, t ASC) AS rn
+  FROM cum
+)
+SELECT k AS event_type, _n AS n_events,
+       CAST(absc AS DOUBLE) / CAST(_n * 1000 AS DOUBLE) AS cusum_peak,
+       _ts AS peak_ts_ms,
+       CAST(t AS DOUBLE) / CAST(_n AS DOUBLE) AS peak_frac
+FROM pk WHERE rn = 1
 """
 
 ORACLES["events_robust_stats"] = """
@@ -9563,6 +9612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reconstruct_diff": q_reconstruct_diff,
     "bpe_apply": q_bpe_apply,
     "events_robust_stats": q_events_robust_stats,
+    "events_changepoint": q_events_changepoint,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9742,6 +9792,7 @@ _R07_FRONT = [
     "reconstruct_diff",
     "bpe_apply",
     "events_robust_stats",
+    "events_changepoint",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9782,7 +9833,6 @@ _R07_FRONT = [
     "events_type_stats",
     "events_tumbling",
     "events_asof_join",
-    "events_interval_join",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

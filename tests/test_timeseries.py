@@ -863,3 +863,38 @@ def test_robust_stats_hand_computed(spark):
     assert b.n_events == 3 and b.median == 0.5 and b.trimmed_mean == 0.5
     # |2v - 1|: 3 0 3 -> sorted 0 3 3 -> mad = (3+3)/4 = 1.5
     assert b.mad == 1.5
+
+
+def test_changepoint_scan_finds_level_shift(spark):
+    """A series that jumps from level 0 to level 10 at the midpoint
+    peaks its cumulative deviation exactly AT the shift; a flat series
+    peaks at 0 magnitude; the guard raises on overflow-risk inputs."""
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.operators.timeseries import (
+        changepoint_scan,
+    )
+
+    rows = (
+        [(i, "shift", 1000 * i, 0.0) for i in range(50)]
+        + [(50 + i, "shift", 1000 * (50 + i), 10.0) for i in range(50)]
+        + [(200 + i, "flat", 1000 * i, 3.0) for i in range(40)]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_ms long, value double"
+    )
+    got = {r.event_type: r for r in changepoint_scan(ev).collect()}
+    s = got["shift"]
+    # mean is 5; C_t peaks at t=50 (end of the low segment): |C| = n*250*scale
+    assert s.n_events == 100 and s.peak_frac == 0.5
+    assert s.peak_ts_ms == 1000 * 49
+    assert s.cusum_peak == 250.0
+    f = got["flat"]
+    assert f.cusum_peak == 0.0 and f.peak_frac == 1.0 / 40  # all-zero C, earliest wins
+
+    big = spark.createDataFrame(
+        [(i, "x", i, 9e8) for i in range(3)],
+        "event_id long, event_type string, ts_ms long, value double",
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        changepoint_scan(big, scale=10**9)
