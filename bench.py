@@ -166,6 +166,7 @@ HEADLINE = (
     "bpe_apply",
     "events_robust_stats",
     "events_changepoint",
+    "nn_descent",
 )
 
 

@@ -2099,3 +2099,111 @@ def maxsim_rerank(
         .where(F.col("rank") <= int(k))
         .select("query_id", "rank", F.col("vid").alias(id_col), "maxsim")
     )
+
+
+def nn_descent(
+    embeddings: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    nprobe: int = 2,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """NN-DESCENT kNN-graph refinement (Dong et al., WWW 2011) — the
+    graph-ANN construction principle behind HNSW/NSG, in its
+    Spark-native batch form: start from a cheap seed graph (here the
+    IVF-probed :func:`knn_graph`, whose recall is bounded by probe
+    coverage) and iteratively improve it on the premise that *a
+    neighbor of a neighbor is likely a neighbor*: each round scores
+    the 2-hop candidates of the SYMMETRIZED current graph and keeps
+    every node's best ``k``.
+
+    Scale posture: per round the candidate set is ≤ n·(2k)² rows of
+    (id, id) pairs from two equi-joins — never an all-pairs pass —
+    and only the NEW candidates (anti-join vs the current graph) carry
+    embeddings through the scoring join. The graph (n·k rows) is
+    checkpointed per round; rounds are bounded and each is one
+    join+window stage. Deterministic end-to-end: the seed is
+    deterministic, candidates are set-algebra over it, scores are
+    exact dyadic dots, and ranking tie-breaks (sim desc, nbr asc) —
+    the oracle replays every round relationally (the kcore/bpe
+    unrolled-round discipline).
+
+    Output: ``(query_id, rank, vec_id, sim)`` — same contract as
+    :func:`knn_graph`, strictly-no-worse neighbors by construction
+    (the union keeps current edges).
+    """
+    from pyspark.sql import Window
+
+    seed = knn_graph(
+        embeddings, k, nprobe, centroid_mod, centroid_rem, id_col, emb_col
+    )
+    en = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
+        .withColumn(
+            "_nrm",
+            F.sqrt(F.aggregate("_emb", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .localCheckpoint()
+    )
+    g = seed.select(
+        F.col("query_id").alias("id"), F.col("vec_id").alias("nbr"), "sim"
+    ).localCheckpoint()
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("nbr"))
+    for _ in range(int(rounds)):
+        sym = (
+            g.select("id", "nbr")
+            .union(g.select(F.col("nbr").alias("id"), F.col("id").alias("nbr")))
+            .distinct()
+        )
+        cand = (
+            sym.alias("a")
+            .join(sym.alias("b"), F.col("a.nbr") == F.col("b.id"))
+            .where(F.col("a.id") != F.col("b.nbr"))
+            .select(F.col("a.id").alias("id"), F.col("b.nbr").alias("nbr"))
+            .distinct()
+        )
+        new = cand.join(g.select("id", "nbr"), ["id", "nbr"], "left_anti")
+        scored = (
+            new.join(
+                en.select(
+                    F.col("_id").alias("id"),
+                    F.col("_emb").alias("e1"),
+                    F.col("_nrm").alias("n1"),
+                ),
+                "id",
+            )
+            .join(
+                en.select(
+                    F.col("_id").alias("nbr"),
+                    F.col("_emb").alias("e2"),
+                    F.col("_nrm").alias("n2"),
+                ),
+                "nbr",
+            )
+            .withColumn(
+                "sim",
+                F.when(
+                    (F.col("n1") > 0) & (F.col("n2") > 0),
+                    F.aggregate(
+                        F.zip_with("e1", "e2", lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / (F.col("n1") * F.col("n2")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .select("id", "nbr", "sim")
+        )
+        g = (
+            g.unionByName(scored.where(F.col("sim") > 0))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= int(k))
+            .drop("rn")
+            .localCheckpoint()
+        )
+    return g.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        F.col("id").alias("query_id"), "rank", F.col("nbr").alias("vec_id"), "sim"
+    )

@@ -3697,6 +3697,58 @@ def _ivf_ranked_body(query_filter: str = "vec_id % 50 = 0", exclude_self: bool =
 
 _IVF_RANKED_BODY = _ivf_ranked_body()
 
+def _nn_descent_oracle_sql(k: int, rounds: int) -> str:
+    parts = [
+        _QEMB_CTE,
+        _ivf_ranked_body(query_filter="TRUE", exclude_self=True),
+        f""",
+g0 AS (SELECT query_id AS id, vec_id AS nbr, sim FROM ranked WHERE rank <= {k})""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+sym{r} AS (SELECT id, nbr FROM g{p} UNION SELECT nbr, id FROM g{p}),
+cand{r} AS (
+  SELECT DISTINCT a.id, b.nbr
+  FROM sym{r} a JOIN sym{r} b ON a.nbr = b.id
+  WHERE a.id <> b.nbr
+),
+new{r} AS (
+  SELECT c.id, c.nbr FROM cand{r} c
+  LEFT JOIN g{p} g ON c.id = g.id AND c.nbr = g.nbr
+  WHERE g.id IS NULL
+),
+sc{r} AS (
+  SELECT n.id, n.nbr,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM new{r} n JOIN en ea ON n.id = ea.vec_id JOIN en eb ON n.nbr = eb.vec_id
+),
+u{r} AS (SELECT * FROM g{p}
+         UNION ALL SELECT * FROM sc{r} WHERE sim > 0),
+g{r} AS (
+  SELECT id, nbr, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+    FROM u{r}
+  ) WHERE rn <= {k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS query_id,
+       CAST(row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr)
+            AS INTEGER) AS rank,
+       nbr AS vec_id, sim
+FROM g{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["nn_descent"] = _nn_descent_oracle_sql(5, 2)
+
+
 ORACLES["ivf_topk"] = (
     _QEMB_CTE
     + _IVF_RANKED_BODY
@@ -6620,6 +6672,19 @@ ORACLES["knn_graph"] = (
 SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
 """
 )
+
+
+def q_nn_descent(spark, sf_dir):
+    """r07: NN-Descent kNN-graph refinement (Dong et al. 2011) — seed
+    from the IVF-probed graph, 2 rounds of symmetrized 2-hop candidate
+    scoring, keep best k per node. Strictly-no-worse than the seed by
+    construction; the recall gain over the probe-bounded seed is
+    pinned in tests/test_search.py. Oracle replays both rounds
+    relationally (unrolled CTEs)."""
+    from temporal_vector_database_spark.operators.search import nn_descent
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return nn_descent(emb, k=5, rounds=2, nprobe=2)
 
 
 def q_knn_classify(spark, sf_dir):
@@ -9613,6 +9678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_apply": q_bpe_apply,
     "events_robust_stats": q_events_robust_stats,
     "events_changepoint": q_events_changepoint,
+    "nn_descent": q_nn_descent,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9793,6 +9859,7 @@ _R07_FRONT = [
     "bpe_apply",
     "events_robust_stats",
     "events_changepoint",
+    "nn_descent",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9832,7 +9899,6 @@ _R07_FRONT = [
     "events_session_window",
     "events_type_stats",
     "events_tumbling",
-    "events_asof_join",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

@@ -1211,3 +1211,69 @@ def test_maxsim_rerank_identical_subvectors_reduce_to_cosine(spark):
     assert 1.0 < got[2][1] < 4.0
     assert got[2][0] == 2
     assert got[3][1] < got[2][1]
+
+
+def test_nn_descent_no_worse_and_improves_recall(spark, sf_dir):
+    """NN-Descent refinement: (a) strictly-no-worse per node than the
+    probe-bounded seed (the union keeps current edges), and (b) higher
+    exact-kNN recall than the seed on the real corpus — the 2-hop
+    expansion recovers cross-probe neighbors the IVF seed misses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.search import (
+        knn_graph,
+        nn_descent,
+    )
+
+    emb = (
+        spark.read.parquet(sf_dir + "/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> floor(cast(x as double) * 1024) / 1024)"
+            ).alias("embedding"),
+        )
+    )
+    seed = knn_graph(emb, k=5, nprobe=2)
+    desc = nn_descent(emb, k=5, rounds=2, nprobe=2)
+
+    def worst_sim(df):
+        return {
+            r.query_id: r.w
+            for r in df.groupBy("query_id").agg(F.min("sim").alias("w")).collect()
+        }
+
+    ws, wd = worst_sim(seed), worst_sim(desc)
+    assert all(wd[q] >= ws[q] - 1e-12 for q in ws)
+
+    # exact kNN in numpy for recall
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows])
+    nrm = np.linalg.norm(M, axis=1)
+    sim = (M @ M.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(sim, -np.inf)
+    exact = {}
+    for i, vid in enumerate(ids):
+        order = np.lexsort((ids, -sim[i]))[:5]
+        exact[vid] = {int(ids[j]) for j in order if sim[i][j] > 0}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+        total = sum(len(e) for e in exact.values())
+        return hits / total
+
+    rs, rd = recall(seed), recall(desc)
+    assert rd >= rs
+    # measured: seed 0.29 -> r1 0.40 -> r2 0.45 on this corpus. The
+    # plateau is the data's, not the algorithm's: driver embeddings are
+    # near-isotropic, so 64-d cosine neighborhoods are weak and 2-hop
+    # expansion saturates — NN-Descent's published near-1.0 recalls are
+    # on data with real local structure. What the test pins is the
+    # algorithmic claim: a LARGE monotone gain over the probe-bounded
+    # seed, on top of the per-node no-worse guarantee above.
+    assert rd > rs + 0.10
