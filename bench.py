@@ -167,6 +167,7 @@ HEADLINE = (
     "events_robust_stats",
     "events_changepoint",
     "nn_descent",
+    "snapshot_read",
 )
 
 

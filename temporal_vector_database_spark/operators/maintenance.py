@@ -100,3 +100,33 @@ def truncate_before(versions: DataFrame, cutoff) -> DataFrame:
         (F.col("ts") >= F.lit(cutoff)) | (F.col("seq") == F.col("_keep_seq"))
     )
     return out.drop("_keep_seq")
+
+
+def export_snapshot(
+    versions: DataFrame, t, path: str, buckets: int = 8
+) -> str:
+    """Materialize the WHOLE database's as-of state at ``t`` as a
+    bucket-partitioned parquet snapshot — the export/serving sink of
+    the time-travel surface (r07, beyond-reference: the reference can
+    only reconstruct one content at a time into memory,
+    ``core/reconstruction_service.py:159-184``). A downstream consumer
+    (a trainer, a serving index build) reads a plain columnar table
+    with no knowledge of delta encoding, and the bucket layout gives
+    it partition pruning on content lookups for free.
+
+    One reconstruction fold (one content_id shuffle) + one partitioned
+    write; buckets are a deterministic hash of content_id, so the same
+    snapshot always lands in the same layout. Returns ``path``."""
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_asof,
+    )
+
+    contents = versions.select("content_id").distinct()
+    snap = reconstruct_asof(versions, contents.withColumn("t", F.lit(t))).select(
+        "content_id", "target_seq", "base_seq", "cost", "embedding"
+    )
+    out = snap.withColumn(
+        "bucket", F.pmod(F.xxhash64("content_id"), F.lit(int(buckets))).cast("int")
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path

@@ -153,6 +153,30 @@ def q_ingest_late(spark, sf_dir):
     )
 
 
+def q_snapshot_read(spark, sf_dir):
+    """r07: time-travel snapshot EXPORT sink read-back — the persisted
+    bucket-partitioned as-of materialization (built once by
+    ensure_snapshot_export via operators/maintenance.py export_snapshot)
+    read as a plain columnar table; the oracle recomputes the same
+    state from raw versions, cross-checking the whole export path
+    (resolve → fold → write → read). Bucket partition pruning is
+    plan-pinned in tests/test_plans.py."""
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_snapshot_export,
+    )
+
+    path = ensure_snapshot_export(spark, sf_dir)
+    snap = spark.read.parquet(path)
+    return _emb_sums(snap).select(
+        "content_id",
+        "target_seq",
+        "base_seq",
+        "cost",
+        F.col("emb_sum").alias("esum"),
+        F.col("emb_wsum").alias("ewsum"),
+    )
+
+
 def q_nearest_base(spark, sf_dir):
     v = R.with_governing_base(_versions(spark, sf_dir))
     return v.select("content_id", "seq", "base_seq")
@@ -2621,6 +2645,24 @@ FROM {_V}
 
 ORACLES["reconstruct_all"] = (
     _RECON_CTE + "SELECT content_id, target_seq, base_seq, cost, emb_sum, emb_wsum FROM recon"
+)
+
+# r07: the snapshot-export read-back — recompute the as-of state at
+# max(ts of any seq-7 row) from raw versions; equality with the
+# persisted export gates resolve → fold → write → read end-to-end.
+ORACLES["snapshot_read"] = (
+    _RECON_CTE
+    + """
+, tq AS (SELECT max(ts) AS t FROM v WHERE seq = 7),
+res AS (
+  SELECT content_id, max(seq) AS target_seq
+  FROM v, tq WHERE v.ts <= tq.t GROUP BY content_id
+)
+SELECT r.content_id, r.target_seq, rc.base_seq, rc.cost,
+       rc.emb_sum AS esum, rc.emb_wsum AS ewsum
+FROM res r
+JOIN recon rc ON r.content_id = rc.content_id AND r.target_seq = rc.target_seq
+"""
 )
 
 ORACLES["reconstruct_latest"] = (
@@ -9679,6 +9721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_robust_stats": q_events_robust_stats,
     "events_changepoint": q_events_changepoint,
     "nn_descent": q_nn_descent,
+    "snapshot_read": q_snapshot_read,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9860,6 +9903,7 @@ _R07_FRONT = [
     "events_robust_stats",
     "events_changepoint",
     "nn_descent",
+    "snapshot_read",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9898,7 +9942,6 @@ _R07_FRONT = [
     "events_sessionize",
     "events_session_window",
     "events_type_stats",
-    "events_tumbling",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

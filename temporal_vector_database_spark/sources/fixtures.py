@@ -607,3 +607,26 @@ def ensure_ivfpq_residual_index(spark, sf_dir: str, m: int = 4) -> str:
 
         write_ivfpq_residual_index(_quantized_embeddings(spark, sf_dir), out, m)
     return out
+
+
+def ensure_snapshot_export(spark, sf_dir: str) -> str:
+    """Idempotently materialize the as-of snapshot at the instant
+    ``max(ts) of any seq-7 row`` via :func:`operators.maintenance.
+    export_snapshot` — the time-travel serving sink built once at
+    deployment time; gated queries read it back and the oracle
+    recomputes the same state from raw versions, cross-checking the
+    whole export path (resolve → fold → write → read)."""
+    out = os.path.join(fixture_dir(sf_dir), "snapshot_t7.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from temporal_vector_database_spark.operators.maintenance import (
+            export_snapshot,
+        )
+
+        v = spark.read.parquet(
+            os.path.join(ensure_fixtures(sf_dir), "versions.parquet")
+        ).where(~F.col("content_id").startswith("corrupt"))
+        t = v.where(F.col("seq") == 7).agg(F.max("ts")).first()[0]
+        export_snapshot(v, t, out)
+    return out

@@ -759,3 +759,27 @@ def test_sorted_neighborhood_rank_never_single_partition(spark, qmap):
 
     full = formatted_plan(qmap["dedup_sorted_neighborhood"](spark, SF_DIR))
     assert "CartesianProduct" not in full and "BroadcastNestedLoopJoin" not in full
+
+
+def test_snapshot_export_bucket_pruning(spark):
+    """The persisted as-of snapshot's bucket layout must give content
+    lookups partition pruning: a bucket-filtered read shows a
+    PartitionFilters entry and scans a subset of partitions."""
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_snapshot_export,
+    )
+
+    path = ensure_snapshot_export(spark, SF_DIR)
+    snap = spark.read.parquet(path)
+    pruned = snap.where("bucket = 3")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [" in plan
+    # the filter must reach the partition level, not the row level
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "bucket" in seg.split("]")[0]
+    # the filter is a DIRECTORY-level predicate (bucket is a partition
+    # column, absent from the data files), and the pruned read returns a
+    # strict non-empty subset
+    assert "bucket" not in plan.split("ReadSchema:")[1].splitlines()[0]
+    n_pruned, n_full = pruned.count(), snap.count()
+    assert 0 < n_pruned < n_full
