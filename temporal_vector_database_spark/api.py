@@ -366,3 +366,25 @@ class TemporalVectorDatabase:
         rewritten.write.mode("overwrite").parquet(self.table_path)
         self._invalidate_index()
         return before - rewritten.count()
+
+    def diff_between(self, t_a: datetime, t_b: datetime) -> DataFrame:
+        """Time-travel DIFF (r07): per content, what changed between the
+        as-of states at ``t_a`` and ``t_b`` — exact n_changed /
+        magnitude / diff_sum columns; only contents reconstructable at
+        BOTH instants appear. See ``operators/reconstruct.reconstruct_diff``."""
+        from temporal_vector_database_spark.operators.reconstruct import (
+            reconstruct_diff,
+        )
+
+        return reconstruct_diff(self.versions(), t_a, t_b)
+
+    def export_snapshot(self, t: datetime, path: str, buckets: int = 8) -> str:
+        """Materialize the whole database's as-of state at ``t`` as a
+        bucket-partitioned parquet snapshot (the export/serving sink;
+        consumers read plain columns with partition pruning). Returns
+        ``path``. See ``operators/maintenance.export_snapshot``."""
+        from temporal_vector_database_spark.operators.maintenance import (
+            export_snapshot,
+        )
+
+        return export_snapshot(self.versions(), t, path, buckets=buckets)

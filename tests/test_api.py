@@ -191,3 +191,21 @@ def test_get_version_at_sequence_metadata_only(db, spark):
     assert emb7 is None and vid7 == "a_v7" and not is_base7
     assert db.get_version_at_sequence("a", 99) is None
     assert db.get_version_at_sequence("nope", 1) is None
+
+
+def test_facade_diff_and_snapshot_export(db, spark, tmp_path):
+    raw = _raw(spark, n=12)
+    db.add_versions(raw)
+    # diff between day 3 (seq 4) and day 8 (seq 9): every content moved
+    d = {r.content_id: r for r in db.diff_between(
+        T0 + timedelta(days=3), T0 + timedelta(days=8)).collect()}
+    assert set(d) == {"a", "b"}
+    assert all(r.seq_a == 4 and r.seq_b == 9 and r.n_changed > 0 for r in d.values())
+
+    # snapshot export at day 8: one row per content, seq 9 states,
+    # bucket layout on disk
+    out = db.export_snapshot(T0 + timedelta(days=8), str(tmp_path / "snap"), buckets=4)
+    snap = spark.read.parquet(out)
+    assert snap.count() == 2
+    assert {r.target_seq for r in snap.select("target_seq").collect()} == {9}
+    assert "bucket" in snap.columns
