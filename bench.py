@@ -168,6 +168,7 @@ HEADLINE = (
     "events_changepoint",
     "nn_descent",
     "snapshot_read",
+    "bbit_minhash",
 )
 
 

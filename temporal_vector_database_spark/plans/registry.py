@@ -3169,6 +3169,54 @@ sig AS (
 
 ORACLES["minhash_signature"] = _SHINGLES_CTE + "SELECT * FROM sig"
 
+# r07: b-bit minwise hashing — last hex char of each 16-bit minhash,
+# banded over 2-digit compressed values; exact digit-match count and
+# the collision-corrected estimator (16m - H) / (15H) as one division.
+ORACLES["bbit_minhash"] = (
+    _SHINGLES_CTE
+    + """
+, bb AS (
+  SELECT doc_id, """
+    + ", ".join(f"substring(mh_{h}, 4, 1) AS b_{h}" for h in range(8))
+    + """
+  FROM sig
+),
+bucket AS (
+  SELECT doc_id, unnest([0, 1, 2, 3]) AS band_id,
+         unnest([b_0 || b_1, b_2 || b_3, b_4 || b_5, b_6 || b_7]) AS band_val
+  FROM bb
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CAST("""
+    + " + ".join(
+        f"(CASE WHEN sa.b_{h} = sb.b_{h} THEN 1 ELSE 0 END)" for h in range(8)
+    )
+    + """ AS BIGINT) AS n_match
+  FROM pairs p JOIN bb sa ON p.a_id = sa.doc_id JOIN bb sb ON p.b_id = sb.doc_id
+)
+SELECT a_id, b_id, n_match,
+       CAST(16 * n_match - 8 AS DOUBLE) / 120.0 AS j_est
+FROM scored WHERE n_match >= 6
+"""
+)
+
+
+def q_bbit_minhash(spark, sf_dir):
+    """r07: b-bit minwise hashing (Li & König 2010) — 4x-compressed
+    minhash store (last hex char of each 16-bit slice), candidates
+    banded over the compressed digits, integer match-count gate, and
+    the collision-corrected Jaccard estimator (16m-H)/(15H)."""
+    from temporal_vector_database_spark.operators.dedup import bbit_minhash_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bbit_minhash_pairs(docs, min_match=6)
+
 ORACLES["dedup_near_pairs"] = (
     _SHINGLES_CTE
     + """
@@ -9722,6 +9770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": q_events_changepoint,
     "nn_descent": q_nn_descent,
     "snapshot_read": q_snapshot_read,
+    "bbit_minhash": q_bbit_minhash,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9904,6 +9953,7 @@ _R07_FRONT = [
     "events_changepoint",
     "nn_descent",
     "snapshot_read",
+    "bbit_minhash",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9941,7 +9991,6 @@ _R07_FRONT = [
     "salted_revenue_by_priority",
     "events_sessionize",
     "events_session_window",
-    "events_type_stats",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

@@ -750,3 +750,20 @@ def test_jaccard_prefix_join_exact_recall_vs_brute_force(spark):
         ).collect()
     }
     assert got == want and len(want) >= 3
+
+
+def test_bbit_minhash_estimator_and_compression_contract(spark):
+    """b-bit minhash: identical docs match all 8 digits (j_est = 1.0
+    after collision correction); the compressed signature is one hex
+    char per hash (the 4x store reduction); unrelated docs never reach
+    6/8 matches."""
+    from temporal_vector_database_spark.operators.dedup import bbit_minhash_pairs
+
+    a = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(1, a), (2, a), (3, "completely different content entirely " * 4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r for r in bbit_minhash_pairs(docs).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.n_match == 8 and r.j_est == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
