@@ -271,3 +271,94 @@ def test_replay_guard_raises_on_checkpoint_regression(spark, tmp_path):
     # regression below head: fresh-checkpoint signature -> raise
     with _pytest.raises(RuntimeError, match="checkpoint"):
         process_m4_batch(df.where(F.col("event_id") == 1), 0, state, **kw)
+
+
+def test_snapshot_bucket_refresh_incremental_and_idempotent(spark, tmp_path):
+    """Streaming snapshot maintenance: a batch touching one content
+    rewrites ONLY that content's bucket (untouched bucket files are
+    byte-identical on disk), the refreshed table equals the full
+    recompute, and redelivery is a no-op by value."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.config import FIXTURE_CONFIG
+    from temporal_vector_database_spark.operators.ingest import ingest
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_latest,
+    )
+    from temporal_vector_database_spark.streaming.snapshot import (
+        _bucket,
+        process_snapshot_batch,
+        refresh_snapshot_buckets,
+    )
+
+    t0 = datetime(2025, 3, 1)
+    dim = 8
+
+    def raw_rows(cids, n, t_off=0):
+        rows = []
+        for ci, c in enumerate(cids):
+            vec = [((ci * 5 + d) % 9 - 4) / 64.0 for d in range(dim)]
+            for k in range(1, n + 1):
+                vec = [x + ((k + d + ci) % 3 == 0) * (1 / 64.0) for d, x in enumerate(vec)]
+                rows.append((c, t0 + timedelta(days=t_off + k), list(vec)))
+        return spark.createDataFrame(
+            rows, "content_id string, ts timestamp, embedding array<double>"
+        )
+
+    cids = [f"s{i}" for i in range(8)]
+    vpath = str(tmp_path / "versions")
+    spath = str(tmp_path / "snap")
+    v1 = ingest(raw_rows(cids, 4), FIXTURE_CONFIG)
+    v1.write.mode("overwrite").parquet(vpath)
+
+    # initial full materialization
+    all_contents = spark.read.parquet(vpath).select("content_id").distinct()
+    refresh_snapshot_buckets(spark.read.parquet(vpath), all_contents, spath)
+
+    def canon(df):
+        return sorted(
+            (r.content_id, r.target_seq, r.base_seq, r.cost, tuple(r.embedding))
+            for r in df.select(
+                "content_id", "target_seq", "base_seq", "cost", "embedding"
+            ).collect()
+        )
+
+    assert canon(spark.read.parquet(spath)) == canon(
+        reconstruct_latest(spark.read.parquet(vpath))
+    )
+
+    # append new versions for ONE content; note untouched buckets' files
+    touched = cids[0]
+    tb = spark.range(1).select(_bucket(F.lit(touched))).first()[0]
+    untouched_files = {}
+    for d in os.listdir(spath):
+        if d.startswith("bucket=") and d != f"bucket={tb}":
+            p = os.path.join(spath, d)
+            untouched_files[d] = {
+                f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+            }
+    from temporal_vector_database_spark.operators.ingest import append_versions
+
+    newv = append_versions(
+        spark.read.parquet(vpath), raw_rows([touched], 2, t_off=10), FIXTURE_CONFIG
+    )
+    newv.write.mode("append").parquet(vpath)
+    batch = newv.select("content_id").distinct()
+    process_snapshot_batch(batch, 1, vpath, spath)
+
+    assert canon(spark.read.parquet(spath)) == canon(
+        reconstruct_latest(spark.read.parquet(vpath))
+    )
+    for d, files in untouched_files.items():
+        p = os.path.join(spath, d)
+        assert {
+            f: os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+        } == files, f"untouched {d} was rewritten"
+
+    # redelivery: same batch again -> same values
+    before = canon(spark.read.parquet(spath))
+    process_snapshot_batch(batch, 1, vpath, spath)
+    assert canon(spark.read.parquet(spath)) == before
