@@ -216,6 +216,11 @@ def main() -> None:
         ensure_mrl_index,
     )
 
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_snapshot_export,
+    )
+
+    ensure_snapshot_export(spark, sf_dir)
     ensure_events_zordered(spark, sf_dir)
     ensure_mrl_index(spark, sf_dir)
     ensure_ivfpq_index(spark, sf_dir)

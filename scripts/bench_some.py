@@ -46,6 +46,11 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_snapshot_export,
+    )
+
+    ensure_snapshot_export(spark, sf_dir)
     ensure_minhash_store(spark, sf_dir)
     ensure_lsh_band_store(spark, sf_dir)
     ensure_ivf_store_upserted(spark, sf_dir)
