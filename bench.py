@@ -169,6 +169,7 @@ HEADLINE = (
     "nn_descent",
     "snapshot_read",
     "bbit_minhash",
+    "embedding_quantile_norm",
 )
 
 

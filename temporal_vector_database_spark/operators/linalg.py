@@ -226,3 +226,55 @@ def pca_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "sim")
     )
+
+
+def quantile_normalize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-DIMENSION rank/quantile normalization of an embedding table
+    (r07) — the outlier-robust whitening a training pipeline applies
+    before mixing embedding sources with mismatched scales: each
+    dimension's values map onto [0, 1] by rank, so a feed whose dim-7
+    runs 100× hot contributes the same distribution as every other
+    source. Ties share the MIN rank (equal inputs map to equal
+    quantiles — an ordinal tie-break would split them by id).
+
+    Exactness: the per-dim rank is an integer window; the published
+    per-vector summary keeps integer sums (``rank_sum``) and performs
+    ONE terminal division for ``q_mean = rank_sum / (d·(n−1))``
+    (rank−1 summed over dims) — engine-bit-stable. Plan: one explode
+    (rows×dims — the honest cost of any per-dim order statistic), a
+    RANK window PARTITIONED BY DIMENSION (distributed; never a global
+    frame), and one group-back aggregate keyed by id.
+
+    Output: ``(id_col, n_dims, rank_sum, q_mean)``; use the exploded
+    intermediate directly when the full normalized vectors are needed
+    downstream."""
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    if n < 2:
+        raise ValueError("quantile_normalize needs at least 2 vectors")
+    ex = embeddings.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.col(emb_col)).alias("dim", "val")
+    )
+    w = Window.partitionBy("dim").orderBy("val")
+    ranked = ex.withColumn("rk", F.rank().over(w).cast("long"))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("*").cast("int").alias("n_dims"),
+            F.sum(F.col("rk") - 1).cast("long").alias("rank_sum"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_dims",
+            "rank_sum",
+            (
+                F.col("rank_sum").cast("double")
+                / (F.col("n_dims").cast("long") * (n - 1)).cast("double")
+            ).alias("q_mean"),
+        )
+    )

@@ -3706,6 +3706,39 @@ en AS (
 )
 """
 
+# r07: per-dim rank/quantile normalization summary — rank() (min rank,
+# ties share) per dimension, integer rank sums, one terminal division.
+ORACLES["embedding_quantile_norm"] = (
+    _QEMB_CTE
+    + """
+, ex AS (
+  SELECT vec_id, generate_subscripts(emb, 1) AS dim, unnest(emb) AS val FROM e
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+ranked AS (
+  SELECT vec_id, CAST(rank() OVER (PARTITION BY dim ORDER BY val) AS BIGINT) AS rk
+  FROM ex
+)
+SELECT vec_id, CAST(count(*) AS INTEGER) AS n_dims,
+       CAST(sum(rk - 1) AS BIGINT) AS rank_sum,
+       CAST(sum(rk - 1) AS DOUBLE)
+         / CAST(count(*) * (nn.n - 1) AS DOUBLE) AS q_mean
+FROM ranked, nn
+GROUP BY vec_id, nn.n
+"""
+)
+
+
+def q_embedding_quantile_norm(spark, sf_dir):
+    """r07: per-dimension rank/quantile normalization summary over the
+    quantized embeddings — outlier-robust source-scale equalization;
+    min-rank ties, integer rank sums, one terminal IEEE division
+    (operators/linalg.py quantile_normalize)."""
+    from temporal_vector_database_spark.operators.linalg import quantile_normalize
+
+    return quantile_normalize(_quantized_embeddings(spark, sf_dir))
+
+
 ORACLES["embedding_near_dup"] = (
     _QEMB_CTE
     + """
@@ -9771,6 +9804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nn_descent": q_nn_descent,
     "snapshot_read": q_snapshot_read,
     "bbit_minhash": q_bbit_minhash,
+    "embedding_quantile_norm": q_embedding_quantile_norm,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9954,6 +9988,7 @@ _R07_FRONT = [
     "nn_descent",
     "snapshot_read",
     "bbit_minhash",
+    "embedding_quantile_norm",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -9990,7 +10025,6 @@ _R07_FRONT = [
     "top_events_per_user_salted",
     "salted_revenue_by_priority",
     "events_sessionize",
-    "events_session_window",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)
