@@ -41,3 +41,33 @@ def test_percentile_approx_within_accuracy(spark):
     for q, a in zip([0.25, 0.5, 0.9], row.approx):
         rank = sum(1 for v in vals if v <= a)
         assert abs(rank - q * n) <= n / 1000 + 1, (q, a, rank, q * n)
+
+
+def test_quantile_normalize_ranks_and_ties(spark):
+    """Per-dim quantile normalization: extremes map to 0 and 1, ties
+    share the min rank (equal inputs -> equal quantiles), and q_mean is
+    the exact integer-rank mean."""
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.operators.linalg import quantile_normalize
+
+    rows = [
+        (1, [0.0, 5.0]),
+        (2, [1.0, 5.0]),   # dim-1 tie with vec 1
+        (3, [2.0, 7.0]),
+        (4, [3.0, 9.0]),
+        (5, [4.0, 9.0]),   # dim-1 tie with vec 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantile_normalize(df).collect()}
+    # dim0 ranks: 1..5 -> rank-1 = 0..4; dim1 min-ranks: [1,1,3,4,4]
+    want_rank_sum = {1: 0 + 0, 2: 1 + 0, 3: 2 + 2, 4: 3 + 3, 5: 4 + 3}
+    assert {k: v.rank_sum for k, v in got.items()} == want_rank_sum
+    # q_mean = rank_sum / (2 dims * (5-1))
+    assert got[1].q_mean == 0.0
+    assert got[5].q_mean == 7 / 8
+    assert all(0.0 <= r.q_mean <= 1.0 for r in got.values())
+
+    tiny = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        quantile_normalize(tiny)
