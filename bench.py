@@ -170,6 +170,7 @@ HEADLINE = (
     "snapshot_read",
     "bbit_minhash",
     "embedding_quantile_norm",
+    "source_overlap",
 )
 
 

@@ -2465,3 +2465,92 @@ def bbit_minhash_pairs(
         )
         .select("a_id", "b_id", "n_match", "j_est")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    width: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Corpus-level overlap BETWEEN SOURCES (r07): treat each source's
+    union of shingles as one set and report every source pair's
+    similarity — the feed-procurement diagnostic ("how much of feed B
+    is already in feed A?") that doc-grain dedup can't answer directly.
+    Publishes BOTH estimates in one row: the MinHash estimate from the
+    source-level signature (min over the whole source per hash slice —
+    a pure MERGEABLE min-aggregate, so at 100 TB the signature
+    maintains incrementally per ingest batch and the pairwise compare
+    touches #sources² tiny rows), and the EXACT hashed-shingle Jaccard
+    (distinct (source, shingle) relation — vocabulary-bounded, one
+    shingle-keyed join; the right exact tier while #sources is small).
+    The gate thereby pins estimator-vs-truth in a single query.
+
+    Output per unordered pair: ``(src_a, src_b, n_match, est_jaccard,
+    n_inter, n_union, jaccard)`` — integers + two terminal divisions.
+    """
+    shd = (
+        _shingles(docs.select(F.col(source_col).alias("doc_id"), text_col), text_col, width)
+        .withColumn("shh", F.expr(_token_hash32_expr("sh")).cast("long"))
+        .select(F.col("doc_id").alias("src"), "shh")
+        .distinct()
+        .localCheckpoint()
+    )
+    # source signature: 8 md5-slice minima over the source's shingle union
+    sig = (
+        _shingles(docs.select(F.col(source_col).alias("doc_id"), text_col), text_col, width)
+        .withColumn("dig", F.md5("sh"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.substring("dig", 1 + 4 * h, 4)).alias(f"mh_{h}")
+                for h in range(num_hashes)
+            ]
+        )
+        .withColumnRenamed("doc_id", "src")
+    )
+    sa = sig.select(
+        F.col("src").alias("src_a"), *[F.col(f"mh_{h}").alias(f"a{h}") for h in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col("src").alias("src_b"), *[F.col(f"mh_{h}").alias(f"b{h}") for h in range(num_hashes)]
+    )
+    m = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    ).cast("long")
+    est = sa.join(sb, F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        m.alias("n_match"),
+        (m.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+    sizes = shd.groupBy("src").agg(F.count("*").cast("long").alias("n_sh"))
+    inter = (
+        shd.alias("x")
+        .join(shd.alias("y"), (F.col("x.shh") == F.col("y.shh")) & (F.col("x.src") < F.col("y.src")))
+        .groupBy(F.col("x.src").alias("src_a"), F.col("y.src").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    exact = (
+        sizes.alias("p")
+        .join(sizes.alias("q"), F.col("p.src") < F.col("q.src"))
+        .select(
+            F.col("p.src").alias("src_a"),
+            F.col("q.src").alias("src_b"),
+            F.col("p.n_sh").alias("n_a"),
+            F.col("q.n_sh").alias("n_b"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)).cast("long"))
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+        )
+        .select("src_a", "src_b", "n_inter", "n_union", "jaccard")
+    )
+    return est.join(exact, ["src_a", "src_b"]).select(
+        "src_a", "src_b", "n_match", "est_jaccard", "n_inter", "n_union", "jaccard"
+    )

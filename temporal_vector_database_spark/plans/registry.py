@@ -3706,6 +3706,70 @@ en AS (
 )
 """
 
+def q_source_overlap(spark, sf_dir):
+    """r07: corpus-level overlap between SOURCES — source-union shingle
+    sets compared pairwise, publishing the mergeable-minima MinHash
+    estimate AND the exact hashed-shingle Jaccard in one row
+    (operators/dedup.py source_overlap) — estimator-vs-truth pinned by
+    the gate itself."""
+    from temporal_vector_database_spark.operators.dedup import source_overlap
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return source_overlap(docs)
+
+
+ORACLES["source_overlap"] = """
+WITH sh AS (
+  SELECT source AS src,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substring(text, i, 3))) AS sh
+  FROM documents
+),
+shd AS (SELECT DISTINCT src, {SHH} AS shh FROM sh),
+sig AS (
+  SELECT src,
+         min(substring(md5(sh), 1, 4)) AS mh_0, min(substring(md5(sh), 5, 4)) AS mh_1,
+         min(substring(md5(sh), 9, 4)) AS mh_2, min(substring(md5(sh), 13, 4)) AS mh_3,
+         min(substring(md5(sh), 17, 4)) AS mh_4, min(substring(md5(sh), 21, 4)) AS mh_5,
+         min(substring(md5(sh), 25, 4)) AS mh_6, min(substring(md5(sh), 29, 4)) AS mh_7
+  FROM sh GROUP BY src
+),
+est AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM sig a JOIN sig b ON a.src < b.src
+),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM shd GROUP BY 1),
+inter AS (
+  SELECT x.src AS src_a, y.src AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM shd x JOIN shd y ON x.shh = y.shh AND x.src < y.src
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.src AS src_a, q.src AS src_b,
+         COALESCE(i.n_inter, 0) AS n_inter,
+         p.n_sh + q.n_sh - COALESCE(i.n_inter, 0) AS n_union
+  FROM sizes p JOIN sizes q ON p.src < q.src
+  LEFT JOIN inter i ON i.src_a = p.src AND i.src_b = q.src
+)
+SELECT e.src_a, e.src_b, e.n_match,
+       CAST(e.n_match AS DOUBLE) / 8.0 AS est_jaccard,
+       x.n_inter, x.n_union,
+       CAST(x.n_inter AS DOUBLE) / CAST(x.n_union AS DOUBLE) AS jaccard
+FROM est e JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
+"""
+ORACLES["source_overlap"] = ORACLES["source_overlap"].replace(
+    "{SHH}", _token_hash32_expr("sh")
+)
+
+
 # r07: per-dim rank/quantile normalization summary — rank() (min rank,
 # ties share) per dimension, integer rank sums, one terminal division.
 ORACLES["embedding_quantile_norm"] = (
@@ -9805,6 +9869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_read": q_snapshot_read,
     "bbit_minhash": q_bbit_minhash,
     "embedding_quantile_norm": q_embedding_quantile_norm,
+    "source_overlap": q_source_overlap,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -9989,6 +10054,7 @@ _R07_FRONT = [
     "snapshot_read",
     "bbit_minhash",
     "embedding_quantile_norm",
+    "source_overlap",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -10024,7 +10090,6 @@ _R07_FRONT = [
     "top_orders_per_customer",
     "top_events_per_user_salted",
     "salted_revenue_by_priority",
-    "events_sessionize",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)
