@@ -10027,14 +10027,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # The driver verifies entries in insertion order, capped at 50/round.
 # r06 went all-green except version_rollup_report (the HUGEINT oracle
 # bug, fixed this round), so the r07 cap goes to (1) the fixed red row
-# + its integer-gate context, (2) the three queries gated or added this
+# + its integer-gate context, (2) the 18 queries gated or added this
 # round (ingest_late final-state gate, wordpiece_tokens recursive-CTE
-# oracle, the exact-recall small-side containment tier), (3) the 11
-# rows whose last driver check is r01 (multimodal tail + TPC-H shape
-# block), then (4) the oldest r02 rows, verdict-named dedup_survivors /
-# semantic_dedup first. 15 r02 rows + the r03 block roll to r08; after
-# this round no green row predates r02 and none of the §2 core family
-# predates r06.
+# oracle, and the r07 additions: the exact-recall containment tiers,
+# bpe train/apply, sorted-neighborhood, reconstruct_diff, snapshot
+# export read-back, nn_descent, b-bit minhash, robust stats,
+# changepoint, quantile norm, source overlap), (3) the 11 rows whose
+# last driver check is r01 (multimodal tail + TPC-H shape block), then
+# (4) the oldest r02 rows, verdict-named dedup_survivors /
+# semantic_dedup first — each r07 addition displaced the youngest
+# remaining r02 row (displaced + the r03 block roll to r08; the full
+# backlog is enumerated in TODO.md). After this round no green row
+# predates r02 and none of the §2 core family predates r06.
 _R07_FRONT = [
     # (1) the fixed red row + context
     "version_rollup_report",
