@@ -2490,25 +2490,36 @@ def source_overlap(
     Output per unordered pair: ``(src_a, src_b, n_match, est_jaccard,
     n_inter, n_union, jaccard)`` — integers + two terminal divisions.
     """
+    # ONE shingle + md5 pass feeds both paths: the token hash is
+    # hash32(md5(sh)) and the signature slices are substrings of the
+    # SAME digest, so the expensive per-shingle md5 happens once
+    ex = (
+        _spread(docs.select(F.col(source_col).alias("doc_id"), text_col))
+        .select(F.col("doc_id").alias("src"), F.col(text_col))
+        .select(
+            "src",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+                    f" i -> md5(substring({text_col}, i, {width})))"
+                )
+            ).alias("dig"),
+        )
+        .localCheckpoint()
+    )
     shd = (
-        _shingles(docs.select(F.col(source_col).alias("doc_id"), text_col), text_col, width)
-        .withColumn("shh", F.expr(_token_hash32_expr("sh")).cast("long"))
-        .select(F.col("doc_id").alias("src"), "shh")
+        ex.select(
+            "src", F.expr(_hash32_from_digest_expr("dig")).cast("long").alias("shh")
+        )
         .distinct()
         .localCheckpoint()
     )
     # source signature: 8 md5-slice minima over the source's shingle union
-    sig = (
-        _shingles(docs.select(F.col(source_col).alias("doc_id"), text_col), text_col, width)
-        .withColumn("dig", F.md5("sh"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.substring("dig", 1 + 4 * h, 4)).alias(f"mh_{h}")
-                for h in range(num_hashes)
-            ]
-        )
-        .withColumnRenamed("doc_id", "src")
+    sig = ex.groupBy("src").agg(
+        *[
+            F.min(F.substring("dig", 1 + 4 * h, 4)).alias(f"mh_{h}")
+            for h in range(num_hashes)
+        ]
     )
     sa = sig.select(
         F.col("src").alias("src_a"), *[F.col(f"mh_{h}").alias(f"a{h}") for h in range(num_hashes)]
