@@ -842,3 +842,79 @@ def test_table_checksum_detects_any_single_cell_change(spark, rows, pick):
     assert fp(base) != fp(mutated) or rows[i][0] == (
         None if rows[i][0] == "" else (rows[i][0] or "") + "!"
     )
+
+
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=30),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "c"]), st.sampled_from(["a", "b", "ab", "c"])
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_merge_word_greedy_equals_parity_rule(toks, pair):
+    """The premise under the bpe_train/bpe_apply oracles: the Python
+    greedy left-to-right non-overlapping merge equals the relational
+    gaps-and-islands PARITY rule (keep match positions at even offsets
+    within each maximal run of consecutive matches; consume kept+1)."""
+    from temporal_vector_database_spark.operators.tokenize import _merge_word
+
+    left, right = pair
+    greedy = _merge_word(list(toks), left, right)
+
+    n = len(toks)
+    m = [
+        1 if i + 1 < n and toks[i] == left and toks[i + 1] == right else 0
+        for i in range(n)
+    ]
+    kept = [0] * n
+    run_start = None
+    for i in range(n):
+        if m[i]:
+            if run_start is None:
+                run_start = i
+            kept[i] = 1 if (i - run_start) % 2 == 0 else 0
+        else:
+            run_start = None
+    rel = []
+    for i in range(n):
+        if i > 0 and kept[i - 1]:
+            continue  # consumed by the preceding kept merge
+        rel.append(toks[i] + toks[i + 1] if kept[i] else toks[i])
+    assert greedy == rel
+
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=25), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    tn_td=st.sampled_from([(1, 2), (3, 5), (4, 5), (2, 3)]),
+)
+@settings(max_examples=300, deadline=None)
+def test_containment_prefix_theorem_recall_complete(sets, tn_td):
+    """The premise under ngram_containment_small /
+    decontaminate_containment: if n_inter·den >= num·min(|A|,|B|) then
+    the smaller side shares one of its n − ceil(t·n) + 1 rarest tokens
+    (global df asc, token asc) with the other side — i.e. the prefix ×
+    full-postings join finds EVERY passing pair."""
+    import math
+    from collections import Counter
+
+    tn, td = tn_td
+    df = Counter(t for s in sets for t in s)
+
+    def prefix(s):
+        n = len(s)
+        p = n - math.ceil(tn * n / td) + 1
+        return set(sorted(s, key=lambda t: (df[t], t))[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            if inter * td >= tn * min(len(a), len(b)):
+                small, big = (a, b) if len(a) <= len(b) else (b, a)
+                assert prefix(small) & big, (
+                    f"passing pair missed: {sorted(small)} vs {sorted(big)}"
+                )
