@@ -362,3 +362,40 @@ def test_snapshot_bucket_refresh_incremental_and_idempotent(spark, tmp_path):
     before = canon(spark.read.parquet(spath))
     process_snapshot_batch(batch, 1, vpath, spath)
     assert canon(spark.read.parquet(spath)) == before
+
+
+def test_source_sig_stream_equals_batch_and_replay_idempotent(spark, tmp_path, sf_dir):
+    """Streaming source-signature maintenance: folding the corpus in 3
+    micro-batches produces estimates identical to the batch
+    source_overlap estimator half, and replaying a batch changes
+    nothing — idempotent by the algebra of min, no version ledger."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.dedup import source_overlap
+    from temporal_vector_database_spark.streaming.sourcesig import (
+        process_source_sig_batch,
+        read_source_overlap_estimates,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 5 == 0
+    )
+    state = str(tmp_path / "srcsig")
+    batches = [docs.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    for bid, b in enumerate(batches):
+        process_source_sig_batch(b, bid, state)
+
+    def canon(df):
+        return sorted(
+            (r.src_a, r.src_b, r.n_match, r.est_jaccard) for r in df.collect()
+        )
+
+    served = canon(read_source_overlap_estimates(spark, state))
+    batch = canon(
+        source_overlap(docs).select("src_a", "src_b", "n_match", "est_jaccard")
+    )
+    assert served == batch and len(served) > 0
+
+    # replay ANY batch: min is idempotent -> unchanged by value
+    process_source_sig_batch(batches[1], 1, state)
+    assert canon(read_source_overlap_estimates(spark, state)) == served
