@@ -918,3 +918,26 @@ def test_containment_prefix_theorem_recall_complete(sets, tn_td):
                 assert prefix(small) & big, (
                     f"passing pair missed: {sorted(small)} vs {sorted(big)}"
                 )
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=25)
+)
+@settings(max_examples=10, deadline=None)
+def test_robust_stats_matches_numpy(spark, vals):
+    """robust_stats' half-sum median, 2x-unit MAD, and 10%-trim equal an
+    independent numpy formulation on integer-valued inputs."""
+    from temporal_vector_database_spark.operators.timeseries import robust_stats
+
+    ev = spark.createDataFrame(
+        [(i, "k", float(v)) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    got = robust_stats(ev, scale=1).collect()[0]
+    a = np.sort(np.array(vals, dtype=np.float64))
+    n = len(a)
+    assert got.median == float(np.median(a))
+    k = n // 10
+    kept = a[k : n - k]
+    assert got.trimmed_mean == float(kept.sum() / len(kept))
+    assert got.mad == float(np.median(np.abs(a - np.median(a))))
