@@ -171,6 +171,7 @@ HEADLINE = (
     "bbit_minhash",
     "embedding_quantile_norm",
     "source_overlap",
+    "events_spearman",
 )
 
 

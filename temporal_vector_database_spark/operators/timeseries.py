@@ -1131,3 +1131,86 @@ def changepoint_scan(
             "peak_frac"
         ),
     )
+
+
+def series_spearman(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+    value_col: str,
+    bucket_ms: int,
+    value_scale: int = 1,
+) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation between series (r07) — the
+    outlier-robust, monotonicity-sensing twin of
+    :func:`series_correlation`: one spiked bucket saturates Pearson
+    but moves a rank by at most one slot, and any monotone (not just
+    linear) co-movement scores ±1.
+
+    Exactness: ranks use the tie-AVERAGING convention in 2× integer
+    units — for a value with ``c_lt`` smaller and ``c_eq`` equal
+    values in the pair's aligned sample, ``2·avg_rank = 2·c_lt + c_eq
+    + 1`` (always an integer; ``c_lt = rank() − 1`` and ``c_eq`` is a
+    per-(pair, value) count — two window functions, no self-join).
+    Spearman is then Pearson over the integer 2×-rank pairs: exact
+    BIGINT moments, the same fixed guarded terminal expression as the
+    Pearson operator — engine-bit-stable. Zero-variance (all-tied)
+    sides publish NULL.
+
+    Plan: identical shape to ``series_correlation`` — one (series,
+    bucket) reduction, a broadcast bucket-aligned pair join over the
+    REDUCED table, per-pair rank windows (quadratic in #series, never
+    events), one moment aggregate.
+    """
+    from pyspark.sql import Window
+
+    scale = int(value_scale)
+    per = df.groupBy(
+        F.col(series_col).alias("s"), _bucket_expr(time_col, bucket_ms)
+    ).agg(
+        F.sum(F.round(F.col(value_col) * float(scale), 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a = per.select(
+        F.col("s").alias("series_a"), "bucket_start_ms", F.col("x").alias("xa")
+    )
+    b = per.select(
+        F.col("s").alias("series_b"), "bucket_start_ms", F.col("x").alias("xb")
+    )
+    pairs = a.join(F.broadcast(b), "bucket_start_ms").where(
+        F.col("series_a") < F.col("series_b")
+    )
+    pk = ["series_a", "series_b"]
+
+    def r2(col):
+        wr = Window.partitionBy(*pk).orderBy(col)
+        we = Window.partitionBy(*pk, col)
+        return (
+            2 * (F.rank().over(wr) - 1) + F.count("*").over(we) + 1
+        ).cast("long")
+
+    ranked = pairs.withColumn("ra", r2("xa")).withColumn("rb", r2("xb"))
+    m = ranked.groupBy(*pk).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("ra").cast("long").alias("sx"),
+        F.sum("rb").cast("long").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    va = (F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vb = (F.col("n_buckets") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.withColumn(
+        "spearman",
+        F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        ).otherwise(F.lit(None).cast("double")),
+    )

@@ -8079,6 +8079,67 @@ FROM p
 
 
 
+def q_events_spearman(spark, sf_dir):
+    """r07: pairwise SPEARMAN rank correlation between event-type daily
+    series — tie-averaged ranks in exact 2x integer units (2*c_lt +
+    c_eq + 1), then the Pearson moment expression over the integer
+    rank pairs; outlier-robust and monotonicity-sensing where the
+    Pearson gate (events_type_corr) is linear-only."""
+    from temporal_vector_database_spark.operators.timeseries import series_spearman
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return series_spearman(
+        ev, "ts_ms", "event_type", "value", 86_400_000, value_scale=1
+    )
+
+
+ORACLES["events_spearman"] = """
+WITH e AS (
+  SELECT event_type AS s,
+         CAST((epoch_ms(ts) // 86400000) * 86400000 AS BIGINT) AS bucket_start_ms,
+         CAST(round(value) AS BIGINT) AS v
+  FROM events
+),
+per AS (
+  SELECT s, bucket_start_ms, CAST(sum(v) AS BIGINT) AS x
+  FROM e GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.s AS series_a, b.s AS series_b, a.x AS xa, b.x AS xb
+  FROM per a JOIN per b
+    ON a.bucket_start_ms = b.bucket_start_ms AND a.s < b.s
+),
+rk AS (
+  SELECT series_a, series_b,
+         CAST(2 * (rank() OVER (PARTITION BY series_a, series_b ORDER BY xa) - 1)
+              + count(*) OVER (PARTITION BY series_a, series_b, xa) + 1
+              AS BIGINT) AS ra,
+         CAST(2 * (rank() OVER (PARTITION BY series_a, series_b ORDER BY xb) - 1)
+              + count(*) OVER (PARTITION BY series_a, series_b, xb) + 1
+              AS BIGINT) AS rb
+  FROM pr
+),
+m AS (
+  SELECT series_a, series_b,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(ra) AS BIGINT) AS sx, CAST(sum(rb) AS BIGINT) AS sy,
+         CAST(sum(ra * rb) AS BIGINT) AS sxy,
+         CAST(sum(ra * ra) AS BIGINT) AS sxx,
+         CAST(sum(rb * rb) AS BIGINT) AS syy
+  FROM rk GROUP BY 1, 2
+)
+SELECT series_a, series_b, n_buckets, sx, sy, sxy, sxx, syy,
+       CASE WHEN CAST(n_buckets * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_buckets * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_buckets * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_buckets * syy - sy * sy AS DOUBLE)))
+            ELSE NULL END AS spearman
+FROM m
+"""
+
+
 def q_weighted_reservoir(spark, sf_dir):
     """Exactly-150-document sample with inclusion probability
     proportional to n_chars (Efraimidis-Spirakis A-ES, fixed-point-log2
@@ -9870,6 +9931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bbit_minhash": q_bbit_minhash,
     "embedding_quantile_norm": q_embedding_quantile_norm,
     "source_overlap": q_source_overlap,
+    "events_spearman": q_events_spearman,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -10059,6 +10121,7 @@ _R07_FRONT = [
     "bbit_minhash",
     "embedding_quantile_norm",
     "source_overlap",
+    "events_spearman",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -10093,7 +10156,6 @@ _R07_FRONT = [
     "revenue_cube",
     "top_orders_per_customer",
     "top_events_per_user_salted",
-    "salted_revenue_by_priority",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

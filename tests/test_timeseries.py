@@ -898,3 +898,31 @@ def test_changepoint_scan_finds_level_shift(spark):
     )
     with _pytest.raises(ValueError, match="overflow"):
         changepoint_scan(big, scale=10**9)
+
+
+def test_series_spearman_monotone_and_outlier_robust(spark):
+    """Spearman vs Pearson on hand-built series: a perfectly monotone
+    nonlinear pair scores spearman 1.0 (Pearson < 1); one outlier
+    bucket barely moves Spearman; tied buckets use averaged ranks."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        series_correlation,
+        series_spearman,
+    )
+
+    day = 86_400_000
+    rows = []
+    # a & b: monotone nonlinear (b = a^3-ish), 8 buckets
+    for t in range(8):
+        rows.append((f"e{t}", t * day, "a", float(t)))
+        rows.append((f"f{t}", t * day, "b", float(t**3)))
+        # c tracks a linearly except one wild outlier bucket
+        rows.append((f"g{t}", t * day, "c", float(t if t != 4 else 10_000)))
+    ev = spark.createDataFrame(rows, "event_id string, ts_ms long, event_type string, value double")
+
+    sp = {(r.series_a, r.series_b): r.spearman
+          for r in series_spearman(ev, "ts_ms", "event_type", "value", day).collect()}
+    pe = {(r.series_a, r.series_b): r.corr
+          for r in series_correlation(ev, "ts_ms", "event_type", "value", day).collect()}
+    assert sp[("a", "b")] == 1.0 and pe[("a", "b")] < 1.0
+    assert sp[("a", "c")] > 0.8  # one outlier moves one rank slot only
+    assert abs(pe[("a", "c")]) < 0.5  # ...but saturates Pearson
