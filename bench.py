@@ -172,6 +172,7 @@ HEADLINE = (
     "embedding_quantile_norm",
     "source_overlap",
     "events_spearman",
+    "vocab_gini",
 )
 
 

@@ -862,3 +862,67 @@ def zipf_fit(
             / (F.col("n") * F.lit(int(LOG2_SCALE))).cast("double")
         ).alias("zipf_intercept_bits"),
     )
+
+
+def vocab_gini(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary CONCENTRATION per source — the Gini coefficient of
+    the word-frequency distribution (r07): the inequality diagnostic
+    beside Zipf's slope (``zipf_fit``) and entropy. A templated/spammy
+    feed concentrates its tokens in few types (Gini → 1); diverse prose
+    spreads them (lower Gini). Formula over counts sorted ascending:
+    ``G = 2·Σ(i·c_i) / (n·Σc) − (n+1)/n``.
+
+    Exactness: the rank ``i`` is a per-source ``row_number`` over the
+    total (count, word) order (tie order provably cancels in Σ i·c_i —
+    equal counts contribute c·(i1+i2) under either assignment), the
+    moment Σ(i·c_i) is an exact BIGINT sum, and the published Gini is
+    a fixed two-division expression — engine-bit-stable. A #sources-row
+    driver guard raises before ``n²·c_max`` could leave BIGINT (the
+    ``zipf_fit``/``changepoint_scan`` discipline — at web-scale vocab
+    sizes, shard the vocabulary or fall back to the sampled head).
+
+    Output per source: ``(source, n_types, n_tokens, gini)``.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        docs.select(F.col(source_col).alias("src"), F.explode(_words(text_col)).alias("w"))
+        .groupBy("src", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = cnt.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("_cmax"),
+    )
+    for r in stats.select("src", "n_types", "_cmax").collect():  # #sources rows
+        if r.n_types * r.n_types * max(r._cmax or 0, 1) >= 2**62:
+            raise ValueError(
+                f"vocab_gini: source {r.src!r} (n_types={r.n_types}, "
+                f"max count={r._cmax}) can overflow the exact BIGINT "
+                "moment — shard the vocabulary or rank a sampled head"
+            )
+    w = Window.partitionBy("src").orderBy(F.asc("c"), F.asc("w"))
+    moment = (
+        cnt.withColumn("i", F.row_number().over(w).cast("long"))
+        .groupBy("src")
+        .agg(F.sum(F.col("i") * F.col("c")).cast("long").alias("s_ic"))
+    )
+    return (
+        stats.join(moment, "src")
+        .select(
+            F.col("src").alias(source_col),
+            "n_types",
+            "n_tokens",
+            (
+                (2 * F.col("s_ic")).cast("double")
+                / (F.col("n_types") * F.col("n_tokens")).cast("double")
+                - (F.col("n_types") + 1).cast("double")
+                / F.col("n_types").cast("double")
+            ).alias("gini"),
+        )
+    )

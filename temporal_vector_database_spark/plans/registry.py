@@ -8140,6 +8140,45 @@ FROM m
 """
 
 
+def q_vocab_gini(spark, sf_dir):
+    """r07: per-source vocabulary CONCENTRATION (Gini over the word-
+    frequency distribution) — the inequality diagnostic beside Zipf's
+    slope and entropy; exact BIGINT rank moment, fixed two-division
+    terminal expression (operators/textindex.py vocab_gini)."""
+    from temporal_vector_database_spark.operators.textindex import vocab_gini
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return vocab_gini(docs)
+
+
+ORACLES["vocab_gini"] = """
+WITH cnt AS (
+  SELECT src, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source AS src,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM cnt GROUP BY 1
+),
+mom AS (
+  SELECT src, CAST(sum(i * c) AS BIGINT) AS s_ic
+  FROM (SELECT src, c,
+               CAST(row_number() OVER (PARTITION BY src ORDER BY c ASC, w ASC)
+                    AS BIGINT) AS i
+        FROM cnt)
+  GROUP BY 1
+)
+SELECT s.src AS source, s.n_types, s.n_tokens,
+       CAST(2 * m.s_ic AS DOUBLE) / CAST(s.n_types * s.n_tokens AS DOUBLE)
+         - CAST(s.n_types + 1 AS DOUBLE) / CAST(s.n_types AS DOUBLE) AS gini
+FROM stats s JOIN mom m ON s.src = m.src
+"""
+
+
 def q_weighted_reservoir(spark, sf_dir):
     """Exactly-150-document sample with inclusion probability
     proportional to n_chars (Efraimidis-Spirakis A-ES, fixed-point-log2
@@ -9932,6 +9971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantile_norm": q_embedding_quantile_norm,
     "source_overlap": q_source_overlap,
     "events_spearman": q_events_spearman,
+    "vocab_gini": q_vocab_gini,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
     "nearest_base": q_nearest_base,
@@ -10122,6 +10162,7 @@ _R07_FRONT = [
     "embedding_quantile_norm",
     "source_overlap",
     "events_spearman",
+    "vocab_gini",
     # (3) last driver-checked r01
     "multimodal_features",
     "frame_sample",
@@ -10155,7 +10196,6 @@ _R07_FRONT = [
     "tpch_q22_shape",
     "revenue_cube",
     "top_orders_per_customer",
-    "top_events_per_user_salted",
 ]
 QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R07_FRONT)

