@@ -1686,7 +1686,13 @@ def _containment_prefix_pairs(
         .unionByName(cand.select(F.col("b_id").alias("_id")))
         .distinct()
     )
-    vsets = sets.join(F.broadcast(cand_ids), "_id", "left_semi")
+    # No broadcast hint on cand_ids: in adversarial corpora it
+    # approaches one row per document, so forcing a broadcast is an
+    # unbounded driver/executor OOM risk at the documented 100 TB
+    # posture (ADVICE r07). AQE picks a broadcast at runtime when the
+    # candidate set is actually small; the semi-join is correct either
+    # way.
+    vsets = sets.join(cand_ids, "_id", "left_semi")
     sa = vsets.select(
         F.col("_id").alias("a_id"),
         F.col("sh_set").alias("a_set"),
@@ -2354,7 +2360,13 @@ def jaccard_prefix_join(
         .unionByName(cand.select(F.col("b_id").alias("_id")))
         .distinct()
     )
-    vsets = sets.join(F.broadcast(cand_ids), "_id", "left_semi")
+    # No broadcast hint on cand_ids: in adversarial corpora it
+    # approaches one row per document, so forcing a broadcast is an
+    # unbounded driver/executor OOM risk at the documented 100 TB
+    # posture (ADVICE r07). AQE picks a broadcast at runtime when the
+    # candidate set is actually small; the semi-join is correct either
+    # way.
+    vsets = sets.join(cand_ids, "_id", "left_semi")
     sa = vsets.select(
         F.col("_id").alias("a_id"), F.col("sh_set").alias("a_set"),
         F.col("n_sh").alias("n_a"),
@@ -2416,6 +2428,12 @@ def bbit_minhash_pairs(
     """
     if num_hashes > 8:
         raise ValueError("md5-slice family provides at most 8 hashes")
+    if num_hashes % 2 != 0:
+        # n_bands = num_hashes // 2 covers only 2*n_bands digits: an odd
+        # count would silently drop the last hash from candidate banding
+        # while verify/j_est still use all digits — recall would degrade
+        # with no error (ADVICE r07).
+        raise ValueError("num_hashes must be even (2 digits per band)")
     sig = minhash_signatures(docs, text_col, num_hashes, width)
     bb = sig.select(
         "doc_id",

@@ -23,14 +23,19 @@ the ``streaming/dedup.py`` overwrite discipline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SNAPSHOT_BUCKETS = 8
 
 
-def _bucket(col):
-    return F.pmod(F.xxhash64(col), F.lit(SNAPSHOT_BUCKETS)).cast("int")
+def _bucket(col, buckets: int = SNAPSHOT_BUCKETS):
+    # The modulus MUST match the one used by export_snapshot for this
+    # layout, else touched rows land in (and overwrite) the wrong
+    # bucket= partitions while stale dupes persist in the right ones.
+    return F.pmod(F.xxhash64(col), F.lit(int(buckets))).cast("int")
 
 
 def refresh_snapshot_buckets(
@@ -49,9 +54,13 @@ def refresh_snapshot_buckets(
         reconstruct_latest,
     )
 
+    import shutil
+
     spark = versions.sparkSession
     tb = (
-        touched_contents.select(_bucket(F.col("content_id")).alias("bucket"))
+        touched_contents.select(
+            _bucket(F.col("content_id"), buckets).alias("bucket")
+        )
         .distinct()
         .collect()
     )
@@ -59,12 +68,28 @@ def refresh_snapshot_buckets(
     if not bucket_ids:
         return []
     in_buckets = versions.where(
-        _bucket(F.col("content_id")).isin([int(b) for b in bucket_ids])
+        _bucket(F.col("content_id"), buckets).isin(
+            [int(b) for b in bucket_ids]
+        )
     )
     snap = reconstruct_latest(in_buckets).select(
         "content_id", "target_seq", "base_seq", "cost", "embedding"
     )
-    out = snap.withColumn("bucket", _bucket(F.col("content_id")))
+    out = snap.withColumn("bucket", _bucket(F.col("content_id"), buckets))
+    # Dynamic partition overwrite only rewrites partitions PRESENT in the
+    # output. A touched bucket whose every content was deleted upstream
+    # produces zero rows, so its stale directory must be removed
+    # explicitly (k-row collect: bucket ids only).
+    present = {
+        r.bucket
+        for r in out.select("bucket").distinct().collect()
+    }
+    for b in bucket_ids:
+        if int(b) not in present:
+            shutil.rmtree(
+                os.path.join(snapshot_path, f"bucket={int(b)}"),
+                ignore_errors=True,
+            )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -2,14 +2,17 @@
 (``operators/dedup.source_overlap``'s estimator half).
 
 The source-level MinHash signature is a pure MIN-aggregate per (source,
-hash slice) — associative, commutative, and IDEMPOTENT. That last
-property makes this the simplest state in the whole streaming family:
-folding a replayed micro-batch re-applies ``min`` over values already
-absorbed and changes nothing, so the versioned-commit replay machinery
-(``streaming/_state.py``) is unnecessary BY ALGEBRA — a plain
-read-merge-overwrite per batch is exactly-once by value under any
-redelivery. (Contrast: counters/sums need the ``v=<batch_id>`` scheme
-because addition is not idempotent.)
+hash slice) — associative, commutative, and IDEMPOTENT. Min-idempotency
+makes REDELIVERY of a micro-batch a no-op by value, but it does NOT
+cover crash atomicity: an in-place ``mode("overwrite")`` deletes the
+state dir before writing, so a crash mid-write would leave no
+``_SUCCESS`` and the next batch would silently restart from empty
+state, dropping every previously absorbed minimum (ADVICE r07). The
+fold therefore uses the same versioned ``v=<batch_id>`` commit scheme
+as every other maintenance module (``streaming/_state.py``): each batch
+writes a FRESH version dir and readers take the highest committed one —
+a torn write is simply an uncommitted version that the next fold
+ignores and supersedes.
 
 Serving: pairwise source overlap estimates from the maintained
 signature table — #sources² tiny rows, no corpus rescan.
@@ -21,6 +24,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.streaming._state import (
+    committed_versions,
+    replay_guard,
+)
 
 N_HASHES = 8
 
@@ -43,6 +51,13 @@ def _batch_signatures(
     )
 
 
+def _read_committed(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    vs = committed_versions(state_dir)
+    if not vs:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
+
+
 def process_source_sig_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -52,22 +67,27 @@ def process_source_sig_batch(
     width: int = 3,
 ) -> None:
     """Fold one document micro-batch's per-source minima into the
-    signature state. Idempotent under replay by the algebra of ``min``
-    (re-minimizing absorbed values is a no-op) — no version ledger
-    needed."""
+    signature state. Versioned commit (crash-atomic: a torn write never
+    becomes the read head); head redelivery skipped via the shared
+    replay guard — min-idempotency would also absorb it, but skipping
+    keeps the version ledger one-dir-per-batch."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    vs = committed_versions(state_dir)
+    if replay_guard(vs, batch_id, state_dir):
+        return
     part = _batch_signatures(batch_df, text_col, source_col, width)
-    if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-        prev = spark.read.parquet(state_dir)
+    prev = _read_committed(spark, state_dir)
+    if prev is not None:
         part = (
             prev.unionByName(part)
             .groupBy("src")
             .agg(*[F.min(f"mh_{h}").alias(f"mh_{h}") for h in range(N_HASHES)])
         )
-    part = part.localCheckpoint(eager=True)  # read+overwrite same path
-    part.write.mode("overwrite").parquet(state_dir)
+    part.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v={batch_id}")
+    )
 
 
 def read_source_overlap_estimates(
@@ -75,9 +95,9 @@ def read_source_overlap_estimates(
 ) -> DataFrame | None:
     """Pairwise overlap estimates from the maintained signatures
     (``est_jaccard = matches / H``), or None before the first commit."""
-    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+    sig = _read_committed(spark, state_dir)
+    if sig is None:
         return None
-    sig = spark.read.parquet(state_dir)
     sa = sig.select(
         F.col("src").alias("src_a"),
         *[F.col(f"mh_{h}").alias(f"a{h}") for h in range(N_HASHES)],

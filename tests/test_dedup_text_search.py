@@ -767,3 +767,10 @@ def test_bbit_minhash_estimator_and_compression_contract(spark):
     r = got[(1, 2)]
     assert r.n_match == 8 and r.j_est == 1.0
     assert (1, 3) not in got and (2, 3) not in got
+
+    # ADVICE r07: odd num_hashes would silently drop the last hash from
+    # candidate banding while verify still used it — now a hard error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even"):
+        bbit_minhash_pairs(docs, num_hashes=7)

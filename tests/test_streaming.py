@@ -364,11 +364,114 @@ def test_snapshot_bucket_refresh_incremental_and_idempotent(spark, tmp_path):
     assert canon(spark.read.parquet(spath)) == before
 
 
+def test_snapshot_refresh_honors_bucket_count_and_deletes_emptied(
+    spark, tmp_path
+):
+    """ADVICE r07 regressions: (1) a snapshot exported with buckets!=8
+    must be maintained with the SAME modulus — the old hard-coded
+    SNAPSHOT_BUCKETS=8 bucketed touched rows mod 8, overwriting wrong
+    partitions and stranding stale rows in buckets >= 8; (2) a touched
+    bucket whose every content was deleted upstream must have its stale
+    bucket= directory removed, since dynamic partition overwrite only
+    rewrites partitions present in the output."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.config import FIXTURE_CONFIG
+    from temporal_vector_database_spark.operators.ingest import ingest
+    from temporal_vector_database_spark.operators.maintenance import (
+        export_snapshot,
+    )
+    from temporal_vector_database_spark.operators.reconstruct import (
+        reconstruct_latest,
+    )
+    from temporal_vector_database_spark.streaming.snapshot import (
+        _bucket,
+        refresh_snapshot_buckets,
+    )
+
+    t0 = datetime(2025, 3, 1)
+    dim = 8
+    rows = []
+    cids = [f"nb{i}" for i in range(12)]
+    for ci, c in enumerate(cids):
+        vec = [((ci * 3 + d) % 9 - 4) / 64.0 for d in range(dim)]
+        for k in range(1, 4):
+            vec = [
+                x + ((k + d + ci) % 3 == 0) * (1 / 64.0)
+                for d, x in enumerate(vec)
+            ]
+            rows.append((c, t0 + timedelta(days=k), list(vec)))
+    raw = spark.createDataFrame(
+        rows, "content_id string, ts timestamp, embedding array<double>"
+    )
+    versions = ingest(raw, FIXTURE_CONFIG)
+    vpath = str(tmp_path / "versions")
+    versions.write.mode("overwrite").parquet(vpath)
+    versions = spark.read.parquet(vpath)
+
+    # export at a NON-default bucket count, then refresh every content
+    # through the maintenance path with the same count
+    B = 16
+    spath = str(tmp_path / "snap16")
+    export_snapshot(versions, t0 + timedelta(days=30), spath, buckets=B)
+    all_contents = versions.select("content_id").distinct()
+    refresh_snapshot_buckets(versions, all_contents, spath, buckets=B)
+
+    def canon(df):
+        return sorted(
+            (r.content_id, r.target_seq, tuple(r.embedding))
+            for r in df.select("content_id", "target_seq", "embedding").collect()
+        )
+
+    # no duplicates, no strays: the refreshed table equals the latest
+    # reconstruction exactly, and on-disk bucket dirs match the B-modulus
+    assert canon(spark.read.parquet(spath)) == canon(
+        reconstruct_latest(versions)
+    )
+    want_buckets = {
+        r[0]
+        for r in versions.select(
+            _bucket(F.col("content_id"), B)
+        ).distinct().collect()
+    }
+    have_dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(spath)
+        if d.startswith("bucket=")
+    }
+    assert have_dirs == want_buckets and max(have_dirs) >= 8
+
+    # (2) delete every content in one bucket upstream -> its directory
+    # must disappear from the snapshot after a refresh touching it
+    victim_bucket = sorted(want_buckets)[0]
+    dead = versions.where(
+        _bucket(F.col("content_id"), B) == victim_bucket
+    ).select("content_id").distinct()
+    survivors = versions.join(dead, "content_id", "left_anti")
+    vpath2 = str(tmp_path / "versions_after_delete")
+    survivors.write.mode("overwrite").parquet(vpath2)
+    refresh_snapshot_buckets(
+        spark.read.parquet(vpath2), dead, spath, buckets=B
+    )
+    assert not os.path.exists(
+        os.path.join(spath, f"bucket={victim_bucket}")
+    )
+    assert canon(spark.read.parquet(spath)) == canon(
+        reconstruct_latest(spark.read.parquet(vpath2))
+    )
+
+
 def test_source_sig_stream_equals_batch_and_replay_idempotent(spark, tmp_path, sf_dir):
     """Streaming source-signature maintenance: folding the corpus in 3
     micro-batches produces estimates identical to the batch
-    source_overlap estimator half, and replaying a batch changes
-    nothing — idempotent by the algebra of min, no version ledger."""
+    source_overlap estimator half; head redelivery is a no-op; a torn
+    (uncommitted) state write is invisible to readers and superseded by
+    the next fold (ADVICE r07: the old in-place overwrite lost all
+    state on a crash mid-write); a below-head batch id raises (the
+    shared checkpoint-regression guard)."""
     from pyspark.sql import functions as F
 
     from temporal_vector_database_spark.operators.dedup import source_overlap
@@ -396,6 +499,23 @@ def test_source_sig_stream_equals_batch_and_replay_idempotent(spark, tmp_path, s
     )
     assert served == batch and len(served) > 0
 
-    # replay ANY batch: min is idempotent -> unchanged by value
-    process_source_sig_batch(batches[1], 1, state)
+    # head redelivery: skipped by the replay guard -> unchanged by value
+    process_source_sig_batch(batches[2], 2, state)
     assert canon(read_source_overlap_estimates(spark, state)) == served
+
+    # crash atomicity: a torn write is an uncommitted v= dir — readers
+    # ignore it and the next batch supersedes it
+    import os as _os
+
+    torn = _os.path.join(state, "v=3")
+    _os.makedirs(torn, exist_ok=True)  # no _SUCCESS inside
+    assert canon(read_source_overlap_estimates(spark, state)) == served
+    # next fold (rows already absorbed) writes a committed v=3 over it
+    process_source_sig_batch(batches[0].limit(1), 3, state)
+    assert canon(read_source_overlap_estimates(spark, state)) == served
+
+    # below-head batch id: checkpoint/state identity mismatch -> raise
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        process_source_sig_batch(batches[1], 1, state)
