@@ -173,6 +173,12 @@ HEADLINE = (
     "source_overlap",
     "events_spearman",
     "vocab_gini",
+    # r08: bpe_train_incremental is deliberately NOT benched — 64 merge
+    # rounds are job-scheduling-bound locally (~0.45-0.59 s/merge, vs
+    # naive 0.46-1.17 s/merge: the VERDICT "within 2x per-merge"
+    # criterion holds at sf0.01 AND sf0.1) and 3 reps of a 64-round
+    # loop would add ~90 s of pure overhead to the headline total.
+    # Measurements recorded in TODO.md; correctness gated at 64 merges.
 )
 
 

@@ -247,6 +247,168 @@ def bpe_train(
     )
 
 
+def bpe_train_incremental(
+    docs: DataFrame,
+    n_merges: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE merge-rule training with INCREMENTAL pair-count maintenance —
+    the production form of :func:`bpe_train` (VERDICT r07: at real
+    tokenizer merge counts, 32k, the naive per-round full pair
+    re-aggregate dominates).
+
+    Invariant exploited: merging (l, r) only changes the adjacent-pair
+    multiset of words whose token stream CONTAINS the adjacent pair —
+    every other word's pair counts are untouched. So the pair-count
+    table is maintained by DELTA: per round, (a) 1-row argmax over the
+    maintained counts (the only driver traffic, a model parameter),
+    (b) a row-local adjacency predicate splits the word state into
+    affected/rest — a narrow scan, NO shuffle, (c) one Arrow pass over
+    the AFFECTED words only emits their merged token streams plus
+    per-pair count deltas ``(new − old) × word_count``, (d) counts :=
+    aggregate(counts ∪ deltas) dropping zeros — a shuffle over the
+    pair-vocabulary table, never the corpus. The naive fold's per-round
+    explode-all-pairs + global re-aggregate is gone; per-merge cost is
+    dominated by the vocabulary-bounded state scan.
+
+    Exactness: the maintained counts equal the full re-aggregate after
+    every round (unaffected words contribute identical pairs; affected
+    words' deltas are exact integer differences), so the learned merge
+    table is IDENTICAL to :func:`bpe_train`'s — pinned by an equality
+    test at n_merges=64 and by the same unrolled relational oracle.
+
+    Output: ``(merge_rank, left_tok, right_tok, merged, pair_count)``.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    state = words.select(
+        "word",
+        "c",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    ).localCheckpoint()
+    # initial pair counts: the one-and-only full aggregate
+    counts = (
+        state.where(F.size("toks") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS l,"
+                    "             element_at(toks, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .select("c", "p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+
+    rules: list[tuple] = []
+    # union(rest, upd) would otherwise ADD partition counts every round
+    # (2^R task blow-up, measured); cap the state at its initial width
+    n_part = max(1, state.rdd.getNumPartitions())
+    delta_schema = (
+        "word string, c long, toks array<string>,"
+        " deltas array<struct<l: string, r: string, d: long>>"
+    )
+    for rank in range(1, int(n_merges) + 1):
+        best = counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        rules.append((rank, left, right, left + right, cnt))
+
+        # row-local adjacency predicate — affected words only. NULL-safe
+        # by construction: sequence() would DESCEND for size<2 words
+        # (1..0 hits index 0 and throws), so the upper bound is clamped
+        # and out-of-range probes use 0-based F.get (NULL, never error),
+        # coalesced to false so exists() can't return NULL (a NULL adj
+        # would drop the row from BOTH branches).
+        adj = F.exists(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+            lambda i: F.coalesce(
+                (F.get(F.col("toks"), i - 1) == F.lit(left))
+                & (F.get(F.col("toks"), i) == F.lit(right)),
+                F.lit(False),
+            ),
+        )
+        affected = state.where(adj)
+        rest = state.where(~adj)
+
+        def apply_and_delta(batches, _l=left, _r=right):
+            from collections import Counter
+
+            for pdf in batches:
+                out_w, out_c, out_t, out_d = [], [], [], []
+                for w, c, toks in zip(pdf["word"], pdf["c"], pdf["toks"]):
+                    toks = list(toks)
+                    nt = _merge_word(toks, _l, _r)
+                    old = Counter(zip(toks, toks[1:]))
+                    new = Counter(zip(nt, nt[1:]))
+                    ds = []
+                    for pair in old.keys() | new.keys():
+                        d = (new.get(pair, 0) - old.get(pair, 0)) * int(c)
+                        if d:
+                            ds.append(
+                                {"l": pair[0], "r": pair[1], "d": int(d)}
+                            )
+                    out_w.append(w)
+                    out_c.append(int(c))
+                    out_t.append(nt)
+                    out_d.append(ds)
+                yield pd.DataFrame(
+                    {"word": out_w, "c": out_c, "toks": out_t, "deltas": out_d}
+                )
+
+        upd = affected.mapInPandas(
+            apply_and_delta, schema=delta_schema
+        ).localCheckpoint()
+        state = rest.unionByName(upd.select("word", "c", "toks")).coalesce(
+            n_part
+        )
+        # state checkpoint CADENCE, not per round: the union tree's
+        # leaves (previous checkpoint + per-round upd checkpoints) are
+        # all materialized, and the stacked row-local filters are cheap
+        # JVM predicates — one fewer job per merge; depth is bounded by
+        # the cadence.
+        if rank % 8 == 0:
+            state = state.localCheckpoint()
+        deltas = upd.select(F.explode("deltas").alias("p")).select(
+            "p.l", "p.r", F.col("p.d").alias("cnt")
+        )
+        counts = (
+            counts.unionByName(deltas)
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .where(F.col("cnt") > 0)
+            .coalesce(4)  # pair-vocabulary table: keep task count flat
+            .localCheckpoint()
+        )
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rules,
+            columns=["merge_rank", "left_tok", "right_tok", "merged", "pair_count"],
+        ),
+        schema="merge_rank int, left_tok string, right_tok string,"
+        " merged string, pair_count long",
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: DataFrame | list[tuple],

@@ -134,3 +134,33 @@ def test_bpe_apply_matches_training_state_and_handles_oov(spark):
     r = bpe_apply(oov, [(1, "a", "a"), (2, "a", "b"), (3, "aa", "ab")]).collect()[0]
     assert r.n_tokens == 5
     assert r.tokens_md5 == hashlib.md5(b"aa b b z z").hexdigest()
+
+
+def test_bpe_train_incremental_equals_naive_at_64_merges(spark):
+    """r08 (VERDICT r07 #3): the incremental pair-count trainer learns
+    the IDENTICAL merge table to the naive full-re-aggregate fold at a
+    production-shaped merge count — including single-char and repeated
+    words (the adjacency predicate must not error on size<2 token
+    streams, and a NULL predicate must not drop a word from both the
+    affected and rest branches)."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_train,
+        bpe_train_incremental,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the lazy dog sleeps while the quick fox runs"),
+        (3, "pack my box with five dozen liquor jugs quickly"),
+        (4, "a a b i o u zz the aaaa"),  # 1-char words + same-token runs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = [tuple(r) for r in bpe_train(docs, n_merges=64).collect()]
+    inc = [tuple(r) for r in bpe_train_incremental(docs, n_merges=64).collect()]
+    assert inc == naive and len(inc) >= 32
+
+    # early exhaustion: a corpus whose pairs run out stops both the same
+    tiny = spark.createDataFrame([(1, "ab ab a b")], "doc_id long, text string")
+    n2 = [tuple(r) for r in bpe_train(tiny, n_merges=10).collect()]
+    i2 = [tuple(r) for r in bpe_train_incremental(tiny, n_merges=10).collect()]
+    assert i2 == n2 and len(i2) < 10
