@@ -2006,6 +2006,157 @@ def cross_corpus_near_dup(
     )
 
 
+def cross_corpus_jaccard_exact(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    width: int = 7,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT-RECALL cross-corpus near-dup (r08 — VERDICT r07 #5, the
+    ``band_on="small"`` prefix tier generalized to the asymmetric
+    corpus-vs-eval shape): corpus documents whose exact hashed-shingle
+    Jaccard to some eval/benchmark document is ``>= min_jaccard`` —
+    the decontamination contract :func:`cross_corpus_near_dup` serves
+    probabilistically (LSH banding can miss near-threshold pairs; this
+    tier cannot, by the PPJoin prefix theorem).
+
+    Prefix theorem, cross-corpus form: under ANY global token order,
+    a qualifying pair (J >= t ⟹ |∩| >= ceil(t·n) for BOTH sizes) must
+    share a token inside each side's ``n − ceil(t·n) + 1``-token prefix
+    (per-side prefixes are at least as long as the common-α lemma
+    needs, since ceil(t·n_side) <= the pair's required overlap).
+
+    The 100 TB trick is the CHOICE of global order: ``(df_eval(tok),
+    tok)`` — document frequency in the EVAL side only, with absent
+    tokens at df 0. That order is computable from the broadcast-sized
+    side alone (no corpus-wide df aggregate, unlike the self-join
+    ``jaccard_prefix_join``), and df-0 tokens can never produce a
+    candidate (nothing to match in any eval prefix), so they are
+    COUNTED per doc, never ranked: the ranking window runs over the
+    corpus tokens PRESENT in the eval domain — the stream a broadcast
+    inner join already shrank to near-candidate size. Full-corpus work
+    is one narrow row-local set-build pass; the only corpus-keyed
+    exchange carries the present-token stream (∝ candidates, not
+    corpus). A token present in the doc is in the doc's prefix iff
+    ``n_absent + rank_present <= prefix_len`` — absent tokens all sort
+    before present ones (df 0 < 1 <= df_eval), so ranks compose.
+
+    Verify: exact integers, ``n_inter·(td+tn) >= tn·(n_c+n_e)`` ⟺
+    J >= tn/td. Output: same schema as :func:`cross_corpus_near_dup`
+    (``doc_id, eval_doc_id, n_inter, jaccard``), best match per
+    corpus doc (max jaccard, ties → lower eval id).
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    frac = Fraction(str(float(min_jaccard)))
+    tn, td = frac.numerator, frac.denominator
+    if not (0 < tn <= td):
+        raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    if td > 10_000:
+        raise ValueError(
+            f"min_jaccard must be a short decimal (denominator <= 1e4), got {frac}"
+        )
+    shingle_arr = (
+        f"transform(sequence(1, greatest(length({text_col}) - {width - 1}, 1)),"
+        f" i -> substring({text_col}, i, {width}))"
+    )
+    set_expr = (
+        f"array_distinct(transform({shingle_arr},"
+        f" s -> CAST({_token_hash32_expr('s')} AS BIGINT)))"
+    )
+    esets = (
+        eval_docs.select("doc_id", text_col)
+        .select(F.col("doc_id").alias("e_id"), F.expr(set_expr).alias("e_set"))
+        .withColumn("n_e", F.size("e_set").cast("long"))
+        .localCheckpoint()
+    )
+    # global order key from the broadcast-sized side only
+    edf = (
+        esets.select(F.explode("e_set").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .localCheckpoint()
+    )
+    prefix_len = lambda n: (  # noqa: E731 — n − ceil(t·n) + 1, exact ints
+        F.col(n) - F.expr(f"({tn} * {n} + {td} - 1) div {td}") + F.lit(1)
+    )
+    we = Window.partitionBy("e_id").orderBy(F.asc("df"), F.asc("tok"))
+    eprefix = (
+        esets.select("e_id", "n_e", F.explode("e_set").alias("tok"))
+        .join(edf, "tok")  # every eval token has df >= 1
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= prefix_len("n_e"))
+        .select("tok", "e_id", "n_e")
+    )
+    csets = (
+        _spread(corpus.select("doc_id", text_col))
+        .select(F.col("doc_id").alias("c_id"), F.expr(set_expr).alias("c_set"))
+        .withColumn("n_c", F.size("c_set").cast("long"))
+        .localCheckpoint()
+    )
+    # present-token stream: corpus tokens in the eval domain (broadcast
+    # inner join) — df-0 tokens are implicitly counted via n_present
+    present = csets.select(
+        "c_id", "n_c", F.explode("c_set").alias("tok")
+    ).join(F.broadcast(edf), "tok")
+    wc = Window.partitionBy("c_id").orderBy(F.asc("df"), F.asc("tok"))
+    wcnt = Window.partitionBy("c_id")
+    cprefix = (
+        present.withColumn("rn", F.row_number().over(wc))
+        .withColumn("n_present", F.count("*").over(wcnt))
+        # absent tokens (n_c - n_present of them) occupy ranks 1..A
+        .where(
+            (F.col("n_c") - F.col("n_present")) + F.col("rn")
+            <= prefix_len("n_c")
+        )
+        .select("tok", "c_id", "n_c")
+    )
+    cand = (
+        cprefix.join(
+            F.broadcast(eprefix),
+            (cprefix["tok"] == eprefix["tok"])
+            # size-compatibility (exact): t·max <= min
+            & (F.col("n_c") * F.lit(tn) <= F.col("n_e") * F.lit(td))
+            & (F.col("n_e") * F.lit(tn) <= F.col("n_c") * F.lit(td)),
+        )
+        .select("c_id", "e_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_c = cand.select("c_id").distinct()
+    vc = csets.join(cand_c, "c_id", "left_semi")
+    scored = (
+        cand.join(vc, "c_id")
+        .join(F.broadcast(esets), "e_id")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("c_set", "e_set")).cast("long")
+        )
+        .where(
+            F.col("n_inter") * F.lit(td + tn)
+            >= F.lit(tn) * (F.col("n_c") + F.col("n_e"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_c") + F.col("n_e") - F.col("n_inter")).cast("double"),
+        )
+    )
+    wbest = Window.partitionBy("c_id").orderBy(F.desc("jaccard"), F.asc("e_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("c_id").alias("doc_id"),
+            F.col("e_id").alias("eval_doc_id"),
+            "n_inter",
+            "jaccard",
+        )
+    )
+
+
 def containment_decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,

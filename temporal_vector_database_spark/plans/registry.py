@@ -9157,6 +9157,78 @@ ORACLES["fuzzy_decontaminate"] = ORACLES["fuzzy_decontaminate"].replace(
 )
 
 
+def q_cross_corpus_near_dup_exact(spark, sf_dir):
+    """r08 (VERDICT r07 #5): EXACT-RECALL cross-corpus near-dup — the
+    ``band_on='small'`` prefix tier generalized to the asymmetric
+    corpus-vs-eval decontamination shape. Same fixture as
+    ``fuzzy_decontaminate`` (eval = first-20-chars-dropped copies of
+    the doc_id % 25 == 0 docs, width-7 shingles, J >= 0.5), but the
+    ORACLE is the banding-free brute-force all-pairs Jaccard — so a
+    green row IS a recall proof: any qualifying pair the prefix tier
+    missed would be an extra oracle row. The global prefix order is
+    eval-side df (computable from the broadcast side alone; corpus-
+    absent tokens counted, never ranked — the ranking exchange carries
+    only corpus tokens present in the eval domain)."""
+    from temporal_vector_database_spark.operators.dedup import (
+        cross_corpus_jaccard_exact,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev = docs.where(F.col("doc_id") % 25 == 0).select(
+        "doc_id", F.expr("substring(text, 21)").alias("text")
+    )
+    return cross_corpus_jaccard_exact(docs, ev, width=7, min_jaccard=0.5)
+
+
+# brute-force all-pairs oracle (NO banding/prefix on the oracle side —
+# the recall proof). t = 1/2: J >= t  ⟺  3·I >= n_c + n_e (exact ints).
+ORACLES["cross_corpus_near_dup_exact"] = """
+WITH ev AS (
+  SELECT doc_id, substring(text, 21) AS text FROM documents WHERE doc_id % 25 = 0
+),
+shdc AS (
+  SELECT DISTINCT doc_id, {SHH} AS shh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                                 i -> substring(text, i, 7))) AS sh
+    FROM documents)
+),
+shde AS (
+  SELECT DISTINCT doc_id, {SHH} AS shh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                                 i -> substring(text, i, 7))) AS sh
+    FROM ev)
+),
+sizec AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_c FROM shdc GROUP BY 1),
+sizee AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_e FROM shde GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS c_id, b.doc_id AS e_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM shdc a JOIN shde b ON a.shh = b.shh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.c_id, i.e_id, i.n_inter,
+         CAST(i.n_inter AS DOUBLE)
+           / CAST(sc.n_c + se.n_e - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizec sc ON sc.doc_id = i.c_id
+  JOIN sizee se ON se.doc_id = i.e_id
+  WHERE 3 * i.n_inter >= sc.n_c + se.n_e
+),
+best AS (
+  SELECT c_id, e_id, n_inter, jaccard,
+         row_number() OVER (PARTITION BY c_id ORDER BY jaccard DESC, e_id) AS rn
+  FROM scored
+)
+SELECT c_id AS doc_id, e_id AS eval_doc_id, n_inter, jaccard
+FROM best WHERE rn = 1
+"""
+ORACLES["cross_corpus_near_dup_exact"] = ORACLES[
+    "cross_corpus_near_dup_exact"
+].replace("{SHH}", _token_hash32_expr("sh"))
+
+
 
 def q_ngram_containment_short(spark, sf_dir):
     """Ground-truth containment twin: ALL pairs over the doc_id%20==0
@@ -10005,6 +10077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_drift": q_dataset_drift,
     "table_checksum": q_table_checksum,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "cross_corpus_near_dup_exact": q_cross_corpus_near_dup_exact,
     "jaccard_exact_join": q_jaccard_exact_join,
     "ngram_containment_short": q_ngram_containment_short,
     "ngram_containment_small": q_ngram_containment_small,

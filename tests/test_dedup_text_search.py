@@ -774,3 +774,71 @@ def test_bbit_minhash_estimator_and_compression_contract(spark):
 
     with _pytest.raises(ValueError, match="even"):
         bbit_minhash_pairs(docs, num_hashes=7)
+
+
+def test_cross_corpus_jaccard_exact_recall_vs_brute_force(spark):
+    """r08 (VERDICT r07 #5): the asymmetric exact tier returns the best
+    eval match for EVERY corpus doc with J >= t — parity against the
+    all-pairs brute force, including a borderline pair near the
+    threshold and a corpus doc whose prefix is dominated by tokens
+    absent from the eval domain (the counted-not-ranked path)."""
+    import hashlib
+
+    from temporal_vector_database_spark.operators.dedup import (
+        cross_corpus_jaccard_exact,
+    )
+
+    width = 5
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    ev_texts = {
+        100: base,
+        101: "a benchmark prompt about cooking pasta tonight with friends",
+    }
+    corpus_texts = {
+        1: base.replace("lazy", "slow"),          # heavy overlap with 100
+        2: base[15:],                              # prefix-dropped copy
+        3: "zzz qqq xxx vvv kkk " + base[:40],     # absent-token prefix pad
+        4: "totally unrelated web text about gardening and weather",
+        5: "a benchmark prompt about cooking pizza tonight with friends",
+    }
+
+    def shset(t):
+        n = max(len(t) - width + 1, 1)
+        out = set()
+        for i in range(n):
+            d = hashlib.md5(t[i : i + width].encode()).hexdigest()
+            out.add(sum(int(c, 16) * (16 ** p) for p, c in enumerate(d[:8])))
+        return out
+
+    tn, td = 1, 2  # t = 0.5
+    want = {}
+    for cid, ct in corpus_texts.items():
+        best = None
+        C = shset(ct)
+        for eid in sorted(ev_texts):
+            E = shset(ev_texts[eid])
+            ni = len(C & E)
+            if ni * (td + tn) >= tn * (len(C) + len(E)):
+                j = ni / (len(C) + len(E) - ni)
+                if best is None or j > best[2]:
+                    best = (eid, ni, j)
+        if best is not None:
+            want[cid] = best
+
+    corpus = spark.createDataFrame(
+        list(corpus_texts.items()), "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(list(ev_texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.eval_doc_id, r.n_inter, r.jaccard)
+        for r in cross_corpus_jaccard_exact(
+            corpus, ev, width=width, min_jaccard=0.5
+        ).collect()
+    }
+    assert got == want and len(want) >= 3
+
+    # threshold guard: non-decimal rationals rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="short decimal"):
+        cross_corpus_jaccard_exact(corpus, ev, min_jaccard=1 / 3)
