@@ -10326,6 +10326,75 @@ QUERIES = {k: QUERIES[k] for k in _R07_FRONT} | {
 }
 
 
+# --- r08 rotation -----------------------------------------------------
+# Rotation POLICY (recorded in SCALE.md "Driver-cap rotation" — VERDICT
+# r07 #2): the invariant is "no green row's last driver check is older
+# than 2 rounds behind the freshest"; the standing priority order is
+# (1) new/changed gates this round, (2) rows with the OLDEST last
+# driver check, oldest first, breaking ties by that round's check
+# order. r08 applies it: the 2 r08 gates, then ALL 29 rows whose last
+# driver row is r02 (enumerated in VERDICT r07), then the 19 oldest
+# r03 rows — the remaining 28 r03 rows fill the r09 front.
+_R08_FRONT = [
+    # (1) new this round
+    "bpe_train_incremental",
+    "cross_corpus_near_dup_exact",
+    # (2) the 29 rows last driver-checked in r02
+    "sample_docs",
+    "split_assign",
+    "token_chunks",
+    "stratified_sample",
+    "events_asof_tolerance",
+    "events_asof_forward",
+    "events_tumbling",
+    "events_sessionize",
+    "events_session_window",
+    "events_type_stats",
+    "events_interval_join",
+    "events_asof_join",
+    "events_json_props",
+    "decontaminate",
+    "repetition_stats",
+    "segment_dedup",
+    "pii_scrub",
+    "kmeans_step",
+    "sq8_topk",
+    "bq_topk",
+    "ivfpq_residual_topk",
+    "pq_topk_reranked",
+    "training_pipeline_full",
+    "training_pipeline_strict",
+    "part_setops",
+    "customers_without_orders",
+    "revenue_rollup",
+    "salted_revenue_by_priority",
+    "top_events_per_user_salted",
+    # (3) the 19 oldest r03 rows (r03 check order)
+    "events_range_frame",
+    "events_rank_functions",
+    "quality_percentile_filter",
+    "doc_chunks",
+    "events_outliers",
+    "events_funnel",
+    "events_retention",
+    "length_balanced_sample",
+    "docs_pivot",
+    "quality_weighted_sample",
+    "event_transitions",
+    "events_histogram",
+    "edit_distance_pairs",
+    "profile_documents",
+    "minhash_signature_prod",  # rows-only by design; freshness still rotates
+    "topk_search_indexed",
+    "ivf_topk_persisted",
+    "length_balanced_sample_exact",
+    "edit_distance_pairs_short",
+]
+QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)
+}
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
