@@ -96,6 +96,18 @@ def refresh_snapshot_buckets(
         out.write.mode("overwrite").partitionBy("bucket").parquet(snapshot_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # keep the integrity manifest fresh at the same partition grain:
+    # only the touched buckets' fingerprints recompute (pruned read)
+    from temporal_vector_database_spark.operators.maintenance import (
+        write_snapshot_manifest,
+    )
+
+    write_snapshot_manifest(
+        spark,
+        snapshot_path,
+        buckets=int(buckets),
+        only_buckets=[int(b) for b in bucket_ids],
+    )
     return [int(b) for b in bucket_ids]
 
 

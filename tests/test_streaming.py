@@ -463,6 +463,32 @@ def test_snapshot_refresh_honors_bucket_count_and_deletes_emptied(
         reconstruct_latest(spark.read.parquet(vpath2))
     )
 
+    # r08 manifest (verdict stretch): export + every refresh keep
+    # _MANIFEST.json fresh at partition grain; verify_snapshot
+    # recomputes and agrees; the deleted bucket's entry is gone; a
+    # tampered entry is caught.
+    import json
+
+    from temporal_vector_database_spark.operators.maintenance import (
+        verify_snapshot,
+    )
+
+    mpath = os.path.join(spath, "_MANIFEST.json")
+    manifest = json.load(open(mpath))
+    assert str(victim_bucket) not in manifest["bucket_checksums"]
+    assert manifest["buckets"] == B
+    assert manifest["n_rows"] == spark.read.parquet(spath).count()
+    res = verify_snapshot(spark, spath)
+    assert res["ok"] and res["manifest_rows"] == res["actual_rows"]
+
+    tampered = dict(manifest)
+    some = next(iter(tampered["bucket_checksums"]))
+    tampered["bucket_checksums"][some]["xor_hi"] ^= 1
+    with open(mpath, "w") as f:
+        json.dump(tampered, f)
+    bad = verify_snapshot(spark, spath)
+    assert not bad["ok"] and bad["mismatched_buckets"] == [some]
+
 
 def test_source_sig_stream_equals_batch_and_replay_idempotent(spark, tmp_path, sf_dir):
     """Streaming source-signature maintenance: folding the corpus in 3
