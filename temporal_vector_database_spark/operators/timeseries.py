@@ -828,6 +828,86 @@ def series_correlation(
     )
 
 
+def series_acf(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+    value_col: str,
+    bucket_ms: int,
+    max_lag: int = 3,
+    value_scale: int = 1,
+) -> DataFrame:
+    """Per-series AUTOCORRELATION at bucket lags 1..max_lag ("does
+    today's volume predict tomorrow's?" — the seasonality/memory
+    diagnostic that :func:`series_correlation` answers across series
+    and this answers within one): each series reduces to per-bucket
+    value sums, and for each lag the Pearson correlation of
+    ``(x_t, x_{t+lag})`` is computed over exact integer moments.
+
+    Gap semantics: pairs require BOTH buckets observed (sample ACF over
+    observed pairs, each lag scored on its own pair set) — no implicit
+    zero-fill, which would manufacture correlation out of sparsity;
+    gap-fill first with :func:`resample_locf` if the zero-filled
+    contract is wanted. Same exactness discipline as
+    :func:`series_correlation`: BIGINT moments, one fixed IEEE
+    expression for the published double, NULL on zero variance.
+
+    Plan: one (series, bucket) aggregate over raw events; lag pairs
+    come from ONE equi-join of the reduced per-bucket table against
+    itself on ``(series, bucket_index + lag)`` with the small lag list
+    exploded on the probe side — cost ∝ |series|·|buckets|·max_lag,
+    never events. Output: ``(series, lag, n_pairs, sx, sy, sxy, sxx,
+    syy, acf)``.
+    """
+    if not (1 <= int(max_lag) <= 64):
+        raise ValueError(f"max_lag must be in 1..64, got {max_lag}")
+    scale = int(value_scale)
+    per = (
+        df.groupBy(F.col(series_col).alias("s"), _bucket_expr(time_col, bucket_ms))
+        .agg(
+            F.sum(F.round(F.col(value_col) * float(scale), 0).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        # bucket_start_ms is an exact multiple of bucket_ms, so integer
+        # div is exact (incl. negative buckets)
+        .withColumn("tb", F.expr(f"bucket_start_ms div {int(bucket_ms)}"))
+    )
+    probe = per.select(
+        "s",
+        "tb",
+        F.col("x").alias("xa"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, int(max_lag) + 1)])
+        ).alias("lag"),
+    ).withColumn("tb2", F.col("tb") + F.col("lag"))
+    lagged = per.select("s", F.col("tb").alias("tb2"), F.col("x").alias("xb"))
+    pairs = probe.join(lagged, ["s", "tb2"])
+    m = pairs.groupBy(F.col("s").alias("series"), "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    va = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vb = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.withColumn(
+        "acf",
+        F.when(
+            (va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))
+        ).otherwise(F.lit(None).cast("double")),
+    )
+
+
 def seasonal_profile(
     df: DataFrame,
     time_col: str,

@@ -8098,6 +8098,58 @@ FROM p
 
 
 
+def q_events_acf(spark, sf_dir):
+    """r08: per-event-type AUTOCORRELATION of the daily value series at
+    lags 1..3 — exact BIGINT moments over (x_t, x_{t+lag}) pairs where
+    both days are observed (no implicit zero-fill); the published acf
+    double is the fixed IEEE expression shared with events_type_corr.
+    One equi-join of the reduced per-day table against itself on
+    (series, day+lag) with the 3-lag list exploded — cost is
+    |series|·|days|·3, never events."""
+    from temporal_vector_database_spark.operators.timeseries import series_acf
+    from temporal_vector_database_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return series_acf(
+        ev, "ts_ms", "event_type", "value", 86_400_000, max_lag=3, value_scale=1
+    )
+
+
+ORACLES["events_acf"] = """
+WITH e AS (
+  SELECT event_type AS s,
+         CAST((epoch_ms(ts) // 86400000) AS BIGINT) AS tb,
+         CAST(round(value) AS BIGINT) AS v
+  FROM events
+),
+per AS (
+  SELECT s, tb, CAST(sum(v) AS BIGINT) AS x
+  FROM e GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 2, 3]) AS lag),
+p AS (
+  SELECT a.s AS series, l.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.x) AS BIGINT) AS sx,
+         CAST(sum(b.x) AS BIGINT) AS sy,
+         CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+         CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+         CAST(sum(b.x * b.x) AS BIGINT) AS syy
+  FROM per a CROSS JOIN lags l
+  JOIN per b ON b.s = a.s AND b.tb = a.tb + l.lag
+  GROUP BY 1, 2
+)
+SELECT series, CAST(lag AS INTEGER) AS lag, n_pairs, sx, sy, sxy, sxx, syy,
+       CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+            ELSE NULL END AS acf
+FROM p
+"""
+
+
 def q_events_spearman(spark, sf_dir):
     """r07: pairwise SPEARMAN rank correlation between event-type daily
     series — tie-averaged ranks in exact 2x integer units (2*c_lt +
@@ -10095,6 +10147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantile_norm": q_embedding_quantile_norm,
     "source_overlap": q_source_overlap,
     "events_spearman": q_events_spearman,
+    "events_acf": q_events_acf,
     "vocab_gini": q_vocab_gini,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
@@ -10339,6 +10392,7 @@ _R08_FRONT = [
     # (1) new this round
     "bpe_train_incremental",
     "cross_corpus_near_dup_exact",
+    "events_acf",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10388,7 +10442,6 @@ _R08_FRONT = [
     "topk_search_indexed",
     "ivf_topk_persisted",
     "length_balanced_sample_exact",
-    "edit_distance_pairs_short",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

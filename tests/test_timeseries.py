@@ -926,3 +926,50 @@ def test_series_spearman_monotone_and_outlier_robust(spark):
     assert sp[("a", "b")] == 1.0 and pe[("a", "b")] < 1.0
     assert sp[("a", "c")] > 0.8  # one outlier moves one rank slot only
     assert abs(pe[("a", "c")]) < 0.5  # ...but saturates Pearson
+
+
+def test_series_acf_hand_case_and_gap_semantics(spark):
+    """r08: lag-1 ACF of a strictly alternating daily series is exactly
+    -1.0 (perfect anti-correlation) and lag-2 is +1.0; a missing day
+    contributes NO pair at any lag that touches it (observed-pairs
+    contract, no zero-fill); zero-variance series publish NULL."""
+    from temporal_vector_database_spark.operators.timeseries import series_acf
+
+    D = 86_400_000
+    rows = []
+    # series 'alt': days 0..7 alternating 1, 3 (8 points, no gaps)
+    for d in range(8):
+        rows.append(("alt", d * D, 1.0 if d % 2 == 0 else 3.0))
+    # series 'gap': days 0,1,3,4 value = day (day 2 missing)
+    for d in (0, 1, 3, 4):
+        rows.append(("gap", d * D, float(d)))
+    # series 'flat': constant
+    for d in range(4):
+        rows.append(("flat", d * D, 5.0))
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long, value double")
+    got = {
+        (r.series, r.lag): r
+        for r in series_acf(
+            df, "ts_ms", "event_type", "value", D, max_lag=2
+        ).collect()
+    }
+    import math
+
+    def ieee_acf(n, sx, sy, sxy, sxx, syy):
+        # the exact published expression (bit-stable, not simplified)
+        return float(n * sxy - sx * sy) / (
+            math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+        )
+
+    a1 = got[("alt", 1)]
+    assert a1.n_pairs == 7
+    assert a1.acf == ieee_acf(7, a1.sx, a1.sy, a1.sxy, a1.sxx, a1.syy)
+    assert abs(a1.acf + 1.0) < 1e-12  # perfect anti-correlation
+    a2 = got[("alt", 2)]
+    assert a2.n_pairs == 6 and abs(a2.acf - 1.0) < 1e-12
+    # gap: lag-1 pairs are (0,1),(3,4) -> 2 pairs; lag-2 pairs are (1,3)
+    # wait: lag-2 needs t and t+2 both observed: (1,3) yes, (2,4) no (2
+    # missing), (0,2) no -> exactly 1 pair (zero variance -> NULL acf)
+    assert got[("gap", 1)].n_pairs == 2
+    assert got[("gap", 2)].n_pairs == 1 and got[("gap", 2)].acf is None
+    assert got[("flat", 1)].acf is None
