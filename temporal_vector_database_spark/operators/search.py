@@ -418,6 +418,118 @@ def kmeans_refine(
     return cents
 
 
+def cluster_quality_dbi(
+    embeddings: DataFrame,
+    centroid_mod: int = 20,
+    centroid_rem: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    grid: int = 1024,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster DAVIES-BOULDIN quality report (r08) — the evaluation
+    closing the clustering loop (seed → ``kmeans_refine`` →
+    ``ivf_assign`` → HOW GOOD are the lists?): for each cluster i,
+    ``r_max = max_{j≠i} (s²_i + s²_j) / d²_ij`` — its worst
+    scatter-to-separation ratio against any other cluster (lower is
+    better; the classic index is the mean of these, left to the caller
+    as a k-row client fold so every published number stays hash-exact).
+
+    Exactness: the squared-distance variant of the index, computed on
+    the ``1/grid`` dyadic lattice — member/centroid coordinates scale
+    to exact BIGINTs, so scatter numerators ``s2num_i = Σ_members
+    ‖x−c_i‖²`` and pair separations ``d²_ij`` are exact integer sums in
+    ``grid⁻²`` units (partition-order-proof), and the two published
+    doubles (``s2_mean``, ``r_max``) are single fixed IEEE divisions of
+    sub-2^53 integers — bit-identical in any engine. Pairs with
+    ``d²_ij = 0`` (duplicate centroids) are skipped; a cluster with no
+    valid partner publishes NULL.
+
+    Plan: one broadcast-assignment pass (shared ``ivf_assign``), one
+    row-local ``zip_with``/``aggregate`` integer fold per member, one
+    partial-aggregatable per-cluster sum; the r-matrix is a k×k join of
+    two k-row model tables — never data-sized. Output: ``(cluster_id,
+    n_members, s2num, s2_mean, worst_other, r_max)``.
+    """
+    from pyspark.sql import Window
+
+    g = int(grid)
+    cents, assign = ivf_assign(
+        embeddings, centroid_mod, centroid_rem, id_col, emb_col,
+        centroids=centroids,
+    )
+
+    def to_int(col):
+        return F.transform(col, lambda x: F.round(x * g, 0).cast("long"))
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    mem = (
+        assign.join(F.broadcast(cents), "centroid_id")
+        .select(
+            "centroid_id",
+            dist2(to_int(F.col("emb")), to_int(F.col("c_emb"))).alias("d2"),
+        )
+    )
+    stats = mem.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("d2").cast("long").alias("s2num"),
+    )
+    ca = cents.select(F.col("centroid_id").alias("i"), to_int(F.col("c_emb")).alias("ia"))
+    cb = cents.select(F.col("centroid_id").alias("j"), to_int(F.col("c_emb")).alias("ib"))
+    cd = (
+        ca.join(F.broadcast(cb), F.col("i") != F.col("j"))
+        .select("i", "j", dist2(F.col("ia"), F.col("ib")).alias("cd2"))
+        .where(F.col("cd2") > 0)
+    )
+    si = stats.select(
+        F.col("centroid_id").alias("i"),
+        F.col("n_members").alias("n_i"),
+        F.col("s2num").alias("s2_i"),
+    )
+    sj = stats.select(
+        F.col("centroid_id").alias("j"),
+        F.col("n_members").alias("n_j"),
+        F.col("s2num").alias("s2_j"),
+    )
+    r = (
+        cd.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .withColumn(
+            "r",
+            (F.col("s2_i") * F.col("n_j") + F.col("s2_j") * F.col("n_i")).cast(
+                "double"
+            )
+            / (F.col("n_i") * F.col("n_j") * F.col("cd2")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("r"), F.asc("j"))
+    best = (
+        r.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("i", F.col("j").alias("worst_other"), F.col("r").alias("r_max"))
+    )
+    return (
+        stats.join(best, stats["centroid_id"] == best["i"], "left")
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            "n_members",
+            "s2num",
+            (
+                F.col("s2num").cast("double")
+                / (F.col("n_members") * F.lit(g * g)).cast("double")
+            ).alias("s2_mean"),
+            "worst_other",
+            "r_max",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -3725,6 +3725,87 @@ en AS (
 )
 """
 
+def q_cluster_quality(spark, sf_dir):
+    """r08: per-cluster Davies-Bouldin quality report over the
+    deterministic IVF seeding — worst scatter-to-separation ratio
+    ``max_{j≠i} (s²_i+s²_j)/d²_ij`` per cluster, squared-distance
+    variant on the 1/1024 dyadic lattice so every sum is an exact
+    BIGINT and the two published doubles are single fixed IEEE
+    divisions (engine-bit-stable). The r-matrix is a k×k join of k-row
+    model tables; the corpus is touched by exactly one broadcast-assign
+    pass + one row-local integer fold."""
+    from temporal_vector_database_spark.operators.search import (
+        cluster_quality_dbi,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    return cluster_quality_dbi(emb)
+
+
+ORACLES["cluster_quality"] = (
+    _QEMB_CTE
+    + """
+, cents AS (
+  SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM en WHERE vec_id % 20 = 7
+),
+assign AS (
+  SELECT vid, emb, centroid_id FROM (
+    SELECT en.vec_id AS vid, en.emb, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY (CASE WHEN en.nrm > 0 AND c.c_nrm > 0
+                            THEN list_dot_product(en.emb, c.c_emb) / (en.nrm * c.c_nrm)
+                            ELSE 0.0 END) DESC, c.centroid_id) AS rn
+    FROM en CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+mem AS (
+  SELECT a.centroid_id, a.vid,
+         CAST(sum((CAST(round(a.emb[i] * 1024) AS BIGINT)
+                     - CAST(round(c.c_emb[i] * 1024) AS BIGINT))
+                * (CAST(round(a.emb[i] * 1024) AS BIGINT)
+                     - CAST(round(c.c_emb[i] * 1024) AS BIGINT))) AS BIGINT) AS d2
+  FROM assign a JOIN cents c ON a.centroid_id = c.centroid_id,
+       unnest(range(1, len(a.emb) + 1)) AS t(i)
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(d2) AS BIGINT) AS s2num
+  FROM mem GROUP BY 1
+),
+cd AS (
+  SELECT x.centroid_id AS i, y.centroid_id AS j,
+         CAST(sum((CAST(round(x.c_emb[k] * 1024) AS BIGINT)
+                     - CAST(round(y.c_emb[k] * 1024) AS BIGINT))
+                * (CAST(round(x.c_emb[k] * 1024) AS BIGINT)
+                     - CAST(round(y.c_emb[k] * 1024) AS BIGINT))) AS BIGINT) AS cd2
+  FROM cents x JOIN cents y ON x.centroid_id <> y.centroid_id,
+       unnest(range(1, len(x.c_emb) + 1)) AS t(k)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT cd.i, cd.j,
+         CAST(si.s2num * sj.n_members + sj.s2num * si.n_members AS DOUBLE)
+           / CAST(si.n_members * sj.n_members * cd.cd2 AS DOUBLE) AS r
+  FROM cd
+  JOIN stats si ON si.centroid_id = cd.i
+  JOIN stats sj ON sj.centroid_id = cd.j
+  WHERE cd.cd2 > 0
+),
+best AS (
+  SELECT i, j, r, row_number() OVER (PARTITION BY i ORDER BY r DESC, j) AS rn
+  FROM r
+)
+SELECT s.centroid_id AS cluster_id, s.n_members, s.s2num,
+       CAST(s.s2num AS DOUBLE) / CAST(s.n_members * 1048576 AS DOUBLE) AS s2_mean,
+       b.j AS worst_other, b.r AS r_max
+FROM stats s
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.i = s.centroid_id
+"""
+)
+
+
 def q_source_overlap(spark, sf_dir):
     """r07: corpus-level overlap between SOURCES — source-union shingle
     sets compared pairwise, publishing the mergeable-minima MinHash
@@ -10148,6 +10229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "events_spearman": q_events_spearman,
     "events_acf": q_events_acf,
+    "cluster_quality": q_cluster_quality,
     "vocab_gini": q_vocab_gini,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
@@ -10393,6 +10475,7 @@ _R08_FRONT = [
     "bpe_train_incremental",
     "cross_corpus_near_dup_exact",
     "events_acf",
+    "cluster_quality",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10441,7 +10524,6 @@ _R08_FRONT = [
     "minhash_signature_prod",  # rows-only by design; freshness still rotates
     "topk_search_indexed",
     "ivf_topk_persisted",
-    "length_balanced_sample_exact",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

@@ -1277,3 +1277,39 @@ def test_nn_descent_no_worse_and_improves_recall(spark, sf_dir):
     # algorithmic claim: a LARGE monotone gain over the probe-bounded
     # seed, on top of the per-node no-worse guarantee above.
     assert rd > rs + 0.10
+
+
+def test_cluster_quality_dbi_hand_case(spark):
+    """r08: Davies-Bouldin report on two hand-built clusters — exact
+    integer scatter/separation on the dyadic grid; the tight far pair
+    scores a lower (better) r_max than the loose close pair; duplicate
+    centroids are skipped as partners."""
+    from temporal_vector_database_spark.operators.search import (
+        cluster_quality_dbi,
+    )
+
+    # centroids at vec_id % 4 == 0: ids 0 (seed A) and 4 (seed B)
+    rows = [
+        (0, [0.0, 0.0, 1.0, 0.0]),            # seed A
+        (1, [0.0, 0.0, 1.0, 1.0 / 1024]),     # near A
+        (4, [1.0, 1.0, 0.0, 0.0]),            # seed B
+        (5, [1.0, 1.0, 2.0 / 1024, 0.0]),     # near B
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.cluster_id: r
+        for r in cluster_quality_dbi(
+            emb, centroid_mod=4, centroid_rem=0
+        ).collect()
+    }
+    assert set(got) == {0, 4}
+    a, b = got[0], got[4]
+    # scatter: A = {0 (d2=0), 1 (d2=1)} -> s2num 1; B = {4 (0), 5 (4)} -> 4
+    assert (a.n_members, a.s2num) == (2, 1)
+    assert (b.n_members, b.s2num) == (2, 4)
+    # separation d2(cA, cB) = (1024^2)*2 + (1024^2)*1 = 3*1024^2
+    d2 = 3 * 1024 * 1024
+    # r = (s2_a*n_b + s2_b*n_a) / (n_a*n_b*d2) = (2 + 8)/(4*d2)
+    assert a.r_max == b.r_max == float(10) / float(4 * d2)
+    assert a.worst_other == 4 and b.worst_other == 0
+    assert a.s2_mean == 1.0 / float(2 * 1024 * 1024)
