@@ -567,6 +567,105 @@ def collocations_pmi(
     )
 
 
+def frequent_token_pairs(
+    docs: DataFrame,
+    min_support_num: int = 5,
+    min_support_den: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_items: int = 10_000,
+) -> DataFrame:
+    """Frequent CO-OCCURRING token pairs (r08) — document-grain
+    market-basket mining with the classic APRIORI prune (Agrawal &
+    Srikant, VLDB'94): an unordered token pair is frequent iff it
+    co-occurs in ``>= ceil(num/den · N)`` documents, and a pair can
+    only be frequent if BOTH tokens are individually frequent — so the
+    per-document pair generation runs over each doc's FREQUENT-token
+    subset only, never its full vocabulary. Complements
+    :func:`collocations_pmi` (adjacency-grain) with bag-grain
+    association: "docs mentioning X also mention Y".
+
+    Pipeline: (1) row-local distinct-token sets, (2) one token-df
+    aggregate → frequent singletons, (3) per-doc pairs generated
+    ROW-LOCALLY (nested ``transform`` over the sorted frequent subset —
+    no per-doc self-join, no explode-then-join), (4) one pair-count
+    aggregate with the exact integer support gate. The quadratic term
+    is per-doc frequent-token count m (``m·(m−1)/2`` pairs);
+    ``max_doc_items`` RAISES past a documented bound rather than
+    silently truncating (the no-silent-caps rule). Support threshold is
+    an exact rational of the corpus doc count (1-row collect, a model
+    parameter).
+
+    Output: ``(tok_a, tok_b, n_docs, lift)`` with ``tok_a < tok_b``;
+    ``lift = n_docs·N / (df_a·df_b)`` published as one exact IEEE
+    division of sub-2^53 integers (engine-bit-stable).
+    """
+    if not (0 < int(min_support_num) <= int(min_support_den)):
+        raise ValueError("min_support must satisfy 0 < num <= den")
+    num, den = int(min_support_num), int(min_support_den)
+    n_docs_total = docs.count()  # 1-row model parameter
+    minsup = (num * n_docs_total + den - 1) // den
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(_words(text_col)).alias("tset"),
+    )
+    df_counts = (
+        toks.select(F.explode("tset").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .localCheckpoint()
+    )
+    freq1 = df_counts.where(F.col("df") >= F.lit(int(minsup)))
+    # keep each doc's frequent tokens, sorted (canonical pair order)
+    ftoks = (
+        toks.select("_id", F.explode("tset").alias("tok"))
+        .join(F.broadcast(freq1.select("tok")), "tok", "left_semi")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list("tok")).alias("fts"))
+        .withColumn("m", F.size("fts"))
+    )
+    too_big = ftoks.where(F.col("m") > int(max_doc_items)).limit(1).collect()
+    if too_big:
+        raise ValueError(
+            f"a document has {too_big[0].m} frequent tokens "
+            f"(> max_doc_items={max_doc_items}); raise the support "
+            "threshold or the bound explicitly"
+        )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("fts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("fts"), i + F.lit(2), F.greatest(F.size("fts") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        ftoks.where(F.col("m") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(minsup)))
+    )
+    da = freq1.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = freq1.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_docs",
+            (
+                (F.col("n_docs") * F.lit(int(n_docs_total))).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def _mg_partition_fn(kt: int):
     """Per-partition weighted Misra-Gries summary (<= ``kt`` counters):
     per Arrow batch, fold the batch's value_counts (C-speed) into the

@@ -3725,6 +3725,48 @@ en AS (
 )
 """
 
+def q_frequent_token_pairs(spark, sf_dir):
+    """r08: document-grain market-basket pair mining with the apriori
+    prune — unordered token pairs co-occurring in >= ceil(5% · N) docs,
+    pairs generated row-locally over each doc's frequent-token subset
+    only; lift published as one exact IEEE division. Oracle replays the
+    full pipeline relationally (distinct tokens → df gate → doc-keyed
+    pair join → support gate → lift)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        frequent_token_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return frequent_token_pairs(docs, min_support_num=5, min_support_den=100)
+
+
+ORACLES["frequent_token_pairs"] = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+ms AS (SELECT (5 * nd + 99) // 100 AS minsup, nd FROM n),
+t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+  FROM documents
+),
+dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+f1 AS (SELECT tok, df FROM dfc, ms WHERE df >= minsup),
+ft AS (SELECT t.doc_id, t.tok FROM t JOIN f1 ON f1.tok = t.tok),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_docs
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+),
+fp AS (SELECT tok_a, tok_b, n_docs FROM p, ms WHERE n_docs >= minsup)
+SELECT fp.tok_a, fp.tok_b, fp.n_docs,
+       CAST(fp.n_docs * ms.nd AS DOUBLE)
+         / CAST(fa.df * fb.df AS DOUBLE) AS lift
+FROM fp
+JOIN f1 fa ON fa.tok = fp.tok_a
+JOIN f1 fb ON fb.tok = fp.tok_b
+CROSS JOIN ms
+"""
+
+
 def q_cluster_quality(spark, sf_dir):
     """r08: per-cluster Davies-Bouldin quality report over the
     deterministic IVF seeding — worst scatter-to-separation ratio
@@ -10230,6 +10272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_spearman": q_events_spearman,
     "events_acf": q_events_acf,
     "cluster_quality": q_cluster_quality,
+    "frequent_token_pairs": q_frequent_token_pairs,
     "vocab_gini": q_vocab_gini,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
@@ -10476,6 +10519,7 @@ _R08_FRONT = [
     "cross_corpus_near_dup_exact",
     "events_acf",
     "cluster_quality",
+    "frequent_token_pairs",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10523,7 +10567,6 @@ _R08_FRONT = [
     "profile_documents",
     "minhash_signature_prod",  # rows-only by design; freshness still rotates
     "topk_search_indexed",
-    "ivf_topk_persisted",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

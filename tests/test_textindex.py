@@ -563,3 +563,42 @@ def test_vocab_gini_separates_concentrated_from_uniform(spark):
     # counts [1, 7]: G = 2*(1*1 + 2*7)/(2*8) - 3/2 = 30/16 - 1.5 = 0.375
     assert c.n_types == 2 and c.gini == 0.375
     assert c.gini > u.gini
+
+
+def test_frequent_token_pairs_apriori_and_lift(spark):
+    """r08: pair support counts DOCUMENTS (duplicate mentions in one doc
+    count once); the apriori prune removes pairs with an individually
+    infrequent member before any pair is generated; lift is the exact
+    integer ratio; the per-doc bound raises, never truncates."""
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.operators.textindex import (
+        frequent_token_pairs,
+    )
+
+    rows = [
+        (1, "apple banana apple"),        # apple+banana (dup mention once)
+        (2, "apple banana cherry"),
+        (3, "apple banana"),
+        (4, "apple cherry"),
+        (5, "durian unique"),             # infrequent tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # N=5, minsup = ceil(0.4*5) = 2
+    got = {
+        (r.tok_a, r.tok_b): r
+        for r in frequent_token_pairs(
+            docs, min_support_num=40, min_support_den=100
+        ).collect()
+    }
+    # df: apple 4, banana 3, cherry 2 (durian/unique df 1 -> pruned)
+    assert set(got) == {("apple", "banana"), ("apple", "cherry")}
+    ab = got[("apple", "banana")]
+    assert ab.n_docs == 3 and ab.lift == float(3 * 5) / float(4 * 3)
+    ac = got[("apple", "cherry")]
+    assert ac.n_docs == 2 and ac.lift == float(2 * 5) / float(4 * 2)
+
+    with _pytest.raises(ValueError, match="frequent tokens"):
+        frequent_token_pairs(
+            docs, min_support_num=1, min_support_den=100, max_doc_items=2
+        )
