@@ -178,6 +178,7 @@ HEADLINE = (
     "events_acf",
     "cluster_quality",
     "frequent_token_pairs",
+    "epoch_shuffle",
     # r08: bpe_train_incremental is deliberately NOT benched — 64 merge
     # rounds are job-scheduling-bound locally (~0.45-0.59 s/merge, vs
     # naive 0.46-1.17 s/merge: the VERDICT "within 2x per-merge"

@@ -453,6 +453,65 @@ def weighted_reservoir_sample(
     )
 
 
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic TRAINING-ORDER generator (r08): the data-order
+    reproducibility contract a training run needs — every epoch yields
+    a different but fully deterministic pseudo-random permutation of
+    the corpus, sharded for parallel loaders, identical on any engine,
+    partitioning, or rerun (``df.sample``/``orderBy(rand())`` give
+    none of that).
+
+    Order key = ``u32(md5('ep<epoch>|' || id))`` — a property of
+    (epoch, id) only, so adding documents never perturbs the relative
+    order of existing ones within an epoch. ``shard = key % n_shards``
+    (uniform, loader-balanced); ``pos`` is the doc's 1-based position
+    within its shard under ``(key, id)`` — id breaks 32-bit collisions,
+    making the order total.
+
+    Scale: positions come from ONE two-phase distributed global rank
+    over ``(shard, key, id)`` (``_global_ranks`` — repartitionByRange +
+    per-partition row_number + broadcast P-row offsets, never a
+    single-partition global window) minus broadcast per-shard offsets
+    (an n_shards-row aggregate) — so no shard ever serializes into one
+    task, unlike a naive ``Window.partitionBy(shard)``.
+
+    Output: ``(doc_id, epoch, shard, pos)``.
+    """
+    from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = _u32(F.concat(F.lit(f"ep{int(epoch)}|"), F.col(id_col).cast("string")))
+    keyed = docs.select(
+        F.col(id_col),
+        key.alias("okey"),
+    ).withColumn("shard", F.pmod(F.col("okey"), F.lit(int(n_shards))).cast("int"))
+    ranked = _global_ranks(keyed, "shard", "okey", id_col)
+    sc = ranked.groupBy("shard").agg(F.count("*").cast("long").alias("cnt"))
+    counts = {r.shard: r.cnt for r in sc.collect()}  # n_shards rows
+    offs, acc = [], 0
+    for s in sorted(counts):
+        offs.append((int(s), int(acc)))
+        acc += counts[s]
+    off_df = F.broadcast(
+        docs.sparkSession.createDataFrame(offs, "shard int, _soff long")
+    )
+    return (
+        ranked.join(off_df, "shard")
+        .select(
+            id_col,
+            F.lit(int(epoch)).cast("int").alias("epoch"),
+            "shard",
+            (F.col("rank") - F.col("_soff")).cast("long").alias("pos"),
+        )
+    )
+
+
 def _u32_sql(key_col: str) -> str:
     """The md5→u32 draw as a SQL snippet (the `_u32` Column twin)."""
     return f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"

@@ -3725,6 +3725,41 @@ en AS (
 )
 """
 
+def q_epoch_shuffle(spark, sf_dir):
+    """r08: deterministic per-epoch training order — epoch-salted u32
+    md5 keys give a reproducible pseudo-random permutation, sharded for
+    parallel loaders; positions come from the two-phase distributed
+    global rank (never a single-task per-shard window). Oracle replays
+    key/shard/position relationally."""
+    from temporal_vector_database_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return epoch_shuffle(docs, epoch=2, n_shards=8)
+
+
+_EPOCH_U32 = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+ORACLES["epoch_shuffle"] = f"""
+WITH hashed AS (
+  SELECT doc_id, md5('ep2|' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+k AS (
+  SELECT doc_id, CAST({_EPOCH_U32} AS BIGINT) AS okey FROM hashed
+),
+s AS (SELECT doc_id, okey, CAST(okey % 8 AS INTEGER) AS shard FROM k)
+SELECT doc_id, CAST(2 AS INTEGER) AS epoch, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
 def q_frequent_token_pairs(spark, sf_dir):
     """r08: document-grain market-basket pair mining with the apriori
     prune — unordered token pairs co-occurring in >= ceil(5% · N) docs,
@@ -10273,6 +10308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf": q_events_acf,
     "cluster_quality": q_cluster_quality,
     "frequent_token_pairs": q_frequent_token_pairs,
+    "epoch_shuffle": q_epoch_shuffle,
     "vocab_gini": q_vocab_gini,
     # --- (3) §2 core rows, last driver-checked r01 ---
     "ingest_encode": q_ingest_encode,
@@ -10520,6 +10556,7 @@ _R08_FRONT = [
     "events_acf",
     "cluster_quality",
     "frequent_token_pairs",
+    "epoch_shuffle",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10566,7 +10603,6 @@ _R08_FRONT = [
     "edit_distance_pairs",
     "profile_documents",
     "minhash_signature_prod",  # rows-only by design; freshness still rotates
-    "topk_search_indexed",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

@@ -303,3 +303,35 @@ def test_weighted_reservoir_exact_k_and_weight_bias(spark):
     # the 10% heavy rows (1000x weight) dominate the sample
     heavy = sum(1 for r in got if r.doc_id % 10 == 0)
     assert heavy > k * 0.7
+
+
+def test_epoch_shuffle_permutation_and_epoch_variation(spark):
+    """r08: every doc appears exactly once with a contiguous 1..n_s
+    position per shard; two epochs give different orders (the salt
+    works) while each is identical across reruns; n_shards=1 degrades
+    to a single full permutation."""
+    from temporal_vector_database_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    e1 = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    assert len(e1) == 100 and len({r.doc_id for r in e1}) == 100
+    by_shard = {}
+    for r in e1:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    assert set(by_shard) <= set(range(4)) and len(by_shard) == 4
+
+    # determinism across reruns; variation across epochs
+    e1b = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    e2 = epoch_shuffle(docs, epoch=2, n_shards=4).collect()
+    k1 = {r.doc_id: (r.shard, r.pos) for r in e1}
+    k2 = {r.doc_id: (r.shard, r.pos) for r in e2}
+    assert k1 != k2
+
+    # single shard: one permutation 1..N
+    one = epoch_shuffle(docs, epoch=1, n_shards=1).collect()
+    assert sorted(r.pos for r in one) == list(range(1, 101))
