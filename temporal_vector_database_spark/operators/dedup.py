@@ -1162,6 +1162,7 @@ def dedup_survivors(
     min_jaccard_est: float = 0.75,
     sigs: DataFrame | None = None,
     pairs: DataFrame | None = None,
+    survivor_by: str | None = None,
 ) -> DataFrame:
     """End of the dedup pipeline: decide which documents SURVIVE.
 
@@ -1171,6 +1172,14 @@ def dedup_survivors(
     every other member is dropped. Documents in no qualifying pair are
     their own canonical. Output: (doc_id, canonical_id, is_survivor) —
     a full assignment table the downstream pipeline can anti-join on.
+
+    ``survivor_by`` (r08): QUALITY-AWARE canonical selection — name a
+    numeric column of ``docs`` and each cluster's survivor becomes its
+    max-``survivor_by`` member (ties → lowest doc_id) instead of the
+    lowest id: "keep the best copy, not the first" (e.g. the longest
+    or highest-quality version of a mirrored page). Implemented as a
+    map-side-combinable struct-max aggregate per cluster — no window,
+    one cluster-keyed exchange of (cluster, score, id) triples.
 
     ``sigs``: optional precomputed signature table (see
     ``near_duplicate_pairs``) — lets a pipeline that maintains a
@@ -1195,13 +1204,30 @@ def dedup_survivors(
         pairs = pairs.join(ids_a, "a_id").join(ids_b, "b_id")
     pairs = pairs.where(F.col("est_jaccard") >= min_jaccard_est)
     comp = connected_components(pairs)
-    return (
-        docs.select("doc_id")
+    base_cols = ["doc_id"] + ([survivor_by] if survivor_by else [])
+    assigned = (
+        docs.select(*base_cols)
         .join(comp, docs["doc_id"] == comp["id"], "left")
         .select(
-            "doc_id",
-            F.coalesce("comp", F.col("doc_id")).alias("canonical_id"),
+            *base_cols,
+            F.coalesce("comp", F.col("doc_id")).alias("_cluster"),
         )
+    )
+    if survivor_by is None:
+        # CC labels ARE min member ids — the cluster label is canonical
+        return assigned.select(
+            "doc_id", F.col("_cluster").alias("canonical_id")
+        ).withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
+    best = assigned.groupBy("_cluster").agg(
+        F.max(
+            F.struct(
+                F.col(survivor_by).alias("q"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("_best")
+    ).select("_cluster", (-F.col("_best.nid")).cast("long").alias("canonical_id"))
+    return (
+        assigned.join(best, "_cluster")
+        .select("doc_id", "canonical_id")
         .withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
     )
 

@@ -3344,6 +3344,38 @@ ORDER BY d.doc_id
 """
 )
 
+def q_dedup_survivors_quality(spark, sf_dir):
+    """r08: quality-aware canonical selection — same LSH near-dup
+    clusters as dedup_survivors, but each cluster keeps its LONGEST
+    member (max n_chars, ties → lowest doc_id) instead of the lowest
+    id: the "keep the best copy" curation policy. Struct-max aggregate
+    per cluster, no window."""
+    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup_survivors(docs, survivor_by="n_chars")
+
+
+ORACLES["dedup_survivors_quality"] = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _CLUSTER_CTES
+    + """
+, assigned AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.canonical, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+best AS (
+  SELECT cluster, doc_id AS canonical_id,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM assigned
+)
+SELECT a.doc_id, b.canonical_id, a.doc_id = b.canonical_id AS is_survivor
+FROM assigned a JOIN best b ON b.cluster = a.cluster AND b.rn = 1
+"""
+)
+
+
 ORACLES["training_pipeline"] = (
     """
 WITH RECURSIVE t0 AS (
@@ -10416,6 +10448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_survivors_quality": q_dedup_survivors_quality,
     "training_pipeline": q_training_pipeline,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -10557,6 +10590,7 @@ _R08_FRONT = [
     "cluster_quality",
     "frequent_token_pairs",
     "epoch_shuffle",
+    "dedup_survivors_quality",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10602,7 +10636,6 @@ _R08_FRONT = [
     "events_histogram",
     "edit_distance_pairs",
     "profile_documents",
-    "minhash_signature_prod",  # rows-only by design; freshness still rotates
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

@@ -842,3 +842,41 @@ def test_cross_corpus_jaccard_exact_recall_vs_brute_force(spark):
 
     with _pytest.raises(ValueError, match="short decimal"):
         cross_corpus_jaccard_exact(corpus, ev, min_jaccard=1 / 3)
+
+
+def test_dedup_survivors_quality_aware_policy(spark):
+    """r08: survivor_by picks each cluster's max-score member (ties ->
+    lowest id) while the assignment table still covers every doc;
+    default policy unchanged (min id)."""
+    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+
+    t = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (1, t, 10),              # cluster {1,2,3}: 2 has max score
+        (2, t, 99),
+        (3, t, 50),
+        (4, "totally different unrelated content entirely here", 7),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    got = {
+        r.doc_id: (r.canonical_id, r.is_survivor)
+        for r in dedup_survivors(docs, survivor_by="score").collect()
+    }
+    assert got == {1: (2, False), 2: (2, True), 3: (2, False), 4: (4, True)}
+
+    # ties on score -> lowest id wins
+    docs2 = spark.createDataFrame(
+        [(5, t, 7), (6, t, 7), (7, "zzz unrelated other thing", 1)],
+        "doc_id long, text string, score long",
+    )
+    got2 = {
+        r.doc_id: r.canonical_id
+        for r in dedup_survivors(docs2, survivor_by="score").collect()
+    }
+    assert got2 == {5: 5, 6: 5, 7: 7}
+
+    # default policy still min-id
+    base = {
+        r.doc_id: r.canonical_id for r in dedup_survivors(docs).collect()
+    }
+    assert base == {1: 1, 2: 1, 3: 1, 4: 4}
