@@ -862,16 +862,29 @@ def series_acf(
     if not (1 <= int(max_lag) <= 64):
         raise ValueError(f"max_lag must be in 1..64, got {max_lag}")
     scale = int(value_scale)
-    per = (
-        df.groupBy(F.col(series_col).alias("s"), _bucket_expr(time_col, bucket_ms))
-        .agg(
-            F.sum(F.round(F.col(value_col) * float(scale), 0).cast("long"))
-            .cast("long")
-            .alias("x")
-        )
+    per = df.groupBy(
+        F.col(series_col).alias("s"), _bucket_expr(time_col, bucket_ms)
+    ).agg(
+        F.sum(F.round(F.col(value_col) * float(scale), 0).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return acf_from_per_bucket(per, bucket_ms, max_lag)
+
+
+def acf_from_per_bucket(
+    per: DataFrame, bucket_ms: int, max_lag: int = 3
+) -> DataFrame:
+    """ACF core over an already-reduced ``(s, bucket_start_ms, x)``
+    table — shared by :func:`series_acf` (one-shot) and the streaming
+    twin (``streaming/correlation.acf_from_state``), which serves it
+    from the additively-maintained per-bucket state: same input table
+    ⟹ bit-identical output."""
+    per = per.select("s", "bucket_start_ms", "x").withColumn(
         # bucket_start_ms is an exact multiple of bucket_ms, so integer
         # div is exact (incl. negative buckets)
-        .withColumn("tb", F.expr(f"bucket_start_ms div {int(bucket_ms)}"))
+        "tb",
+        F.expr(f"bucket_start_ms div {int(bucket_ms)}"),
     )
     probe = per.select(
         "s",

@@ -107,6 +107,28 @@ def correlation_from_state(state: DataFrame) -> DataFrame:
     )
 
 
+def acf_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    bucket_ms: int = 86_400_000,
+    max_lag: int = 3,
+) -> DataFrame | None:
+    """Serve per-series AUTOCORRELATION from the maintained per-bucket
+    sums (r08) — the same additive state ``correlation_from_state``
+    reads, so the two analytics share one maintenance stream. Same
+    per-bucket table ⟹ bit-identical to the one-shot
+    ``operators/timeseries.series_acf`` over everything streamed
+    (pinned in tests); None before the first commit."""
+    from temporal_vector_database_spark.operators.timeseries import (
+        acf_from_per_bucket,
+    )
+
+    state = read_series_state(spark, state_dir)
+    if state is None:
+        return None
+    return acf_from_per_bucket(state, bucket_ms, max_lag)
+
+
 def run_series_sum_stream(
     event_stream: DataFrame,
     state_dir: str,

@@ -689,6 +689,23 @@ def test_streaming_correlation_state_equals_one_shot(spark, tmp_path):
     process_series_sum_batch(batches[2], 2, state, **kw)  # head redelivery
     assert canon(correlation_from_state(read_series_state(spark, state))) == want
 
+    # r08: ACF served from the SAME maintained state is bit-identical
+    # to the one-shot operator over everything streamed
+    from temporal_vector_database_spark.operators.timeseries import series_acf
+    from temporal_vector_database_spark.streaming.correlation import (
+        acf_from_state,
+    )
+
+    def canon_acf(d):
+        return sorted(
+            (r.series, r.lag, r.n_pairs, r.sx, r.sy, r.sxy, r.sxx, r.syy, r.acf)
+            for r in d.collect()
+        )
+
+    want_acf = canon_acf(series_acf(df, "ts", "s", "v", 100, max_lag=2))
+    got_acf = canon_acf(acf_from_state(spark, state, bucket_ms=100, max_lag=2))
+    assert got_acf == want_acf and len(got_acf) > 0
+
 
 def test_seasonal_profile_phase_math_and_index(spark):
     """Phase is TZ-free integer math (epoch-day mod 7); indices weight
