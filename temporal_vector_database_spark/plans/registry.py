@@ -783,6 +783,47 @@ def q_ann_topk(spark, sf_dir):
     return res.select("query_id", "rank", "vec_id", "sim")
 
 
+def q_prf_search(spark, sf_dir):
+    """r08: PSEUDO-RELEVANCE-FEEDBACK retrieval (Rocchio with α=0) —
+    the lexical→semantic feedback composition: BM25 top-10 for the
+    query terms, the per-dim mean of those docs' embeddings becomes the
+    feedback query vector, and the corpus is re-ranked by cosine to it
+    (top-20). Catches semantically-relevant docs that share no query
+    term — the classic recall move a pure lexical or pure ANN stage
+    misses.
+
+    Exactness: the centroid is quantized to the 2^-20 grid (floor — no
+    half-rule ambiguity), so every dot-product term, partial sum, and
+    norm in the re-rank is EXACT in double (≤48 significant bits) and
+    partition-order-proof; the first stage's bm25 ordering is the
+    existing rounded-6dp deterministic contract. The feedback vector is
+    one 64-value model parameter (k-row collect discipline)."""
+    from temporal_vector_database_spark.operators.search import topk_cosine
+    from temporal_vector_database_spark.operators.textindex import bm25_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    fb = bm25_scores(docs, ["vector", "join", "scan"], top_n=10).select("doc_id")
+    emb = _quantized_embeddings(spark, sf_dir)
+    cent = (
+        emb.join(F.broadcast(fb), emb["vec_id"] == fb["doc_id"])
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("c"))
+        .select(
+            "dim",
+            (F.floor(F.col("c") * F.lit(1048576)) / F.lit(1048576)).alias("c"),
+        )
+    )
+    cvals = [float(r.c) for r in cent.orderBy("dim").collect()]  # model param
+    q = spark.createDataFrame(
+        [(0, cvals)], "query_id int, embedding array<double>"
+    )
+    res = topk_cosine(emb, q, k=20, id_cols=("vec_id",))
+    return res.select("query_id", "rank", "vec_id", "sim")
+
+
 def q_simhash_signature(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import simhash_signatures
 
@@ -5878,6 +5919,75 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10
 """
 
 
+_PRF_BM25_CTES = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('vector', 'join', 'scan') GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+         avg(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS avgdl
+  FROM documents
+),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * CAST(tf.tf AS DOUBLE) * 2.2
+           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN dfreq d USING (term), stats s
+  GROUP BY 1
+),
+fb AS (SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10)
+"""
+ORACLES["prf_search"] = (
+    _PRF_BM25_CTES
+    + """
+, e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1024) / 1024) AS emb
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e
+),
+cent AS (
+  SELECT i, floor(avg(e.emb[i]) * 1048576) / 1048576 AS c
+  FROM fb JOIN e ON e.vec_id = fb.doc_id,
+       unnest(range(1, len(e.emb) + 1)) AS t(i)
+  GROUP BY i
+),
+cvl AS (SELECT list(c ORDER BY i) AS qe FROM cent),
+cv AS (
+  SELECT qe, sqrt(list_sum(list_transform(qe, x -> x * x))) AS nq FROM cvl
+),
+scored2 AS (
+  SELECT en.vec_id,
+         CASE WHEN cv.nq > 0 AND en.nrm > 0
+              THEN list_dot_product(cv.qe, en.emb) / (cv.nq * en.nrm)
+              ELSE 0.0 END AS sim
+  FROM en CROSS JOIN cv
+),
+ranked AS (
+  SELECT vec_id, sim,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored2 WHERE sim > 0
+)
+SELECT CAST(0 AS INTEGER) AS query_id, rank, vec_id, sim
+FROM ranked WHERE rank <= 20
+"""
+)
+
+
+
+
 # ---------------------------------------------------------------------------
 # corpus-curation family (operators/curation.py): decontamination,
 # repetition signals, corpus-level segment dedup, PII scrub.
@@ -10410,6 +10520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_pairs_banded": q_dedup_near_pairs_banded,
     "remove_dup_spans": q_remove_dup_spans,
     "hybrid_search": q_hybrid_search,
+    "prf_search": q_prf_search,
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
     "training_pipeline_banded": q_training_pipeline_banded,
@@ -10591,6 +10702,7 @@ _R08_FRONT = [
     "frequent_token_pairs",
     "epoch_shuffle",
     "dedup_survivors_quality",
+    "prf_search",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10635,7 +10747,6 @@ _R08_FRONT = [
     "event_transitions",
     "events_histogram",
     "edit_distance_pairs",
-    "profile_documents",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)
