@@ -567,6 +567,55 @@ def collocations_pmi(
     )
 
 
+def winnow_shared_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints (r08) — the
+    MATCHING half of MOSS (Schleimer et al., SIGMOD'03) on top of
+    :func:`winnow_fingerprints`: any shared substring of length >=
+    ``k + w − 1`` guarantees a shared fingerprint, so pairs with
+    ``n_shared >= min_shared`` localize plagiarism/boilerplate overlap
+    at SPAN grain — evidence the set-similarity tiers (Jaccard,
+    containment) deliberately discard.
+
+    ``max_fp_df`` is MOSS's noise rule made explicit: fingerprints in
+    more than that many documents are corpus boilerplate and are
+    dropped BEFORE pairing — which is also the skew defense (a print
+    shared by m docs yields m² candidate pairs; the cap bounds the
+    hottest join group). Prints with df 1 can't pair and are dropped
+    too. Candidate generation is one fingerprint equi-join; counts are
+    exact integers (per-doc prints are already distinct).
+
+    Output: ``(a_id, b_id, n_shared)``, a_id < b_id.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnow_fingerprints(docs, text_col, k, w, id_col).localCheckpoint()
+    dfc = (
+        fps.groupBy("fp")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= int(max_fp_df)))
+    )
+    # plain semi-join (AQE decides): the pairable-print table is
+    # corpus-shaped in adversarial inputs — never force a broadcast
+    rare = fps.join(dfc.select("fp"), "fp", "left_semi")
+    a = rare.select(F.col(id_col).alias("a_id"), "fp")
+    b = rare.select(F.col(id_col).alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+
+
 def frequent_token_pairs(
     docs: DataFrame,
     min_support_num: int = 5,

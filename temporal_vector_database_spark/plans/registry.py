@@ -5232,6 +5232,63 @@ SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n - 15, 1)
 """
 ).replace("{U32}", _U32_SQL)
 
+def q_winnow_pairs(spark, sf_dir):
+    """r08: MOSS-style fingerprint MATCHING — doc pairs sharing >= 2
+    rare winnow prints (k=7, w=16), localizing span-grain overlap. The
+    word-soup fixture has no natural >= 22-char cross-doc substrings,
+    so the boilerplate-injected corpus (the suffix_array_ngrams
+    fixture) provides ground truth: every pair of boiler-carrying docs
+    shares the clause's prints. max_fp_df=100 keeps the 50-doc boiler
+    clique pairable while still exercising the noise rule."""
+    from temporal_vector_database_spark.operators.textindex import (
+        winnow_shared_pairs,
+    )
+
+    return winnow_shared_pairs(
+        _injected_boiler_docs(spark, sf_dir),
+        k=7, w=16, min_shared=2, max_fp_df=100,
+    )
+
+
+ORACLES["winnow_pairs"] = (
+    """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text ||
+           ' copyright notice all rights reserved contact the site owner for permission to reuse any part of this page content'
+         ELSE text END AS text
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         substring(text, CAST(i AS INTEGER), 7) AS g
+  FROM d,
+       unnest(range(1, greatest(length(text) - 6, 1) + 1)) AS t(i)
+  WHERE length(substring(text, CAST(i AS INTEGER), 7)) = 7
+),
+h0 AS (SELECT doc_id, i, substring(md5(g), 1, 8) AS hh FROM pos),
+h AS (SELECT doc_id, i, CAST({U32} AS BIGINT) AS hv FROM h0),
+wmin AS (
+  SELECT doc_id, i,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+         max(i) OVER (PARTITION BY doc_id) AS n
+  FROM h
+),
+fpt AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= greatest(n - 15, 1)),
+dfc AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM fpt GROUP BY 1),
+keep AS (SELECT fp FROM dfc WHERE df >= 2 AND df <= 100),
+r AS (SELECT f.doc_id, f.fp FROM fpt f JOIN keep USING (fp)),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM r a JOIN r b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 2
+"""
+).replace("{U32}", _U32_SQL)
+
+
 ORACLES["suffix_array_ngrams"] = """
 WITH d AS (
   SELECT doc_id,
@@ -10512,6 +10569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hopping": q_events_hopping,
     "events_dedup_idempotent": q_events_dedup_idempotent,
     "docs_winnow_fingerprint": q_docs_winnow_fingerprint,
+    "winnow_pairs": q_winnow_pairs,
     "doc_ccnet_buckets": q_doc_ccnet_buckets,
     "suffix_array_ngrams": q_suffix_array_ngrams,
     "bm25_scores": q_bm25_scores,
@@ -10703,6 +10761,7 @@ _R08_FRONT = [
     "epoch_shuffle",
     "dedup_survivors_quality",
     "prf_search",
+    "winnow_pairs",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10746,7 +10805,6 @@ _R08_FRONT = [
     "quality_weighted_sample",
     "event_transitions",
     "events_histogram",
-    "edit_distance_pairs",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

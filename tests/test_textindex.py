@@ -602,3 +602,37 @@ def test_frequent_token_pairs_apriori_and_lift(spark):
         frequent_token_pairs(
             docs, min_support_num=1, min_support_den=100, max_doc_items=2
         )
+
+
+def test_winnow_shared_pairs_span_matching_and_noise_rule(spark):
+    """r08: two docs sharing a >= k+w-1 substring share fingerprints
+    (the winnowing guarantee) and surface as a pair with exact shared
+    counts; the max_fp_df noise rule drops corpus-boilerplate prints;
+    df-1 prints can't pair."""
+    from temporal_vector_database_spark.operators.textindex import (
+        winnow_shared_pairs,
+    )
+
+    span = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "alpha " + span + " omega"),
+        (2, "start " + span + " finish"),
+        (3, "completely unrelated text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.n_shared
+        for r in winnow_shared_pairs(docs, k=5, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in pair for pair in got)
+
+    # noise rule: a print in EVERY doc is boilerplate — with
+    # max_fp_df=2 the 3-doc shared span is dropped and no pair remains
+    rows_all = [(i, "prefix%d " % i + span) for i in range(1, 4)]
+    docs_all = spark.createDataFrame(rows_all, "doc_id long, text string")
+    noisy = winnow_shared_pairs(
+        docs_all, k=5, w=4, min_shared=1, max_fp_df=2
+    ).collect()
+    # every span print has df=3 > 2 -> dropped; prefix prints are df-1
+    assert noisy == []
