@@ -182,6 +182,7 @@ HEADLINE = (
     "dedup_survivors_quality",
     "prf_search",
     "winnow_pairs",
+    "storage_tiering",
     # r08: bpe_train_incremental is deliberately NOT benched — 64 merge
     # rounds are job-scheduling-bound locally (~0.45-0.59 s/merge, vs
     # naive 0.46-1.17 s/merge: the VERDICT "within 2x per-merge"

@@ -131,6 +131,64 @@ def list_content_ids(versions: DataFrame) -> DataFrame:
     return versions.select("content_id").distinct().orderBy("content_id")
 
 
+def storage_tiering_report(
+    versions: DataFrame, hot_days: int = 7, warm_days: int = 30
+) -> DataFrame:
+    """Age-tiered storage accounting (r08, beyond-reference) — the
+    hot/warm/cold placement report a tiered deployment (NVMe / object
+    store / archive) drives its migration policy with: every version
+    row is bucketed by WHOLE-DAY age behind the store's newest day
+    (TZ-free epoch-day integers — ``bucket_day_expr``'s read-mode-proof
+    math, the r03 timezone lesson), and each tier reports exact counts,
+    logical float storage (dense bases = ``total_dims``; sparse deltas
+    = ``2·n_changed`` idx+val pairs — the ``storage_efficiency``
+    convention), distinct contents touching the tier, and how many
+    contents' LATEST version lives there (the rows a serving layer must
+    keep hot regardless of age).
+
+    Plan: one epoch-day projection + one per-content max-seq aggregate
+    (map-side combinable) joined back + one tier aggregate. The store's
+    max day is derived INSIDE the plan (scalar aggregate cross-joined —
+    no driver round-trip, no collect)."""
+    if not (0 < int(hot_days) < int(warm_days)):
+        raise ValueError(
+            f"need 0 < hot_days < warm_days, got {hot_days}, {warm_days}"
+        )
+    from temporal_vector_database_spark.operators.rollup import bucket_day_expr
+
+    v = versions.withColumn("_day", bucket_day_expr(versions))
+    mx = v.agg(F.max("_day").alias("_max_day"))
+    latest = versions.groupBy("content_id").agg(F.max("seq").alias("_lseq"))
+    tiered = (
+        v.crossJoin(F.broadcast(mx))
+        .join(F.broadcast(latest), "content_id")
+        .withColumn("_age", F.col("_max_day") - F.col("_day"))
+        .withColumn(
+            "tier",
+            F.when(F.col("_age") < int(hot_days), "hot")
+            .when(F.col("_age") < int(warm_days), "warm")
+            .otherwise("cold"),
+        )
+    )
+    floats = F.when(F.col("kind") == "base", F.col("total_dims")).otherwise(
+        F.lit(2) * F.coalesce(F.col("n_changed"), F.lit(0))
+    )
+    return tiered.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("kind") == "base", 1).otherwise(0))
+        .cast("long")
+        .alias("n_bases"),
+        F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0))
+        .cast("long")
+        .alias("n_deltas"),
+        F.sum(floats).cast("long").alias("floats_stored"),
+        F.countDistinct("content_id").cast("long").alias("n_contents"),
+        F.sum(F.when(F.col("seq") == F.col("_lseq"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_latest"),
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Data-quality profile: per-column row/null/exact-distinct counts in
     ONE pass (beyond-reference; the ingestion-side sanity check every

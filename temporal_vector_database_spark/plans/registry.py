@@ -1009,6 +1009,22 @@ def q_frame_sample(spark, sf_dir):
     return sample_frames(decode_payload(with_payload(docs)), every_k=4)
 
 
+def q_storage_tiering(spark, sf_dir):
+    """r08: age-tiered storage accounting over the version store — the
+    hot/warm/cold migration report (hot < 3 days behind the newest day,
+    warm < 7, cold beyond; the fixture timeline spans ~12 daily
+    versions so all three tiers are non-empty). Epoch-day integers are
+    the TZ-free ``bucket_day_expr`` math; every published column is a
+    hash-trivial BIGINT."""
+    from temporal_vector_database_spark.operators.stats import (
+        storage_tiering_report,
+    )
+
+    return storage_tiering_report(
+        _versions(spark, sf_dir), hot_days=3, warm_days=7
+    )
+
+
 def q_version_rollup(spark, sf_dir):
     """Hypertable-style daily rollup STATE of the versions table —
     every published column is a hash-trivial integer (epoch-day BIGINT
@@ -4588,6 +4604,30 @@ SELECT content_id,
 FROM {_V}
 GROUP BY content_id, epoch_us(ts) // 86400000000
 """
+
+ORACLES["storage_tiering"] = f"""
+WITH v2 AS (
+  SELECT *, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d FROM {_V}
+),
+mx AS (SELECT max(d) AS mxd FROM v2),
+lat AS (SELECT content_id, max(seq) AS lseq FROM {_V} GROUP BY 1),
+t AS (
+  SELECT v2.*, lat.lseq,
+         CASE WHEN mx.mxd - v2.d < 3 THEN 'hot'
+              WHEN mx.mxd - v2.d < 7 THEN 'warm'
+              ELSE 'cold' END AS tier
+  FROM v2 CROSS JOIN mx JOIN lat ON lat.content_id = v2.content_id
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN kind = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_bases,
+       CAST(sum(CASE WHEN kind = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_deltas,
+       CAST(sum(CASE WHEN kind = 'base' THEN total_dims
+                     ELSE 2 * coalesce(n_changed, 0) END) AS BIGINT) AS floats_stored,
+       CAST(count(DISTINCT content_id) AS BIGINT) AS n_contents,
+       CAST(sum(CASE WHEN seq = lseq THEN 1 ELSE 0 END) AS BIGINT) AS n_latest
+FROM t GROUP BY tier
+"""
+
 
 ORACLES["version_rollup_report"] = f"""
 WITH st AS (
@@ -10439,6 +10479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_approx_quantiles": q_events_approx_quantiles,
     # --- (2) the r04 version_rollup bisect pair (see q_version_rollup) ---
     "version_rollup": q_version_rollup,
+    "storage_tiering": q_storage_tiering,
     "version_rollup_report": q_version_rollup_report,
     # --- (2a) r06 bisect trio: name the column class the driver's
     #     hasher mangles (integers+timestamp / integers+DATE /
@@ -10762,6 +10803,7 @@ _R08_FRONT = [
     "dedup_survivors_quality",
     "prf_search",
     "winnow_pairs",
+    "storage_tiering",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10804,7 +10846,6 @@ _R08_FRONT = [
     "docs_pivot",
     "quality_weighted_sample",
     "event_transitions",
-    "events_histogram",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

@@ -105,3 +105,48 @@ def test_invalid_reconstruction_targets(spark, versions):
     # reconstruct_at silently omits exactly the invalid ones
     got = {(r.content_id, r.target_seq) for r in reconstruct_at(versions, targets).collect()}
     assert got == {("c00000", 1)}
+
+
+def test_storage_tiering_report_exact_buckets(spark):
+    """r08: whole-day age tiers behind the newest day; logical float
+    accounting follows the storage_efficiency convention (dense bases,
+    2*nnz deltas); n_latest counts each content's max-seq row in its
+    tier; bad bounds raise."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from temporal_vector_database_spark.operators.stats import (
+        storage_tiering_report,
+    )
+
+    t0 = datetime(2025, 6, 1)
+    rows = [
+        # content A: base day0 (age 9 -> cold), delta day5 (age 4 ->
+        # warm), delta day9 = newest (age 0 -> hot, latest)
+        ("A", 1, t0, "base", 8, None),
+        ("A", 2, t0 + timedelta(days=5), "delta", 8, 3),
+        ("A", 3, t0 + timedelta(days=9), "delta", 8, 2),
+        # content B: base day8 (age 1 -> hot, latest is seq 2 below)
+        ("B", 1, t0 + timedelta(days=8), "base", 8, None),
+        ("B", 2, t0 + timedelta(days=9), "delta", 8, 1),
+    ]
+    v = spark.createDataFrame(
+        rows,
+        "content_id string, seq int, ts timestamp, kind string,"
+        " total_dims int, n_changed int",
+    )
+    got = {
+        r.tier: r
+        for r in storage_tiering_report(v, hot_days=3, warm_days=7).collect()
+    }
+    assert set(got) == {"hot", "warm", "cold"}
+    h, w, c = got["hot"], got["warm"], got["cold"]
+    assert (h.n_versions, h.n_bases, h.n_deltas) == (3, 1, 2)
+    assert h.floats_stored == 8 + 2 * 2 + 2 * 1  # B base + A d3 + B d2
+    assert h.n_latest == 2 and h.n_contents == 2
+    assert (w.n_versions, w.floats_stored, w.n_latest) == (1, 6, 0)
+    assert (c.n_versions, c.n_bases, c.floats_stored) == (1, 1, 8)
+
+    with _pytest.raises(ValueError, match="hot_days"):
+        storage_tiering_report(v, hot_days=7, warm_days=7)
