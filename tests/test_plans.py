@@ -783,3 +783,24 @@ def test_snapshot_export_bucket_pruning(spark):
     assert "bucket" not in plan.split("ReadSchema:")[1].splitlines()[0]
     n_pruned, n_full = pruned.count(), snap.count()
     assert 0 < n_pruned < n_full
+
+
+def test_epoch_shuffle_never_single_partition(spark, qmap):
+    """r08: the per-epoch training order must come from the two-phase
+    distributed rank — no SinglePartition exchange anywhere (a naive
+    Window.partitionBy(shard) with few shards, or a bare global
+    row_number, would bottleneck one task); shard offsets ride a
+    broadcast."""
+    plan = formatted_plan(qmap["epoch_shuffle"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cross_corpus_exact_plan_shape(spark, qmap):
+    """r08: the exact cross-corpus tier must stay cartesian-free (all
+    candidate generation is equi-join) and its only window must be
+    keyed (no empty partition spec collapsing the corpus)."""
+    plan = formatted_plan(qmap["cross_corpus_near_dup_exact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -941,3 +941,71 @@ def test_robust_stats_matches_numpy(spark, vals):
     kept = a[k : n - k]
     assert got.trimmed_mean == float(kept.sum() / len(kept))
     assert got.mad == float(np.median(np.abs(a - np.median(a))))
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=40),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([(1, 4), (1, 2), (3, 4)]),
+)
+def test_cross_corpus_exact_recall_property(spark, corpus_texts, ev_texts, thr):
+    """r08 recall-proof property: on arbitrary small-alphabet corpora
+    (adversarially dense shingle collisions), cross_corpus_jaccard_exact
+    returns EXACTLY the brute-force best-match set at any threshold —
+    the PPJoin per-side prefix tier under the eval-df order loses no
+    qualifying pair and invents none."""
+    import hashlib
+
+    from temporal_vector_database_spark.operators.dedup import (
+        cross_corpus_jaccard_exact,
+    )
+
+    tn, td = thr
+    width = 3
+
+    def shset(t):
+        n = max(len(t) - width + 1, 1)
+        return {
+            sum(
+                int(c, 16) * (16 ** p)
+                for p, c in enumerate(
+                    hashlib.md5(t[i : i + width].encode()).hexdigest()[:8]
+                )
+            )
+            for i in range(n)
+        }
+
+    corpus_rows = list(enumerate(corpus_texts))
+    ev_rows = [(100 + i, t) for i, t in enumerate(ev_texts)]
+    want = {}
+    for cid, ct in corpus_rows:
+        best = None
+        C = shset(ct)
+        for eid, et in sorted(ev_rows):
+            E = shset(et)
+            ni = len(C & E)
+            if ni * (td + tn) >= tn * (len(C) + len(E)):
+                j = ni / (len(C) + len(E) - ni)
+                if best is None or j > best[1]:
+                    best = (eid, j, ni)
+        if best is not None:
+            want[cid] = (best[0], best[2])
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.eval_doc_id, r.n_inter)
+        for r in cross_corpus_jaccard_exact(
+            corpus, ev, width=width, min_jaccard=tn / td
+        ).collect()
+    }
+    assert got == want
