@@ -183,6 +183,7 @@ HEADLINE = (
     "prf_search",
     "winnow_pairs",
     "storage_tiering",
+    "retention_dryrun",
     # r08: bpe_train_incremental is deliberately NOT benched — 64 merge
     # rounds are job-scheduling-bound locally (~0.45-0.59 s/merge, vs
     # naive 0.46-1.17 s/merge: the VERDICT "within 2x per-merge"

@@ -102,6 +102,83 @@ def truncate_before(versions: DataFrame, cutoff) -> DataFrame:
     return out.drop("_keep_seq")
 
 
+def retention_dryrun(versions: DataFrame, cutoff) -> DataFrame:
+    """What :func:`truncate_before` WOULD do, without doing it (r08,
+    beyond-reference — the report→act loop the reference's advisor only
+    has half of): per content, the versions retention would drop
+    (``ts < cutoff`` minus the kept anchor), the logical floats freed
+    (dense bases / 2·nnz deltas — the ``storage_efficiency``
+    convention), whether the anchor (the governing version at the
+    cutoff) is a DELTA and so needs base promotion first, the storage
+    growth that promotion costs (``total_dims − 2·n_changed``), and the
+    surviving version count. A capacity planner diffs ``floats_freed``
+    against ``promote_growth`` before committing to a retention run.
+
+    Plan: one anchor aggregate + three content-keyed joins over the
+    versions table — no reconstruction, no collect; same row-selection
+    predicates as ``truncate_before`` so the report is exact by
+    construction.
+
+    Output: ``(content_id, anchor_seq, anchor_is_delta, n_dropped,
+    floats_freed, promote_growth, n_survivors)``.
+    """
+    anchor = (
+        versions.where(F.col("ts") < F.lit(cutoff))
+        .groupBy("content_id")
+        .agg(F.max("seq").alias("anchor_seq"))
+    )
+    ar = anchor.join(
+        versions.select(
+            "content_id",
+            F.col("seq").alias("anchor_seq"),
+            F.col("kind").alias("_akind"),
+            F.col("total_dims").alias("_adims"),
+            F.col("n_changed").alias("_anch"),
+        ),
+        ["content_id", "anchor_seq"],
+    )
+    floats = F.when(F.col("kind") == "base", F.col("total_dims")).otherwise(
+        F.lit(2) * F.coalesce(F.col("n_changed"), F.lit(0))
+    )
+    dropped = (
+        versions.join(anchor, "content_id")
+        .where((F.col("ts") < F.lit(cutoff)) & (F.col("seq") != F.col("anchor_seq")))
+        .groupBy("content_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dropped"),
+            F.sum(floats).cast("long").alias("floats_freed"),
+        )
+    )
+    survivors = (
+        versions.join(anchor, "content_id", "left")
+        .where((F.col("ts") >= F.lit(cutoff)) | (F.col("seq") == F.col("anchor_seq")))
+        .groupBy("content_id")
+        .agg(F.count("*").cast("long").alias("n_survivors"))
+    )
+    return (
+        versions.select("content_id")
+        .distinct()
+        .join(ar, "content_id", "left")
+        .join(dropped, "content_id", "left")
+        .join(survivors, "content_id", "left")
+        .select(
+            "content_id",
+            "anchor_seq",
+            (F.col("_akind") == "delta").alias("anchor_is_delta"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("floats_freed", F.lit(0)).cast("long").alias("floats_freed"),
+            F.when(
+                F.col("_akind") == "delta",
+                F.col("_adims") - F.lit(2) * F.coalesce(F.col("_anch"), F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("promote_growth"),
+            F.coalesce("n_survivors", F.lit(0)).cast("long").alias("n_survivors"),
+        )
+    )
+
+
 def export_snapshot(
     versions: DataFrame, t, path: str, buckets: int = 8
 ) -> str:

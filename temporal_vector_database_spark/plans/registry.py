@@ -4605,6 +4605,60 @@ FROM {_V}
 GROUP BY content_id, epoch_us(ts) // 86400000000
 """
 
+def q_retention_dryrun(spark, sf_dir):
+    """r08: retention DRY-RUN — what truncate_before(cutoff) would
+    drop/keep/promote per content, with the floats-freed vs
+    promotion-growth accounting a capacity planner diffs before acting.
+    Cutoff = max ts of the seq-5 rows (in-data-derived, TZ-free — the
+    snapshot_read precedent); the 1-row collect is a model parameter,
+    mirrored relationally by the oracle."""
+    from temporal_vector_database_spark.operators.maintenance import (
+        retention_dryrun,
+    )
+
+    v = _versions(spark, sf_dir)
+    t = v.where(F.col("seq") == 5).agg(F.max("ts")).collect()[0][0]
+    return retention_dryrun(v, t)
+
+
+ORACLES["retention_dryrun"] = f"""
+WITH tq AS (SELECT max(ts) AS t FROM {_V} WHERE seq = 5),
+a AS (
+  SELECT content_id, max(seq) AS anchor_seq
+  FROM {_V}, tq WHERE ts < tq.t GROUP BY 1
+),
+ar AS (
+  SELECT v.content_id, a.anchor_seq, v.kind AS akind,
+         v.total_dims AS adims, v.n_changed AS anch
+  FROM {_V} v JOIN a ON v.content_id = a.content_id AND v.seq = a.anchor_seq
+),
+d AS (
+  SELECT v.content_id, CAST(count(*) AS BIGINT) AS n_dropped,
+         CAST(sum(CASE WHEN v.kind = 'base' THEN v.total_dims
+                       ELSE 2 * coalesce(v.n_changed, 0) END) AS BIGINT)
+           AS floats_freed
+  FROM {_V} v JOIN a ON v.content_id = a.content_id, tq
+  WHERE v.ts < tq.t AND v.seq <> a.anchor_seq GROUP BY 1
+),
+s AS (
+  SELECT v.content_id, CAST(count(*) AS BIGINT) AS n_survivors
+  FROM {_V} v LEFT JOIN a ON v.content_id = a.content_id, tq
+  WHERE v.ts >= tq.t OR v.seq = a.anchor_seq GROUP BY 1
+)
+SELECT c.content_id, ar.anchor_seq, (ar.akind = 'delta') AS anchor_is_delta,
+       CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(coalesce(d.floats_freed, 0) AS BIGINT) AS floats_freed,
+       CAST(CASE WHEN ar.akind = 'delta'
+                 THEN ar.adims - 2 * coalesce(ar.anch, 0)
+                 ELSE 0 END AS BIGINT) AS promote_growth,
+       CAST(coalesce(s.n_survivors, 0) AS BIGINT) AS n_survivors
+FROM (SELECT DISTINCT content_id FROM {_V}) c
+LEFT JOIN ar ON ar.content_id = c.content_id
+LEFT JOIN d ON d.content_id = c.content_id
+LEFT JOIN s ON s.content_id = c.content_id
+"""
+
+
 ORACLES["storage_tiering"] = f"""
 WITH v2 AS (
   SELECT *, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d FROM {_V}
@@ -10480,6 +10534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (2) the r04 version_rollup bisect pair (see q_version_rollup) ---
     "version_rollup": q_version_rollup,
     "storage_tiering": q_storage_tiering,
+    "retention_dryrun": q_retention_dryrun,
     "version_rollup_report": q_version_rollup_report,
     # --- (2a) r06 bisect trio: name the column class the driver's
     #     hasher mangles (integers+timestamp / integers+DATE /
@@ -10804,6 +10859,7 @@ _R08_FRONT = [
     "prf_search",
     "winnow_pairs",
     "storage_tiering",
+    "retention_dryrun",
     # (2) the 29 rows last driver-checked in r02
     "sample_docs",
     "split_assign",
@@ -10845,7 +10901,6 @@ _R08_FRONT = [
     "length_balanced_sample",
     "docs_pivot",
     "quality_weighted_sample",
-    "event_transitions",
 ]
 QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R08_FRONT)

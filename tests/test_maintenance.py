@@ -53,3 +53,44 @@ def test_truncate_before_keeps_post_cutoff_reconstructions(versions):
         assert emb == before[key]
     # every surviving row reconstructs (no dangling chains)
     assert set(after.keys()) == kept_ts
+
+
+def test_retention_dryrun_matches_actual_truncation(versions):
+    """r08: the dry-run report predicts exactly what truncate_before
+    does — per-content survivor counts equal the actual post-truncation
+    rows, a delta anchor is flagged (and really gets promoted), and
+    dropped + survivors partition the store."""
+    from temporal_vector_database_spark.operators.maintenance import (
+        retention_dryrun,
+    )
+
+    v = versions.where(F.col("content_id").isin("c00000", "longchain"))
+    cutoff = (
+        v.where((F.col("content_id") == "c00000") & (F.col("seq") == 8))
+        .first()
+        .ts
+        + datetime.timedelta(hours=1)
+    )
+    report = {r.content_id: r for r in retention_dryrun(v, cutoff).collect()}
+    actual = truncate_before(v, cutoff)
+    actual_counts = {
+        r.content_id: r.n
+        for r in actual.groupBy("content_id").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.content_id: r.n
+        for r in v.groupBy("content_id").agg(F.count("*").alias("n")).collect()
+    }
+    for cid, rep in report.items():
+        assert actual_counts[cid] == rep.n_survivors, cid
+        assert rep.n_dropped + rep.n_survivors == totals[cid], cid
+    # c00000's governing version at the cutoff (seq 8, base at 6) is a
+    # delta -> flagged, and the actual rewrite promoted it to a base
+    rep = report["c00000"]
+    assert rep.anchor_seq == 8 and rep.anchor_is_delta
+    assert rep.promote_growth > 0
+    kinds = {
+        (r.content_id, r.seq): r.kind
+        for r in actual.select("content_id", "seq", "kind").collect()
+    }
+    assert kinds[("c00000", 8)] == "base"
