@@ -388,3 +388,34 @@ class TemporalVectorDatabase:
         )
 
         return export_snapshot(self.versions(), t, path, buckets=buckets)
+
+    def retention_dryrun(self, cutoff: datetime) -> DataFrame:
+        """What :meth:`truncate_before` WOULD do at ``cutoff`` (r08):
+        per-content drop/keep/promotion accounting — diff
+        ``floats_freed`` against ``promote_growth`` before committing.
+        See ``operators/maintenance.retention_dryrun``."""
+        from temporal_vector_database_spark.operators.maintenance import (
+            retention_dryrun,
+        )
+
+        return retention_dryrun(self.versions(), cutoff)
+
+    def verify_snapshot(self, path: str) -> dict:
+        """Recompute a snapshot export's per-bucket fingerprints and
+        compare to its ``_MANIFEST.json`` (r08). Returns the
+        ``{"ok": ..., "mismatched_buckets": ...}`` report. See
+        ``operators/maintenance.verify_snapshot``."""
+        from temporal_vector_database_spark.operators.maintenance import (
+            verify_snapshot,
+        )
+
+        return verify_snapshot(self.spark, path)
+
+    def storage_tiering(self, hot_days: int = 7, warm_days: int = 30) -> DataFrame:
+        """Hot/warm/cold age-tier placement report over the version
+        store (r08). See ``operators/stats.storage_tiering_report``."""
+        from temporal_vector_database_spark.operators.stats import (
+            storage_tiering_report,
+        )
+
+        return storage_tiering_report(self.versions(), hot_days, warm_days)

@@ -209,3 +209,28 @@ def test_facade_diff_and_snapshot_export(db, spark, tmp_path):
     assert snap.count() == 2
     assert {r.target_seq for r in snap.select("target_seq").collect()} == {9}
     assert "bucket" in snap.columns
+
+
+def test_facade_retention_dryrun_verify_and_tiering(db, spark, tmp_path):
+    """r08 facade additions: retention_dryrun matches a later
+    truncate_before; exported snapshots carry a verifiable manifest;
+    storage_tiering reports every version row exactly once."""
+    raw = _raw(spark, n=12)
+    db.add_versions(raw)
+
+    cutoff = T0 + timedelta(days=7, hours=1)
+    rep = {r.content_id: r for r in db.retention_dryrun(cutoff).collect()}
+    assert set(rep) == {"a", "b"}
+    total_before = db.versions().count()
+    removed = db.truncate_before(cutoff)
+    assert removed == sum(r.n_dropped for r in rep.values())
+    assert db.versions().count() == sum(r.n_survivors for r in rep.values())
+    assert total_before - removed == db.versions().count()
+
+    out = db.export_snapshot(cutoff, str(tmp_path / "snap_v"), buckets=4)
+    res = db.verify_snapshot(out)
+    assert res["ok"] and res["manifest_rows"] == res["actual_rows"] == 2
+
+    tiers = db.storage_tiering(hot_days=2, warm_days=4).collect()
+    assert sum(r.n_versions for r in tiers) == db.versions().count()
+    assert sum(r.n_latest for r in tiers) == 2
