@@ -1179,7 +1179,12 @@ def dedup_survivors(
     lowest id: "keep the best copy, not the first" (e.g. the longest
     or highest-quality version of a mirrored page). Implemented as a
     map-side-combinable struct-max aggregate per cluster — no window,
-    one cluster-keyed exchange of (cluster, score, id) triples.
+    one cluster-keyed exchange of (cluster, score, id) triples. The
+    tie-break encodes "lowest id" as a negated id inside the struct
+    max, which requires a NUMERIC ``doc_id`` — validated below (a
+    string id raises up front instead of failing mid-plan), and the
+    published ``canonical_id`` is cast back to the input id column's
+    exact type so both modes agree on schema (ADVICE r08).
 
     ``sigs``: optional precomputed signature table (see
     ``near_duplicate_pairs``) — lets a pipeline that maintains a
@@ -1218,13 +1223,24 @@ def dedup_survivors(
         return assigned.select(
             "doc_id", F.col("_cluster").alias("canonical_id")
         ).withColumn("is_survivor", F.col("doc_id") == F.col("canonical_id"))
+    from pyspark.sql.types import NumericType
+
+    id_type = docs.schema["doc_id"].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            "survivor_by tie-break requires a numeric doc_id column "
+            f"(got {id_type.simpleString()}); use the default min-id "
+            "mode (survivor_by=None) for string ids"
+        )
     best = assigned.groupBy("_cluster").agg(
         F.max(
             F.struct(
                 F.col(survivor_by).alias("q"), (-F.col("doc_id")).alias("nid")
             )
         ).alias("_best")
-    ).select("_cluster", (-F.col("_best.nid")).cast("long").alias("canonical_id"))
+    ).select(
+        "_cluster", (-F.col("_best.nid")).cast(id_type).alias("canonical_id")
+    )
     return (
         assigned.join(best, "_cluster")
         .select("doc_id", "canonical_id")

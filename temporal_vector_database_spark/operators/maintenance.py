@@ -206,8 +206,32 @@ def export_snapshot(
         "bucket", F.pmod(F.xxhash64("content_id"), F.lit(int(buckets))).cast("int")
     )
     out.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    write_snapshot_manifest(versions.sparkSession, path, buckets=int(buckets))
+    if _is_local_path(path):
+        write_snapshot_manifest(versions.sparkSession, path, buckets=int(buckets))
+    else:
+        # Manifest maintenance uses local-filesystem APIs (listdir /
+        # atomic os.replace); for object-store / HDFS exports the
+        # parquet snapshot itself is the contract and the manifest is
+        # skipped rather than failing the export (ADVICE r08).
+        import warnings
+
+        warnings.warn(
+            f"export_snapshot: skipping _MANIFEST.json for non-local "
+            f"path {path!r} (manifest writer is local-fs only)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return path
+
+
+def _is_local_path(path: str) -> bool:
+    """True for plain local paths and ``file:`` URIs; False for any
+    other ``scheme://`` (s3a, hdfs, gs, ...) where the manifest's
+    os-level listdir/replace calls cannot operate."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
+    return m is None or m.group(1).lower() == "file"
 
 
 def _snapshot_bucket_checksums(snap: DataFrame) -> DataFrame:

@@ -149,7 +149,10 @@ def storage_tiering_report(
     Plan: one epoch-day projection + one per-content max-seq aggregate
     (map-side combinable) joined back + one tier aggregate. The store's
     max day is derived INSIDE the plan (scalar aggregate cross-joined —
-    no driver round-trip, no collect)."""
+    no driver round-trip, no collect). The max-seq side is one row per
+    content — data-sized at 100 TB — so it is deliberately NOT
+    broadcast-hinted; AQE picks the join strategy at runtime (ADVICE
+    r08, same rule as dedup's candidate semi-joins)."""
     if not (0 < int(hot_days) < int(warm_days)):
         raise ValueError(
             f"need 0 < hot_days < warm_days, got {hot_days}, {warm_days}"
@@ -161,7 +164,7 @@ def storage_tiering_report(
     latest = versions.groupBy("content_id").agg(F.max("seq").alias("_lseq"))
     tiered = (
         v.crossJoin(F.broadcast(mx))
-        .join(F.broadcast(latest), "content_id")
+        .join(latest, "content_id")
         .withColumn("_age", F.col("_max_day") - F.col("_day"))
         .withColumn(
             "tier",

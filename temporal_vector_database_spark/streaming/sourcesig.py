@@ -12,7 +12,11 @@ fold therefore uses the same versioned ``v=<batch_id>`` commit scheme
 as every other maintenance module (``streaming/_state.py``): each batch
 writes a FRESH version dir and readers take the highest committed one —
 a torn write is simply an uncommitted version that the next fold
-ignores and supersedes.
+ignores and supersedes. Superseded versions are pruned after each
+commit (keeping the read head + the new version, like every sibling
+maintenance module) so a long-running stream's state dir stays
+two-versions deep instead of growing one signature-table copy per
+batch (ADVICE r08).
 
 Serving: pairwise source overlap estimates from the maintained
 signature table — #sources² tiny rows, no corpus rescan.
@@ -21,6 +25,7 @@ signature table — #sources² tiny rows, no corpus rescan.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +93,8 @@ def process_source_sig_batch(
     part.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"v={batch_id}")
     )
+    for v in vs[:-1]:
+        shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
 
 
 def read_source_overlap_estimates(

@@ -880,3 +880,24 @@ def test_dedup_survivors_quality_aware_policy(spark):
         r.doc_id: r.canonical_id for r in dedup_survivors(docs).collect()
     }
     assert base == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    # ADVICE r08: canonical_id keeps the input id column's exact type
+    # (no silent widening to long) ...
+    docs_int = spark.createDataFrame(
+        [(1, t, 10), (2, t, 99)], "doc_id int, text string, score int"
+    )
+    out = dedup_survivors(docs_int, survivor_by="score")
+    assert out.schema["canonical_id"].dataType.simpleString() == "int"
+    # ... and a string id raises up front in survivor_by mode (the
+    # negation tie-break is numeric-only); default mode still works
+    docs_str = spark.createDataFrame(
+        [("a", t, 10), ("b", t, 99)], "doc_id string, text string, score int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="numeric doc_id"):
+        dedup_survivors(docs_str, survivor_by="score")
+    got_str = {
+        r.doc_id: r.canonical_id for r in dedup_survivors(docs_str).collect()
+    }
+    assert got_str == {"a": "a", "b": "a"}

@@ -94,3 +94,20 @@ def test_retention_dryrun_matches_actual_truncation(versions):
         for r in actual.select("content_id", "seq", "kind").collect()
     }
     assert kinds[("c00000", 8)] == "base"
+
+
+def test_is_local_path_classifier():
+    """ADVICE r08: export_snapshot skips the (local-fs-only) manifest
+    writer for object-store / HDFS paths instead of raising after the
+    parquet write succeeded."""
+    from temporal_vector_database_spark.operators.maintenance import (
+        _is_local_path,
+    )
+
+    assert _is_local_path("/tmp/snap")
+    assert _is_local_path("relative/snap")
+    assert _is_local_path("file:///tmp/snap")
+    assert not _is_local_path("s3a://bucket/snap")
+    assert not _is_local_path("s3://bucket/snap")
+    assert not _is_local_path("hdfs://nn:8020/snap")
+    assert not _is_local_path("gs://bucket/snap")

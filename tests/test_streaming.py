@@ -545,3 +545,8 @@ def test_source_sig_stream_equals_batch_and_replay_idempotent(spark, tmp_path, s
 
     with _pytest.raises(RuntimeError, match="checkpoint"):
         process_source_sig_batch(batches[1], 1, state)
+
+    # superseded-version pruning (ADVICE r08): a long-running stream
+    # keeps at most {read head, new version} — not one dir per batch
+    vdirs = [d for d in _os.listdir(state) if d.startswith("v=")]
+    assert len(vdirs) <= 2, vdirs
