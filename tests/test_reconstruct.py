@@ -294,3 +294,34 @@ def test_reconstruct_diff_hand_built(spark):
     assert a.magnitude == (0.25 + 1.0 + 1.0) ** 0.5
     b = got["B"]
     assert (b.seq_a, b.seq_b, b.n_changed, b.magnitude, b.diff_sum) == (1, 1, 0, 0.0, 0.0)
+
+
+def test_entry_flagship_validation_contract(spark):
+    """VERDICT r08 #2: pin the flagship `entry()` validation semantics
+    so a drift in `is_valid` / `cosine_valid` is visible.
+
+    On the sf0.001 fixture: cost==0 rows (base snapshots) are bit-exact
+    and valid under the reference's l2<0.01 tolerance
+    (core/delta_computer.py:194); every cost>0 row accumulates the
+    lossy encode's sub-threshold mass (sparsity_threshold=0.01) to an
+    l2_error ABOVE that dimension-insensitive tolerance — is_valid is
+    false BY CONSTRUCTION, not by defect — while the reference's real
+    quality bar (cosine > 0.995, tests/test_week1.py:233-235) holds for
+    every row."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.entry(spark).collect()
+    assert len(rows) > 0
+    exact = [r for r in rows if r.cost == 0]
+    lossy = [r for r in rows if r.cost > 0]
+    # latest-version lookups on the interval-5 fixture always land past
+    # a base (bases {1,6,11}, latest 12) so the flagship is all-lossy;
+    # the cost==0 exact path is pinned by test_roundtrip_quality above
+    assert lossy
+    for r in exact:
+        assert r.l2_error == 0.0 and r.is_valid, r.content_id
+    for r in lossy:
+        assert not r.is_valid, (r.content_id, r.l2_error)
+        assert 0.0 < r.l2_error < 0.05, (r.content_id, r.l2_error)
+    for r in rows:
+        assert r.cosine_valid and r.cosine_sim > 0.995, r.content_id
