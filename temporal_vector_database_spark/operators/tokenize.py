@@ -409,6 +409,228 @@ def bpe_train_incremental(
     )
 
 
+def _select_disjoint_batch(cands: list[tuple], batch: int) -> list[tuple]:
+    """Greedy top-B SYMBOL-DISJOINT pair selection from candidates
+    already in argmax order (cnt desc, l asc, r asc): a candidate is
+    taken iff none of its three symbols {l, r, l+r} appears among any
+    already-taken pair's three symbols. Symbol-disjointness is what
+    makes the batch ORDER-INDEPENDENT (see bpe_train_batched)."""
+    used: set[str] = set()
+    picked: list[tuple] = []
+    for l, r, cnt in cands:
+        if len(picked) == batch:
+            break
+        syms = {l, r, l + r}
+        if syms & used:
+            continue
+        used |= syms
+        picked.append((l, r, int(cnt)))
+    return picked
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int = 64,
+    batch_size: int = 8,
+    text_col: str = "text",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """BPE training committing up to ``batch_size`` merges per Spark
+    round — the job-launch rung above :func:`bpe_train_incremental`
+    (VERDICT r08 #4: the sequential fold is per-merge work-optimal but
+    still launches one argmax job round-trip PER MERGE; at 32k merges
+    that is 32k scheduler round-trips, hours of pure launch overhead at
+    ~100 ms each). Batching divides job launches by B: 32k merges at
+    B=64 is 500 rounds.
+
+    SEMANTICS (batch-greedy BPE): each round selects the top-B pairs of
+    the count table ENTERING the round, in argmax order (count desc,
+    pair lexicographic asc), greedily skipping any pair that shares a
+    SYMBOL with an earlier selection in the round — where a pair's
+    symbols are {left, right, left+right}. Symbol-disjointness makes
+    the round's merges provably order-independent: a merge of pair i
+    can neither create a site of pair j (the created symbol ``m_i`` is
+    not j's left/right) nor destroy one (i's left/right are not j's),
+    so the B rewrites commute and one Arrow pass applies them all.
+
+    Relation to the sequential fold: ``batch_size=1`` IS
+    :func:`bpe_train_incremental` (equality-pinned in tests). At B>1
+    the variant is a documented approximation of sequential BPE — a
+    pair FRESHLY CREATED by an earlier merge in the same round (e.g.
+    ('th','e') right after ('t','h')) cannot be selected until the next
+    round, so a batch may commit a lower-count pair that sequential
+    would have deferred below it. This is the standard quality/launch
+    trade of production batched tokenizer trainers; the learned-rule
+    DIVERGENCE is bounded to within-round reordering of the frontier.
+    The batch semantics themselves are value-gated by an unrolled
+    relational oracle (``bpe_train_batched`` gate: per-round top-B
+    disjoint selection + sequential in-round parity merges in SQL).
+
+    Pair counts are maintained incrementally exactly as in
+    :func:`bpe_train_incremental` (per-round deltas from affected
+    words only — affected = contains ANY selected adjacency, a set
+    that is selection-invariant within the round by the same
+    disjointness argument). Driver traffic per round: one k-row
+    candidate fetch (k = max(32, 8·B), re-fetched doubled if the
+    disjoint filter exhausts the window — selection stays EXACT).
+
+    Output: ``(merge_rank, left_tok, right_tok, merged, pair_count,
+    batch_round)`` — ``merge_rank`` is global commit order,
+    ``pair_count`` the selection-time count, ``batch_round`` the
+    1-based round that committed the rule. ``max_rounds`` bounds the
+    ROUND count (a round that under-fills its batch still consumes a
+    round) — the oracle-parity knob: the relational replay unrolls a
+    fixed number of rounds.
+    """
+    import pandas as pd
+
+    if int(batch_size) < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    state = words.select(
+        "word",
+        "c",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("toks"),
+    ).localCheckpoint()
+    counts = (
+        state.where(F.size("toks") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS l,"
+                    "             element_at(toks, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .select("c", "p.l", "p.r")
+        .groupBy("l", "r")
+        .agg(F.sum("c").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+
+    n_part = max(1, state.rdd.getNumPartitions())
+    rules: list[tuple] = []
+    rnd = 0
+    while len(rules) < int(n_merges):
+        if max_rounds is not None and rnd >= int(max_rounds):
+            break
+        rnd += 1
+        batch = min(int(batch_size), int(n_merges) - len(rules))
+        # exact top-B disjoint selection: widen the candidate window
+        # until either B pairs are picked or the table is exhausted
+        k = max(32, 8 * batch)
+        while True:
+            cands = [
+                (r.l, r.r, int(r.cnt))
+                for r in counts.orderBy(
+                    F.desc("cnt"), F.asc("l"), F.asc("r")
+                ).limit(k).collect()
+            ]
+            picked = _select_disjoint_batch(cands, batch)
+            if len(picked) == batch or len(cands) < k:
+                break
+            k *= 2
+        if not picked:
+            break
+        for l, r, cnt in picked:
+            rules.append((len(rules) + 1, l, r, l + r, cnt, rnd))
+
+        pick_pairs = [(l, r) for l, r, _ in picked]
+        # affected iff the word contains ANY selected adjacency — the
+        # site sets are selection-invariant within the round (symbol-
+        # disjointness), so the pre-round evaluation is exact. Same
+        # NULL-safe clamped probe as the sequential fold.
+        def _adj_pred(_l, _r):
+            # factory, not default-arg capture: F.exists requires a
+            # true 1-arg lambda (extra defaulted params read as a
+            # 3-arg HOF signature)
+            return F.exists(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(1))),
+                lambda i: F.coalesce(
+                    (F.get(F.col("toks"), i - 1) == F.lit(_l))
+                    & (F.get(F.col("toks"), i) == F.lit(_r)),
+                    F.lit(False),
+                ),
+            )
+
+        adj = None
+        for l, r in pick_pairs:
+            one = _adj_pred(l, r)
+            adj = one if adj is None else (adj | one)
+        affected = state.where(adj)
+        rest = state.where(~adj)
+
+        def apply_and_delta(batches, _pairs=tuple(pick_pairs)):
+            from collections import Counter
+
+            for pdf in batches:
+                out_w, out_c, out_t, out_d = [], [], [], []
+                for w, c, toks in zip(pdf["word"], pdf["c"], pdf["toks"]):
+                    toks = list(toks)
+                    nt = toks
+                    for _l, _r in _pairs:
+                        nt = _merge_word(nt, _l, _r)
+                    old = Counter(zip(toks, toks[1:]))
+                    new = Counter(zip(nt, nt[1:]))
+                    ds = []
+                    for pair in old.keys() | new.keys():
+                        d = (new.get(pair, 0) - old.get(pair, 0)) * int(c)
+                        if d:
+                            ds.append({"l": pair[0], "r": pair[1], "d": int(d)})
+                    out_w.append(w)
+                    out_c.append(int(c))
+                    out_t.append(nt)
+                    out_d.append(ds)
+                yield pd.DataFrame(
+                    {"word": out_w, "c": out_c, "toks": out_t, "deltas": out_d}
+                )
+
+        upd = affected.mapInPandas(
+            apply_and_delta,
+            schema="word string, c long, toks array<string>,"
+            " deltas array<struct<l: string, r: string, d: long>>",
+        ).localCheckpoint()
+        state = rest.unionByName(upd.select("word", "c", "toks")).coalesce(n_part)
+        if rnd % 8 == 0:
+            state = state.localCheckpoint()
+        deltas = upd.select(F.explode("deltas").alias("p")).select(
+            "p.l", "p.r", F.col("p.d").alias("cnt")
+        )
+        counts = (
+            counts.unionByName(deltas)
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .where(F.col("cnt") > 0)
+            .coalesce(4)
+            .localCheckpoint()
+        )
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rules,
+            columns=[
+                "merge_rank", "left_tok", "right_tok", "merged",
+                "pair_count", "batch_round",
+            ],
+        ),
+        schema="merge_rank int, left_tok string, right_tok string,"
+        " merged string, pair_count long, batch_round int",
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: DataFrame | list[tuple],

@@ -10112,6 +10112,138 @@ def q_bpe_train_incremental(spark, sf_dir):
 ORACLES["bpe_train_incremental"] = _bpe_oracle_sql(64, materialize_w=True)
 
 
+def q_bpe_train_batched(spark, sf_dir):
+    """r09 (VERDICT r08 #4): BPE training committing B merges per Spark
+    round — the job-launch rung above the sequential incremental fold
+    (32k merges at B=64 is 500 scheduler round-trips instead of 32k).
+    Each round takes the top-B SYMBOL-DISJOINT pairs of the counts
+    entering the round (disjointness over {left, right, left+right}
+    makes the round's rewrites provably commute — one Arrow pass
+    applies all B). The oracle replays the BATCH semantics relationally:
+    per round, B sequential argmax picks each constrained disjoint from
+    the round's earlier picks (NOT EXISTS over the pick rows), then B
+    chained parity merges; batch_size=1 equality with the sequential
+    fold is pytest-pinned (tests/test_tokenize.py)."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_train_batched,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return bpe_train_batched(docs, n_merges=32, batch_size=4, max_rounds=8)
+
+
+def _bpe_batched_oracle_sql(n_rounds: int, batch: int) -> str:
+    """Unrolled relational replay of the BATCH-greedy semantics: per
+    round r, p{r} = pair counts of the ENTERING state w{r}; picks
+    bb{r}_{k} are sequential constrained argmaxes (greedy top-B
+    disjoint = iterated argmax with a NOT-EXISTS symbol-disjointness
+    filter against the round's earlier picks; an empty earlier pick
+    conflicts with nothing); the round's merges then chain
+    v{r}_{k} = apply(v{r}_{k-1}, bb{r}_{k}) — order within the chain is
+    immaterial by the disjointness theorem, the chain just picks one.
+    An empty pick's scalar subqueries go NULL so its apply step is a
+    no-op, and it contributes no output row; merge_rank is a
+    row_number over (round, k), dense exactly like the operator's
+    commit counter. All w/v states MATERIALIZED (each is referenced
+    twice — the mmr_rerank/bpe_train_incremental re-inline lesson)."""
+    parts = [
+        """WITH w1 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS c,
+         list_transform(generate_series(1, length(word)),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS toks
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    pick_names: list[tuple[int, int, str]] = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT toks[i] AS l, toks[i + 1] AS r2, CAST(sum(c) AS BIGINT) AS cnt
+  FROM w{r}, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        state = f"w{r}"
+        for k in range(1, batch + 1):
+            bb = f"bb{r}_{k}"
+            disj = "".join(
+                f"""
+    AND NOT EXISTS (SELECT 1 FROM bb{r}_{j} bj
+        WHERE p.l IN (bj.l, bj.r2, bj.l || bj.r2)
+           OR p.r2 IN (bj.l, bj.r2, bj.l || bj.r2)
+           OR (p.l || p.r2) IN (bj.l, bj.r2, bj.l || bj.r2))"""
+                for j in range(1, k)
+            )
+            parts.append(
+                f""",
+{bb} AS MATERIALIZED (
+  SELECT l, r2, cnt FROM p{r} p
+  WHERE TRUE{disj}
+  ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+)"""
+            )
+            pick_names.append((r, k, bb))
+            tag = f"{r}_{k}"
+            out = f"w{r + 1}" if k == batch else f"v{tag}"
+            parts.append(
+                f""",
+x{tag} AS (
+  SELECT word, c, i, toks[i] AS tok,
+         CASE WHEN i < len(toks)
+                   AND toks[i] = (SELECT l FROM {bb})
+                   AND toks[i + 1] = (SELECT r2 FROM {bb}) THEN 1 ELSE 0 END AS m
+  FROM {state}, unnest(generate_series(1, len(toks))) AS u(i)
+),
+g{tag} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp FROM x{tag}
+),
+y{tag} AS (
+  SELECT word, c, i, tok,
+         CASE WHEN m = 1
+                   AND (i - min(i) OVER (PARTITION BY word, m, grp)) % 2 = 0
+              THEN 1 ELSE 0 END AS kept
+  FROM g{tag}
+),
+z{tag} AS (
+  SELECT word, c, i, kept,
+         CASE WHEN kept = 1
+              THEN tok || lead(tok) OVER (PARTITION BY word ORDER BY i)
+              ELSE tok END AS tok2,
+         COALESCE(lag(kept) OVER (PARTITION BY word ORDER BY i), 0) AS prev_kept
+  FROM y{tag}
+),
+{out} AS MATERIALIZED (
+  SELECT word, c, list(tok2 ORDER BY i) AS toks
+  FROM z{tag} WHERE prev_kept = 0
+  GROUP BY word, c
+)"""
+            )
+            state = out
+    picks_union = "\n  UNION ALL ".join(
+        f"SELECT {r} AS rnd, {k} AS k, l, r2, cnt FROM {bb}"
+        for r, k, bb in pick_names
+    )
+    parts.append(
+        f""",
+picks AS (
+  {picks_union}
+)
+SELECT CAST(row_number() OVER (ORDER BY rnd, k) AS INTEGER) AS merge_rank,
+       l AS left_tok, r2 AS right_tok, l || r2 AS merged,
+       cnt AS pair_count, CAST(rnd AS INTEGER) AS batch_round
+FROM picks"""
+    )
+    return "".join(parts)
+
+
+ORACLES["bpe_train_batched"] = _bpe_batched_oracle_sql(8, 4)
+
+
 def q_bpe_apply(spark, sf_dir):
     """r07: BPE INFERENCE with the merges trained on the same corpus —
     rules applied in rank order with the training's greedy apply, so
@@ -10589,6 +10721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_containment": q_decontaminate_containment,
     "bpe_train": q_bpe_train,
     "bpe_train_incremental": q_bpe_train_incremental,
+    "bpe_train_batched": q_bpe_train_batched,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "reconstruct_diff": q_reconstruct_diff,
     "bpe_apply": q_bpe_apply,

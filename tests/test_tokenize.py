@@ -164,3 +164,99 @@ def test_bpe_train_incremental_equals_naive_at_64_merges(spark):
     n2 = [tuple(r) for r in bpe_train(tiny, n_merges=10).collect()]
     i2 = [tuple(r) for r in bpe_train_incremental(tiny, n_merges=10).collect()]
     assert i2 == n2 and len(i2) < 10
+
+
+def _py_bpe_batched(texts, n_merges, batch):
+    """Independent pure-Python reference of the batch-greedy semantics:
+    per round, top-B symbol-disjoint pairs of the counts ENTERING the
+    round (cnt desc, pair lex asc), greedy non-overlapping merges."""
+    from collections import Counter
+
+    from temporal_vector_database_spark.operators.tokenize import _merge_word
+
+    words = Counter(w for t in texts for w in t.split() if w)
+    state = {w: [ch for ch in w] for w in words}
+    rules = []
+    rnd = 0
+    while len(rules) < n_merges:
+        rnd += 1
+        counts = Counter()
+        for w, toks in state.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] += words[w]
+        cands = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        used, picked = set(), []
+        for (l, r), cnt in cands:
+            if len(picked) == min(batch, n_merges - len(rules)):
+                break
+            syms = {l, r, l + r}
+            if syms & used:
+                continue
+            used |= syms
+            picked.append((l, r, cnt))
+        if not picked:
+            break
+        for l, r, cnt in picked:
+            rules.append((len(rules) + 1, l, r, l + r, cnt, rnd))
+        for w in state:
+            for l, r, _ in picked:
+                state[w] = _merge_word(state[w], l, r)
+    return rules, state
+
+
+def test_bpe_train_batched_semantics_and_b1_equality(spark):
+    """r09 (VERDICT r08 #4): the batched trainer (a) at batch_size=1 IS
+    the sequential incremental fold, (b) at B>1 matches an independent
+    pure-Python formulation of the batch-greedy semantics, and (c) is
+    order-independent within a round (symbol-disjointness theorem:
+    applying the round's picks in reverse gives the same state)."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        _merge_word,
+        bpe_train_batched,
+        bpe_train_incremental,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the lazy dog sleeps while the quick fox runs"),
+        (3, "pack my box with five dozen liquor jugs quickly"),
+        (4, "a a b i o u zz the aaaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # (a) B=1 == sequential (batch_round == merge_rank there)
+    seq = [tuple(r) for r in bpe_train_incremental(docs, n_merges=24).collect()]
+    b1 = [
+        tuple(r)[:5]
+        for r in bpe_train_batched(docs, n_merges=24, batch_size=1).collect()
+    ]
+    assert b1 == seq
+    # (b) B=3 == the pure-Python batch-greedy reference
+    texts = [t for _, t in rows]
+    ref_rules, ref_state = _py_bpe_batched(texts, 24, 3)
+    got = [
+        tuple(r)
+        for r in bpe_train_batched(docs, n_merges=24, batch_size=3).collect()
+    ]
+    assert got == ref_rules
+    # (c) within-round order independence on the reference state
+    from collections import defaultdict
+
+    by_round = defaultdict(list)
+    for rank, l, r, m, cnt, rnd in ref_rules:
+        by_round[rnd].append((l, r))
+    words = {w for t in texts for w in t.split() if w}
+    for w in words:
+        fwd = [ch for ch in w]
+        rev = [ch for ch in w]
+        for rnd in sorted(by_round):
+            for l, r in by_round[rnd]:
+                fwd = _merge_word(fwd, l, r)
+            for l, r in reversed(by_round[rnd]):
+                rev = _merge_word(rev, l, r)
+        assert fwd == rev == ref_state[w], w
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        bpe_train_batched(docs, batch_size=0)
