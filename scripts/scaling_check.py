@@ -1,0 +1,142 @@
+"""sf0.01 → sf0.1 wall-time scaling ratios for the heaviest headline
+queries — the cheap super-linear-plan detector (VERDICT r08 #6): a
+query whose wall-time ratio far exceeds the ~10× data ratio is hiding
+an accidentally quadratic (or shuffle-explosive) plan that local[32]
+at a single SF can't expose. Ratios around or below the data ratio are
+healthy (fixed per-query overhead — job launch, Python worker warmup —
+makes small-SF times floors, so ratios are usually WELL below 10×).
+
+Usage: python scripts/scaling_check.py [N]   (default: top 15 by the
+latest BENCH_r*.json per-query time; or pass query names).
+Writes SCALING.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from temporal_vector_database_spark.plans.registry import (  # noqa: E402
+    events_ts_range,
+    query_map,
+)
+from temporal_vector_database_spark.session import get_spark  # noqa: E402
+from temporal_vector_database_spark.sources.fixtures import (  # noqa: E402
+    ensure_events_zordered,
+    ensure_fixtures,
+    ensure_ivf_store_upserted,
+    ensure_ivfpq_index,
+    ensure_ivfpq_residual_index,
+    ensure_lsh_band_store,
+    ensure_minhash_store,
+    ensure_mrl_index,
+    ensure_snapshot_export,
+)
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_BIG = "/root/testdata/sf0.1"
+# documents/events/lineitem row ratio between the two SFs
+DATA_RATIO = 10.0
+# wall ratio above this flags a query for diagnosis (superlinear smell);
+# generous because a few plans have genuinely superlinear CANDIDATE
+# terms (pair joins) that are still the intended scale shape
+FLAG_RATIO = 25.0
+
+
+def _latest_bench() -> dict:
+    """Per-query times from BENCH_LOCAL.json (bench.py's full record;
+    the driver's BENCH_r*.json stores only the compact line)."""
+    path = os.path.join(REPO, "BENCH_LOCAL.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f).get("queries", {})
+
+
+def _prepare(spark, sf_dir: str) -> None:
+    ensure_fixtures(sf_dir)
+    ensure_snapshot_export(spark, sf_dir)
+    ensure_minhash_store(spark, sf_dir)
+    ensure_lsh_band_store(spark, sf_dir)
+    ensure_ivf_store_upserted(spark, sf_dir)
+    ensure_events_zordered(spark, sf_dir)
+    ensure_mrl_index(spark, sf_dir)
+    ensure_ivfpq_index(spark, sf_dir)
+    ensure_ivfpq_residual_index(spark, sf_dir)
+    events_ts_range(spark, sf_dir)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    qs = query_map()
+    if args and not re.fullmatch(r"\d+", args[0]):
+        names = args
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    else:
+        top_n = int(args[0]) if args else 15
+        bench = _latest_bench()
+        ranked = sorted(bench.items(), key=lambda kv: -kv[1])
+        names = [n for n, _ in ranked if n in qs][:top_n]
+        if not names:
+            raise SystemExit("no BENCH_r*.json to rank by; pass query names")
+
+    spark = get_spark("tvdb-scaling-check")
+    for sf in (SF_SMALL, SF_BIG):
+        _prepare(spark, sf)
+    # same warmup as bench.py
+    spark.range(1000).selectExpr("sum(id)").collect()
+    ncores = spark.sparkContext.defaultParallelism
+    spark.range(0, ncores, 1, ncores).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+    warm = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    warm.groupBy("k").applyInPandas(lambda p: p, schema="k int, v double").collect()
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = qs[name]
+        times = {}
+        for label, sf in (("sf0.01", SF_SMALL), ("sf0.1", SF_BIG)):
+            raw = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf).write.mode("overwrite").format("noop").save()
+                raw.append(round(time.perf_counter() - t0, 3))
+            times[label] = min(raw)
+        ratio = round(times["sf0.1"] / max(times["sf0.01"], 1e-9), 2)
+        out[name] = {
+            "sf0.01_sec": times["sf0.01"],
+            "sf0.1_sec": times["sf0.1"],
+            "wall_ratio": ratio,
+            "flagged": ratio > FLAG_RATIO,
+        }
+        print(
+            f"{name}: sf0.01={times['sf0.01']}s sf0.1={times['sf0.1']}s "
+            f"ratio={ratio}{'  << FLAG' if ratio > FLAG_RATIO else ''}",
+            flush=True,
+        )
+
+    artifact = {
+        "data_ratio": DATA_RATIO,
+        "flag_ratio": FLAG_RATIO,
+        "reps_min_of": reps,
+        "queries": out,
+        "flagged": sorted(n for n, v in out.items() if v["flagged"]),
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({"flagged": artifact["flagged"]}))
+
+
+if __name__ == "__main__":
+    main()
