@@ -457,6 +457,114 @@ def bigram_logprob_scores(
     )
 
 
+def trigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lams: tuple[float, float, float] = (0.5, 0.3125, 0.1875),
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated TRIGRAM language-model score per
+    document (r09) — the rung above :func:`bigram_logprob_scores` on
+    the self-estimated quality ladder:
+
+        p(w3 | w1 w2) = λ3 · c(w1 w2 w3) / c(w1 w2 ·)
+                      + λ2 · c(w2 w3)    / c(w2 ·)
+                      + λ1 · c(w3)       / N
+
+    Context masses are the TRUE continuation denominators (c(w1 w2 ·)
+    sums trigram counts, NOT the corpus bigram count — a (w1,w2) at a
+    document tail has no continuation and must not dilute the
+    conditional), mirroring how the bigram rung derives c(w1 ·) from
+    its own bigram table. Default λ = (8/16, 5/16, 3/16) — DYADIC so
+    both engines multiply bit-identical doubles (the fixture-grid
+    float policy); score = mean −ln p over the doc's trigrams, 6 dp.
+    Documents with fewer than three tokens are omitted.
+
+    Output: ``(doc_id, n_trigrams, trigram_nll)``.
+
+    Plan: trigrams come off the token array (nested ``zip_with`` of
+    three clamped slices — no self-join, no positions); the trigram /
+    bigram / unigram model tables are vocabulary-bounded aggregates
+    broadcast back over the per-(doc, trigram) tf grain (pass
+    ``broadcast_model=False`` at corpus scales where the trigram model
+    outgrows a broadcast — the joins become key-shuffles; tf grain
+    spreads hot n-grams and AQE splits the rest, the
+    ``bigram_logprob_scores`` posture)."""
+    l3, l2, l1 = (float(x) for x in lams)
+    if abs(l1 + l2 + l3 - 1.0) > 1e-12:
+        raise ValueError(f"lams must sum to 1, got {lams}")
+    w = _words(text_col)
+    n = F.size(w)
+    tri_len = F.greatest(n - F.lit(2), F.lit(0))
+    s1 = F.slice(w, F.lit(1), tri_len)
+    s2 = F.slice(w, F.lit(2), tri_len)
+    s3 = F.slice(w, F.lit(3), tri_len)
+    tg = F.zip_with(
+        F.zip_with(s1, s2, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
+        s3,
+        lambda p, z: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
+        ),
+    )
+    trip = docs.select(id_col, F.explode(tg).alias("t")).select(
+        id_col, "t.w1", "t.w2", "t.w3"
+    )
+    bg_len = F.greatest(n - F.lit(1), F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, F.lit(1), bg_len),
+        F.slice(w, F.lit(2), bg_len),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bpairs = docs.select(F.explode(bg).alias("bg")).select("bg.w1", "bg.w2")
+    toks = docs.select(F.explode(w).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("u_cnt"))
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    tri = trip.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("t_cnt")
+    )
+    ctx3 = tri.groupBy("w1", "w2").agg(F.sum("t_cnt").cast("long").alias("c3_cnt"))
+    big2 = (
+        bpairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("b_cnt"))
+        .select(F.col("w1").alias("bw2"), F.col("w2").alias("bw3"), "b_cnt")
+    )
+    ctx2 = (
+        big2.groupBy("bw2")
+        .agg(F.sum("b_cnt").cast("long").alias("c2_cnt"))
+        .select(F.col("bw2").alias("cw2"), "c2_cnt")
+    )
+    tf = trip.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    p = (
+        F.lit(l3) * (F.col("t_cnt").cast("double") / F.col("c3_cnt").cast("double"))
+        + F.lit(l2) * (F.col("b_cnt").cast("double") / F.col("c2_cnt").cast("double"))
+        + F.lit(l1) * (F.col("u_cnt").cast("double") / F.col("n_total"))
+    )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    return (
+        tf.join(hint(tri), ["w1", "w2", "w3"])
+        .join(hint(ctx3), ["w1", "w2"])
+        .join(
+            hint(big2),
+            (F.col("w2") == F.col("bw2")) & (F.col("w3") == F.col("bw3")),
+        )
+        .join(hint(ctx2), F.col("w2") == F.col("cw2"))
+        .join(hint(uni), F.col("w3") == F.col("term"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.round(
+                -F.sum(F.col("tf").cast("double") * F.log(p))
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("trigram_nll"),
+        )
+    )
+
+
 def corpus_top_ngrams(
     docs: DataFrame,
     text_col: str = "text",

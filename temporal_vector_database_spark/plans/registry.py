@@ -2421,6 +2421,22 @@ def q_bigram_nll(spark, sf_dir):
     return bigram_logprob_scores(docs)
 
 
+def q_trigram_nll(spark, sf_dir):
+    """r09: Jelinek-Mercer interpolated TRIGRAM LM quality score per
+    doc — p(w3|w1w2) = (8/16)·c(w1w2w3)/c(w1w2·) + (5/16)·c(w2w3)/c(w2·)
+    + (3/16)·c(w3)/N (dyadic λ; true continuation denominators), score
+    = mean −ln p over the doc's trigrams (6 dp). The rung above
+    bigram_nll on the CCNet-style self-estimated ladder."""
+    from temporal_vector_database_spark.operators.textindex import (
+        trigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return trigram_logprob_scores(docs)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (score = tf · ln(N/df), ties by
     term). Per-doc window partitions only."""
@@ -5588,6 +5604,64 @@ FROM tf
 JOIN big USING (w1, w2)
 JOIN ctx USING (w1)
 JOIN uni ON tf.w2 = uni.term, total
+GROUP BY doc_id
+"""
+
+ORACLES["trigram_nll"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+trips AS (
+  SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3 FROM (
+    SELECT doc_id, unnest(list_zip(
+      toks[1:greatest(len(toks) - 2, 0)],
+      toks[2:greatest(len(toks) - 1, 1)],
+      toks[3:len(toks)]
+    )) AS tg
+    FROM t WHERE len(toks) >= 3
+  )
+),
+bpairs AS (
+  SELECT bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT unnest(list_zip(toks[1:greatest(len(toks) - 1, 0)],
+                           toks[2:len(toks)])) AS bg
+    FROM t WHERE len(toks) >= 2
+  )
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS u_cnt
+  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1
+),
+total AS (SELECT CAST(sum(u_cnt) AS DOUBLE) AS n_total FROM uni),
+tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS t_cnt FROM trips GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, CAST(sum(t_cnt) AS BIGINT) AS c3_cnt FROM tri GROUP BY 1, 2),
+-- keys renamed to the trigram's (w2, w3)/(w3) so every model join is a
+-- plain USING equi-join
+big2 AS (SELECT w1 AS w2, w2 AS w3, CAST(count(*) AS BIGINT) AS b_cnt FROM bpairs GROUP BY 1, 2),
+ctx2 AS (SELECT w2, CAST(sum(b_cnt) AS BIGINT) AS c2_cnt FROM big2 GROUP BY 1),
+uni3 AS (SELECT term AS w3, u_cnt FROM uni),
+tf AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf FROM trips GROUP BY 1, 2, 3, 4),
+-- the 5-way model join is MATERIALIZED: with the ln-aggregate on top,
+-- DuckDB's join-order optimizer degenerates this exact chain into
+-- CROSS products (hangs at 27k rows, 63 GB RSS — measured); pinning
+-- the join tree keeps every step a hash join
+joined AS MATERIALIZED (
+  SELECT doc_id, tf, t_cnt, c3_cnt, b_cnt, c2_cnt, u_cnt
+  FROM tf
+  JOIN tri USING (w1, w2, w3)
+  JOIN ctx3 USING (w1, w2)
+  JOIN big2 USING (w2, w3)
+  JOIN ctx2 USING (w2)
+  JOIN uni3 USING (w3)
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       round(-sum(CAST(tf AS DOUBLE) * ln(
+           0.5    * (CAST(t_cnt AS DOUBLE) / CAST(c3_cnt AS DOUBLE))
+         + 0.3125 * (CAST(b_cnt AS DOUBLE) / CAST(c2_cnt AS DOUBLE))
+         + 0.1875 * (CAST(u_cnt AS DOUBLE) / n_total)
+       )) / CAST(sum(tf) AS DOUBLE), 6) AS trigram_nll
+FROM joined, total
 GROUP BY doc_id
 """
 
@@ -10810,6 +10884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prf_search": q_prf_search,
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
+    "trigram_nll": q_trigram_nll,
     "training_pipeline_banded": q_training_pipeline_banded,
     "temperature_sample": q_temperature_sample,
     "pack_sequences": q_pack_sequences,
