@@ -113,6 +113,88 @@ def pagerank_fixed(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over a directed edge list
+    (symmetrize first for an undirected similarity graph) — the
+    curation move that turns a handful of human-labeled exemplars into
+    cluster labels for whole duplication neighborhoods: ``n_iter``
+    SYNCHRONOUS rounds of
+
+        label'(v) = seed(v)                    if v is a seed (clamped)
+                  | argmax_label |{u→v : label(u)=label}|   else
+                  | label(v)                   if no labeled in-neighbor
+
+    with the argmax fully deterministic: highest vote count, ties by
+    lexicographically smallest label. Unreached non-seed nodes keep a
+    NULL label.
+
+    Plan shape per round: one equi-join of the edge list with the
+    node-sized label table keyed by ``src``, a (dst, label) vote
+    aggregate, then the argmax as a max-count aggregate + join-back +
+    min-label aggregate — all node/vocabulary-bounded, no windows, no
+    driver traffic. At cluster scale the edge list is the reused big
+    side (pre-partition by ``src`` once); the label table is the
+    small, changing side — the ``pagerank_fixed`` posture.
+
+    Output: ``(id, label, is_seed)`` for every node in the edge list.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sd = seeds.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_seed_label")
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = nodes.join(sd, "id", "left").select(
+        "id", F.col("_seed_label").alias("label")
+    )
+    for _ in range(int(n_iter)):
+        votes = (
+            e.join(
+                labels.where(F.col("label").isNotNull()).select(
+                    F.col("id").alias("src"), "label"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        mx = votes.groupBy("id").agg(F.max("cnt").alias("_mx"))
+        best = (
+            votes.join(mx, "id")
+            .where(F.col("cnt") == F.col("_mx"))
+            .groupBy("id")
+            .agg(F.min("label").alias("_new_label"))
+        )
+        labels = (
+            nodes.join(sd, "id", "left")
+            .join(best, "id", "left")
+            .join(labels.withColumnRenamed("label", "_old"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("_seed_label", "_new_label", "_old").alias("label"),
+            )
+        )
+    return (
+        labels.join(sd, "id", "left")
+        .select(
+            "id",
+            "label",
+            F.col("_seed_label").isNotNull().alias("is_seed"),
+        )
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

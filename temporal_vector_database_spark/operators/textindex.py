@@ -565,6 +565,71 @@ def trigram_logprob_scores(
     )
 
 
+def vocab_coverage(
+    docs: DataFrame,
+    sizes: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve (r09): for each candidate vocabulary
+    size V, the share of corpus token OCCURRENCES covered by the top-V
+    words (count desc, word asc — fully deterministic) — the
+    tokenizer/vocab sizing report every training pipeline runs before
+    committing a word-level vocab (the Zipf-mass view: how much of the
+    stream the head covers, what OOV rate the tail leaves).
+
+    Output: one row per V — ``(vocab_size, n_types, covered_tokens,
+    total_tokens, coverage)``; ``n_types`` is the corpus's total
+    distinct-word count (the V axis ceiling), ``coverage`` =
+    covered/total at 6 dp.
+
+    Plan: one corpus token pass → vocabulary-bounded count table →
+    ``_global_ranks`` two-phase distributed rank (count desc via
+    negated-count sort key — never a single-task global window) → ONE
+    conditional-sum aggregate producing all V thresholds, unpivoted
+    with ``stack``. No corpus-side join; the only driver traffic is
+    the P-row partition-offset table inside the rank."""
+    from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    sizes = tuple(int(v) for v in sizes)
+    if not sizes or any(v <= 0 for v in sizes):
+        raise ValueError(f"sizes must be positive, got {sizes}")
+    w = _words(text_col)
+    counts = (
+        docs.select(F.explode(w).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("_negc", -F.col("cnt"))
+    )
+    ranked = _global_ranks(counts, "_negc", "term")
+    aggs = [
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+    ] + [
+        F.sum(F.when(F.col("rank") <= v, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"_cov_{v}")
+        for v in sizes
+    ]
+    one = ranked.agg(*aggs)
+    stack_expr = "stack({n}, {args}) as (vocab_size, covered_tokens)".format(
+        n=len(sizes),
+        args=", ".join(f"{v}, _cov_{v}" for v in sizes),
+    )
+    return one.select(
+        F.expr(stack_expr), "n_types", "total_tokens"
+    ).select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "n_types",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
 def corpus_top_ngrams(
     docs: DataFrame,
     text_col: str = "text",

@@ -2437,6 +2437,22 @@ def q_trigram_nll(spark, sf_dir):
     return trigram_logprob_scores(docs)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """r09: vocabulary coverage curve — share of corpus token
+    occurrences covered by the top-V words (count desc, word asc) for
+    V in {100, 1000, 10000}; the vocab-sizing report. One corpus pass,
+    a vocabulary-bounded count table, the two-phase distributed rank
+    (no single-task global window), one conditional-sum aggregate."""
+    from temporal_vector_database_spark.operators.textindex import (
+        vocab_coverage,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return vocab_coverage(docs)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (score = tf · ln(N/df), ties by
     term). Per-doc window partitions only."""
@@ -5607,6 +5623,31 @@ JOIN uni ON tf.w2 = uni.term, total
 GROUP BY doc_id
 """
 
+ORACLES["vocab_coverage"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk FROM counts
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types, CAST(sum(cnt) AS BIGINT) AS total_tokens
+  FROM counts
+),
+vs AS (SELECT unnest([100, 1000, 10000]) AS vocab_size)
+SELECT CAST(vs.vocab_size AS INTEGER) AS vocab_size,
+       tot.n_types,
+       CAST(coalesce(sum(CASE WHEN r.rnk <= vs.vocab_size THEN r.cnt END), 0) AS BIGINT)
+         AS covered_tokens,
+       tot.total_tokens,
+       round(CAST(coalesce(sum(CASE WHEN r.rnk <= vs.vocab_size THEN r.cnt END), 0) AS DOUBLE)
+             / CAST(tot.total_tokens AS DOUBLE), 6) AS coverage
+FROM vs, ranked r, tot
+GROUP BY vs.vocab_size, tot.n_types, tot.total_tokens
+"""
+
 ORACLES["trigram_nll"] = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -8573,6 +8614,112 @@ LEFT JOIN deg ON nodes.id = deg.src
 
 
 
+def q_label_propagation(spark, sf_dir):
+    """r09: semi-supervised label propagation over the symmetrized
+    sign-band LSH near-dup graph — a deterministic seed subset
+    (vec_id % 17 == 0, label 'g'||(vec_id % 4)) spreads to whole
+    duplication neighborhoods in 3 synchronous rounds; argmax = vote
+    count desc, label asc (fully deterministic). The oracle unrolls
+    every round relationally (vote CTE → max-count → min-label
+    join-back)."""
+    from temporal_vector_database_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from temporal_vector_database_spark.operators.graph import (
+        label_propagation,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    pairs = embedding_near_duplicates(emb, min_cosine=0.4)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    seeds = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").cast("long").alias("id"))
+        .where(F.col("id") % 17 == 0)
+        .select(
+            "id",
+            F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias(
+                "label"
+            ),
+        )
+    )
+    lp = label_propagation(edges, seeds, n_iter=3)
+    return lp.select(F.col("id").alias("vec_id"), "label", "is_seed")
+
+
+_LP_ROUND = """,
+v{r} AS (
+  SELECT ed.dst AS id, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM ed JOIN lab{p} l ON ed.src = l.id WHERE l.label IS NOT NULL
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT id, max(cnt) AS mx FROM v{r} GROUP BY 1),
+b{r} AS (
+  SELECT v.id, min(v.label) AS nl
+  FROM v{r} v JOIN m{r} m ON v.id = m.id AND v.cnt = m.mx
+  GROUP BY 1
+),
+lab{r} AS MATERIALIZED (
+  SELECT n.id, coalesce(s.slabel, b.nl, l.label) AS label
+  FROM nodes n
+  LEFT JOIN seeds s ON n.id = s.id
+  LEFT JOIN b{r} b ON n.id = b.id
+  LEFT JOIN lab{p} l ON n.id = l.id
+)"""
+
+ORACLES["label_propagation"] = (
+    _QEMB_CTE
+    + """
+, bucket AS (
+  SELECT vec_id, band_id,
+         (CASE WHEN emb[4 * band_id + 1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN emb[4 * band_id + 4] >= 0 THEN 8 ELSE 0 END) AS band_val
+  FROM en, unnest([0, 1, 2, 3]) AS t(band_id)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucket a JOIN bucket b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         CASE WHEN ea.nrm > 0 AND eb.nrm > 0
+              THEN list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm)
+              ELSE 0.0 END AS sim
+  FROM pairs p JOIN en ea ON p.a_id = ea.vec_id JOIN en eb ON p.b_id = eb.vec_id
+),
+keep AS (SELECT a_id, b_id FROM scored WHERE sim >= 0.4),
+ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM keep
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM keep
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM (SELECT src FROM ed UNION ALL SELECT dst AS src FROM ed)
+),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS id, 'g' || CAST(vec_id % 4 AS VARCHAR) AS slabel
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+lab0 AS MATERIALIZED (
+  SELECT n.id, s.slabel AS label FROM nodes n LEFT JOIN seeds s ON n.id = s.id
+)"""
+    + _LP_ROUND.format(r=1, p=0)
+    + _LP_ROUND.format(r=2, p=1)
+    + _LP_ROUND.format(r=3, p=2)
+    + """
+SELECT l.id AS vec_id, l.label, (s.id IS NOT NULL) AS is_seed
+FROM lab3 l LEFT JOIN seeds s ON l.id = s.id
+"""
+)
+
+
 def q_events_type_corr(spark, sf_dir):
     """Pairwise Pearson correlation between event-type daily value
     series — exact BIGINT moments; the published corr is composed only
@@ -10770,6 +10917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "token_budget_mixture": q_token_budget_mixture,
     "neardup_pagerank": q_neardup_pagerank,
+    "label_propagation": q_label_propagation,
     "neardup_triangles": q_neardup_triangles,
     "neardup_kcore": q_neardup_kcore,
     "events_type_corr": q_events_type_corr,
@@ -10885,6 +11033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
     "trigram_nll": q_trigram_nll,
+    "vocab_coverage": q_vocab_coverage,
     "training_pipeline_banded": q_training_pipeline_banded,
     "temperature_sample": q_temperature_sample,
     "pack_sequences": q_pack_sequences,

@@ -181,3 +181,48 @@ def test_kcore_semantics_and_certificate(spark):
     rdf = spark.createDataFrame(list(redges), "src long, dst long")
     got = {r.id: r.deg_in_core for r in kcore(rdf, k=2, max_iter=20).collect()}
     assert got == want
+
+
+def test_label_propagation_semantics(spark):
+    """r09 hand case: seeds clamp, majority wins, ties break to the
+    lexicographically smallest label, unreached nodes stay NULL, and a
+    node with no labeled in-neighbor keeps its previous label."""
+    from temporal_vector_database_spark.operators.graph import label_propagation
+
+    # undirected (symmetrized) edges:
+    #   1-2, 3-2 (seed 1 label b; seed 3 label a) -> 2 ties {a,b} -> 'a'
+    #   4-5 (seed 4 label c) -> 5 gets c
+    #   6-7 (no seeds) -> both stay NULL
+    und = [(1, 2), (3, 2), (4, 5), (6, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "b"), (3, "a"), (4, "c")], "id long, label string"
+    )
+    got = {
+        r.id: (r.label, r.is_seed)
+        for r in label_propagation(edges, seeds, n_iter=3).collect()
+    }
+    assert got == {
+        1: ("b", True),
+        2: ("a", False),
+        3: ("a", True),
+        4: ("c", True),
+        5: ("c", False),
+        6: (None, False),
+        7: (None, False),
+    }
+
+    # propagation depth: a 4-chain from one seed needs 3 rounds to
+    # reach the far end; after 1 round the far end is still NULL
+    chain = [(10, 11), (11, 12), (12, 13)]
+    e2 = spark.createDataFrame(
+        [(a, b) for a, b in chain] + [(b, a) for a, b in chain],
+        "src long, dst long",
+    )
+    s2 = spark.createDataFrame([(10, "x")], "id long, label string")
+    one = {r.id: r.label for r in label_propagation(e2, s2, n_iter=1).collect()}
+    three = {r.id: r.label for r in label_propagation(e2, s2, n_iter=3).collect()}
+    assert one == {10: "x", 11: "x", 12: None, 13: None}
+    assert three == {10: "x", 11: "x", 12: "x", 13: "x"}
