@@ -630,6 +630,98 @@ def vocab_coverage(
     )
 
 
+def bleu_score_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise BLEU-2 scoring (r09) — the MT-style n-gram overlap
+    metric over CANDIDATE pairs (``(a_id, b_id)``: ``b`` is scored as
+    the candidate against reference ``a``): modified (clipped) 1- and
+    2-gram precisions plus the brevity penalty, published in LOG
+    domain so no ``exp`` ever runs — ``log_bp = min(0, 1 − r/c)`` and
+    ``log_bleu = log_bp + (ln p1 + ln p2)/2`` are compositions of
+    exact ratios and ``ln`` only (the repo's nll-family determinism
+    class; an ``exp``-domain BLEU would hang cross-engine bit equality
+    on libm exp). ``log_bleu`` is NULL when either precision is 0
+    (−∞) or the candidate is empty.
+
+    Candidate generation is deliberately NOT built in: feed pairs from
+    any dedup tier (LSH, SNM, PPJoin — see SCALE.md's tier guide);
+    self-BLEU diversity audits feed sampled pairs.
+
+    Output: ``(a_id, b_id, n_ref_tokens, n_cand_tokens, p1, p2,
+    log_bp, log_bleu)``; precisions 6 dp.
+
+    Plan: per-doc n-gram count tables (one token pass), then per pair
+    one (pair, gram)-keyed clip join per order — cost bounded by the
+    candidate set, never all-pairs."""
+    w = _words(text_col)
+    t = docs.select(F.col(id_col).alias("id"), w.alias("toks"))
+    lens = t.select("id", F.size("toks").cast("long").alias("n"))
+    g1 = (
+        t.select("id", F.explode("toks").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bg_len = F.greatest(F.size("toks") - F.lit(1), F.lit(0))
+    bg = F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), bg_len),
+        F.slice(F.col("toks"), F.lit(2), bg_len),
+        lambda x, y: F.concat_ws("\x1f", x, y),
+    )
+    g2 = (
+        t.select("id", F.explode(bg).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    p = pairs.select("a_id", "b_id")
+
+    def clip(gm: DataFrame, tag: str) -> DataFrame:
+        b = gm.select(
+            F.col("id").alias("b_id"), "gram", F.col("cnt").alias("_bc")
+        )
+        a = gm.select(
+            F.col("id").alias("a_id"), "gram", F.col("cnt").alias("_ac")
+        )
+        return (
+            p.join(b, "b_id")
+            .join(a, ["a_id", "gram"], "left")
+            .groupBy("a_id", "b_id")
+            .agg(
+                F.sum(F.least(F.col("_bc"), F.coalesce(F.col("_ac"), F.lit(0))))
+                .cast("long")
+                .alias(f"num{tag}"),
+                F.sum("_bc").cast("long").alias(f"den{tag}"),
+            )
+        )
+    out = (
+        p.join(lens.select(F.col("id").alias("a_id"), F.col("n").alias("n_ref_tokens")), "a_id")
+        .join(lens.select(F.col("id").alias("b_id"), F.col("n").alias("n_cand_tokens")), "b_id")
+        .join(clip(g1, "1"), ["a_id", "b_id"], "left")
+        .join(clip(g2, "2"), ["a_id", "b_id"], "left")
+    )
+    r = F.col("n_ref_tokens").cast("double")
+    c = F.col("n_cand_tokens").cast("double")
+    p1 = F.col("num1").cast("double") / F.col("den1").cast("double")
+    p2 = F.col("num2").cast("double") / F.col("den2").cast("double")
+    log_bp = F.least(F.lit(0.0), F.lit(1.0) - r / c)
+    return out.select(
+        "a_id",
+        "b_id",
+        "n_ref_tokens",
+        "n_cand_tokens",
+        F.when(F.col("den1") > 0, F.round(p1, 6)).alias("p1"),
+        F.when(F.col("den2") > 0, F.round(p2, 6)).alias("p2"),
+        F.when(F.col("n_cand_tokens") > 0, F.round(log_bp, 6)).alias("log_bp"),
+        F.when(
+            (F.col("num1") > 0) & (F.col("num2") > 0),
+            F.round(log_bp + (F.log(p1) + F.log(p2)) / F.lit(2.0), 6),
+        ).alias("log_bleu"),
+    )
+
+
 def corpus_top_ngrams(
     docs: DataFrame,
     text_col: str = "text",

@@ -631,6 +631,56 @@ def bpe_train_batched(
     )
 
 
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer FERTILITY report per group (r09): tokens-per-word and
+    chars-per-token under a learned BPE merge table, aggregated by
+    ``group_col`` (source/domain/language) — the standard check that a
+    tokenizer trained on one mix doesn't quietly explode sequence
+    lengths on another slice (fertility ↑ ⇒ compute ↑ and effective
+    context ↓ on that slice).
+
+    Output: ``(group, n_docs, n_words, n_tokens, n_chars, fertility,
+    chars_per_token)`` — fertility = Σtokens/Σwords, chars_per_token =
+    Σchars/Σtokens (word chars only, whitespace excluded), both 6 dp,
+    NULL when the denominator is zero.
+
+    Plan: one :func:`bpe_apply` Arrow pass (rule list rides the
+    closure) + one group-keyed aggregate — nothing new moves."""
+    applied = bpe_apply(docs, merges, text_col, id_col)
+    chars = docs.select(
+        id_col,
+        F.col(group_col).alias("group"),
+        F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        .cast("long")
+        .alias("_nc"),
+    )
+    j = applied.join(chars, id_col)
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+    )
+    agg = j.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        ratio(F.col("n_tokens"), F.col("n_words")).alias("fertility"),
+        ratio(F.col("n_chars"), F.col("n_tokens")).alias("chars_per_token"),
+    )
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: DataFrame | list[tuple],

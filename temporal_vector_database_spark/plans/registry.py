@@ -10506,6 +10506,148 @@ FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
 )
 
 
+def q_bleu_pairs(spark, sf_dir):
+    """r09: pairwise BLEU-2 over adjacent-id candidate pairs (the gate
+    pins the SCORING math — candidate generation composes from any
+    gated dedup tier): clipped 1/2-gram precisions + brevity penalty,
+    published in LOG domain (min(0,1−r/c) + mean ln p — no exp, the
+    nll determinism class)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        bleu_score_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    ids = docs.select(F.col("doc_id").alias("a_id"))
+    pairs = ids.join(
+        docs.select((F.col("doc_id") - 1).alias("a_id"), F.col("doc_id").alias("b_id")),
+        "a_id",
+    )
+    return bleu_score_pairs(docs, pairs)
+
+
+ORACLES["bleu_pairs"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM lens a JOIN lens b ON b.doc_id = a.doc_id + 1
+),
+g1 AS (
+  SELECT doc_id, term AS gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2
+),
+g2 AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id, bg[1] || chr(31) || bg[2] AS gram FROM (
+      SELECT doc_id, unnest(list_zip(toks[1:greatest(len(toks) - 1, 0)],
+                                     toks[2:len(toks)])) AS bg
+      FROM t WHERE len(toks) >= 2)
+  ) GROUP BY 1, 2
+),
+pn1 AS (
+  SELECT p.a_id, p.b_id,
+         CAST(sum(least(bg.cnt, coalesce(ag.cnt, 0))) AS BIGINT) AS num1,
+         CAST(sum(bg.cnt) AS BIGINT) AS den1
+  FROM p JOIN g1 bg ON bg.doc_id = p.b_id
+  LEFT JOIN g1 ag ON ag.doc_id = p.a_id AND ag.gram = bg.gram
+  GROUP BY 1, 2
+),
+pn2 AS (
+  SELECT p.a_id, p.b_id,
+         CAST(sum(least(bg.cnt, coalesce(ag.cnt, 0))) AS BIGINT) AS num2,
+         CAST(sum(bg.cnt) AS BIGINT) AS den2
+  FROM p JOIN g2 bg ON bg.doc_id = p.b_id
+  LEFT JOIN g2 ag ON ag.doc_id = p.a_id AND ag.gram = bg.gram
+  GROUP BY 1, 2
+),
+j AS MATERIALIZED (
+  SELECT p.a_id, p.b_id, an.n AS n_ref_tokens, bn.n AS n_cand_tokens,
+         pn1.num1, pn1.den1, pn2.num2, pn2.den2
+  FROM p
+  JOIN lens an ON p.a_id = an.doc_id
+  JOIN lens bn ON p.b_id = bn.doc_id
+  LEFT JOIN pn1 ON p.a_id = pn1.a_id AND p.b_id = pn1.b_id
+  LEFT JOIN pn2 ON p.a_id = pn2.a_id AND p.b_id = pn2.b_id
+)
+SELECT a_id, b_id, n_ref_tokens, n_cand_tokens,
+       CASE WHEN den1 > 0
+            THEN round(CAST(num1 AS DOUBLE) / CAST(den1 AS DOUBLE), 6) END AS p1,
+       CASE WHEN den2 > 0
+            THEN round(CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE), 6) END AS p2,
+       CASE WHEN n_cand_tokens > 0
+            THEN round(least(0.0, 1.0 - CAST(n_ref_tokens AS DOUBLE)
+                                        / CAST(n_cand_tokens AS DOUBLE)), 6)
+       END AS log_bp,
+       CASE WHEN num1 > 0 AND num2 > 0
+            THEN round(least(0.0, 1.0 - CAST(n_ref_tokens AS DOUBLE)
+                                        / CAST(n_cand_tokens AS DOUBLE))
+                       + (ln(CAST(num1 AS DOUBLE) / CAST(den1 AS DOUBLE))
+                        + ln(CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE))) / 2.0, 6)
+       END AS log_bleu
+FROM j
+"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """r09: per-source tokenizer fertility (tokens/word, chars/token)
+    under the corpus-trained 8-merge BPE — the slice-blowup check a
+    tokenizer ships with. Oracle: the same unrolled relational training
+    replay as bpe_apply, aggregated per source off the final w9 state."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_train,
+        tokenizer_fertility,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text", "source"
+    )
+    return tokenizer_fertility(docs, bpe_train(docs, n_merges=8))
+
+
+ORACLES["tokenizer_fertility"] = (
+    _bpe_oracle_sql(8)[: _bpe_oracle_sql(8).rindex("SELECT CAST(1")]
+    + """,
+dw AS (
+  SELECT doc_id, unnest(ws) AS w
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+),
+agg AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(len(s.toks)) AS BIGINT) AS nt
+  FROM dw d JOIN w9 s ON d.w = s.word
+  GROUP BY d.doc_id
+),
+chars AS (
+  SELECT doc_id, source,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc
+  FROM documents
+),
+g AS (
+  SELECT c.source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(a.nw), 0) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(a.nt), 0) AS BIGINT) AS n_tokens,
+         CAST(sum(c.nc) AS BIGINT) AS n_chars
+  FROM chars c LEFT JOIN agg a ON c.doc_id = a.doc_id
+  GROUP BY 1
+)
+SELECT "group", n_docs, n_words, n_tokens, n_chars,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+       END AS fertility,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       END AS chars_per_token
+FROM g
+"""
+)
+
+
 def q_dedup_sorted_neighborhood(spark, sf_dir):
     """r07: sorted-neighborhood blocking (Hernández & Stolfo 1995) —
     the linear-candidate third tier beside banding (probabilistic) and
@@ -10944,6 +11086,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_train_incremental": q_bpe_train_incremental,
     "bpe_train_batched": q_bpe_train_batched,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "bleu_pairs": q_bleu_pairs,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "reconstruct_diff": q_reconstruct_diff,
     "bpe_apply": q_bpe_apply,
