@@ -636,3 +636,70 @@ def test_winnow_shared_pairs_span_matching_and_noise_rule(spark):
     ).collect()
     # every span print has df=3 > 2 -> dropped; prefix prints are df-1
     assert noisy == []
+
+
+def test_bleu_score_pairs_hand_case(spark):
+    """r09: clipped precisions, brevity penalty, log-domain BLEU —
+    verified against hand-computed values."""
+    import math
+
+    from temporal_vector_database_spark.operators.textindex import (
+        bleu_score_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # reference (6 tokens)
+            (2, "the cat the cat on the mat"),      # candidate (7 tokens)
+            (3, "xyz"),                             # no overlap, shorter
+            (4, ""),                                # empty candidate
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a_id long, b_id long"
+    )
+    got = {(r.a_id, r.b_id): r for r in bleu_score_pairs(docs, pairs).collect()}
+
+    # (1,2): cand counts the=3,cat=2,on=1,mat=1; ref the=2,cat=1,on=1,
+    # sat=1,mat=1 -> clipped 2+1+1+1=5 of 7 -> p1=5/7.
+    # cand bigrams: the_cat x2, cat_the, cat_on, on_the, the_mat;
+    # ref bigrams: the_cat, cat_sat, sat_on, on_the, the_mat ->
+    # clipped: the_cat 1, on_the 1, the_mat 1 = 3 of 6 -> p2=1/2.
+    # c=7 > r=6 -> log_bp = 0.
+    r12 = got[(1, 2)]
+    assert r12.p1 == round(5 / 7, 6) and r12.p2 == 0.5 and r12.log_bp == 0.0
+    assert r12.log_bleu == round((math.log(5 / 7) + math.log(0.5)) / 2, 6)
+    # (1,3): no overlap -> p1 = 0, p2 None (no bigrams), log_bleu NULL;
+    # c=1 < r=6 -> log_bp = 1 - 6/1 = -5
+    r13 = got[(1, 3)]
+    assert r13.p1 == 0.0 and r13.p2 is None and r13.log_bp == -5.0
+    assert r13.log_bleu is None
+    # (1,4): empty candidate -> everything NULL
+    r14 = got[(1, 4)]
+    assert r14.p1 is None and r14.p2 is None
+    assert r14.log_bp is None and r14.log_bleu is None
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    """r09: fertility = tokens/words per group under a learned merge
+    table; chars count word chars only."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd", "s1"), (2, "ab", "s1"), (3, "ee ff", "s2")],
+        "doc_id long, text string, source string",
+    )
+    # merges: (a,b)->ab only; 'ab' -> 1 token, 'cd' -> 2, 'ee','ff' -> 2
+    out = {
+        r.group: r
+        for r in tokenizer_fertility(docs, [(1, "a", "b")]).collect()
+    }
+    s1 = out["s1"]  # words: ab,ab,cd,ab = 4; tokens: 1+1+2+1 = 5; chars 8
+    assert (s1.n_docs, s1.n_words, s1.n_tokens, s1.n_chars) == (2, 4, 5, 8)
+    assert s1.fertility == 1.25 and s1.chars_per_token == 1.6
+    s2 = out["s2"]  # words 2, tokens 4, chars 4
+    assert (s2.n_words, s2.n_tokens) == (2, 4)
+    assert s2.fertility == 2.0 and s2.chars_per_token == 1.0
