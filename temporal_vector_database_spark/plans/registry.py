@@ -11408,6 +11408,77 @@ QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
 }
 
 
+# --- r09 rotation -----------------------------------------------------
+# Policy (SCALE.md "Driver-cap rotation", VERDICT r08 #1): (1) gates
+# NEW this round, (2) gates whose CODE changed this round
+# (storage_tiering lost its force-broadcast, dedup_survivors_quality's
+# survivor_by tie-break was retyped — both value-neutral, re-checked
+# anyway), (3) ALL 37 rows whose last driver check is r03 (enumerated
+# in VERDICT r08, reproduced from CORRECTNESS_r*.json file order),
+# (4) the 5 oldest r05 rows to fill the 50-cap. After this round no
+# ledger row's last driver check predates r05; the remaining 41 r05
+# rows are the r10 front.
+_R09_FRONT = [
+    # (1) new this round
+    "bpe_train_batched",
+    "trigram_nll",
+    "vocab_coverage",
+    "label_propagation",
+    "tokenizer_fertility",
+    "bleu_pairs",
+    # (2) changed this round
+    "storage_tiering",
+    "dedup_survivors_quality",
+    # (3) the 37 rows last driver-checked in r03 (r03 check order)
+    "event_transitions",
+    "events_histogram",
+    "edit_distance_pairs",
+    "profile_documents",
+    "minhash_signature_prod",
+    "topk_search_indexed",
+    "ivf_topk_persisted",
+    "length_balanced_sample_exact",
+    "edit_distance_pairs_short",
+    "events_hopping",
+    "events_dedup_idempotent",
+    "docs_winnow_fingerprint",
+    "doc_ccnet_buckets",
+    "suffix_array_ngrams",
+    "bm25_scores",
+    "tfidf_topterms",
+    "events_approx_distinct",
+    "dedup_near_pairs_banded",
+    "remove_dup_spans",
+    "hybrid_search",
+    "unigram_nll",
+    "bigram_nll",
+    "training_pipeline_banded",
+    "temperature_sample",
+    "pack_sequences",
+    "ivf_store_topk",
+    "cluster_capped_sample",
+    "hard_negatives",
+    "search_asof",
+    "multimodal_near_dup",
+    "events_zorder_read",
+    "events_scd2_snapshot",
+    "mrl_topk",
+    "mmr_rerank",
+    "embedding_gram",
+    "events_ohlc",
+    "events_gapfill",
+    # (4) the 5 oldest r05 rows (r05 check order)
+    "pca_topk",
+    "ivf_recall_eval",
+    "events_interval_coverage",
+    "events_bitemporal",
+    "events_key_skew",
+]
+QUERIES = {k: QUERIES[k] for k in _R09_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R09_FRONT)
+}
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
