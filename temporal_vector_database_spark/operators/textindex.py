@@ -722,6 +722,141 @@ def bleu_score_pairs(
     )
 
 
+def kneser_ney_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated KNESER-NEY bigram language-model score per document
+    (r09) — the smoothing that actually ships in n-gram LMs (Kneser &
+    Ney 1995; Chen & Goodman 1999), beside the Jelinek-Mercer rungs:
+
+        p_KN(w2 | w1) = max(c(w1 w2) − d, 0) / c(w1 ·)
+                      + d · N1+(w1 ·) / c(w1 ·) · p_cont(w2)
+        p_cont(w2)    = N1+(· w2) / N1+(· ·)
+
+    where N1+(w1 ·) is the number of DISTINCT continuations of w1,
+    N1+(· w2) the number of distinct contexts preceding w2, and
+    N1+(· ·) the number of distinct bigram types — the continuation
+    counts that make KN model "how promiscuously a word appears in new
+    contexts" instead of raw frequency. Discount d = 3/4 (dyadic, the
+    fixture-grid float policy). Score = mean −ln p over the doc's
+    bigrams, 6 dp; docs with < 2 tokens are omitted. A first-position
+    context unseen in training cannot occur (the corpus is its own
+    model), so p is always > 0 without unk-mass bookkeeping.
+
+    Output: ``(doc_id, n_bigrams, kn_nll)``.
+
+    Plan: identical bounded shape to :func:`bigram_logprob_scores` —
+    the bigram/context/continuation tables are all vocabulary-bounded
+    aggregates of ONE bigram pass, broadcast back over the per-(doc,
+    bigram) tf grain (``broadcast_model=False`` shuffles them at
+    billion-type scales, AQE handling the skew)."""
+    d_num, d_den = int(discount_num), int(discount_den)
+    if not (0 < d_num < d_den):
+        raise ValueError(
+            f"need 0 < discount_num < discount_den, got {discount_num}/{discount_den}"
+        )
+    w = _words(text_col)
+    n = F.size(w)
+    bg_len = F.greatest(n - F.lit(1), F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, F.lit(1), bg_len),
+        F.slice(w, F.lit(2), bg_len),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    pairs = docs.select(id_col, F.explode(bg).alias("bg")).select(
+        id_col, "bg.w1", "bg.w2"
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("b_cnt")
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("b_cnt").cast("long").alias("c_cnt"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = (
+        big.groupBy("w2")
+        .agg(F.count("*").cast("long").alias("n1p_bwd"))
+        .select(F.col("w2").alias("cw2"), "n1p_bwd")
+    )
+    types = big.agg(F.count("*").cast("double").alias("n_types"))
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    d = F.lit(d_num).cast("double") / F.lit(d_den).cast("double")
+    p = (
+        F.greatest(
+            F.col("b_cnt").cast("double") - d, F.lit(0.0)
+        ) / F.col("c_cnt").cast("double")
+        + d * F.col("n1p_fwd").cast("double") / F.col("c_cnt").cast("double")
+        * (F.col("n1p_bwd").cast("double") / F.col("n_types"))
+    )
+    hint = F.broadcast if broadcast_model else (lambda x: x)
+    return (
+        tf.join(hint(big), ["w1", "w2"])
+        .join(hint(ctx), "w1")
+        .join(hint(cont), F.col("w2") == F.col("cw2"))
+        .crossJoin(F.broadcast(types))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf").cast("double") * F.log(p))
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("kn_nll"),
+        )
+    )
+
+
+def perplexity_band_select(
+    docs: DataFrame,
+    lo_pct: int = 25,
+    hi_pct: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Middle-perplexity data selection (r09) — the curation heuristic
+    that drops BOTH tails of the LM-score distribution: the too-easy
+    tail (boilerplate, templates, repeats — suspiciously close to the
+    corpus distribution) and the too-hard tail (garble, wrong-language,
+    binary junk), keeping the [lo_pct, hi_pct) percent-rank band of
+    :func:`unigram_logprob_scores`.
+
+    Band membership is EXACT integer arithmetic — a doc with 0-based
+    rank r among N scored docs (order: nll asc, doc_id asc — total) is
+    kept iff ``lo_pct·(N−1) ≤ r·100 < hi_pct·(N−1)`` (percent_rank in
+    [lo/100, hi/100) by cross-multiplication, no float thresholds).
+    Docs with no tokens have no score and are never selected.
+
+    Output: kept docs — ``(doc_id, n_tokens, unigram_nll, rank)``
+    with ``rank`` the 1-based global score rank.
+
+    Plan: the unigram score pass + the two-phase distributed rank
+    (``_global_ranks`` — no single-task global window) + one broadcast
+    scalar N; the band filter is row-local."""
+    from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    lo, hi = int(lo_pct), int(hi_pct)
+    if not (0 <= lo < hi <= 100):
+        raise ValueError(f"need 0 <= lo < hi <= 100, got {lo_pct}, {hi_pct}")
+    scored = unigram_logprob_scores(docs, text_col, id_col)
+    ranked = _global_ranks(scored, "unigram_nll", id_col)
+    n1 = ranked.agg((F.count("*") - F.lit(1)).cast("long").alias("_n1"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .where(
+            (F.lit(lo) * F.col("_n1") <= (F.col("rank") - 1) * 100)
+            & ((F.col("rank") - 1) * 100 < F.lit(hi) * F.col("_n1"))
+        )
+        .select(id_col, "n_tokens", "unigram_nll", "rank")
+    )
+
+
 def corpus_top_ngrams(
     docs: DataFrame,
     text_col: str = "text",

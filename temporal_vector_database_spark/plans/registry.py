@@ -2437,6 +2437,39 @@ def q_trigram_nll(spark, sf_dir):
     return trigram_logprob_scores(docs)
 
 
+def q_kneser_ney_nll(spark, sf_dir):
+    """r09: interpolated Kneser-Ney bigram LM score per doc — absolute
+    discount d=3/4 (dyadic) with continuation counts N1+(·w2)/N1+(··);
+    the production n-gram smoothing beside the JM rungs. Oracle mirrors
+    the exact expression shape (same assoc order) over the same
+    vocabulary-bounded count tables."""
+    from temporal_vector_database_spark.operators.textindex import (
+        kneser_ney_logprob_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return kneser_ney_logprob_scores(docs)
+
+
+
+
+def q_perplexity_band(spark, sf_dir):
+    """r09: middle-perplexity selection — keep the [25, 75) percent-
+    rank band of the unigram LM score (drop boilerplate-easy and
+    garble-hard tails); band membership by exact integer cross-
+    multiplication, rank by the two-phase distributed global rank."""
+    from temporal_vector_database_spark.operators.textindex import (
+        perplexity_band_select,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return perplexity_band_select(docs, 25, 75)
+
+
 def q_vocab_coverage(spark, sf_dir):
     """r09: vocabulary coverage curve — share of corpus token
     occurrences covered by the top-V words (count desc, word asc) for
@@ -5621,6 +5654,69 @@ JOIN big USING (w1, w2)
 JOIN ctx USING (w1)
 JOIN uni ON tf.w2 = uni.term, total
 GROUP BY doc_id
+"""
+
+ORACLES["kneser_ney_nll"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(toks[1:greatest(len(toks) - 1, 0)],
+                                   toks[2:len(toks)])) AS bg
+    FROM t WHERE len(toks) >= 2
+  )
+),
+big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b_cnt FROM pairs GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, CAST(sum(b_cnt) AS BIGINT) AS c_cnt,
+         CAST(count(*) AS BIGINT) AS n1p_fwd
+  FROM big GROUP BY 1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM big GROUP BY 1),
+types AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big),
+tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM pairs GROUP BY 1, 2, 3),
+joined AS MATERIALIZED (
+  SELECT doc_id, tf, b_cnt, c_cnt, n1p_fwd, n1p_bwd
+  FROM tf
+  JOIN big USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN cont USING (w2)
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(-sum(CAST(tf AS DOUBLE) * ln(
+           greatest(CAST(b_cnt AS DOUBLE) - 0.75, 0.0) / CAST(c_cnt AS DOUBLE)
+         + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c_cnt AS DOUBLE)
+           * (CAST(n1p_bwd AS DOUBLE) / n_types)
+       )) / CAST(sum(tf) AS DOUBLE), 6) AS kn_nll
+FROM joined, types
+GROUP BY doc_id
+"""
+
+ORACLES["perplexity_band"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(-sum(CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / total))
+                 / CAST(sum(tf) AS DOUBLE), 6) AS unigram_nll
+  FROM tf JOIN counts USING (term), total
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY unigram_nll ASC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+),
+nn AS (SELECT CAST(count(*) - 1 AS BIGINT) AS n1 FROM scored)
+SELECT doc_id, n_tokens, unigram_nll, rank
+FROM ranked, nn
+WHERE 25 * n1 <= (rank - 1) * 100 AND (rank - 1) * 100 < 75 * n1
 """
 
 ORACLES["vocab_coverage"] = """
@@ -11177,6 +11273,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
     "trigram_nll": q_trigram_nll,
+    "kneser_ney_nll": q_kneser_ney_nll,
+    "perplexity_band": q_perplexity_band,
     "vocab_coverage": q_vocab_coverage,
     "training_pipeline_banded": q_training_pipeline_banded,
     "temperature_sample": q_temperature_sample,
