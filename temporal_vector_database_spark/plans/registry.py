@@ -3498,6 +3498,51 @@ FROM assigned a JOIN best b ON b.cluster = a.cluster AND b.rn = 1
 )
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """r09: duplicate-cluster SIZE DISTRIBUTION — the dedup health
+    report (how much mass sits in big mirror clusters vs singletons;
+    the deflation factor a dedup pass will deliver). Same LSH clusters
+    as dedup_survivors; histogram = one aggregate over the assignment
+    table."""
+    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    surv = dedup_survivors(docs)
+    sizes = surv.groupBy("canonical_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+ORACLES["dedup_cluster_sizes"] = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _CLUSTER_CTES
+    + """
+, assigned AS (
+  SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assigned GROUP BY 1
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+)
+
+
 ORACLES["training_pipeline"] = (
     """
 WITH RECURSIVE t0 AS (
@@ -11313,6 +11358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19": q_tpch_q19,
     "dedup_survivors": q_dedup_survivors,
     "dedup_survivors_quality": q_dedup_survivors_quality,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "training_pipeline": q_training_pipeline,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "tpch_q11_shape": q_tpch_q11_shape,
