@@ -232,6 +232,64 @@ def ann_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> D
     return topk_cosine(cands, queries, k=k, id_cols=("vec_id",))
 
 
+def mips_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-query top-k by MAXIMUM INNER PRODUCT (r09) — the retrieval
+    scoring recommenders and learned-sparse/dense rankers actually use
+    when vector NORM carries signal (popularity, confidence): unlike
+    cosine, a longer vector legitimately outranks a better-aligned
+    short one, so there is no norm division and no ``sim > 0`` floor
+    (negative dots rank too — k is a hard count here).
+
+    Output: ``(query_id, vec_id, dot, rank)`` — rank 1-based, ties by
+    ``vec_id``; ``dot`` exact on the dyadic grid (integer-valued sums
+    scaled by the grid step, bit-stable under any fold order at the
+    fixture's magnitudes).
+
+    Plan: broadcast the k-row query table over the corpus (one narrow
+    pass, JVM HOF dot), Arrow map-side partial top-k before the
+    per-query shuffle (the ``topk_cosine`` prereduce — the exchange
+    carries O(k · partitions) rows, never the corpus), then the k-row
+    window. MIPS-to-cosine reductions (augmenting with
+    √(M²−‖x‖²) dims) are unnecessary here because the scan IS the
+    baseline; an IVF-style pruned MIPS would layer on the same
+    persisted layouts as the cosine ladder."""
+    from temporal_vector_database_spark.functions.vector import dot
+
+    q = queries.select("query_id", F.col(emb_col).alias("_q_emb"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        dot(F.col(emb_col), F.col("_q_emb")).alias("sim"),
+    )
+    scored = scored.withColumn("k", F.lit(int(k)))
+
+    def _partial(batches):
+        # tie-aware partial top-k: sort includes the id tie-breaker so
+        # a k-boundary tie keeps exactly the rows the final window will
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "sim", id_col], ascending=[True, False, True]
+            )
+            yield pdf.groupby("query_id", sort=False).head(int(k))
+
+    scored = scored.mapInPandas(_partial, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .select("query_id", id_col, F.col("sim").alias("dot"), "rank")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroid_mod: int = 20,

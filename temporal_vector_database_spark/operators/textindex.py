@@ -857,6 +857,99 @@ def perplexity_band_select(
     )
 
 
+def rouge_score_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise ROUGE-1/2 (r09) — recall-oriented n-gram overlap over
+    candidate pairs, the summarization-eval twin of
+    :func:`bleu_score_pairs` and the second axis of a self-similarity
+    audit (BLEU asks "how much of the candidate is in the reference",
+    ROUGE asks "how much of the reference does the candidate cover").
+    For each ``(a_id, b_id)`` pair (``a`` = reference, ``b`` =
+    candidate) and n ∈ {1, 2}:
+
+        recall_n = Σ_g min(cnt_a(g), cnt_b(g)) / Σ_g cnt_a(g)
+        prec_n   = Σ_g min(cnt_a(g), cnt_b(g)) / Σ_g cnt_b(g)
+        f1_n     = 2·p·r / (p + r)
+
+    — pure ratios and IEEE ×/÷/+ (no transcendental at all, stricter
+    than the ln class). NULL where a denominator is 0 or f1's p+r = 0.
+
+    Output: ``(a_id, b_id, r1, p1_, f1, r2, p2_, f2)``, 6 dp.
+
+    Plan: same bounded shape as BLEU — per-doc n-gram counts, one
+    (pair, gram)-keyed clip join per order, candidate-set bounded."""
+    w = _words(text_col)
+    t = docs.select(F.col(id_col).alias("id"), w.alias("toks"))
+    g1 = (
+        t.select("id", F.explode("toks").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bg_len = F.greatest(F.size("toks") - F.lit(1), F.lit(0))
+    bg = F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), bg_len),
+        F.slice(F.col("toks"), F.lit(2), bg_len),
+        lambda x, y: F.concat_ws("\x1f", x, y),
+    )
+    g2 = (
+        t.select("id", F.explode(bg).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    p = pairs.select("a_id", "b_id")
+
+    def clip(gm: DataFrame, tag: str) -> DataFrame:
+        # FULL outer on the gram axis via union trick is unnecessary:
+        # min(cnt_a, cnt_b) is 0 wherever either side lacks the gram,
+        # so joining from the reference side covers the numerator and
+        # the reference denominator; the candidate denominator comes
+        # from its own per-doc total.
+        a = gm.select(F.col("id").alias("a_id"), "gram", F.col("cnt").alias("_ac"))
+        b = gm.select(F.col("id").alias("b_id"), "gram", F.col("cnt").alias("_bc"))
+        return (
+            p.join(a, "a_id")
+            .join(b, ["b_id", "gram"], "left")
+            .groupBy("a_id", "b_id")
+            .agg(
+                F.sum(F.least(F.col("_ac"), F.coalesce(F.col("_bc"), F.lit(0))))
+                .cast("long")
+                .alias(f"num{tag}"),
+                F.sum("_ac").cast("long").alias(f"dena{tag}"),
+            )
+        )
+
+    totb1 = g1.groupBy("id").agg(F.sum("cnt").cast("long").alias("denb1"))
+    totb2 = g2.groupBy("id").agg(F.sum("cnt").cast("long").alias("denb2"))
+    out = (
+        p.join(clip(g1, "1"), ["a_id", "b_id"], "left")
+        .join(clip(g2, "2"), ["a_id", "b_id"], "left")
+        .join(totb1.select(F.col("id").alias("b_id"), "denb1"), "b_id", "left")
+        .join(totb2.select(F.col("id").alias("b_id"), "denb2"), "b_id", "left")
+    )
+
+    def prf(num, dena, denb):
+        r = num.cast("double") / dena.cast("double")
+        pp = num.cast("double") / denb.cast("double")
+        f1 = F.lit(2.0) * pp * r / (pp + r)
+        return (
+            F.when(dena > 0, F.round(r, 6)),
+            F.when(denb > 0, F.round(pp, 6)),
+            F.when((dena > 0) & (denb > 0) & (num > 0), F.round(f1, 6)),
+        )
+
+    r1, p1_, f1 = prf(F.col("num1"), F.col("dena1"), F.coalesce(F.col("denb1"), F.lit(0)))
+    r2, p2_, f2 = prf(F.col("num2"), F.col("dena2"), F.coalesce(F.col("denb2"), F.lit(0)))
+    return out.select(
+        "a_id", "b_id",
+        r1.alias("r1"), p1_.alias("p1_"), f1.alias("f1"),
+        r2.alias("r2"), p2_.alias("p2_"), f2.alias("f2"),
+    )
+
+
 def corpus_top_ngrams(
     docs: DataFrame,
     text_col: str = "text",

@@ -8755,6 +8755,38 @@ LEFT JOIN deg ON nodes.id = deg.src
 
 
 
+def q_mips_topk(spark, sf_dir):
+    """r09: exact top-k by MAXIMUM INNER PRODUCT (no norm division, no
+    sim>0 floor — norm is signal) over the quantized embedding corpus;
+    broadcast query table, tie-aware Arrow partial top-k before the
+    per-query exchange. Dots are exact dyadics (grid products sum
+    losslessly in doubles), so both engines hash identically."""
+    from temporal_vector_database_spark.operators.search import mips_topk
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return mips_topk(emb, qs, k=10)
+
+
+ORACLES["mips_topk"] = (
+    _QEMB_CTE
+    + """
+, q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qemb FROM e WHERE vec_id % 50 = 7),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_dot_product(e.emb, q.qemb) AS dot
+  FROM e, q
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dot, rank FROM ranked WHERE rank <= 10
+"""
+)
+
+
 def q_label_propagation(spark, sf_dir):
     """r09: semi-supervised label propagation over the symmetrized
     sign-band LSH near-dup graph — a deterministic seed subset
@@ -10734,6 +10766,92 @@ FROM j
 """
 
 
+def q_rouge_pairs(spark, sf_dir):
+    """r09: pairwise ROUGE-1/2 recall/precision/F1 over the same
+    adjacent-id candidate pairs as bleu_pairs — no transcendental at
+    all (pure IEEE ratios), the strictest float class in the repo."""
+    from temporal_vector_database_spark.operators.textindex import (
+        rouge_score_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    ids = docs.select(F.col("doc_id").alias("a_id"))
+    pairs = ids.join(
+        docs.select((F.col("doc_id") - 1).alias("a_id"), F.col("doc_id").alias("b_id")),
+        "a_id",
+    )
+    return rouge_score_pairs(docs, pairs)
+
+
+ORACLES["rouge_pairs"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+),
+g1 AS (
+  SELECT doc_id, term AS gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2
+),
+g2 AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT doc_id, bg[1] || chr(31) || bg[2] AS gram FROM (
+      SELECT doc_id, unnest(list_zip(toks[1:greatest(len(toks) - 1, 0)],
+                                     toks[2:len(toks)])) AS bg
+      FROM t WHERE len(toks) >= 2)
+  ) GROUP BY 1, 2
+),
+c1 AS (
+  SELECT p.a_id, p.b_id,
+         CAST(sum(least(ag.cnt, coalesce(bg.cnt, 0))) AS BIGINT) AS num1,
+         CAST(sum(ag.cnt) AS BIGINT) AS dena1
+  FROM p JOIN g1 ag ON ag.doc_id = p.a_id
+  LEFT JOIN g1 bg ON bg.doc_id = p.b_id AND bg.gram = ag.gram
+  GROUP BY 1, 2
+),
+c2 AS (
+  SELECT p.a_id, p.b_id,
+         CAST(sum(least(ag.cnt, coalesce(bg.cnt, 0))) AS BIGINT) AS num2,
+         CAST(sum(ag.cnt) AS BIGINT) AS dena2
+  FROM p JOIN g2 ag ON ag.doc_id = p.a_id
+  LEFT JOIN g2 bg ON bg.doc_id = p.b_id AND bg.gram = ag.gram
+  GROUP BY 1, 2
+),
+tb1 AS (SELECT doc_id AS b_id, CAST(sum(cnt) AS BIGINT) AS denb1 FROM g1 GROUP BY 1),
+tb2 AS (SELECT doc_id AS b_id, CAST(sum(cnt) AS BIGINT) AS denb2 FROM g2 GROUP BY 1),
+j AS MATERIALIZED (
+  SELECT p.a_id, p.b_id, c1.num1, c1.dena1, c2.num2, c2.dena2,
+         coalesce(tb1.denb1, 0) AS denb1, coalesce(tb2.denb2, 0) AS denb2
+  FROM p
+  LEFT JOIN c1 ON p.a_id = c1.a_id AND p.b_id = c1.b_id
+  LEFT JOIN c2 ON p.a_id = c2.a_id AND p.b_id = c2.b_id
+  LEFT JOIN tb1 ON p.b_id = tb1.b_id
+  LEFT JOIN tb2 ON p.b_id = tb2.b_id
+)
+SELECT a_id, b_id,
+  CASE WHEN dena1 > 0 THEN round(CAST(num1 AS DOUBLE) / CAST(dena1 AS DOUBLE), 6) END AS r1,
+  CASE WHEN denb1 > 0 THEN round(CAST(num1 AS DOUBLE) / CAST(denb1 AS DOUBLE), 6) END AS "p1_",
+  CASE WHEN dena1 > 0 AND denb1 > 0 AND num1 > 0 THEN
+    round(2.0 * (CAST(num1 AS DOUBLE) / CAST(denb1 AS DOUBLE))
+              * (CAST(num1 AS DOUBLE) / CAST(dena1 AS DOUBLE))
+          / ((CAST(num1 AS DOUBLE) / CAST(denb1 AS DOUBLE))
+           + (CAST(num1 AS DOUBLE) / CAST(dena1 AS DOUBLE))), 6) END AS f1,
+  CASE WHEN dena2 > 0 THEN round(CAST(num2 AS DOUBLE) / CAST(dena2 AS DOUBLE), 6) END AS r2,
+  CASE WHEN denb2 > 0 THEN round(CAST(num2 AS DOUBLE) / CAST(denb2 AS DOUBLE), 6) END AS "p2_",
+  CASE WHEN dena2 > 0 AND denb2 > 0 AND num2 > 0 THEN
+    round(2.0 * (CAST(num2 AS DOUBLE) / CAST(denb2 AS DOUBLE))
+              * (CAST(num2 AS DOUBLE) / CAST(dena2 AS DOUBLE))
+          / ((CAST(num2 AS DOUBLE) / CAST(denb2 AS DOUBLE))
+           + (CAST(num2 AS DOUBLE) / CAST(dena2 AS DOUBLE))), 6) END AS f2
+FROM j
+"""
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """r09: per-source tokenizer fertility (tokens/word, chars/token)
     under the corpus-trained 8-merge BPE — the slice-blowup check a
@@ -11201,6 +11319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mixture": q_token_budget_mixture,
     "neardup_pagerank": q_neardup_pagerank,
     "label_propagation": q_label_propagation,
+    "mips_topk": q_mips_topk,
     "neardup_triangles": q_neardup_triangles,
     "neardup_kcore": q_neardup_kcore,
     "events_type_corr": q_events_type_corr,
@@ -11229,6 +11348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_batched": q_bpe_train_batched,
     "tokenizer_fertility": q_tokenizer_fertility,
     "bleu_pairs": q_bleu_pairs,
+    "rouge_pairs": q_rouge_pairs,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "reconstruct_diff": q_reconstruct_diff,
     "bpe_apply": q_bpe_apply,
@@ -11553,23 +11673,28 @@ QUERIES = {k: QUERIES[k] for k in _R08_FRONT} | {
 
 
 # --- r09 rotation -----------------------------------------------------
-# Policy (SCALE.md "Driver-cap rotation", VERDICT r08 #1): (1) gates
-# NEW this round, (2) gates whose CODE changed this round
+# Policy (SCALE.md "Driver-cap rotation", VERDICT r08 #1): (1) the 11
+# gates NEW this round, (2) gates whose CODE changed this round
 # (storage_tiering lost its force-broadcast, dedup_survivors_quality's
 # survivor_by tie-break was retyped — both value-neutral, re-checked
 # anyway), (3) ALL 37 rows whose last driver check is r03 (enumerated
-# in VERDICT r08, reproduced from CORRECTNESS_r*.json file order),
-# (4) the 5 oldest r05 rows to fill the 50-cap. After this round no
-# ledger row's last driver check predates r05; the remaining 41 r05
-# rows are the r10 front.
+# in VERDICT r08, reproduced from CORRECTNESS_r*.json file order) —
+# exactly the 50-cap. After this round no ledger row's last driver
+# check predates r05; the 46 r05 rows (r05 check order, pca_topk
+# first) are the r10 front.
 _R09_FRONT = [
     # (1) new this round
     "bpe_train_batched",
     "trigram_nll",
+    "kneser_ney_nll",
+    "perplexity_band",
     "vocab_coverage",
     "label_propagation",
     "tokenizer_fertility",
     "bleu_pairs",
+    "rouge_pairs",
+    "dedup_cluster_sizes",
+    "mips_topk",
     # (2) changed this round
     "storage_tiering",
     "dedup_survivors_quality",
@@ -11611,12 +11736,6 @@ _R09_FRONT = [
     "embedding_gram",
     "events_ohlc",
     "events_gapfill",
-    # (4) the 5 oldest r05 rows (r05 check order)
-    "pca_topk",
-    "ivf_recall_eval",
-    "events_interval_coverage",
-    "events_bitemporal",
-    "events_key_skew",
 ]
 QUERIES = {k: QUERIES[k] for k in _R09_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R09_FRONT)
