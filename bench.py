@@ -184,6 +184,18 @@ HEADLINE = (
     "winnow_pairs",
     "storage_tiering",
     "retention_dryrun",
+    # r09 additions
+    "trigram_nll",
+    "kneser_ney_nll",
+    "perplexity_band",
+    "vocab_coverage",
+    "bleu_pairs",
+    "rouge_pairs",
+    "mips_topk",
+    "tokenizer_fertility",
+    "dedup_cluster_sizes",
+    "label_propagation",
+    "bpe_train_batched",
     # r08: bpe_train_incremental is deliberately NOT benched — 64 merge
     # rounds are job-scheduling-bound locally (~0.45-0.59 s/merge, vs
     # naive 0.46-1.17 s/merge: the VERDICT "within 2x per-merge"
