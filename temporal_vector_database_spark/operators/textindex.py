@@ -876,7 +876,9 @@ def rouge_score_pairs(
         f1_n     = 2·p·r / (p + r)
 
     — pure ratios and IEEE ×/÷/+ (no transcendental at all, stricter
-    than the ln class). NULL where a denominator is 0 or f1's p+r = 0.
+    than the ln class). NULL where a denominator is 0 or f1's p+r = 0;
+    an EMPTY REFERENCE publishes all-NULL for that order (metric
+    undefined — not precision 0), matching the oracle bit-for-bit.
 
     Output: ``(a_id, b_id, r1, p1_, f1, r2, p2_, f2)``, 6 dp.
 

@@ -703,3 +703,96 @@ def test_tokenizer_fertility_hand_case(spark):
     s2 = out["s2"]  # words 2, tokens 4, chars 4
     assert (s2.n_words, s2.n_tokens) == (2, 4)
     assert s2.fertility == 2.0 and s2.chars_per_token == 1.0
+
+
+def test_rouge_score_pairs_python_parity(spark):
+    """r09: ROUGE-1/2 P/R/F1 match an independent pure-Python
+    computation on a deterministic mixed fixture (overlaps, repeats,
+    empty docs, disjoint vocab)."""
+    from collections import Counter
+
+    from temporal_vector_database_spark.operators.textindex import (
+        rouge_score_pairs,
+    )
+
+    texts = {
+        1: "a b c a b",
+        2: "a b a",
+        3: "",
+        4: "x y z",
+        5: "a a a a",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    plist = [(1, 2), (1, 3), (3, 1), (1, 4), (1, 5), (5, 1)]
+    pairs = spark.createDataFrame(plist, "a_id long, b_id long")
+
+    def grams(t, n):
+        ws = [w for w in t.split() if w]
+        return Counter(tuple(ws[i:i + n]) for i in range(len(ws) - n + 1))
+
+    def ref(a, b, n):
+        ga, gb = grams(texts[a], n), grams(texts[b], n)
+        num = sum(min(c, gb.get(g, 0)) for g, c in ga.items())
+        dena, denb = sum(ga.values()), sum(gb.values())
+        if dena == 0:
+            # empty REFERENCE: metric undefined for this order — the
+            # operator (and oracle, consistently) publish NULL
+            return None, None, None
+        r = round(num / dena, 6) if dena else None
+        p = round(num / denb, 6) if denb else None
+        f = (
+            round(2 * (num / denb) * (num / dena)
+                  / ((num / denb) + (num / dena)), 6)
+            if dena and denb and num else None
+        )
+        return r, p, f
+
+    got = {(r.a_id, r.b_id): r for r in rouge_score_pairs(docs, pairs).collect()}
+    assert set(got) == set(plist)
+    for a, b in plist:
+        r1, p1, f1 = ref(a, b, 1)
+        r2, p2, f2 = ref(a, b, 2)
+        row = got[(a, b)]
+        assert (row.r1, row.p1_, row.f1) == (r1, p1, f1), (a, b, 1)
+        assert (row.r2, row.p2_, row.f2) == (r2, p2, f2), (a, b, 2)
+
+
+def test_perplexity_band_bounds_and_vocab_coverage(spark):
+    """r09: the percent-rank band keeps exactly the integer-math band
+    (verified against a python replay); vocab_coverage hand case."""
+    from temporal_vector_database_spark.operators.textindex import (
+        perplexity_band_select,
+        unigram_logprob_scores,
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7 + 1)) + f" u{i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    scored = sorted(
+        ((r.unigram_nll, r.doc_id) for r in unigram_logprob_scores(docs).collect())
+    )
+    n1 = len(scored) - 1
+    expect = {
+        did for rank0, (_, did) in enumerate(scored)
+        if 25 * n1 <= rank0 * 100 < 75 * n1
+    }
+    got = {r.doc_id for r in perplexity_band_select(docs, 25, 75).collect()}
+    assert got == expect and 0 < len(got) < len(scored)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        perplexity_band_select(docs, 80, 20)
+
+    # vocab_coverage hand case: corpus 'a a a b b c' -> ranks a,b,c
+    d2 = spark.createDataFrame([(1, "a a a b b c")], "doc_id long, text string")
+    cov = {r.vocab_size: r for r in vocab_coverage(d2, sizes=(1, 2, 99)).collect()}
+    assert (cov[1].covered_tokens, cov[1].coverage) == (3, 0.5)
+    assert (cov[2].covered_tokens, cov[2].coverage) == (5, round(5 / 6, 6))
+    assert cov[99].covered_tokens == 6 and cov[99].coverage == 1.0
+    assert cov[1].n_types == 3 and cov[1].total_tokens == 6
