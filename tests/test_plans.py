@@ -804,3 +804,33 @@ def test_cross_corpus_exact_plan_shape(spark, qmap):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_mips_topk_plan_broadcast_queries_and_prereduce(spark, qmap):
+    """r09: the MIPS scan must broadcast the k-row query table (never
+    shuffle the corpus against it) and run the Arrow partial top-k
+    BEFORE the per-query window exchange, so the exchange carries
+    O(k·partitions) rows. The window is keyed by query_id — no
+    SinglePartition collapse."""
+    plan = formatted_plan(qmap["mips_topk"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    # the partial reducer (Arrow eval) must appear below the window sort
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
+
+
+def test_perplexity_band_never_single_partition(spark, qmap):
+    """r09: the percent-rank band must use the two-phase distributed
+    rank — no SinglePartition exchange (a bare global row_number would
+    serialize the corpus into one task); N-1 rides a broadcast."""
+    plan = formatted_plan(qmap["perplexity_band"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_never_single_partition(spark, qmap):
+    """r09: the coverage rank over the vocab table is the two-phase
+    distributed rank; the conditional-sum aggregate is global (a 1-row
+    scalar) but its input is the vocab table, not the corpus."""
+    plan = formatted_plan(qmap["vocab_coverage"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
