@@ -588,19 +588,29 @@ def vocab_coverage(
     conditional-sum aggregate producing all V thresholds, unpivoted
     with ``stack``. No corpus-side join; the only driver traffic is
     the P-row partition-offset table inside the rank."""
-    from temporal_vector_database_spark.operators.dedup import _global_ranks
-
     sizes = tuple(int(v) for v in sizes)
     if not sizes or any(v <= 0 for v in sizes):
         raise ValueError(f"sizes must be positive, got {sizes}")
-    w = _words(text_col)
     counts = (
-        docs.select(F.explode(w).alias("term"))
+        docs.select(F.explode(_words(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .withColumn("_negc", -F.col("cnt"))
     )
-    ranked = _global_ranks(counts, "_negc", "term")
+    return coverage_from_counts(counts, sizes)
+
+
+def coverage_from_counts(
+    counts: DataFrame, sizes: tuple[int, ...]
+) -> DataFrame:
+    """Coverage curve from a ``(term, cnt)`` table — shared by the
+    batch operator and the streaming serve
+    (``streaming/wordcount.py``), so stream==batch is equality by
+    construction."""
+    from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    ranked = _global_ranks(
+        counts.withColumn("_negc", -F.col("cnt")), "_negc", "term"
+    )
     aggs = [
         F.count("*").cast("long").alias("n_types"),
         F.sum("cnt").cast("long").alias("total_tokens"),

@@ -1,0 +1,108 @@
+"""Streaming corpus term-count maintenance → vocabulary coverage
+served from state (streaming twin of ``operators/textindex.py
+vocab_coverage``; r09).
+
+Term occurrence counts are pure SUMS over per-document contributions,
+so the stream maintains additive per-batch partials: each micro-batch
+writes its own ``batch=N`` parquet partition (a replayed batch
+overwrites its own partition — idempotent, the
+``streaming/textindex.py`` pattern), and serving merges ≤ batches ×
+vocabulary partial rows, never documents. The coverage curve (share of
+token occurrences covered by the top-V words) then ranks the MERGED
+vocabulary — identical math to the batch operator, so stream==batch is
+pinned bit-for-bit in tests.
+
+At 100 TB this is the vocab-sizing dashboard that stays current as the
+crawl lands: per-batch cost is one token pass over the batch + a
+vocabulary-bounded write; no corpus rescan ever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temporal_vector_database_spark.operators.textindex import _words
+
+
+def _has_batches(state_dir: str) -> bool:
+    return os.path.isdir(state_dir) and any(
+        d.startswith("batch=") for d in os.listdir(state_dir)
+    )
+
+
+def process_wordcount_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Fold one micro-batch's term occurrence counts into the state
+    (partition overwrite — same-``batch_id`` replay is a no-op by
+    value)."""
+    if batch_df.isEmpty():
+        return
+    part = (
+        batch_df.select(F.explode(_words(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt_part"))
+    )
+    part.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+
+
+def read_term_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Merged ``(term, cnt)`` table from the partial state, or None
+    before the first commit."""
+    if not _has_batches(state_dir):
+        return None
+    raw = spark.read.option("basePath", state_dir).parquet(
+        os.path.join(state_dir, "batch=*")
+    )
+    return raw.groupBy("term").agg(
+        F.sum("cnt_part").cast("long").alias("cnt")
+    )
+
+
+def coverage_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    sizes: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame | None:
+    """Vocabulary coverage curve from the maintained counts — the
+    serving path; identical ranking + conditional-sum math as the batch
+    ``vocab_coverage`` (two-phase distributed rank, one aggregate), so
+    the served curve is bit-equal to a one-shot batch run over
+    everything streamed (pinned in tests)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        coverage_from_counts,
+    )
+
+    counts = read_term_counts(spark, state_dir)
+    if counts is None:
+        return None
+    return coverage_from_counts(counts, tuple(int(v) for v in sizes))
+
+
+def run_wordcount_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Drain available document batches into the count state
+    (Trigger.AvailableNow)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_wordcount_batch(batch_df, batch_id, state_dir, text_col)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

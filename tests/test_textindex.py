@@ -796,3 +796,35 @@ def test_perplexity_band_bounds_and_vocab_coverage(spark):
     assert (cov[2].covered_tokens, cov[2].coverage) == (5, round(5 / 6, 6))
     assert cov[99].covered_tokens == 6 and cov[99].coverage == 1.0
     assert cov[1].n_types == 3 and cov[1].total_tokens == 6
+
+
+def test_streaming_wordcount_coverage_equals_batch_and_replay(spark, tmp_path, sf_dir):
+    """r09: coverage served from the streamed term-count state equals
+    the one-shot batch vocab_coverage bit-for-bit; same-batch replay is
+    a no-op by value."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.textindex import vocab_coverage
+    from temporal_vector_database_spark.streaming.wordcount import (
+        coverage_from_state,
+        process_wordcount_batch,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 4 == 0
+    )
+    state = str(tmp_path / "wc")
+    assert coverage_from_state(spark, state) is None
+    for bid in range(3):
+        process_wordcount_batch(docs.where(F.col("doc_id") % 3 == bid), bid, state)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    served = canon(coverage_from_state(spark, state, sizes=(10, 100, 1000)))
+    batch = canon(vocab_coverage(docs, sizes=(10, 100, 1000)))
+    assert served == batch and len(served) == 3
+
+    # replay of a committed batch: partition overwrite -> unchanged
+    process_wordcount_batch(docs.where(F.col("doc_id") % 3 == 1), 1, state)
+    assert canon(coverage_from_state(spark, state, sizes=(10, 100, 1000))) == served
