@@ -73,6 +73,32 @@ def read_edges_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_dir, f"v={vs[-1]}"))
 
 
+def label_propagation_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    seeds: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame | None:
+    """Serve semi-supervised label propagation from the SAME maintained
+    edge set as :func:`pagerank_from_state` (r09) — two graph analytics
+    off one incrementally-folded state: symmetrize + the batch
+    operator's synchronous rounds, bit-identical to
+    ``label_propagation`` over the union of all ingested pairs (the
+    deterministic count-desc/label-asc argmax has no order dependence
+    to drift)."""
+    from temporal_vector_database_spark.operators.graph import (
+        label_propagation,
+    )
+
+    ce = read_edges_state(spark, state_dir)
+    if ce is None:
+        return None
+    edges = ce.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        ce.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return label_propagation(edges, seeds, n_iter=n_iter)
+
+
 def pagerank_from_state(
     spark: SparkSession,
     state_dir: str,

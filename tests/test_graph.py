@@ -139,6 +139,23 @@ def test_streaming_pagerank_state_equals_batch_and_replay(spark, tmp_path):
     got2 = sorted(tuple(r) for r in pagerank_from_state(spark, state, n_iter=3).collect())
     assert got2 == want
 
+    # r09: label propagation served from the SAME edge state ==
+    # batch operator over the full symmetrized pair set
+    from temporal_vector_database_spark.operators.graph import label_propagation
+    from temporal_vector_database_spark.streaming.graph import (
+        label_propagation_from_state,
+    )
+
+    seeds = spark.createDataFrame([(1, "p"), (4, "q")], "id long, label string")
+    lp_want = sorted(
+        tuple(r) for r in label_propagation(sym, seeds, n_iter=3).collect()
+    )
+    lp_got = sorted(
+        tuple(r)
+        for r in label_propagation_from_state(spark, state, seeds, n_iter=3).collect()
+    )
+    assert lp_got == lp_want and len(lp_got) == 5
+
 
 def test_kcore_semantics_and_certificate(spark):
     """Cycle+pendant: the 2-core is exactly the cycle (pendant peeled);
