@@ -146,7 +146,13 @@ def label_propagation(
 
     Output: ``(id, label, is_seed)`` for every node in the edge list.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # pin the edge list: it is the reused big side of EVERY round's
+    # join (and of the node derivation) — without the checkpoint an
+    # expensive upstream derivation (an LSH candidate join) would
+    # re-execute once per round per branch (the kcore discipline)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     sd = seeds.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("_seed_label")
     )
@@ -154,6 +160,7 @@ def label_propagation(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     labels = nodes.join(sd, "id", "left").select(
         "id", F.col("_seed_label").alias("label")
