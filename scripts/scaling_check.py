@@ -126,14 +126,21 @@ def main() -> None:
             flush=True,
         )
 
+    # merge into the existing artifact: a named-query run must not
+    # clobber the standing top-N record
+    path = os.path.join(REPO, "SCALING.json")
+    merged = out
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = {**json.load(f).get("queries", {}), **out}
     artifact = {
         "data_ratio": DATA_RATIO,
         "flag_ratio": FLAG_RATIO,
         "reps_min_of": reps,
-        "queries": out,
-        "flagged": sorted(n for n, v in out.items() if v["flagged"]),
+        "queries": merged,
+        "flagged": sorted(n for n, v in merged.items() if v["flagged"]),
     }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(json.dumps({"flagged": artifact["flagged"]}))
 
