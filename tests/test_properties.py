@@ -1009,3 +1009,40 @@ def test_cross_corpus_exact_recall_property(spark, corpus_texts, ev_texts, thr):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "abc", "bb", "cab"]),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    batch=st.integers(1, 4),
+)
+def test_bpe_batched_equals_python_reference_on_any_corpus(spark, texts, batch):
+    """r09 property: on ANY small corpus and ANY batch size, the batched
+    trainer's full output (rules, counts, rounds) equals the independent
+    pure-Python batch-greedy reference, and every round's committed
+    rules are symbol-disjoint (the order-independence precondition)."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_train_batched,
+    )
+    from tests.test_tokenize import _py_bpe_batched
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_train_batched(docs, n_merges=10, batch_size=batch).collect()
+    ]
+    want, _ = _py_bpe_batched(texts, 10, batch)
+    assert got == want
+    by_round: dict[int, set] = {}
+    for _rank, l, r, m, _cnt, rnd in got:
+        syms = {l, r, m}
+        assert not (by_round.setdefault(rnd, set()) & syms), (rnd, syms)
+        by_round[rnd] |= syms
