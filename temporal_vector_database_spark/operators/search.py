@@ -1657,6 +1657,84 @@ def recall_at_k(
     )
 
 
+def graph_beam_search(
+    embeddings: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """GREEDY BEAM SEARCH over a persisted kNN graph (r09) — the
+    SERVING half of graph ANN (the HNSW/NSG query pattern at layer 0),
+    completing the build half (:func:`knn_graph` / :func:`nn_descent`):
+    start every query from a deterministic seed beam (the ``beam``
+    globally-smallest ids), and for ``n_rounds`` synchronous rounds
+    expand the beam by its graph out-neighbors, score all candidates by
+    cosine, and keep the top-``beam`` (sim desc, id asc — fully
+    deterministic). Output: the final beam's top-``k`` per query.
+
+    Candidates per query per round are bounded by ``beam·(deg+1)`` —
+    never the corpus; the corpus-sized joins are the candidate-id
+    lookups against the embedding table (id-keyed equi-joins Catalyst
+    can prune), and the query table rides a broadcast. Each round's
+    surviving beam is checkpointed so round r+1's expansion never
+    re-executes rounds 1..r (the ``label_propagation`` edge lesson).
+
+    Output: ``(query_id, vec_id, sim, rank)``, rank 1..k.
+
+    ``graph`` columns: ``(id, nbr)`` directed adjacency (a
+    ``knn_graph`` output renamed, or ``nn_descent``'s refined edges;
+    symmetrize for better reachability on low-degree graphs)."""
+    from temporal_vector_database_spark.functions.vector import cosine
+
+    if not (0 < int(k) <= int(beam)):
+        raise ValueError(f"need 0 < k <= beam, got k={k}, beam={beam}")
+    e = embeddings.select(
+        F.col(id_col).alias("cand"), F.col(emb_col).alias("_c_emb")
+    )
+    q = queries.select("query_id", F.col(emb_col).alias("_q_emb"))
+    g = graph.select(F.col("id").alias("cand"), "nbr")
+    seeds = (
+        embeddings.select(F.col(id_col).alias("cand"))
+        .orderBy("cand")
+        .limit(int(beam))
+    )
+    frontier = q.select("query_id").crossJoin(F.broadcast(seeds))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand"))
+    scored = None
+    for _ in range(int(n_rounds)):
+        nbrs = frontier.join(g, "cand").select(
+            "query_id", F.col("nbr").alias("cand")
+        )
+        cands = frontier.unionByName(nbrs).distinct()
+        scored = (
+            cands.join(e, "cand")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "cand", cosine("_c_emb", "_q_emb").alias("sim")
+            )
+        )
+        frontier = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(beam))
+            .select("query_id", "cand")
+            .localCheckpoint()
+        )
+    final = (
+        frontier.join(e, "cand")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "cand", cosine("_c_emb", "_q_emb").alias("sim"))
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", F.col("cand").alias(id_col), "sim", "rank")
+    )
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 10,

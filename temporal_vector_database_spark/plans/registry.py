@@ -7587,6 +7587,90 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5
 )
 
 
+def q_graph_beam_search(spark, sf_dir):
+    """r09: greedy beam search over the persisted kNN graph — the
+    SERVING half of graph ANN (the HNSW layer-0 query pattern): seed
+    beam = the 8 smallest ids, 3 synchronous expand-score-prune rounds
+    (candidates ≤ beam·(deg+1) per query per round, never the corpus),
+    final top-5. Oracle unrolls every round relationally over the same
+    relationally-built graph."""
+    from temporal_vector_database_spark.operators.search import (
+        graph_beam_search,
+        knn_graph,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    g = knn_graph(emb, k=5, nprobe=2).select(
+        F.col("query_id").alias("id"), F.col("vec_id").alias("nbr")
+    )
+    qs = emb.where(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return graph_beam_search(emb, g, qs, k=5, beam=8, n_rounds=3)
+
+
+def _beam_search_oracle_sql(k: int, beam: int, rounds: int) -> str:
+    parts = [
+        _QEMB_CTE,
+        _ivf_ranked_body(query_filter="TRUE", exclude_self=True),
+        f""",
+g AS MATERIALIZED (SELECT query_id AS id, vec_id AS nbr FROM ranked WHERE rank <= 5),
+qs AS MATERIALIZED (
+  SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qemb, nrm AS qnrm
+  FROM en WHERE vec_id % 97 = 1
+),
+seeds AS (SELECT vec_id AS cand FROM en ORDER BY vec_id LIMIT {beam}),
+f0 AS MATERIALIZED (SELECT q.query_id, s.cand FROM qs q, seeds s)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT DISTINCT query_id, cand FROM (
+    SELECT query_id, cand FROM f{p}
+    UNION ALL
+    SELECT f.query_id, g.nbr AS cand FROM f{p} f JOIN g ON f.cand = g.id
+  )
+),
+s{r} AS (
+  SELECT c.query_id, c.cand,
+         CASE WHEN e.nrm > 0 AND q.qnrm > 0
+              THEN list_dot_product(e.emb, q.qemb) / (e.nrm * q.qnrm)
+              ELSE 0.0 END AS sim
+  FROM c{r} c JOIN en e ON c.cand = e.vec_id JOIN qs q ON c.query_id = q.query_id
+),
+f{r} AS MATERIALIZED (
+  SELECT query_id, cand FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand ASC) AS rn
+    FROM s{r}
+  ) WHERE rn <= {beam}
+)"""
+        )
+        # the final beam is re-scored for output (identical sims)
+    parts.append(
+        f""",
+fin AS (
+  SELECT f.query_id, f.cand,
+         CASE WHEN e.nrm > 0 AND q.qnrm > 0
+              THEN list_dot_product(e.emb, q.qemb) / (e.nrm * q.qnrm)
+              ELSE 0.0 END AS sim
+  FROM f{rounds} f JOIN en e ON f.cand = e.vec_id JOIN qs q ON f.query_id = q.query_id
+)
+SELECT query_id, cand AS vec_id, sim,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand ASC) AS rnk
+  FROM fin
+) WHERE rnk <= {k}
+"""
+    )
+    return "".join(parts)
+
+
+ORACLES["graph_beam_search"] = _beam_search_oracle_sql(5, 8, 3)
+
+
 def q_nn_descent(spark, sf_dir):
     """r07: NN-Descent kNN-graph refinement (Dong et al. 2011) — seed
     from the IVF-probed graph, 2 rounds of symmetrized 2-hop candidate
@@ -11355,6 +11439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_robust_stats": q_events_robust_stats,
     "events_changepoint": q_events_changepoint,
     "nn_descent": q_nn_descent,
+    "graph_beam_search": q_graph_beam_search,
     "snapshot_read": q_snapshot_read,
     "bbit_minhash": q_bbit_minhash,
     "embedding_quantile_norm": q_embedding_quantile_norm,

