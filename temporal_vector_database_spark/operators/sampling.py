@@ -512,6 +512,54 @@ def epoch_shuffle(
     )
 
 
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """STRATIFIED k-fold assignment (r09) — the cross-validation /
+    ensemble-sharding split with an EXACT balance guarantee: within
+    every stratum, fold sizes differ by at most one (hash-threshold
+    splits like :func:`split_assign` only balance in expectation —
+    a small stratum can land 0 rows in a fold). Each stratum's rows
+    are ordered by a salted hash key (``u32(md5('kf|' || id))``, id
+    tiebreak — deterministic, id-uncorrelated) and dealt round-robin:
+    ``fold = per-stratum 0-based rank % k``.
+
+    Scale: ONE two-phase distributed global rank over ``(stratum, key,
+    id)`` (``_global_ranks``); within a stratum global ranks are
+    contiguous, so the per-stratum rank is ``rank − min(rank over the
+    stratum)`` — the min-rank table is stratum-bounded and broadcast.
+    No ``Window.partitionBy(stratum)`` (few strata would serialize
+    into few tasks — the ``epoch_shuffle`` posture).
+
+    Output: ``(id, stratum, fold)``, fold in 0..k−1.
+    """
+    from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    if int(k) < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = _u32(F.concat(F.lit("kf|"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(id_col), F.col(stratum_col).alias("stratum"), key.alias("okey")
+    )
+    ranked = _global_ranks(keyed, "stratum", "okey", id_col)
+    mins = F.broadcast(
+        ranked.groupBy("stratum").agg(F.min("rank").alias("_smin"))
+    )
+    return (
+        ranked.join(mins, "stratum")
+        .select(
+            id_col,
+            "stratum",
+            F.pmod(F.col("rank") - F.col("_smin"), F.lit(int(k)))
+            .cast("int")
+            .alias("fold"),
+        )
+    )
+
+
 def _u32_sql(key_col: str) -> str:
     """The md5→u32 draw as a SQL snippet (the `_u32` Column twin)."""
     return f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"

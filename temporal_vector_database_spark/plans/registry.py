@@ -3618,6 +3618,36 @@ ORACLES["sample_docs"] = (
     _U32_CTE + f"SELECT doc_id, source FROM u WHERE u32 < {int(0.25 * 2**32)}"
 )
 
+def q_kfold_assign(spark, sf_dir):
+    """r09: stratified k-fold assignment — within every source, fold
+    sizes differ by at most one (hash-threshold splits only balance in
+    expectation); salted-hash deal order, per-stratum rank from ONE
+    two-phase distributed global rank (no per-stratum window)."""
+    from temporal_vector_database_spark.operators.sampling import kfold_assign
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "source"
+    )
+    return kfold_assign(docs, k=5)
+
+
+ORACLES["kfold_assign"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source AS stratum,
+         md5('kf|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+u AS (SELECT doc_id, stratum, CAST({_U32_SQL} AS BIGINT) AS okey FROM keyed),
+r AS (
+  SELECT doc_id, stratum,
+         CAST(row_number() OVER (PARTITION BY stratum ORDER BY okey, doc_id) - 1
+              AS BIGINT) AS r0
+  FROM u
+)
+SELECT doc_id, stratum, CAST(r0 % 5 AS INTEGER) AS fold FROM r
+"""
+
+
 ORACLES["split_assign"] = (
     _U32_CTE
     + f"""
@@ -11594,6 +11624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline_strict": q_training_pipeline_strict,
     "sample_docs": q_sample_docs,
     "split_assign": q_split_assign,
+    "kfold_assign": q_kfold_assign,
     "token_chunks": q_token_chunks,
     "stratified_sample": q_stratified_sample,
     "events_asof_tolerance": q_events_asof_tolerance,

@@ -335,3 +335,32 @@ def test_epoch_shuffle_permutation_and_epoch_variation(spark):
     # single shard: one permutation 1..N
     one = epoch_shuffle(docs, epoch=1, n_shards=1).collect()
     assert sorted(r.pos for r in one) == list(range(1, 101))
+
+
+def test_kfold_assign_exact_stratified_balance(spark):
+    """r09: within every stratum fold sizes differ by <= 1, assignment
+    is deterministic across reruns, and k<2 raises."""
+    from collections import Counter
+
+    from temporal_vector_database_spark.operators.sampling import kfold_assign
+
+    rows = [(i, f"s{i % 3}") for i in range(101)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = [(r.doc_id, r.stratum, r.fold) for r in kfold_assign(df, k=5).collect()]
+    assert len(out) == 102 and all(0 <= f < 5 for _, _, f in out)
+    per = Counter()
+    for _, s, f in out:
+        per[(s, f)] += 1
+    for s in ("s0", "s1", "s2"):
+        sizes = [per[(s, f)] for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1, (s, sizes)
+    # the 1-row stratum lands wholly in fold 0 (rank 0 % k)
+    assert per[("tiny", 0)] == 1
+    # deterministic rerun
+    out2 = [(r.doc_id, r.stratum, r.fold) for r in kfold_assign(df, k=5).collect()]
+    assert sorted(out) == sorted(out2)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_assign(df, k=1)
