@@ -357,9 +357,28 @@ def unigram_logprob_scores(
     """
     toks = docs.select(id_col, F.explode(_words(text_col)).alias("term"))
     counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    return unigram_scores_from_counts(docs, counts, text_col, id_col)
+
+
+def unigram_scores_from_counts(
+    docs: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against an EXPLICIT ``(term, cnt)`` unigram
+    model — the shared core of :func:`unigram_logprob_scores` (model =
+    the docs themselves) and the streaming serve
+    (``streaming/wordcount.py unigram_nll_from_state``: model = the
+    incrementally maintained corpus counts — new candidate docs score
+    against the standing corpus without rescanning it). Terms absent
+    from the model contribute nothing (their rows drop at the model
+    join), exactly as in the self-scored form where absence cannot
+    occur."""
+    toks = docs.select(id_col, F.explode(_words(text_col)).alias("term"))
     total = counts.agg(F.sum("cnt").cast("double").alias("total"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    scored = (
+    return (
         tf.join(F.broadcast(counts), "term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
@@ -375,7 +394,6 @@ def unigram_logprob_scores(
             ).alias("unigram_nll"),
         )
     )
-    return scored
 
 
 def bigram_logprob_scores(

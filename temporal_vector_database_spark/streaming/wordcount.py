@@ -87,6 +87,32 @@ def coverage_from_state(
     return coverage_from_counts(counts, tuple(int(v) for v in sizes))
 
 
+def unigram_nll_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """Score CANDIDATE documents against the incrementally maintained
+    corpus unigram model (r09) — the LM-quality filter as a serving
+    path: a new crawl batch is scored against the standing corpus
+    distribution without rescanning the corpus (same math as the batch
+    ``unigram_logprob_scores`` via the shared
+    ``unigram_scores_from_counts`` core, so scoring the streamed corpus
+    against itself is bit-equal to the batch op — pinned in tests).
+    Candidate terms unseen by the model contribute nothing (they drop
+    at the model join)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        unigram_scores_from_counts,
+    )
+
+    counts = read_term_counts(spark, state_dir)
+    if counts is None:
+        return None
+    return unigram_scores_from_counts(docs, counts, text_col, id_col)
+
+
 def run_wordcount_stream(
     doc_stream: DataFrame,
     state_dir: str,

@@ -828,3 +828,40 @@ def test_streaming_wordcount_coverage_equals_batch_and_replay(spark, tmp_path, s
     # replay of a committed batch: partition overwrite -> unchanged
     process_wordcount_batch(docs.where(F.col("doc_id") % 3 == 1), 1, state)
     assert canon(coverage_from_state(spark, state, sizes=(10, 100, 1000))) == served
+
+
+def test_streaming_unigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
+    """r09: scoring the streamed corpus against its own maintained
+    term-count state is bit-equal to the batch self-scored operator;
+    unseen candidate terms drop at the model join."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.textindex import (
+        unigram_logprob_scores,
+    )
+    from temporal_vector_database_spark.streaming.wordcount import (
+        process_wordcount_batch,
+        unigram_nll_from_state,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 5 == 1
+    )
+    state = str(tmp_path / "wc2")
+    assert unigram_nll_from_state(spark, state, docs) is None
+    for bid in range(2):
+        process_wordcount_batch(docs.where(F.col("doc_id") % 2 == bid), bid, state)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(unigram_nll_from_state(spark, state, docs)) == canon(
+        unigram_logprob_scores(docs)
+    )
+
+    # a candidate doc of entirely unseen terms scores no rows (every
+    # term drops at the model join — no fake probability mass)
+    alien = spark.createDataFrame(
+        [(999999, "zzzzqqq wwwwxxx")], "doc_id long, text string"
+    )
+    assert unigram_nll_from_state(spark, state, alien).count() == 0
