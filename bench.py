@@ -300,6 +300,10 @@ def main() -> None:
     # raw per-rep timings are published alongside (`reps`) so a reader
     # can separate host noise from plan changes without rerunning.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # host load at run start/end (VERDICT r09 #3): makes bench-drift
+    # adjudication mechanical — a regressed record carrying a high
+    # loadavg is host noise, not a plan change
+    load_start = list(os.getloadavg())
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -339,6 +343,10 @@ def main() -> None:
         "reps": raw,
         "spread": spread,
         "contended": contended,
+        "loadavg": {
+            "start": [round(v, 2) for v in load_start],
+            "end": [round(v, 2) for v in os.getloadavg()],
+        },
         "sf": sf,
     }
     sidecar = os.path.join(REPO, "BENCH_LOCAL.json")

@@ -87,7 +87,7 @@ def main() -> None:
         ranked = sorted(bench.items(), key=lambda kv: -kv[1])
         names = [n for n, _ in ranked if n in qs][:top_n]
         if not names:
-            raise SystemExit("no BENCH_r*.json to rank by; pass query names")
+            raise SystemExit("no BENCH_LOCAL.json to rank by; pass query names")
 
     spark = get_spark("tvdb-scaling-check")
     for sf in (SF_SMALL, SF_BIG):
@@ -133,6 +133,11 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             merged = {**json.load(f).get("queries", {}), **out}
+    # recompute every entry's flag from its ratio at merge time so
+    # stale entries written under an older FLAG_RATIO can't contradict
+    # the single top-level flag_ratio field (ADVICE r09)
+    for v in merged.values():
+        v["flagged"] = v["wall_ratio"] > FLAG_RATIO
     artifact = {
         "data_ratio": DATA_RATIO,
         "flag_ratio": FLAG_RATIO,

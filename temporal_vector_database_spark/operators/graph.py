@@ -165,7 +165,7 @@ def label_propagation(
     labels = nodes.join(sd, "id", "left").select(
         "id", F.col("_seed_label").alias("label")
     )
-    for _ in range(int(n_iter)):
+    for rnd in range(1, int(n_iter) + 1):
         votes = (
             e.join(
                 labels.where(F.col("label").isNotNull()).select(
@@ -192,6 +192,14 @@ def label_propagation(
                 F.coalesce("_seed_label", "_new_label", "_old").alias("label"),
             )
         )
+        # each round references the PREVIOUS round's labels plan twice
+        # (votes->best and the _old join-back); without a periodic pin
+        # the logical plan and earlier rounds' vote recomputation grow
+        # ~2^n_iter — fine at the default 3, pathological at the public
+        # knob's larger values (the bpe_train_batched cadence,
+        # operators/tokenize.py).
+        if rnd % 4 == 0 and rnd < int(n_iter):
+            labels = labels.localCheckpoint()
     return (
         labels.join(sd, "id", "left")
         .select(

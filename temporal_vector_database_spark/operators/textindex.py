@@ -429,26 +429,60 @@ def bigram_logprob_scores(
     over many rows, and AQE skew-join splits the rest.
     """
     w = _words(text_col)
+    toks = docs.select(F.explode(w).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    big = _bigram_pairs(docs, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("b_cnt")
+    )
+    return bigram_scores_from_counts(
+        docs, big, uni, text_col, id_col, lam, broadcast_model
+    )
+
+
+def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document bigram occurrences ``(id, w1, w2)`` off the token
+    array (``zip_with`` of two clamped slices — no self-join, no
+    positions). The slice length is clamped to 0 so a zero-word
+    document (empty or whitespace-only text) yields an empty bigram
+    array and is omitted by the explode rather than raising."""
+    w = _words(text_col)
     n = F.size(w)
-    # slice length must not go negative: a zero-word document (empty or
-    # whitespace-only text) would make n - 1 == -1 and slice() raises at
-    # runtime; clamping to 0 yields an empty bigram array, so such docs
-    # are omitted by the explode as the docstring promises.
     bg_len = F.greatest(n - F.lit(1), F.lit(0))
     bg = F.zip_with(
         F.slice(w, F.lit(1), bg_len),
         F.slice(w, F.lit(2), bg_len),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    pairs = docs.select(id_col, F.explode(bg).alias("bg")).select(
+    return docs.select(id_col, F.explode(bg).alias("bg")).select(
         id_col, "bg.w1", "bg.w2"
     )
-    toks = docs.select(F.explode(w).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("u_cnt"))
-    total = toks.agg(F.count("*").cast("double").alias("n_total"))
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("b_cnt"))
-    ctx = big.groupBy("w1").agg(F.sum("b_cnt").cast("long").alias("c_cnt"))
-    tf = pairs.groupBy(id_col, "w1", "w2").agg(
+
+
+def bigram_scores_from_counts(
+    docs: DataFrame,
+    big_counts: DataFrame,
+    term_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents against EXPLICIT ``(w1, w2, b_cnt)`` bigram and
+    ``(term, cnt)`` unigram model tables — the shared core of
+    :func:`bigram_logprob_scores` (model = the docs themselves) and the
+    streaming serve (``streaming/wordcount.py bigram_nll_from_state``:
+    both tables are the incrementally maintained corpus counts, r10).
+    The context mass ``c(w1 ·)`` and the unigram total derive from the
+    model tables exactly as the batch op derives them from its own
+    corpus pass, so self-scoring is equality by construction. Candidate
+    bigrams absent from the model drop at the model join (as in the
+    unigram core)."""
+    uni = term_counts.select("term", F.col("cnt").alias("u_cnt"))
+    total = term_counts.agg(F.sum("cnt").cast("double").alias("n_total"))
+    ctx = big_counts.groupBy("w1").agg(
+        F.sum("b_cnt").cast("long").alias("c_cnt")
+    )
+    tf = _bigram_pairs(docs, text_col, id_col).groupBy(id_col, "w1", "w2").agg(
         F.count("*").cast("long").alias("tf")
     )
     p = (
@@ -459,7 +493,7 @@ def bigram_logprob_scores(
     )
     hint = F.broadcast if broadcast_model else (lambda d: d)
     return (
-        tf.join(hint(big), ["w1", "w2"])
+        tf.join(hint(big_counts), ["w1", "w2"])
         .join(hint(ctx), "w1")
         .join(hint(uni), F.col("w2") == F.col("term"))
         .crossJoin(F.broadcast(total))
@@ -623,8 +657,12 @@ def coverage_from_counts(
     """Coverage curve from a ``(term, cnt)`` table — shared by the
     batch operator and the streaming serve
     (``streaming/wordcount.py``), so stream==batch is equality by
-    construction."""
+    construction. Duplicate sizes are collapsed first (ADVICE r09:
+    each V mints a ``_cov_{V}`` alias, so a repeated V would raise an
+    AnalysisException); order is preserved."""
     from temporal_vector_database_spark.operators.dedup import _global_ranks
+
+    sizes = tuple(dict.fromkeys(sizes))
 
     ranked = _global_ranks(
         counts.withColumn("_negc", -F.col("cnt")), "_negc", "term"
@@ -837,6 +875,203 @@ def kneser_ney_logprob_scores(
                 / F.sum("tf").cast("double"),
                 6,
             ).alias("kn_nll"),
+        )
+    )
+
+
+def modified_kn_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated MODIFIED Kneser-Ney TRIGRAM language-model score
+    per document (r10, VERDICT r09 #4) — the smoothing that ships in
+    production n-gram LMs (Chen & Goodman 1999 §3; the KenLM default),
+    the rung above the plain-KN bigram (:func:`kneser_ney_logprob_scores`)
+    and the JM trigram (:func:`trigram_logprob_scores`):
+
+        p(w3|w1 w2) = max(c(w1w2w3) − D(c), 0) / c(w1w2·)
+                    + γ(w1w2) · p(w3|w2)
+        γ(w1w2)     = (D1·N1(w1w2·) + D2·N2(w1w2·) + D3·N3+(w1w2·))
+                      / c(w1w2·)
+
+    with THREE count-dependent discounts per order, estimated from the
+    order's count-of-counts (Y = n1/(n1 + 2·n2); D1 = 1 − 2Y·n2/n1;
+    D2 = 2 − 3Y·n3/n2; D3 = 3 − 4Y·n4/n3, clamped at 0, dyadic
+    fallbacks when a count-of-count is empty). The bigram level uses
+    CONTINUATION counts c'(w2 w3) = N1+(· w2 w3) (distinct preceding
+    w1 over the trigram table) with its own data-estimated discounts
+    and back-off weight, bottoming out at the continuation unigram
+    p_cont(w3) = N1+(· w3)/N1+(· ·). Every seen trigram gets p > 0
+    (the corpus is its own model), no unk-mass bookkeeping. Score =
+    mean −ln p over the doc's trigrams, 6 dp; docs with < 3 tokens are
+    omitted.
+
+    Output: ``(doc_id, n_trigrams, mkn_nll)``.
+
+    Plan: ONE trigram pass feeds every model table — the trigram
+    counts, per-context masses + discount buckets (N1/N2/N3+ as one
+    conditional aggregate), the continuation-bigram table (a distinct
+    aggregate of the same pass), its context buckets, the continuation
+    unigram, and the two 1-row count-of-count tables whose discounts
+    broadcast as scalars. All vocabulary-bounded aggregates broadcast
+    back over the per-(doc, trigram) tf grain
+    (``broadcast_model=False`` shuffles them at billion-type scale,
+    the family posture). The oracle mirrors the exact expression tree
+    (association order pinned) so both engines multiply bit-identical
+    doubles."""
+    w = _words(text_col)
+    n = F.size(w)
+    tri_len = F.greatest(n - F.lit(2), F.lit(0))
+    tg = F.zip_with(
+        F.zip_with(
+            F.slice(w, F.lit(1), tri_len),
+            F.slice(w, F.lit(2), tri_len),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        F.slice(w, F.lit(3), tri_len),
+        lambda p, z: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
+        ),
+    )
+    trip = docs.select(id_col, F.explode(tg).alias("t")).select(
+        id_col, "t.w1", "t.w2", "t.w3"
+    )
+    tri = trip.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("t_cnt")
+    )
+
+    def _buckets(cnt_col: str):
+        return [
+            F.sum(F.when(F.col(cnt_col) == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("b1"),
+            F.sum(F.when(F.col(cnt_col) == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("b2"),
+            F.sum(F.when(F.col(cnt_col) >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("b3"),
+        ]
+
+    def _discounts(counts: DataFrame, cnt_col: str, pre: str) -> DataFrame:
+        """1-row (D1, D2, D3) from the order's count-of-counts —
+        clamped at 0, dyadic fallbacks for empty n_k (both engines
+        compute the identical expression tree)."""
+        coc = counts.agg(
+            *[
+                F.sum(F.when(F.col(cnt_col) == k, 1).otherwise(0))
+                .cast("double")
+                .alias(f"n{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+        y = F.when(
+            F.col("n1") + F.lit(2.0) * F.col("n2") > 0,
+            F.col("n1") / (F.col("n1") + F.lit(2.0) * F.col("n2")),
+        ).otherwise(F.lit(0.5))
+        return coc.select(
+            F.when(
+                F.col("n1") > 0,
+                F.greatest(
+                    F.lit(1.0) - F.lit(2.0) * y * F.col("n2") / F.col("n1"),
+                    F.lit(0.0),
+                ),
+            )
+            .otherwise(F.lit(0.5))
+            .alias(f"{pre}1"),
+            F.when(
+                F.col("n2") > 0,
+                F.greatest(
+                    F.lit(2.0) - F.lit(3.0) * y * F.col("n3") / F.col("n2"),
+                    F.lit(0.0),
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias(f"{pre}2"),
+            F.when(
+                F.col("n3") > 0,
+                F.greatest(
+                    F.lit(3.0) - F.lit(4.0) * y * F.col("n4") / F.col("n3"),
+                    F.lit(0.0),
+                ),
+            )
+            .otherwise(F.lit(1.5))
+            .alias(f"{pre}3"),
+        )
+
+    ctx3 = tri.groupBy("w1", "w2").agg(
+        F.sum("t_cnt").cast("long").alias("c3_cnt"), *_buckets("t_cnt")
+    ).withColumnsRenamed({"b1": "nt1", "b2": "nt2", "b3": "nt3"})
+    d3 = _discounts(tri, "t_cnt", "d")
+    cbig = tri.groupBy("w2", "w3").agg(
+        F.count("*").cast("long").alias("cp_cnt")
+    )
+    ctx2 = cbig.groupBy("w2").agg(
+        F.sum("cp_cnt").cast("long").alias("c2_cnt"), *_buckets("cp_cnt")
+    ).withColumnsRenamed({"b1": "nb1", "b2": "nb2", "b3": "nb3"})
+    e2 = _discounts(cbig, "cp_cnt", "e")
+    cont = cbig.groupBy("w3").agg(
+        F.count("*").cast("long").alias("n1p_bwd")
+    )
+    types = cbig.agg(F.count("*").cast("double").alias("n_types"))
+    tf = trip.groupBy(id_col, "w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+    def _disc_of(cnt: str, pre: str):
+        return (
+            F.when(F.col(cnt) == 1, F.col(f"{pre}1"))
+            .when(F.col(cnt) == 2, F.col(f"{pre}2"))
+            .otherwise(F.col(f"{pre}3"))
+        )
+
+    pcont = F.col("n1p_bwd").cast("double") / F.col("n_types")
+    g2 = (
+        F.col("e1") * F.col("nb1").cast("double")
+        + F.col("e2") * F.col("nb2").cast("double")
+        + F.col("e3") * F.col("nb3").cast("double")
+    ) / F.col("c2_cnt").cast("double")
+    p2 = (
+        F.greatest(
+            F.col("cp_cnt").cast("double") - _disc_of("cp_cnt", "e"),
+            F.lit(0.0),
+        )
+        / F.col("c2_cnt").cast("double")
+        + g2 * pcont
+    )
+    g3 = (
+        F.col("d1") * F.col("nt1").cast("double")
+        + F.col("d2") * F.col("nt2").cast("double")
+        + F.col("d3") * F.col("nt3").cast("double")
+    ) / F.col("c3_cnt").cast("double")
+    p3 = (
+        F.greatest(
+            F.col("t_cnt").cast("double") - _disc_of("t_cnt", "d"),
+            F.lit(0.0),
+        )
+        / F.col("c3_cnt").cast("double")
+        + g3 * p2
+    )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    return (
+        tf.join(hint(tri), ["w1", "w2", "w3"])
+        .join(hint(ctx3), ["w1", "w2"])
+        .join(hint(cbig), ["w2", "w3"])
+        .join(hint(ctx2), "w2")
+        .join(hint(cont), "w3")
+        .crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(d3))
+        .crossJoin(F.broadcast(e2))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.round(
+                -F.sum(F.col("tf").cast("double") * F.log(p3))
+                / F.sum("tf").cast("double"),
+                6,
+            ).alias("mkn_nll"),
         )
     )
 

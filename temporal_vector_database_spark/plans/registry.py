@@ -2453,6 +2453,21 @@ def q_kneser_ney_nll(spark, sf_dir):
     return kneser_ney_logprob_scores(docs)
 
 
+def q_modified_kn_nll(spark, sf_dir):
+    """r10 (VERDICT r09 #4): interpolated MODIFIED Kneser-Ney trigram
+    LM score per doc — three count-dependent discounts per order
+    estimated from that order's count-of-counts (Chen & Goodman 1999;
+    the KenLM default), continuation-count bigram back-off, continuation
+    unigram floor. Oracle mirrors the exact expression tree over the
+    same vocabulary-bounded count tables."""
+    from temporal_vector_database_spark.operators.textindex import (
+        modified_kn_logprob_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    return modified_kn_logprob_scores(docs)
 
 
 def q_perplexity_band(spark, sf_dir):
@@ -5766,6 +5781,104 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
            * (CAST(n1p_bwd AS DOUBLE) / n_types)
        )) / CAST(sum(tf) AS DOUBLE), 6) AS kn_nll
 FROM joined, types
+GROUP BY doc_id
+"""
+
+ORACLES["modified_kn_nll"] = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+trips AS (
+  SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3 FROM (
+    SELECT doc_id, unnest(list_zip(
+      toks[1:greatest(len(toks) - 2, 0)],
+      toks[2:greatest(len(toks) - 1, 1)],
+      toks[3:len(toks)]
+    )) AS tg
+    FROM t WHERE len(toks) >= 3
+  )
+),
+tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS t_cnt FROM trips GROUP BY 1, 2, 3),
+ctx3 AS (
+  SELECT w1, w2, CAST(sum(t_cnt) AS BIGINT) AS c3_cnt,
+         CAST(sum(CASE WHEN t_cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt1,
+         CAST(sum(CASE WHEN t_cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nt2,
+         CAST(sum(CASE WHEN t_cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nt3
+  FROM tri GROUP BY 1, 2
+),
+coc3 AS (
+  SELECT CAST(sum(CASE WHEN t_cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN t_cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN t_cnt = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+         CAST(sum(CASE WHEN t_cnt = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4
+  FROM tri
+),
+d3 AS (
+  SELECT
+    CASE WHEN n1 > 0 THEN greatest(1.0 - 2.0 * (CASE WHEN n1 + 2.0 * n2 > 0
+      THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END) * n2 / n1, 0.0) ELSE 0.5 END AS d1,
+    CASE WHEN n2 > 0 THEN greatest(2.0 - 3.0 * (CASE WHEN n1 + 2.0 * n2 > 0
+      THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END) * n3 / n2, 0.0) ELSE 1.0 END AS d2,
+    CASE WHEN n3 > 0 THEN greatest(3.0 - 4.0 * (CASE WHEN n1 + 2.0 * n2 > 0
+      THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END) * n4 / n3, 0.0) ELSE 1.5 END AS d3
+  FROM coc3
+),
+cbig AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cp_cnt FROM tri GROUP BY 1, 2),
+ctx2 AS (
+  SELECT w2, CAST(sum(cp_cnt) AS BIGINT) AS c2_cnt,
+         CAST(sum(CASE WHEN cp_cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb1,
+         CAST(sum(CASE WHEN cp_cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nb2,
+         CAST(sum(CASE WHEN cp_cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nb3
+  FROM cbig GROUP BY 1
+),
+coc2 AS (
+  SELECT CAST(sum(CASE WHEN cp_cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN cp_cnt = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(sum(CASE WHEN cp_cnt = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+         CAST(sum(CASE WHEN cp_cnt = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4
+  FROM cbig
+),
+e2 AS (
+  SELECT
+    CASE WHEN n1 > 0 THEN greatest(1.0 - 2.0 * (CASE WHEN n1 + 2.0 * n2 > 0
+      THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END) * n2 / n1, 0.0) ELSE 0.5 END AS e1,
+    CASE WHEN n2 > 0 THEN greatest(2.0 - 3.0 * (CASE WHEN n1 + 2.0 * n2 > 0
+      THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END) * n3 / n2, 0.0) ELSE 1.0 END AS e2,
+    CASE WHEN n3 > 0 THEN greatest(3.0 - 4.0 * (CASE WHEN n1 + 2.0 * n2 > 0
+      THEN n1 / (n1 + 2.0 * n2) ELSE 0.5 END) * n4 / n3, 0.0) ELSE 1.5 END AS e3
+  FROM coc2
+),
+cont AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1p_bwd FROM cbig GROUP BY 1),
+types AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cbig),
+tf AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf FROM trips GROUP BY 1, 2, 3, 4),
+-- the multi-way model join is MATERIALIZED: same DuckDB join-order
+-- degeneration under an ln-aggregate as trigram_nll (measured there)
+joined AS MATERIALIZED (
+  SELECT doc_id, tf, t_cnt, c3_cnt, nt1, nt2, nt3,
+         cp_cnt, c2_cnt, nb1, nb2, nb3, n1p_bwd
+  FROM tf
+  JOIN tri USING (w1, w2, w3)
+  JOIN ctx3 USING (w1, w2)
+  JOIN cbig USING (w2, w3)
+  JOIN ctx2 USING (w2)
+  JOIN cont USING (w3)
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       round(-sum(CAST(tf AS DOUBLE) * ln(
+         greatest(CAST(t_cnt AS DOUBLE) - CASE WHEN t_cnt = 1 THEN d1
+           WHEN t_cnt = 2 THEN d2 ELSE d3 END, 0.0) / CAST(c3_cnt AS DOUBLE)
+         + (d1 * CAST(nt1 AS DOUBLE) + d2 * CAST(nt2 AS DOUBLE)
+            + d3 * CAST(nt3 AS DOUBLE)) / CAST(c3_cnt AS DOUBLE)
+           * (
+             greatest(CAST(cp_cnt AS DOUBLE) - CASE WHEN cp_cnt = 1 THEN e1
+               WHEN cp_cnt = 2 THEN e2 ELSE e3 END, 0.0) / CAST(c2_cnt AS DOUBLE)
+             + (e1 * CAST(nb1 AS DOUBLE) + e2 * CAST(nb2 AS DOUBLE)
+                + e3 * CAST(nb3 AS DOUBLE)) / CAST(c2_cnt AS DOUBLE)
+               * (CAST(n1p_bwd AS DOUBLE) / n_types)
+           )
+       )) / CAST(sum(tf) AS DOUBLE), 6) AS mkn_nll
+FROM joined, types, d3, e2
 GROUP BY doc_id
 """
 
@@ -11554,6 +11667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_nll": q_bigram_nll,
     "trigram_nll": q_trigram_nll,
     "kneser_ney_nll": q_kneser_ney_nll,
+    "modified_kn_nll": q_modified_kn_nll,
     "perplexity_band": q_perplexity_band,
     "vocab_coverage": q_vocab_coverage,
     "training_pipeline_banded": q_training_pipeline_banded,
@@ -11855,6 +11969,77 @@ _R09_FRONT = [
 ]
 QUERIES = {k: QUERIES[k] for k in _R09_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R09_FRONT)
+}
+
+
+# --- r10 rotation -----------------------------------------------------
+# Policy (SCALE.md "Driver-cap rotation", VERDICT r09 #1): (1) the two
+# r09 gates that landed past the r09 front-50 and have NEVER been
+# driver-checked, (2) gates new in r10, (3) ALL 46 rows whose last
+# driver check is r05 — reference-core rows ingest_encode /
+# nearest_base first (VERDICT r09 #1), the rest in r05 check order.
+# That spends 2 + new + 46 of the 50-cap; any remainder pulls the
+# oldest r06 rows (version_rollup_report_ts first). After this round no
+# ledger row's last driver check predates r06.
+_R10_FRONT = [
+    # (1) never driver-checked (landed past the r09 cap)
+    "graph_beam_search",
+    "kfold_assign",
+    # (2) new this round
+    "modified_kn_nll",
+    # (3) the 46 rows last driver-checked in r05 (reference-core first,
+    # then r05 check order)
+    "ingest_encode",
+    "nearest_base",
+    "pca_topk",
+    "ivf_recall_eval",
+    "events_interval_coverage",
+    "events_bitemporal",
+    "events_key_skew",
+    "knn_graph",
+    "knn_classify",
+    "semantic_decontaminate",
+    "ivf_rank_eval",
+    "mrl_topk_persisted",
+    "events_scd2_cdc",
+    "events_uptime",
+    "events_approx_quantiles",
+    "bloom_decontaminate",
+    "events_rolling_anomaly",
+    "events_cube",
+    "leakage_safe_split",
+    "ivf_radius_search",
+    "events_rolling_users",
+    "corpus_top_ngrams",
+    "events_twa",
+    "events_rolling_users_approx",
+    "events_rolling_anomaly_state",
+    "ivfpq_topk_persisted",
+    "pq_topk_persisted",
+    "ivfpq_residual_topk_persisted",
+    "events_m4",
+    "events_counter_rate",
+    "ivf_filtered_topk",
+    "dsir_select",
+    "token_budget_mixture",
+    "neardup_pagerank",
+    "events_type_corr",
+    "weighted_reservoir",
+    "collocations_pmi",
+    "dataset_diff",
+    "maxsim_rerank",
+    "ngram_containment",
+    "events_seasonality",
+    "events_conversion_latency",
+    "events_trend",
+    "events_user_entropy",
+    "dataset_drift",
+    "ngram_containment_short",
+    # (4) fill to the cap from the oldest r06 rows
+    "version_rollup_report_ts",
+]
+QUERIES = {k: QUERIES[k] for k in _R10_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R10_FRONT)
 }
 
 

@@ -63,3 +63,22 @@ def replay_guard(vs: list[int], batch_id: int, state_dir: str) -> bool:
             "original checkpoint."
         )
     return batch_id == head
+
+
+def committed_batch_dirs(state_dir: str) -> list[str]:
+    """Absolute paths of the ``batch=N`` partial dirs under
+    ``state_dir`` whose parquet write COMMITTED (``_SUCCESS`` present) —
+    the additive-partial twin of :func:`committed_versions` (ADVICE
+    r09): a torn ``batch=N`` write from a crashed micro-batch stays
+    invisible to the serving path until that batch's replay overwrites
+    it. Sorted by batch id for deterministic read order."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("batch=") and os.path.exists(
+            os.path.join(state_dir, d, "_SUCCESS")
+        ):
+            out.append(d)
+    out.sort(key=lambda d: int(d.split("=", 1)[1]))
+    return [os.path.join(state_dir, d) for d in out]

@@ -25,12 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from temporal_vector_database_spark.operators.textindex import _words
-
-
-def _has_batches(state_dir: str) -> bool:
-    return os.path.isdir(state_dir) and any(
-        d.startswith("batch=") for d in os.listdir(state_dir)
-    )
+from temporal_vector_database_spark.streaming._state import committed_batch_dirs
 
 
 def process_wordcount_batch(
@@ -56,12 +51,13 @@ def process_wordcount_batch(
 
 def read_term_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Merged ``(term, cnt)`` table from the partial state, or None
-    before the first commit."""
-    if not _has_batches(state_dir):
+    before the first commit. Only ``_SUCCESS``-committed batch dirs are
+    read (ADVICE r09): a torn write from a crashed batch is invisible
+    until its replay lands."""
+    dirs = committed_batch_dirs(state_dir)
+    if not dirs:
         return None
-    raw = spark.read.option("basePath", state_dir).parquet(
-        os.path.join(state_dir, "batch=*")
-    )
+    raw = spark.read.option("basePath", state_dir).parquet(*dirs)
     return raw.groupBy("term").agg(
         F.sum("cnt_part").cast("long").alias("cnt")
     )
@@ -113,17 +109,89 @@ def unigram_nll_from_state(
     return unigram_scores_from_counts(docs, counts, text_col, id_col)
 
 
+def process_bigram_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Fold one micro-batch's BIGRAM occurrence counts into the state
+    (r10, VERDICT r09 #5) — same additive-partial scheme as the term
+    counts: each batch writes its own ``batch=N`` partition of
+    ``(w1, w2, cnt_part)``; replay overwrites by partition."""
+    from temporal_vector_database_spark.operators.textindex import _bigram_pairs
+
+    if batch_df.isEmpty():
+        return
+    part = (
+        _bigram_pairs(batch_df.withColumn("_one", F.lit(1)), text_col, "_one")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt_part"))
+    )
+    part.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+
+
+def read_bigram_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Merged ``(w1, w2, b_cnt)`` table from the bigram partial state
+    (``_SUCCESS``-committed batches only), or None before the first
+    commit."""
+    dirs = committed_batch_dirs(state_dir)
+    if not dirs:
+        return None
+    raw = spark.read.option("basePath", state_dir).parquet(*dirs)
+    return raw.groupBy("w1", "w2").agg(
+        F.sum("cnt_part").cast("long").alias("b_cnt")
+    )
+
+
+def bigram_nll_from_state(
+    spark: SparkSession,
+    term_state_dir: str,
+    bigram_state_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame | None:
+    """Score CANDIDATE documents against the incrementally maintained
+    corpus BIGRAM model (r10) — the JM-interpolated rung served from
+    streaming state: the bigram table, its per-``w1`` context mass,
+    the unigram fallback, and the token total all derive from the two
+    maintained count states, so scoring the streamed corpus against
+    itself is bit-equal to the batch ``bigram_logprob_scores`` (shared
+    ``bigram_scores_from_counts`` core; stream==batch pinned in
+    tests). Candidate bigrams unseen by the model drop at the model
+    join."""
+    from temporal_vector_database_spark.operators.textindex import (
+        bigram_scores_from_counts,
+    )
+
+    terms = read_term_counts(spark, term_state_dir)
+    bigs = read_bigram_counts(spark, bigram_state_dir)
+    if terms is None or bigs is None:
+        return None
+    return bigram_scores_from_counts(
+        docs, bigs, terms, text_col, id_col, lam
+    )
+
+
 def run_wordcount_stream(
     doc_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    bigram_state_dir: str | None = None,
 ) -> None:
     """Drain available document batches into the count state
-    (Trigger.AvailableNow)."""
+    (Trigger.AvailableNow); pass ``bigram_state_dir`` to maintain the
+    bigram partials from the same pass (r10)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_wordcount_batch(batch_df, batch_id, state_dir, text_col)
+        if bigram_state_dir is not None:
+            process_bigram_batch(batch_df, batch_id, bigram_state_dir, text_col)
 
     q = (
         doc_stream.writeStream.foreachBatch(process)

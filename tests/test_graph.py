@@ -243,3 +243,29 @@ def test_label_propagation_semantics(spark):
     three = {r.id: r.label for r in label_propagation(e2, s2, n_iter=3).collect()}
     assert one == {10: "x", 11: "x", 12: None, 13: None}
     assert three == {10: "x", 11: "x", 12: "x", 13: "x"}
+
+
+def test_label_propagation_deep_iterations(spark):
+    """VERDICT r09 #2: exercise n_iter well past the gate's 3 so the
+    checkpoint cadence path runs. A 13-node chain from one seed needs
+    12 synchronous rounds to reach the far end; the run must stay
+    correct AND the returned plan must not carry the unpinned
+    exponential lineage (string length is a cheap proxy: with the
+    cadence the parsed plan stays far below the no-checkpoint blowup).
+    """
+    from temporal_vector_database_spark.operators.graph import label_propagation
+
+    chain = [(i, i + 1) for i in range(20, 32)]  # 13 nodes, 12 hops
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in chain] + [(b, a) for a, b in chain],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(20, "x")], "id long, label string")
+    out = label_propagation(edges, seeds, n_iter=12)
+    got = {r.id: r.label for r in out.collect()}
+    assert got == {i: "x" for i in range(20, 33)}
+    # lineage pin: each round references the previous labels plan twice,
+    # so without the every-4-rounds localCheckpoint the logical plan is
+    # O(2^12) joins deep; with it, at most ~2^4 per pinned segment.
+    plan = out._jdf.queryExecution().logical().toString()
+    assert len(plan) < 2_000_000, f"label plan blew up: {len(plan)} chars"
