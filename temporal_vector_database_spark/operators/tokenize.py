@@ -460,8 +460,16 @@ def bpe_train_batched(
     ('th','e') right after ('t','h')) cannot be selected until the next
     round, so a batch may commit a lower-count pair that sequential
     would have deferred below it. This is the standard quality/launch
-    trade of production batched tokenizer trainers; the learned-rule
-    DIVERGENCE is bounded to within-round reordering of the frontier.
+    trade of production batched tokenizer trainers. The learned-rule
+    divergence is NOT just within-round reordering — it compounds
+    across rounds (a different round-1 commit changes every later
+    count table), and the in-round symbol-disjointness rule itself
+    skips pairs sequential BPE would take (('th','e') right after
+    ('t','h')). Measured on the sf0.01 corpus (SCALE.md r10
+    "Batched-BPE divergence", pinned in tests): at 64 merges, B=8
+    learns 35/64 of the sequential rule set, B=64 learns 27/64, while
+    B=8 cuts wall 6× — use large B for throwaway/exploratory vocabs
+    and B=1 (the exact sequential fold) when tokenizer parity matters.
     The batch semantics themselves are value-gated by an unrolled
     relational oracle (``bpe_train_batched`` gate: per-round top-B
     disjoint selection + sequential in-round parity merges in SQL).

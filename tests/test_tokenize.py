@@ -260,3 +260,32 @@ def test_bpe_train_batched_semantics_and_b1_equality(spark):
 
     with pytest.raises(ValueError, match="batch_size"):
         bpe_train_batched(docs, batch_size=0)
+
+
+def test_bpe_batched_divergence_curve(spark):
+    """r10 (VERDICT r09 #7): the SCALE.md batched-BPE divergence figure,
+    pinned — on the sf0.01 corpus at 32 merges, B=8 shares exactly 19 of
+    32 learned rules with the sequential fold (everything deterministic,
+    so this is an exact equality, not a floor). Guards the docstring's
+    empirical claim against silent selection-rule drift."""
+    from temporal_vector_database_spark.operators.tokenize import (
+        bpe_train_batched,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seq = [
+        (r.left_tok, r.right_tok)
+        for r in bpe_train_batched(docs, n_merges=32, batch_size=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    b8 = [
+        (r.left_tok, r.right_tok)
+        for r in bpe_train_batched(docs, n_merges=32, batch_size=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert len(seq) == 32 and len(b8) == 32
+    assert len(set(seq) & set(b8)) == 19
