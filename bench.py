@@ -196,6 +196,12 @@ HEADLINE = (
     "dedup_cluster_sizes",
     "label_propagation",
     "bpe_train_batched",
+    # r10 additions
+    "modified_kn_nll",
+    "kfold_assign",
+    # r10: graph_beam_search_ivf follows the graph_beam_search non-bench
+    # rationale below (build-dominated); correctness gated, recall
+    # ladder measured in SCALE.md.
     # r09: graph_beam_search is deliberately NOT benched — its sf0.1
     # cost (12.7 s min) is ~90% the knn_graph BUILD it queries over
     # (the build path is already measured via nn_descent and the ANN

@@ -1666,6 +1666,7 @@ def graph_beam_search(
     n_rounds: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """GREEDY BEAM SEARCH over a persisted kNN graph (r09) — the
     SERVING half of graph ANN (the HNSW/NSG query pattern at layer 0),
@@ -1687,7 +1688,16 @@ def graph_beam_search(
 
     ``graph`` columns: ``(id, nbr)`` directed adjacency (a
     ``knn_graph`` output renamed, or ``nn_descent``'s refined edges;
-    symmetrize for better reachability on low-degree graphs)."""
+    symmetrize for better reachability on low-degree graphs).
+
+    ``seeds`` (r10): optional PER-QUERY entry points ``(query_id,
+    cand)`` — the production config (HNSW enters at a point near the
+    query, not a global one): pass ``ivf_topk``'s top-``beam`` per
+    query so the walk starts inside the query's neighborhood instead
+    of at the ``beam`` globally-smallest ids. Measured at sf0.1
+    (SCALE.md graph-ANN ladder): IVF seeding lifts recall@5 where the
+    fixed-seed walk's gradient is weakest, at zero extra rounds. When
+    omitted, the deterministic fixed global seed beam is used."""
     from temporal_vector_database_spark.functions.vector import cosine
 
     if not (0 < int(k) <= int(beam)):
@@ -1697,12 +1707,15 @@ def graph_beam_search(
     )
     q = queries.select("query_id", F.col(emb_col).alias("_q_emb"))
     g = graph.select(F.col("id").alias("cand"), "nbr")
-    seeds = (
-        embeddings.select(F.col(id_col).alias("cand"))
-        .orderBy("cand")
-        .limit(int(beam))
-    )
-    frontier = q.select("query_id").crossJoin(F.broadcast(seeds))
+    if seeds is None:
+        global_seeds = (
+            embeddings.select(F.col(id_col).alias("cand"))
+            .orderBy("cand")
+            .limit(int(beam))
+        )
+        frontier = q.select("query_id").crossJoin(F.broadcast(global_seeds))
+    else:
+        frontier = seeds.select("query_id", "cand")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand"))
     scored = None
     for _ in range(int(n_rounds)):

@@ -7752,7 +7752,23 @@ def q_graph_beam_search(spark, sf_dir):
     return graph_beam_search(emb, g, qs, k=5, beam=8, n_rounds=3)
 
 
-def _beam_search_oracle_sql(k: int, beam: int, rounds: int) -> str:
+def _beam_search_oracle_sql(
+    k: int, beam: int, rounds: int, ivf_seeded: bool = False
+) -> str:
+    if ivf_seeded:
+        # per-query entry points: the query's own IVF top-`beam` (the
+        # `ranked` CTE already ranks every vector as a query under
+        # query_filter=TRUE / exclude_self=True — exactly Spark's
+        # ivf_topk(..., exclude_self=True) over the probe queries)
+        seed_sql = f""",
+f0 AS MATERIALIZED (
+  SELECT query_id, vec_id AS cand FROM ranked
+  WHERE query_id % 97 = 1 AND rank <= {beam}
+)"""
+    else:
+        seed_sql = f""",
+seeds AS (SELECT vec_id AS cand FROM en ORDER BY vec_id LIMIT {beam}),
+f0 AS MATERIALIZED (SELECT q.query_id, s.cand FROM qs q, seeds s)"""
     parts = [
         _QEMB_CTE,
         _ivf_ranked_body(query_filter="TRUE", exclude_self=True),
@@ -7761,9 +7777,8 @@ g AS MATERIALIZED (SELECT query_id AS id, vec_id AS nbr FROM ranked WHERE rank <
 qs AS MATERIALIZED (
   SELECT CAST(vec_id AS INTEGER) AS query_id, emb AS qemb, nrm AS qnrm
   FROM en WHERE vec_id % 97 = 1
-),
-seeds AS (SELECT vec_id AS cand FROM en ORDER BY vec_id LIMIT {beam}),
-f0 AS MATERIALIZED (SELECT q.query_id, s.cand FROM qs q, seeds s)""",
+)"""
+        + seed_sql,
     ]
     for r in range(1, rounds + 1):
         p = r - 1
@@ -7812,6 +7827,35 @@ FROM (
 
 
 ORACLES["graph_beam_search"] = _beam_search_oracle_sql(5, 8, 3)
+
+
+def q_graph_beam_search_ivf(spark, sf_dir):
+    """r10: IVF-SEEDED beam search — the production graph-ANN serving
+    config (HNSW enters near the query): per-query entry points are the
+    query's own IVF top-8 (exclude-self), then the same 3 synchronous
+    expand-score-prune rounds over the 5-NN graph. Oracle derives the
+    seeds from the identical relational IVF ranking and unrolls every
+    round."""
+    from temporal_vector_database_spark.operators.search import (
+        graph_beam_search,
+        ivf_topk,
+        knn_graph,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    g = knn_graph(emb, k=5, nprobe=2).select(
+        F.col("query_id").alias("id"), F.col("vec_id").alias("nbr")
+    )
+    qs = emb.where(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    seeds = ivf_topk(emb, qs, k=8, nprobe=2, exclude_self=True).select(
+        "query_id", F.col("vec_id").alias("cand")
+    )
+    return graph_beam_search(emb, g, qs, k=5, beam=8, n_rounds=3, seeds=seeds)
+
+
+ORACLES["graph_beam_search_ivf"] = _beam_search_oracle_sql(5, 8, 3, ivf_seeded=True)
 
 
 def q_nn_descent(spark, sf_dir):
@@ -11583,6 +11627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_changepoint": q_events_changepoint,
     "nn_descent": q_nn_descent,
     "graph_beam_search": q_graph_beam_search,
+    "graph_beam_search_ivf": q_graph_beam_search_ivf,
     "snapshot_read": q_snapshot_read,
     "bbit_minhash": q_bbit_minhash,
     "embedding_quantile_norm": q_embedding_quantile_norm,
@@ -11978,15 +12023,15 @@ QUERIES = {k: QUERIES[k] for k in _R09_FRONT} | {
 # driver-checked, (2) gates new in r10, (3) ALL 46 rows whose last
 # driver check is r05 — reference-core rows ingest_encode /
 # nearest_base first (VERDICT r09 #1), the rest in r05 check order.
-# That spends 2 + new + 46 of the 50-cap; any remainder pulls the
-# oldest r06 rows (version_rollup_report_ts first). After this round no
-# ledger row's last driver check predates r06.
+# The 2 never-checked + 2 new + 46 r05 rows spend the 50-cap exactly.
+# After this round no ledger row's last driver check predates r06.
 _R10_FRONT = [
     # (1) never driver-checked (landed past the r09 cap)
     "graph_beam_search",
     "kfold_assign",
     # (2) new this round
     "modified_kn_nll",
+    "graph_beam_search_ivf",
     # (3) the 46 rows last driver-checked in r05 (reference-core first,
     # then r05 check order)
     "ingest_encode",
@@ -12035,8 +12080,6 @@ _R10_FRONT = [
     "events_user_entropy",
     "dataset_drift",
     "ngram_containment_short",
-    # (4) fill to the cap from the oldest r06 rows
-    "version_rollup_report_ts",
 ]
 QUERIES = {k: QUERIES[k] for k in _R10_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R10_FRONT)

@@ -1428,3 +1428,57 @@ def test_graph_beam_search_recall_sf01(spark):
     recs = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
     recall = sum(recs) / len(recs)
     assert recall >= 0.75, recall
+
+
+def test_graph_beam_search_ivf_seeded_short_budget(spark):
+    """r10: at a SHORT serve budget (beam 16, 2 rounds) IVF-seeded
+    entry points beat the fixed global seed beam on recall@5 at sf0.1
+    (measured 0.614 vs 0.416, deterministic — floors 0.55/strict win
+    pinned), and massively beat the raw IVF seeder alone (0.129)."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.search import (
+        ann_brute_force,
+        graph_beam_search,
+        ivf_topk,
+        nn_descent,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1024) / 1024,
+        ).alias("embedding"),
+    )
+    qs = emb.where(F.col("vec_id") % 23 == 7).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    g = nn_descent(emb, k=10, rounds=2, nprobe=2).select(
+        F.col("query_id").alias("id"), F.col("vec_id").alias("nbr")
+    )
+    sym = (
+        g.union(g.select(F.col("nbr").alias("id"), F.col("id").alias("nbr")))
+        .distinct()
+        .localCheckpoint()
+    )
+    truth = {}
+    for r in ann_brute_force(emb, qs, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(seeds):
+        got = {}
+        rows = graph_beam_search(
+            emb, sym, qs, k=5, beam=16, n_rounds=2, seeds=seeds
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        recs = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        return sum(recs) / len(recs)
+
+    seeds = ivf_topk(emb, qs, k=16, nprobe=2, exclude_self=True).select(
+        "query_id", F.col("vec_id").alias("cand")
+    )
+    r_seeded, r_fixed = recall(seeds), recall(None)
+    assert r_seeded >= 0.55, r_seeded
+    assert r_seeded > r_fixed, (r_seeded, r_fixed)
