@@ -543,9 +543,23 @@ def trigram_logprob_scores(
     outgrows a broadcast — the joins become key-shuffles; tf grain
     spreads hot n-grams and AQE splits the rest, the
     ``bigram_logprob_scores`` posture)."""
-    l3, l2, l1 = (float(x) for x in lams)
-    if abs(l1 + l2 + l3 - 1.0) > 1e-12:
-        raise ValueError(f"lams must sum to 1, got {lams}")
+    tri = _trigram_triples(docs, text_col, id_col).groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("t_cnt")
+    )
+    big = _bigram_pairs(docs, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("b_cnt")
+    )
+    toks = docs.select(F.explode(_words(text_col)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    return trigram_scores_from_counts(
+        docs, tri, big, uni, text_col, id_col, lams, broadcast_model
+    )
+
+
+def _trigram_triples(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document trigram occurrences ``(id, w1, w2, w3)`` off the
+    token array (nested ``zip_with`` of three clamped slices — no
+    self-join, no positions)."""
     w = _words(text_col)
     n = F.size(w)
     tri_len = F.greatest(n - F.lit(2), F.lit(0))
@@ -559,27 +573,41 @@ def trigram_logprob_scores(
             p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
         ),
     )
-    trip = docs.select(id_col, F.explode(tg).alias("t")).select(
+    return docs.select(id_col, F.explode(tg).alias("t")).select(
         id_col, "t.w1", "t.w2", "t.w3"
     )
-    bg_len = F.greatest(n - F.lit(1), F.lit(0))
-    bg = F.zip_with(
-        F.slice(w, F.lit(1), bg_len),
-        F.slice(w, F.lit(2), bg_len),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
-    bpairs = docs.select(F.explode(bg).alias("bg")).select("bg.w1", "bg.w2")
-    toks = docs.select(F.explode(w).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("u_cnt"))
-    total = toks.agg(F.count("*").cast("double").alias("n_total"))
-    tri = trip.groupBy("w1", "w2", "w3").agg(
-        F.count("*").cast("long").alias("t_cnt")
-    )
+
+
+def trigram_scores_from_counts(
+    docs: DataFrame,
+    tri_counts: DataFrame,
+    big_counts: DataFrame,
+    term_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lams: tuple[float, float, float] = (0.5, 0.3125, 0.1875),
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents against EXPLICIT ``(w1, w2, w3, t_cnt)`` /
+    ``(w1, w2, b_cnt)`` / ``(term, cnt)`` model tables — the shared
+    core of :func:`trigram_logprob_scores` (model = the docs
+    themselves) and the streaming serve (``streaming/wordcount.py
+    trigram_nll_from_state``, r10). Context masses derive from the
+    model tables exactly as the batch op derives them from its own
+    corpus pass (c(w1 w2 ·) from the trigram table, c(w2 ·) from the
+    bigram table, N from the term table), so self-scoring is equality
+    by construction. Candidate trigrams absent from the model drop at
+    the model join."""
+    l3, l2, l1 = (float(x) for x in lams)
+    if abs(l1 + l2 + l3 - 1.0) > 1e-12:
+        raise ValueError(f"lams must sum to 1, got {lams}")
+    trip = _trigram_triples(docs, text_col, id_col)
+    uni = term_counts.select("term", F.col("cnt").alias("u_cnt"))
+    total = term_counts.agg(F.sum("cnt").cast("double").alias("n_total"))
+    tri = tri_counts
     ctx3 = tri.groupBy("w1", "w2").agg(F.sum("t_cnt").cast("long").alias("c3_cnt"))
-    big2 = (
-        bpairs.groupBy("w1", "w2")
-        .agg(F.count("*").cast("long").alias("b_cnt"))
-        .select(F.col("w1").alias("bw2"), F.col("w2").alias("bw3"), "b_cnt")
+    big2 = big_counts.select(
+        F.col("w1").alias("bw2"), F.col("w2").alias("bw3"), "b_cnt"
     )
     ctx2 = (
         big2.groupBy("bw2")

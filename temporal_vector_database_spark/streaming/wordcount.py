@@ -177,6 +177,76 @@ def bigram_nll_from_state(
     )
 
 
+def process_trigram_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Fold one micro-batch's TRIGRAM occurrence counts into the state
+    (r10) — additive ``(w1, w2, w3, cnt_part)`` partials, same
+    partition-overwrite replay idempotence as the term/bigram states."""
+    from temporal_vector_database_spark.operators.textindex import (
+        _trigram_triples,
+    )
+
+    if batch_df.isEmpty():
+        return
+    part = (
+        _trigram_triples(batch_df.withColumn("_one", F.lit(1)), text_col, "_one")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("cnt_part"))
+    )
+    part.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+
+
+def read_trigram_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Merged ``(w1, w2, w3, t_cnt)`` table from the trigram partial
+    state (``_SUCCESS``-committed batches only), or None before the
+    first commit."""
+    dirs = committed_batch_dirs(state_dir)
+    if not dirs:
+        return None
+    raw = spark.read.option("basePath", state_dir).parquet(*dirs)
+    return raw.groupBy("w1", "w2", "w3").agg(
+        F.sum("cnt_part").cast("long").alias("t_cnt")
+    )
+
+
+def trigram_nll_from_state(
+    spark: SparkSession,
+    term_state_dir: str,
+    bigram_state_dir: str,
+    trigram_state_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lams: tuple[float, float, float] = (0.5, 0.3125, 0.1875),
+) -> DataFrame | None:
+    """Score CANDIDATE documents against the incrementally maintained
+    corpus JM-TRIGRAM model (r10) — the top LM rung served from
+    streaming state: trigram, bigram, and unigram tables all come from
+    the three maintained count states (shared
+    ``trigram_scores_from_counts`` core, so self-scoring the streamed
+    corpus is bit-equal to the batch ``trigram_logprob_scores`` —
+    pinned in tests). Candidate trigrams unseen by the model drop at
+    the model join."""
+    from temporal_vector_database_spark.operators.textindex import (
+        trigram_scores_from_counts,
+    )
+
+    terms = read_term_counts(spark, term_state_dir)
+    bigs = read_bigram_counts(spark, bigram_state_dir)
+    tris = read_trigram_counts(spark, trigram_state_dir)
+    if terms is None or bigs is None or tris is None:
+        return None
+    return trigram_scores_from_counts(
+        docs, tris, bigs, terms, text_col, id_col, lams
+    )
+
+
 def run_wordcount_stream(
     doc_stream: DataFrame,
     state_dir: str,

@@ -1018,3 +1018,37 @@ def test_streaming_bigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
     with open(os.path.join(torn, "part-zzz.parquet"), "wb") as f:
         f.write(b"not parquet")
     assert canon(bigram_nll_from_state(spark, tstate, bstate, docs)) == served
+
+
+def test_streaming_trigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
+    """r10: JM-trigram scoring served from the three maintained count
+    states (term/bigram/trigram) is bit-equal to the batch self-scored
+    trigram_logprob_scores."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.textindex import (
+        trigram_logprob_scores,
+    )
+    from temporal_vector_database_spark.streaming.wordcount import (
+        process_bigram_batch,
+        process_trigram_batch,
+        process_wordcount_batch,
+        trigram_nll_from_state,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 5 == 3
+    )
+    t, b, g = (str(tmp_path / d) for d in ("t", "b", "g"))
+    assert trigram_nll_from_state(spark, t, b, g, docs) is None
+    for bid in range(2):
+        part = docs.where(F.col("doc_id") % 2 == bid)
+        process_wordcount_batch(part, bid, t)
+        process_bigram_batch(part, bid, b)
+        process_trigram_batch(part, bid, g)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    served = canon(trigram_nll_from_state(spark, t, b, g, docs))
+    assert served == canon(trigram_logprob_scores(docs)) and len(served) > 0
