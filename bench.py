@@ -310,6 +310,25 @@ def main() -> None:
     # adjudication mechanical — a regressed record carrying a high
     # loadavg is host noise, not a plan change
     load_start = list(os.getloadavg())
+    # absolute CPU probe (r10): a fixed single-thread workload whose
+    # wall time depends only on host state (CPU frequency/steal), never
+    # on this repo's code — two records with equal cpu_probe but
+    # different query times indicate a plan change; proportionally
+    # elevated cpu_probe indicates host drift (the r10 adjudication:
+    # UNTOUCHED queries measured uniformly 1.2-1.8x the r09 stamp)
+    import numpy as _np
+
+    _rng = _np.random.default_rng(7)
+    _a = _rng.random((512, 512))
+    _probe = []
+    for _ in range(5):
+        _t = time.perf_counter()
+        _b = _a @ _a
+        for _i in range(2_000_000):
+            pass
+        _probe.append(round(time.perf_counter() - _t, 4))
+    cpu_probe = min(_probe)
+    del _a, _b
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -353,6 +372,7 @@ def main() -> None:
             "start": [round(v, 2) for v in load_start],
             "end": [round(v, 2) for v in os.getloadavg()],
         },
+        "cpu_probe_sec": cpu_probe,
         "sf": sf,
     }
     sidecar = os.path.join(REPO, "BENCH_LOCAL.json")
