@@ -1130,12 +1130,25 @@ def perplexity_band_select(
     Plan: the unigram score pass + the two-phase distributed rank
     (``_global_ranks`` — no single-task global window) + one broadcast
     scalar N; the band filter is row-local."""
+    scored = unigram_logprob_scores(docs, text_col, id_col)
+    return band_from_scores(scored, lo_pct, hi_pct, id_col)
+
+
+def band_from_scores(
+    scored: DataFrame, lo_pct: int, hi_pct: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Percent-rank band selection over an EXPLICIT ``(id, n_tokens,
+    unigram_nll)`` score table — the shared core of
+    :func:`perplexity_band_select` (scores = the corpus self-scored)
+    and the streaming serve (``streaming/wordcount.py
+    perplexity_band_from_state``, r10: scores come from the maintained
+    count state). Same integer cross-multiplication band math, same
+    two-phase distributed rank."""
     from temporal_vector_database_spark.operators.dedup import _global_ranks
 
     lo, hi = int(lo_pct), int(hi_pct)
     if not (0 <= lo < hi <= 100):
         raise ValueError(f"need 0 <= lo < hi <= 100, got {lo_pct}, {hi_pct}")
-    scored = unigram_logprob_scores(docs, text_col, id_col)
     ranked = _global_ranks(scored, "unigram_nll", id_col)
     n1 = ranked.agg((F.count("*") - F.lit(1)).cast("long").alias("_n1"))
     return (

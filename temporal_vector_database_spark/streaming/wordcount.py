@@ -247,6 +247,35 @@ def trigram_nll_from_state(
     )
 
 
+def perplexity_band_from_state(
+    spark: SparkSession,
+    term_state_dir: str,
+    docs: DataFrame,
+    lo_pct: int = 25,
+    hi_pct: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """Middle-perplexity band selection SERVED from the maintained
+    term-count state (r10) — curate a new crawl batch against the
+    standing corpus LM without rescanning the corpus: score the
+    candidates with ``unigram_scores_from_counts``, then keep the
+    [lo, hi) percent-rank band AMONG THE CANDIDATES (shared
+    ``band_from_scores`` core — self-selecting the streamed corpus is
+    bit-equal to the batch ``perplexity_band_select``, pinned in
+    tests)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        band_from_scores,
+        unigram_scores_from_counts,
+    )
+
+    counts = read_term_counts(spark, term_state_dir)
+    if counts is None:
+        return None
+    scored = unigram_scores_from_counts(docs, counts, text_col, id_col)
+    return band_from_scores(scored, lo_pct, hi_pct, id_col)
+
+
 def run_wordcount_stream(
     doc_stream: DataFrame,
     state_dir: str,

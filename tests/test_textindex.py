@@ -1052,3 +1052,61 @@ def test_streaming_trigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
 
     served = canon(trigram_nll_from_state(spark, t, b, g, docs))
     assert served == canon(trigram_logprob_scores(docs)) and len(served) > 0
+
+
+def test_streaming_perplexity_band_from_state_equals_batch(spark, tmp_path, sf_dir):
+    """r10: band selection served from the maintained term-count state
+    is bit-equal to the batch perplexity_band_select when self-selecting
+    the streamed corpus (shared band_from_scores core)."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.textindex import (
+        perplexity_band_select,
+    )
+    from temporal_vector_database_spark.streaming.wordcount import (
+        perplexity_band_from_state,
+        process_wordcount_batch,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 5 == 4
+    )
+    state = str(tmp_path / "pb")
+    assert perplexity_band_from_state(spark, state, docs) is None
+    for bid in range(2):
+        process_wordcount_batch(docs.where(F.col("doc_id") % 2 == bid), bid, state)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    served = canon(perplexity_band_from_state(spark, state, docs))
+    assert served == canon(perplexity_band_select(docs)) and len(served) > 0
+
+
+def test_modified_kn_property_random_corpora(spark):
+    """r10 hypothesis-style property (fixed seeds, no runtime RNG):
+    the relational modified-KN matches the pure-Python dict-walk
+    reference on several generated corpora with varied vocabularies,
+    repetition structure, and doc lengths."""
+    import random
+
+    from temporal_vector_database_spark.operators.textindex import (
+        modified_kn_logprob_scores,
+    )
+
+    for seed in (1, 2, 5):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(rng.randint(3, 12))]
+        texts = []
+        for _ in range(rng.randint(4, 12)):
+            n = rng.randint(0, 14)
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        want = _mkn_reference(texts)
+        out = {
+            r.doc_id: (r.n_trigrams, r.mkn_nll)
+            for r in modified_kn_logprob_scores(_docs(spark, texts)).collect()
+        }
+        assert set(out) == set(want), (seed, set(out) ^ set(want))
+        for k in want:
+            assert out[k][0] == want[k][0], (seed, k)
+            assert abs(out[k][1] - want[k][1]) < 1e-6, (seed, k, out[k], want[k])
