@@ -356,7 +356,14 @@ def unigram_logprob_scores(
     rounded to 6 dp like every float aggregate in this family.
     """
     toks = docs.select(id_col, F.explode(_words(text_col)).alias("term"))
-    counts = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    # pin the vocabulary-bounded model: the core reads it twice (model
+    # join + total); unpinned, each consumer re-executes the corpus
+    # token pass (r10 plan audit — the whole LM family had this)
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     return unigram_scores_from_counts(docs, counts, text_col, id_col)
 
 
@@ -430,9 +437,19 @@ def bigram_logprob_scores(
     """
     w = _words(text_col)
     toks = docs.select(F.explode(w).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
-    big = _bigram_pairs(docs, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("b_cnt")
+    # pin both vocabulary-bounded model tables: each has 2 consumers in
+    # the core (join + derived mass); unpinned, every consumer is a
+    # fresh corpus pass (r10 plan audit)
+    uni = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    big = (
+        _bigram_pairs(docs, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("b_cnt"))
+        .localCheckpoint()
     )
     return bigram_scores_from_counts(
         docs, big, uni, text_col, id_col, lam, broadcast_model
@@ -543,14 +560,27 @@ def trigram_logprob_scores(
     outgrows a broadcast — the joins become key-shuffles; tf grain
     spreads hot n-grams and AQE splits the rest, the
     ``bigram_logprob_scores`` posture)."""
-    tri = _trigram_triples(docs, text_col, id_col).groupBy("w1", "w2", "w3").agg(
-        F.count("*").cast("long").alias("t_cnt")
+    # pin the three vocabulary-bounded model tables — the core reads
+    # each ≥2 times (join + derived context mass); unpinned this was 7
+    # corpus passes (r10 plan audit)
+    tri = (
+        _trigram_triples(docs, text_col, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("t_cnt"))
+        .localCheckpoint()
     )
-    big = _bigram_pairs(docs, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("b_cnt")
+    big = (
+        _bigram_pairs(docs, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("b_cnt"))
+        .localCheckpoint()
     )
     toks = docs.select(F.explode(_words(text_col)).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    uni = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     return trigram_scores_from_counts(
         docs, tri, big, uni, text_col, id_col, lams, broadcast_model
     )
@@ -865,9 +895,11 @@ def kneser_ney_logprob_scores(
     pairs = docs.select(id_col, F.explode(bg).alias("bg")).select(
         id_col, "bg.w1", "bg.w2"
     )
+    # pin the bigram model: ctx/cont/types/the tf join all consume it
+    # (r10 plan audit — 5 corpus passes unpinned)
     big = pairs.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("b_cnt")
-    )
+    ).localCheckpoint()
     ctx = big.groupBy("w1").agg(
         F.sum("b_cnt").cast("long").alias("c_cnt"),
         F.count("*").cast("long").alias("n1p_fwd"),
@@ -966,9 +998,16 @@ def modified_kn_logprob_scores(
     trip = docs.select(id_col, F.explode(tg).alias("t")).select(
         id_col, "t.w1", "t.w2", "t.w3"
     )
+    # SEVEN model tables (tri/ctx3/d3/cbig/ctx2/e2/cont/types) all
+    # derive from the trigram count table; without this pin Catalyst
+    # re-executes the corpus explode+aggregate subtree once per
+    # consumer — 8 corpus passes instead of 1 (measured in the r10
+    # plan audit: 9 parquet scans of documents). The checkpoint
+    # materializes the VOCABULARY-BOUNDED table once; only the per-doc
+    # tf grain still reads the corpus.
     tri = trip.groupBy("w1", "w2", "w3").agg(
         F.count("*").cast("long").alias("t_cnt")
-    )
+    ).localCheckpoint()
 
     def _buckets(cnt_col: str):
         return [
