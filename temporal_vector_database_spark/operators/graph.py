@@ -68,11 +68,19 @@ def pagerank_fixed(
             f"pagerank_fixed requires 0 < damping_num <= damping_den, got "
             f"{damping_num}/{damping_den}"
         )
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # pin the edge list (r10 plan audit): every iteration's join plus
+    # the node/degree derivations re-reference it, and when it arrives
+    # as a lazy LSH candidate-join plan each reference re-executes that
+    # whole pipeline (the neardup_pagerank gate scanned its inputs 30×
+    # unpinned) — the kcore/label_propagation discipline
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     n1 = nodes.agg(F.count("*").cast("long").alias("n"))
@@ -153,9 +161,12 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
+    # pin the seed table too (r10 plan audit): it is re-referenced in
+    # EVERY round's rebuild plus the final select — 2·n_iter + 2
+    # executions of whatever upstream derived the seeds if left lazy
     sd = seeds.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("_seed_label")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

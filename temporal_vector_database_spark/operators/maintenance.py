@@ -67,7 +67,15 @@ def promote_bases(versions: DataFrame, targets: DataFrame) -> DataFrame:
     """Compaction: rewrite the chosen delta sequences as base snapshots
     (e.g. feed it the advisor's recommendations). Reconstruction-
     preserving by construction."""
-    new_bases = _as_base_rows(versions, targets)
+    # pin both small tables: `targets` (k recommendations — often an
+    # advisor plan that would otherwise re-run per reference) feeds the
+    # base rewrite AND the anti-join, and `new_bases` (k rows) embeds a
+    # full delta-chain reconstruction that every downstream consumer of
+    # the compacted table would re-execute per reference (the
+    # compaction_invariance gate scanned the versions parquet 72×
+    # before this pin — r10 plan audit).
+    targets = targets.localCheckpoint()
+    new_bases = _as_base_rows(versions, targets).localCheckpoint()
     keep = versions.join(
         targets.select("content_id", F.col("target_seq").alias("seq")),
         ["content_id", "seq"],

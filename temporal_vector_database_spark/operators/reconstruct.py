@@ -526,7 +526,14 @@ def reconstruct_diff(versions: DataFrame, t_a, t_b) -> DataFrame:
         .where(F.col("target_seq").isNotNull())
         .select("content_id", F.col("target_seq").alias("seq_b"))
     )
-    pairs = ra.join(rb, "content_id")
+    # pin the (content, seq_a, seq_b) pair table (1 row per content) —
+    # it feeds the target union twice AND the final join, and each
+    # reference re-executes BOTH as-of resolutions; likewise pin the
+    # reconstructed states (≤ 2 rows per content): the final join reads
+    # them twice and each read re-runs the whole delta-chain fold.
+    # Unpinned this plan scanned the versions parquet 62× (r10 audit) —
+    # the root cause of this query's recurring first-rep bench spikes.
+    pairs = ra.join(rb, "content_id").localCheckpoint()
     targets = (
         pairs.select("content_id", F.col("seq_a").alias("target_seq"))
         .unionByName(pairs.select("content_id", F.col("seq_b").alias("target_seq")))
@@ -534,7 +541,7 @@ def reconstruct_diff(versions: DataFrame, t_a, t_b) -> DataFrame:
     )
     st = reconstruct_at(versions, targets).select(
         "content_id", "target_seq", "embedding"
-    )
+    ).localCheckpoint()
     j = (
         pairs.join(
             st.select(

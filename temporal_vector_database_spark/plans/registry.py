@@ -266,7 +266,15 @@ def q_search_asof(spark, sf_dir):
     v = _versions(spark, sf_dir)
     t = v.where(F.col("seq") == 7).agg(F.max("ts").alias("t"))
     probes = v.select("content_id").distinct().crossJoin(t)
-    snaps = reconstruct_asof(v, probes).select("content_id", "embedding")
+    # pin the reconstructed snapshot (one row per content): the top-k
+    # machinery references it more than once and each lazy reference
+    # re-runs the whole as-of resolution + delta fold (19 versions
+    # scans before the pin — r10 plan audit)
+    snaps = (
+        reconstruct_asof(v, probes)
+        .select("content_id", "embedding")
+        .localCheckpoint()
+    )
     queries = spark.read.parquet(_fix(sf_dir, "queries_vec"))
     res = topk_cosine(snaps, queries, id_cols=("content_id",))
     return res.select("query_id", "rank", "content_id", "sim")
