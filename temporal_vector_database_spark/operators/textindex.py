@@ -884,22 +884,42 @@ def kneser_ney_logprob_scores(
         raise ValueError(
             f"need 0 < discount_num < discount_den, got {discount_num}/{discount_den}"
         )
-    w = _words(text_col)
-    n = F.size(w)
-    bg_len = F.greatest(n - F.lit(1), F.lit(0))
-    bg = F.zip_with(
-        F.slice(w, F.lit(1), bg_len),
-        F.slice(w, F.lit(2), bg_len),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
-    pairs = docs.select(id_col, F.explode(bg).alias("bg")).select(
-        id_col, "bg.w1", "bg.w2"
-    )
     # pin the bigram model: ctx/cont/types/the tf join all consume it
     # (r10 plan audit — 5 corpus passes unpinned)
-    big = pairs.groupBy("w1", "w2").agg(
+    big = _bigram_pairs(docs, text_col, id_col).groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("b_cnt")
     ).localCheckpoint()
+    return kneser_ney_scores_from_counts(
+        docs, big, text_col, id_col, discount_num, discount_den,
+        broadcast_model,
+    )
+
+
+def kneser_ney_scores_from_counts(
+    docs: DataFrame,
+    big_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents against an EXPLICIT ``(w1, w2, b_cnt)`` bigram
+    model — the shared core of :func:`kneser_ney_logprob_scores`
+    (model = the docs themselves) and the streaming serve
+    (``streaming/wordcount.py kneser_ney_nll_from_state``, r10): EVERY
+    KN quantity (context mass, forward/backward continuation counts,
+    the type total) derives from the bigram table alone, so the serve
+    needs only the one maintained count state. Self-scoring is
+    equality by construction; candidate bigrams absent from the model
+    drop at the model join."""
+    d_num, d_den = int(discount_num), int(discount_den)
+    if not (0 < d_num < d_den):
+        raise ValueError(
+            f"need 0 < discount_num < discount_den, got {discount_num}/{discount_den}"
+        )
+    pairs = _bigram_pairs(docs, text_col, id_col)
+    big = big_counts
     ctx = big.groupBy("w1").agg(
         F.sum("b_cnt").cast("long").alias("c_cnt"),
         F.count("*").cast("long").alias("n1p_fwd"),
@@ -981,23 +1001,6 @@ def modified_kn_logprob_scores(
     the family posture). The oracle mirrors the exact expression tree
     (association order pinned) so both engines multiply bit-identical
     doubles."""
-    w = _words(text_col)
-    n = F.size(w)
-    tri_len = F.greatest(n - F.lit(2), F.lit(0))
-    tg = F.zip_with(
-        F.zip_with(
-            F.slice(w, F.lit(1), tri_len),
-            F.slice(w, F.lit(2), tri_len),
-            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-        ),
-        F.slice(w, F.lit(3), tri_len),
-        lambda p, z: F.struct(
-            p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
-        ),
-    )
-    trip = docs.select(id_col, F.explode(tg).alias("t")).select(
-        id_col, "t.w1", "t.w2", "t.w3"
-    )
     # SEVEN model tables (tri/ctx3/d3/cbig/ctx2/e2/cont/types) all
     # derive from the trigram count table; without this pin Catalyst
     # re-executes the corpus explode+aggregate subtree once per
@@ -1005,9 +1008,36 @@ def modified_kn_logprob_scores(
     # plan audit: 9 parquet scans of documents). The checkpoint
     # materializes the VOCABULARY-BOUNDED table once; only the per-doc
     # tf grain still reads the corpus.
-    tri = trip.groupBy("w1", "w2", "w3").agg(
-        F.count("*").cast("long").alias("t_cnt")
-    ).localCheckpoint()
+    tri = (
+        _trigram_triples(docs, text_col, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("t_cnt"))
+        .localCheckpoint()
+    )
+    return modified_kn_scores_from_counts(
+        docs, tri, text_col, id_col, broadcast_model
+    )
+
+
+def modified_kn_scores_from_counts(
+    docs: DataFrame,
+    tri_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents against an EXPLICIT ``(w1, w2, w3, t_cnt)``
+    trigram model — the shared core of
+    :func:`modified_kn_logprob_scores` (model = the docs themselves)
+    and the streaming serve (``streaming/wordcount.py
+    modified_kn_nll_from_state``, r10): EVERY modified-KN quantity —
+    both orders' count-of-count discounts, context masses and their
+    N1/N2/N3+ buckets, the continuation bigram/unigram tables — derives
+    from the trigram table alone, so the serve needs only the one
+    maintained count state. Self-scoring is equality by construction;
+    candidate trigrams absent from the model drop at the model join."""
+    trip = _trigram_triples(docs, text_col, id_col)
+    tri = tri_counts
 
     def _buckets(cnt_col: str):
         return [

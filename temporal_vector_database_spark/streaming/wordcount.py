@@ -247,6 +247,59 @@ def trigram_nll_from_state(
     )
 
 
+def kneser_ney_nll_from_state(
+    spark: SparkSession,
+    bigram_state_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_num: int = 3,
+    discount_den: int = 4,
+) -> DataFrame | None:
+    """Kneser-Ney bigram scoring served from the maintained BIGRAM
+    count state (r10): every KN quantity (context mass,
+    forward/backward continuation counts, type total) derives from the
+    bigram table alone, so this needs only the one state. Shared
+    ``kneser_ney_scores_from_counts`` core ⇒ self-scoring the streamed
+    corpus is bit-equal to the batch op (pinned in tests)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        kneser_ney_scores_from_counts,
+    )
+
+    bigs = read_bigram_counts(spark, bigram_state_dir)
+    if bigs is None:
+        return None
+    return kneser_ney_scores_from_counts(
+        docs, bigs.localCheckpoint(), text_col, id_col,
+        discount_num, discount_den,
+    )
+
+
+def modified_kn_nll_from_state(
+    spark: SparkSession,
+    trigram_state_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """Modified Kneser-Ney TRIGRAM scoring served from the maintained
+    TRIGRAM count state (r10) — the production LM rung stays current
+    as the crawl lands: both orders' discounts, context masses, and
+    continuation tables all derive from the trigram table alone.
+    Shared ``modified_kn_scores_from_counts`` core ⇒ stream==batch
+    bit-parity (pinned in tests)."""
+    from temporal_vector_database_spark.operators.textindex import (
+        modified_kn_scores_from_counts,
+    )
+
+    tris = read_trigram_counts(spark, trigram_state_dir)
+    if tris is None:
+        return None
+    return modified_kn_scores_from_counts(
+        docs, tris.localCheckpoint(), text_col, id_col
+    )
+
+
 def perplexity_band_from_state(
     spark: SparkSession,
     term_state_dir: str,

@@ -1110,3 +1110,40 @@ def test_modified_kn_property_random_corpora(spark):
         for k in want:
             assert out[k][0] == want[k][0], (seed, k)
             assert abs(out[k][1] - want[k][1]) < 1e-6, (seed, k, out[k], want[k])
+
+
+def test_streaming_kn_and_mkn_from_state_equal_batch(spark, tmp_path, sf_dir):
+    """r10: Kneser-Ney bigram AND modified-KN trigram served from
+    their single maintained count states are bit-equal to the batch
+    self-scored operators (shared from_counts cores)."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.textindex import (
+        kneser_ney_logprob_scores,
+        modified_kn_logprob_scores,
+    )
+    from temporal_vector_database_spark.streaming.wordcount import (
+        kneser_ney_nll_from_state,
+        modified_kn_nll_from_state,
+        process_bigram_batch,
+        process_trigram_batch,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 7 == 1
+    )
+    b, g = str(tmp_path / "b"), str(tmp_path / "g")
+    assert kneser_ney_nll_from_state(spark, b, docs) is None
+    assert modified_kn_nll_from_state(spark, g, docs) is None
+    for bid in range(2):
+        part = docs.where(F.col("doc_id") % 2 == bid)
+        process_bigram_batch(part, bid, b)
+        process_trigram_batch(part, bid, g)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    kn = canon(kneser_ney_nll_from_state(spark, b, docs))
+    assert kn == canon(kneser_ney_logprob_scores(docs)) and len(kn) > 0
+    mkn = canon(modified_kn_nll_from_state(spark, g, docs))
+    assert mkn == canon(modified_kn_logprob_scores(docs)) and len(mkn) > 0
