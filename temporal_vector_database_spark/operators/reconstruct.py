@@ -514,6 +514,17 @@ def reconstruct_diff(versions: DataFrame, t_a, t_b) -> DataFrame:
 
     Output: ``(content_id, seq_a, seq_b, n_changed, magnitude,
     diff_sum)``.
+
+    NOTE (ADVICE r10): the scan pins below use ``localCheckpoint``,
+    which is EAGER — calling this function launches the as-of-resolve
+    and reconstruction jobs at plan-construction time rather than
+    staying lazy until the first action; the checkpointed RDD scan
+    also forfeits its outputPartitioning, so the downstream
+    content_id joins re-shuffle the (1-2 rows/content) pinned tables.
+    Both costs are accepted deliberately: the pinned tables are tiny,
+    and the alternative (persist+count keeps partitioning but holds
+    the full lineage) left this plan scanning the versions parquet
+    62× per action (r10 audit).
     """
     contents = versions.select("content_id").distinct()
     ra = (

@@ -1697,7 +1697,17 @@ def graph_beam_search(
     of at the ``beam`` globally-smallest ids. Measured at sf0.1
     (SCALE.md graph-ANN ladder): IVF seeding lifts recall@5 where the
     fixed-seed walk's gradient is weakest, at zero extra rounds. When
-    omitted, the deterministic fixed global seed beam is used."""
+    omitted, the deterministic fixed global seed beam is used.
+
+    Seeded-path contracts (ADVICE r10): a query with ZERO rows in
+    ``seeds`` (e.g. its probed IVF lists were empty) has no entry
+    point and is ABSENT from the output — unlike the global-seed path,
+    which always returns ``k`` rows per query; union a global fallback
+    into ``seeds`` if full coverage is required (the oracle-gated
+    `graph_beam_search_ivf` pins the drop semantics). Seeds are
+    defensively capped at ``beam`` per query (by the seed table's own
+    ``rank`` column when present, else id asc) so an over-wide table
+    cannot inflate round-1 scoring."""
     from temporal_vector_database_spark.functions.vector import cosine
 
     if not (0 < int(k) <= int(beam)):
@@ -1715,7 +1725,15 @@ def graph_beam_search(
         )
         frontier = q.select("query_id").crossJoin(F.broadcast(global_seeds))
     else:
-        frontier = seeds.select("query_id", "cand")
+        order = (
+            F.asc("rank") if "rank" in seeds.columns else F.asc("cand")
+        )
+        sw = Window.partitionBy("query_id").orderBy(order)
+        frontier = (
+            seeds.withColumn("_srn", F.row_number().over(sw))
+            .where(F.col("_srn") <= int(beam))
+            .select("query_id", "cand")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand"))
     scored = None
     for _ in range(int(n_rounds)):

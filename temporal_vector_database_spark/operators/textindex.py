@@ -456,12 +456,17 @@ def bigram_logprob_scores(
     )
 
 
-def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _bigram_pairs(
+    docs: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
     """Per-document bigram occurrences ``(id, w1, w2)`` off the token
     array (``zip_with`` of two clamped slices — no self-join, no
     positions). The slice length is clamped to 0 so a zero-word
     document (empty or whitespace-only text) yields an empty bigram
-    array and is omitted by the explode rather than raising."""
+    array and is omitted by the explode rather than raising.
+    ``id_col=None`` yields corpus-level ``(w1, w2)`` occurrences with
+    no id column (the streaming count-state path, ADVICE r10 — no
+    injected constant column to collide with caller columns)."""
     w = _words(text_col)
     n = F.size(w)
     bg_len = F.greatest(n - F.lit(1), F.lit(0))
@@ -470,8 +475,9 @@ def _bigram_pairs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.slice(w, F.lit(2), bg_len),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    return docs.select(id_col, F.explode(bg).alias("bg")).select(
-        id_col, "bg.w1", "bg.w2"
+    head = [] if id_col is None else [id_col]
+    return docs.select(*head, F.explode(bg).alias("bg")).select(
+        *head, "bg.w1", "bg.w2"
     )
 
 
@@ -586,10 +592,14 @@ def trigram_logprob_scores(
     )
 
 
-def _trigram_triples(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _trigram_triples(
+    docs: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
     """Per-document trigram occurrences ``(id, w1, w2, w3)`` off the
     token array (nested ``zip_with`` of three clamped slices — no
-    self-join, no positions)."""
+    self-join, no positions). ``id_col=None`` yields corpus-level
+    occurrences with no id column (the streaming count-state path,
+    ADVICE r10)."""
     w = _words(text_col)
     n = F.size(w)
     tri_len = F.greatest(n - F.lit(2), F.lit(0))
@@ -603,8 +613,9 @@ def _trigram_triples(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
             p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
         ),
     )
-    return docs.select(id_col, F.explode(tg).alias("t")).select(
-        id_col, "t.w1", "t.w2", "t.w3"
+    head = [] if id_col is None else [id_col]
+    return docs.select(*head, F.explode(tg).alias("t")).select(
+        *head, "t.w1", "t.w2", "t.w3"
     )
 
 

@@ -36,11 +36,17 @@ def committed_versions(
         return []
     out = []
     for d in os.listdir(state_dir):
-        if d.startswith("v=") and all(
+        if not d.startswith("v="):
+            continue
+        try:
+            vid = int(d.split("=", 1)[1])
+        except ValueError:  # leftover temp / foreign dir (ADVICE r10)
+            continue
+        if all(
             os.path.exists(os.path.join(state_dir, d, m, "_SUCCESS"))
             for m in markers
         ):
-            out.append(int(d.split("=", 1)[1]))
+            out.append(vid)
     return sorted(out)
 
 
@@ -71,14 +77,20 @@ def committed_batch_dirs(state_dir: str) -> list[str]:
     the additive-partial twin of :func:`committed_versions` (ADVICE
     r09): a torn ``batch=N`` write from a crashed micro-batch stays
     invisible to the serving path until that batch's replay overwrites
-    it. Sorted by batch id for deterministic read order."""
+    it. Sorted by batch id for deterministic read order. Entries whose
+    ``batch=`` suffix is not an integer (a leftover temp or foreign
+    dir) are skipped rather than failing every read (ADVICE r10)."""
     if not os.path.isdir(state_dir):
         return []
     out = []
     for d in os.listdir(state_dir):
-        if d.startswith("batch=") and os.path.exists(
-            os.path.join(state_dir, d, "_SUCCESS")
-        ):
-            out.append(d)
-    out.sort(key=lambda d: int(d.split("=", 1)[1]))
-    return [os.path.join(state_dir, d) for d in out]
+        if not d.startswith("batch="):
+            continue
+        try:
+            bid = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+            out.append((bid, d))
+    out.sort()
+    return [os.path.join(state_dir, d) for _, d in out]

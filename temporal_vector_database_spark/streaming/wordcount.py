@@ -106,7 +106,10 @@ def unigram_nll_from_state(
     counts = read_term_counts(spark, state_dir)
     if counts is None:
         return None
-    return unigram_scores_from_counts(docs, counts, text_col, id_col)
+    # pin: the core consumes the model table twice (join + total)
+    return unigram_scores_from_counts(
+        docs, counts.localCheckpoint(), text_col, id_col
+    )
 
 
 def process_bigram_batch(
@@ -118,13 +121,16 @@ def process_bigram_batch(
     """Fold one micro-batch's BIGRAM occurrence counts into the state
     (r10, VERDICT r09 #5) — same additive-partial scheme as the term
     counts: each batch writes its own ``batch=N`` partition of
-    ``(w1, w2, cnt_part)``; replay overwrites by partition."""
+    ``(w1, w2, cnt_part)``; replay overwrites by partition.
+    Corpus-level counting needs no document id, so ``_bigram_pairs``
+    runs id-less (ADVICE r10 — no injected constant column that could
+    clobber a caller's own)."""
     from temporal_vector_database_spark.operators.textindex import _bigram_pairs
 
     if batch_df.isEmpty():
         return
     part = (
-        _bigram_pairs(batch_df.withColumn("_one", F.lit(1)), text_col, "_one")
+        _bigram_pairs(batch_df, text_col, None)
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("cnt_part"))
     )
@@ -163,7 +169,10 @@ def bigram_nll_from_state(
     itself is bit-equal to the batch ``bigram_logprob_scores`` (shared
     ``bigram_scores_from_counts`` core; stream==batch pinned in
     tests). Candidate bigrams unseen by the model drop at the model
-    join."""
+    join. Both merged count tables are pinned (ADVICE r10): the core
+    consumes each at least twice (model join + derived mass/total),
+    and unpinned every consumer re-reads the state parquet and
+    re-aggregates — the KN/MKN serves' posture."""
     from temporal_vector_database_spark.operators.textindex import (
         bigram_scores_from_counts,
     )
@@ -173,7 +182,8 @@ def bigram_nll_from_state(
     if terms is None or bigs is None:
         return None
     return bigram_scores_from_counts(
-        docs, bigs, terms, text_col, id_col, lam
+        docs, bigs.localCheckpoint(), terms.localCheckpoint(),
+        text_col, id_col, lam,
     )
 
 
@@ -193,7 +203,7 @@ def process_trigram_batch(
     if batch_df.isEmpty():
         return
     part = (
-        _trigram_triples(batch_df.withColumn("_one", F.lit(1)), text_col, "_one")
+        _trigram_triples(batch_df, text_col, None)
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").cast("long").alias("cnt_part"))
     )
@@ -232,7 +242,10 @@ def trigram_nll_from_state(
     ``trigram_scores_from_counts`` core, so self-scoring the streamed
     corpus is bit-equal to the batch ``trigram_logprob_scores`` —
     pinned in tests). Candidate trigrams unseen by the model drop at
-    the model join."""
+    the model join. All three merged count tables are pinned (ADVICE
+    r10): the core consumes each at least twice (model join + derived
+    context mass), and unpinned every consumer re-reads the state
+    parquet and re-aggregates."""
     from temporal_vector_database_spark.operators.textindex import (
         trigram_scores_from_counts,
     )
@@ -243,7 +256,8 @@ def trigram_nll_from_state(
     if terms is None or bigs is None or tris is None:
         return None
     return trigram_scores_from_counts(
-        docs, tris, bigs, terms, text_col, id_col, lams
+        docs, tris.localCheckpoint(), bigs.localCheckpoint(),
+        terms.localCheckpoint(), text_col, id_col, lams,
     )
 
 
@@ -325,7 +339,9 @@ def perplexity_band_from_state(
     counts = read_term_counts(spark, term_state_dir)
     if counts is None:
         return None
-    scored = unigram_scores_from_counts(docs, counts, text_col, id_col)
+    scored = unigram_scores_from_counts(
+        docs, counts.localCheckpoint(), text_col, id_col
+    )
     return band_from_scores(scored, lo_pct, hi_pct, id_col)
 
 

@@ -1482,3 +1482,63 @@ def test_graph_beam_search_ivf_seeded_short_budget(spark):
     r_seeded, r_fixed = recall(seeds), recall(None)
     assert r_seeded >= 0.55, r_seeded
     assert r_seeded > r_fixed, (r_seeded, r_fixed)
+
+
+def test_graph_beam_search_seed_table_contracts(spark):
+    """ADVICE r10 seeded-path contracts: (a) an over-wide seed table is
+    capped at beam per query — by the table's own rank column when
+    present, else id asc (so a fat table cannot inflate round-1
+    scoring); (b) a query with zero seed rows is absent from the
+    seeded output (documented drop semantics, vs the global-seed path
+    which always covers every query)."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.operators.search import (
+        graph_beam_search,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(i + 1, i) for i in range(9)],
+        "id long, nbr long",
+    )
+    qs = spark.createDataFrame(
+        [(0, [9.0, 1.0]), (1, [9.0, 1.0])],
+        "query_id int, embedding array<double>",
+    )
+    # (a) over-wide, no rank column: cap keeps the 2 smallest ids
+    # {0,1} — identical to the fixed global seed beam, which reaches
+    # exactly {2,3} after 2 rounds (the hand-case invariant)
+    wide = spark.createDataFrame(
+        [(0, c) for c in range(6)], "query_id int, cand long"
+    )
+    got = {
+        r.vec_id
+        for r in graph_beam_search(
+            emb, edges, qs.where("query_id = 0"), k=2, beam=2, n_rounds=2,
+            seeds=wide,
+        ).collect()
+    }
+    assert got == {2, 3}, got
+    # (a') rank column honored: rank orders 5 first, 4 second — the
+    # beam starts at {5,4} and reaches {6,7} after 2 rounds
+    ranked = spark.createDataFrame(
+        [(0, c, 6 - c) for c in range(6)],
+        "query_id int, cand long, rank int",
+    )
+    got_r = {
+        r.vec_id
+        for r in graph_beam_search(
+            emb, edges, qs.where("query_id = 0"), k=2, beam=2, n_rounds=2,
+            seeds=ranked,
+        ).collect()
+    }
+    assert got_r == {6, 7}, got_r
+    # (b) query 1 has no seed rows -> absent from the seeded output
+    out = graph_beam_search(
+        emb, edges, qs, k=2, beam=2, n_rounds=2, seeds=wide
+    ).collect()
+    assert {r.query_id for r in out} == {0}

@@ -536,6 +536,16 @@ def test_source_sig_stream_equals_batch_and_replay_idempotent(spark, tmp_path, s
     torn = _os.path.join(state, "v=3")
     _os.makedirs(torn, exist_ok=True)  # no _SUCCESS inside
     assert canon(read_source_overlap_estimates(spark, state)) == served
+
+    # foreign entry with a non-integer v= suffix: skipped, not fatal
+    # (ADVICE r10) — even one carrying a _SUCCESS marker
+    foreign = _os.path.join(state, "v=tmp-leftover")
+    _os.makedirs(foreign, exist_ok=True)
+    open(_os.path.join(foreign, "_SUCCESS"), "w").close()
+    assert canon(read_source_overlap_estimates(spark, state)) == served
+    import shutil as _shutil
+
+    _shutil.rmtree(foreign)  # keep the version-pruning assert below exact
     # next fold (rows already absorbed) writes a committed v=3 over it
     process_source_sig_batch(batches[0].limit(1), 3, state)
     assert canon(read_source_overlap_estimates(spark, state)) == served

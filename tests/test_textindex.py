@@ -1019,6 +1019,36 @@ def test_streaming_bigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
         f.write(b"not parquet")
     assert canon(bigram_nll_from_state(spark, tstate, bstate, docs)) == served
 
+    # foreign/leftover entries with a NON-INTEGER batch= suffix are
+    # skipped, not fatal (ADVICE r10) — even one carrying a _SUCCESS
+    foreign = os.path.join(bstate, "batch=tmp-leftover")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "_SUCCESS"), "w") as f:
+        f.write("")
+    assert canon(bigram_nll_from_state(spark, tstate, bstate, docs)) == served
+
+
+def test_process_bigram_batch_tolerates_caller_one_column(spark, tmp_path):
+    """ADVICE r10: a batch whose schema already carries a ``_one``
+    column is counted correctly (the old implementation injected a
+    constant ``_one`` id via withColumn, silently clobbering it)."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        process_bigram_batch,
+        read_bigram_counts,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "a b a b", "keep-me"), (2, "b a", "keep-me-too")],
+        "doc_id long, text string, _one string",
+    )
+    state = str(tmp_path / "bstate")
+    process_bigram_batch(batch, 0, state)
+    got = {
+        (r.w1, r.w2): r.b_cnt
+        for r in read_bigram_counts(spark, state).collect()
+    }
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
 
 def test_streaming_trigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
     """r10: JM-trigram scoring served from the three maintained count
@@ -1147,3 +1177,20 @@ def test_streaming_kn_and_mkn_from_state_equal_batch(spark, tmp_path, sf_dir):
     assert kn == canon(kneser_ney_logprob_scores(docs)) and len(kn) > 0
     mkn = canon(modified_kn_nll_from_state(spark, g, docs))
     assert mkn == canon(modified_kn_logprob_scores(docs)) and len(mkn) > 0
+
+
+def test_bigram_nll_stream_gate_equals_batch_gate(spark, sf_dir):
+    """r11 (VERDICT r10 #2): the oracle-gated streaming-serve query
+    (3-batch state build inside the query) is bit-equal to the batch
+    bigram_nll gate — the stream==batch exactness the driver's oracle
+    now checks end-to-end."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_bigram_nll,
+        q_bigram_nll_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(q_bigram_nll_stream(spark, sf_dir))
+    assert got == canon(q_bigram_nll(spark, sf_dir)) and len(got) > 0
