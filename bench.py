@@ -315,20 +315,12 @@ def main() -> None:
     # on this repo's code — two records with equal cpu_probe but
     # different query times indicate a plan change; proportionally
     # elevated cpu_probe indicates host drift (the r10 adjudication:
-    # UNTOUCHED queries measured uniformly 1.2-1.8x the r09 stamp)
-    import numpy as _np
+    # UNTOUCHED queries measured uniformly 1.2-1.8x the r09 stamp).
+    # r11 (VERDICT r10 #3): shared helper; scripts/bench_compare.py
+    # turns two records into a probe-NORMALIZED flag list mechanically.
+    from temporal_vector_database_spark.bench_util import cpu_probe_sec
 
-    _rng = _np.random.default_rng(7)
-    _a = _rng.random((512, 512))
-    _probe = []
-    for _ in range(5):
-        _t = time.perf_counter()
-        _b = _a @ _a
-        for _i in range(2_000_000):
-            pass
-        _probe.append(round(time.perf_counter() - _t, 4))
-    cpu_probe = min(_probe)
-    del _a, _b
+    cpu_probe = cpu_probe_sec()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:

@@ -102,11 +102,19 @@ def main() -> None:
     warm.groupBy("k").applyInPandas(lambda p: p, schema="k int, v double").collect()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # r11 (VERDICT r10 #3): probe host speed beside each SF's
+    # measurement so the wall ratio can be NORMALIZED for host drift
+    # that lands between the sf0.01 and sf0.1 timings — the same
+    # mechanical adjudication bench_compare.py applies across rounds.
+    from temporal_vector_database_spark.bench_util import cpu_probe_sec
+
     out: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
         times = {}
+        probes = {}
         for label, sf in (("sf0.01", SF_SMALL), ("sf0.1", SF_BIG)):
+            probes[label] = cpu_probe_sec(reps=3)
             raw = []
             for _ in range(reps):
                 t0 = time.perf_counter()
@@ -114,15 +122,20 @@ def main() -> None:
                 raw.append(round(time.perf_counter() - t0, 3))
             times[label] = min(raw)
         ratio = round(times["sf0.1"] / max(times["sf0.01"], 1e-9), 2)
+        probe_ratio = round(probes["sf0.1"] / max(probes["sf0.01"], 1e-9), 4)
+        norm_ratio = round(ratio / max(probe_ratio, 1e-9), 2)
         out[name] = {
             "sf0.01_sec": times["sf0.01"],
             "sf0.1_sec": times["sf0.1"],
             "wall_ratio": ratio,
-            "flagged": ratio > FLAG_RATIO,
+            "probe_ratio": probe_ratio,
+            "norm_ratio": norm_ratio,
+            "flagged": norm_ratio > FLAG_RATIO,
         }
         print(
             f"{name}: sf0.01={times['sf0.01']}s sf0.1={times['sf0.1']}s "
-            f"ratio={ratio}{'  << FLAG' if ratio > FLAG_RATIO else ''}",
+            f"ratio={ratio} norm={norm_ratio}"
+            f"{'  << FLAG' if norm_ratio > FLAG_RATIO else ''}",
             flush=True,
         )
 
@@ -135,9 +148,10 @@ def main() -> None:
             merged = {**json.load(f).get("queries", {}), **out}
     # recompute every entry's flag from its ratio at merge time so
     # stale entries written under an older FLAG_RATIO can't contradict
-    # the single top-level flag_ratio field (ADVICE r09)
+    # the single top-level flag_ratio field (ADVICE r09). Entries
+    # predating the r11 probe fields fall back to the raw wall ratio.
     for v in merged.values():
-        v["flagged"] = v["wall_ratio"] > FLAG_RATIO
+        v["flagged"] = v.get("norm_ratio", v["wall_ratio"]) > FLAG_RATIO
     artifact = {
         "data_ratio": DATA_RATIO,
         "flag_ratio": FLAG_RATIO,

@@ -390,6 +390,55 @@ def q_compaction_invariance(spark, sf_dir):
     return _emb_sums(rec).select("content_id", "target_seq", "emb_sum", "emb_wsum")
 
 
+def q_compaction_advisor_loop(spark, sf_dir):
+    """r11 (VERDICT r10 #5): the COMPLETE maintenance workflow as one
+    oracle-gated pipeline — the reference's ``optimize_content_bases``
+    → re-check loop (``storage/temporal_database.py:443-494``) plus the
+    act step the reference lacks: advisor recommendations feed
+    ``promote_bases``, the compacted table is fully reconstructed and
+    re-advised. Per content: reconstructions performed, promotions
+    applied, the post-compaction max chain cost, residual advisor
+    recommendations (provably 0 — every over-bar seq became a base and
+    surviving chains only shortened), and exact value checksums of
+    every reconstruction (dyadic grid → order-independent sums) proving
+    the rewrite is value-preserving. The oracle recomputes the
+    post-compaction base placement STRUCTURALLY (new bases = old bases
+    ∪ over-bar seqs; post cost = row-count distance to the governing
+    new base) and takes the value sums from the UNCOMPACTED
+    reconstruction — invariance is the cross-check, not an input."""
+    from temporal_vector_database_spark.config import DEFAULT_CONFIG
+    from temporal_vector_database_spark.operators.maintenance import promote_bases
+
+    bar = DEFAULT_CONFIG.advisor_max_cost
+    v = _versions_ok(spark, sf_dir)
+    recs = S.optimize_content_bases(v).select(
+        "content_id", F.col("seq").alias("target_seq")
+    )
+    n_prom = recs.groupBy("content_id").agg(
+        F.count("*").cast("long").alias("n_promoted")
+    )
+    promoted = promote_bases(v, recs)
+    rec = _emb_sums(R.reconstruct_all(promoted))
+    rep = rec.groupBy("content_id").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.max("cost").cast("int").alias("max_cost_after"),
+        F.sum(F.when(F.col("cost") > bar, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resid"),
+        F.sum("emb_sum").alias("emb_sum_total"),
+        F.sum("emb_wsum").alias("emb_wsum_total"),
+    )
+    return rep.join(n_prom, "content_id", "left").select(
+        "content_id",
+        "n_versions",
+        F.coalesce("n_promoted", F.lit(0)).cast("long").alias("n_promoted"),
+        "max_cost_after",
+        "n_resid",
+        "emb_sum_total",
+        "emb_wsum_total",
+    )
+
+
 # ---- beyond-reference: LLM-data-pipeline operators over driver tables ----
 
 def q_dedup_exact(spark, sf_dir):
@@ -2429,6 +2478,45 @@ def q_bigram_nll(spark, sf_dir):
     return bigram_logprob_scores(docs)
 
 
+def q_bigram_nll_stream(spark, sf_dir):
+    """r11 (VERDICT r10 #2): the streaming-LM SERVE path under the
+    driver's oracle end-to-end — fold a deterministic 3-batch split of
+    ``documents`` (``doc_id % 3``) into the term + bigram count states
+    with the SAME foreachBatch fold functions the live stream uses
+    (``streaming/wordcount.py process_wordcount_batch`` /
+    ``process_bigram_batch``, additive ``batch=N`` partials under a
+    per-run temp dir), then score the corpus from the maintained
+    states via ``bigram_nll_from_state``. Counts are pure sums and the
+    scoring core is shared, so stream==batch is exact and the oracle
+    is the SAME relational recomputation as ``bigram_nll``. In
+    production the state dir is the standing store the crawl folds
+    into; here it is per-run and deleted as soon as the serve has
+    pinned (localCheckpoint, eager) the merged model tables."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.streaming.wordcount import (
+        bigram_nll_from_state,
+        process_bigram_batch,
+        process_wordcount_batch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    root = tempfile.mkdtemp(prefix="tvdb_bigram_nll_stream_")
+    try:
+        tstate = os.path.join(root, "terms")
+        bstate = os.path.join(root, "bigrams")
+        for bid in range(3):
+            part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+            process_wordcount_batch(part, bid, tstate)
+            process_bigram_batch(part, bid, bstate)
+        return bigram_nll_from_state(spark, tstate, bstate, docs)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_trigram_nll(spark, sf_dir):
     """r09: Jelinek-Mercer interpolated TRIGRAM LM quality score per
     doc — p(w3|w1w2) = (8/16)·c(w1w2w3)/c(w1w2·) + (5/16)·c(w2w3)/c(w2·)
@@ -2856,6 +2944,58 @@ FROM q
 
 ORACLES["compaction_invariance"] = (
     _RECON_CTE + "SELECT content_id, target_seq, emb_sum, emb_wsum FROM recon"
+)
+
+# r11 (VERDICT r10 #5): advisor → promote → re-advise loop. Post-
+# compaction base placement recomputed structurally: new bases = old
+# bases ∪ over-bar (cost > 10) seqs; the governing new base is a
+# running max over seq order; post cost = row-number distance to it
+# (every version row between the governing new base and the target is
+# a surviving delta). Value sums come from the UNCOMPACTED recon CTE —
+# promote_bases is reconstruction-preserving by construction, so
+# equality here IS the invariance check.
+ORACLES["compaction_advisor_loop"] = (
+    _RECON_CTE
+    + """
+, promo AS (SELECT content_id, target_seq FROM recon WHERE cost > 10),
+allv AS (
+  SELECT t.content_id, t.seq,
+         CASE WHEN t.kind = 'base' OR p.target_seq IS NOT NULL
+              THEN 1 ELSE 0 END AS is_nb
+  FROM v t LEFT JOIN promo p
+    ON t.content_id = p.content_id AND t.seq = p.target_seq
+),
+pb AS (
+  SELECT content_id, seq,
+         max(CASE WHEN is_nb = 1 THEN seq END)
+           OVER (PARTITION BY content_id ORDER BY seq
+                 ROWS UNBOUNDED PRECEDING) AS post_base,
+         row_number() OVER (PARTITION BY content_id ORDER BY seq) AS rn
+  FROM allv
+),
+pc AS (
+  SELECT a.content_id, a.seq AS target_seq,
+         CAST(a.rn - b.rn AS INTEGER) AS post_cost
+  FROM pb a JOIN pb b
+    ON a.content_id = b.content_id AND a.post_base = b.seq
+),
+np AS (
+  SELECT content_id, CAST(count(*) AS BIGINT) AS n_promoted
+  FROM promo GROUP BY 1
+)
+SELECT r.content_id,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(COALESCE(max(np.n_promoted), 0) AS BIGINT) AS n_promoted,
+       CAST(max(pc.post_cost) AS INTEGER) AS max_cost_after,
+       CAST(sum(CASE WHEN pc.post_cost > 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resid,
+       sum(r.emb_sum) AS emb_sum_total,
+       sum(r.emb_wsum) AS emb_wsum_total
+FROM recon r
+JOIN pc ON r.content_id = pc.content_id AND r.target_seq = pc.target_seq
+LEFT JOIN np ON r.content_id = np.content_id
+GROUP BY r.content_id
+"""
 )
 
 ORACLES["asof_resolve"] = """
@@ -5753,6 +5893,11 @@ JOIN ctx USING (w1)
 JOIN uni ON tf.w2 = uni.term, total
 GROUP BY doc_id
 """
+
+# r11: stream==batch is exact (additive count states + shared scoring
+# core, bit-parity pinned in tests), so the streamed serve is checked
+# against the SAME relational recomputation as the batch operator.
+ORACLES["bigram_nll_stream"] = ORACLES["bigram_nll"]
 
 ORACLES["kneser_ney_nll"] = """
 WITH t AS (
@@ -11806,6 +11951,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sq8_topk": q_sq8_topk,
     "bq_topk": q_bq_topk,
     "training_pipeline_full": q_training_pipeline_full,
+    # --- new in r11 (rotated to the front by _R11_FRONT below) ---
+    "bigram_nll_stream": q_bigram_nll_stream,
+    "compaction_advisor_loop": q_compaction_advisor_loop,
 }
 
 
@@ -12091,6 +12239,72 @@ _R10_FRONT = [
 ]
 QUERIES = {k: QUERIES[k] for k in _R10_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_R10_FRONT)
+}
+
+
+# --- r11 rotation -----------------------------------------------------
+# Policy (SCALE.md "Driver-cap rotation", VERDICT r10 #1): (1) the 2
+# gates new in r11, (2) ALL 48 rows whose last driver check is r06, in
+# r06 check order (recomputed from CORRECTNESS_r06.json key order,
+# version_rollup_report_ts first). 2 + 48 spend the 50-cap exactly;
+# after this round no ledger row's last driver check predates r07 (the
+# r07 block of 50 is the r12 front).
+_R11_FRONT = [
+    # (1) new this round
+    "bigram_nll_stream",
+    "compaction_advisor_loop",
+    # (2) the 48 rows last driver-checked in r06, in r06 check order
+    "version_rollup_report_ts",
+    "version_rollup_report_date",
+    "version_rollup_report_dbl",
+    "pca_trace_check",
+    "neardup_triangles",
+    "cms_estimate_check",
+    "table_checksum",
+    "zipf_fit",
+    "neardup_kcore",
+    "jaccard_exact_join",
+    "heavy_hitters_sketch",
+    "fuzzy_decontaminate",
+    "reconstruct_all",
+    "reconstruct_latest",
+    "asof_resolve",
+    "topk_search",
+    "integrity_report",
+    "change_stats",
+    "advisor",
+    "compaction_invariance",
+    "list_contents",
+    "version_id_parse",
+    "storage_stats",
+    "storage_efficiency",
+    "reconstruction_stats",
+    "database_stats",
+    "content_stats",
+    "reconstruct_by_id",
+    "dedup_exact",
+    "minhash_signature",
+    "dedup_near_pairs",
+    "dedup_incremental",
+    "simhash_signature",
+    "simhash_near_pairs",
+    "ngram_jaccard",
+    "embedding_near_dup",
+    "language_id",
+    "ann_topk",
+    "ivf_topk",
+    "pq_topk",
+    "pq_codes",
+    "ivfpq_topk",
+    "token_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_resize",
+]
+QUERIES = {k: QUERIES[k] for k in _R11_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_R11_FRONT)
 }
 
 

