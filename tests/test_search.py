@@ -1388,11 +1388,14 @@ def test_graph_beam_search_hand_case_and_recall(spark):
 
 
 def test_graph_beam_search_recall_sf01(spark):
-    """r10 (VERDICT r09 #6): serving-path quality figure at sf0.1 —
-    beam search over the SYMMETRIZED NN-Descent-refined 10-NN graph
-    reaches >= 0.75 recall@5 vs brute-force cosine (measured 0.7655;
-    fully deterministic compose, so the floor is tight). The SCALE.md
-    graph-ANN ladder records the measured curve."""
+    """r11 (VERDICT r10 #4, raising the r09 #6 figure): serving-path
+    quality at sf0.1 — beam search over the SYMMETRIZED NN-Descent
+    15-NN graph at beam 32 / 4 rounds reaches >= 0.95 recall@5 vs
+    brute-force cosine (measured 0.9678; fully deterministic compose,
+    so the floor is tight). Degree is THE quality knob: 10->15
+    buys +0.08 recall and halves the rounds (the r10 best was
+    0.887 at 10-NN / beam 32 / 8 rounds). The SCALE.md graph-ANN
+    ladder records the measured curve."""
     from pyspark.sql import functions as F
 
     from temporal_vector_database_spark.operators.search import (
@@ -1411,7 +1414,7 @@ def test_graph_beam_search_recall_sf01(spark):
     qs = emb.where(F.col("vec_id") % 23 == 7).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
-    g = nn_descent(emb, k=10, rounds=2, nprobe=2).select(
+    g = nn_descent(emb, k=15, rounds=2, nprobe=2).select(
         F.col("query_id").alias("id"), F.col("vec_id").alias("nbr")
     )
     sym = (
@@ -1420,14 +1423,14 @@ def test_graph_beam_search_recall_sf01(spark):
         .localCheckpoint()
     )
     got = {}
-    for r in graph_beam_search(emb, sym, qs, k=5, beam=16, n_rounds=4).collect():
+    for r in graph_beam_search(emb, sym, qs, k=5, beam=32, n_rounds=4).collect():
         got.setdefault(r.query_id, set()).add(r.vec_id)
     truth = {}
     for r in ann_brute_force(emb, qs, k=5).collect():
         truth.setdefault(r.query_id, set()).add(r.vec_id)
     recs = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
     recall = sum(recs) / len(recs)
-    assert recall >= 0.75, recall
+    assert recall >= 0.95, recall
 
 
 def test_graph_beam_search_ivf_seeded_short_budget(spark):
