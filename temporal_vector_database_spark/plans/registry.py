@@ -2478,43 +2478,133 @@ def q_bigram_nll(spark, sf_dir):
     return bigram_logprob_scores(docs)
 
 
-def q_bigram_nll_stream(spark, sf_dir):
-    """r11 (VERDICT r10 #2): the streaming-LM SERVE path under the
-    driver's oracle end-to-end — fold a deterministic 3-batch split of
-    ``documents`` (``doc_id % 3``) into the term + bigram count states
-    with the SAME foreachBatch fold functions the live stream uses
-    (``streaming/wordcount.py process_wordcount_batch`` /
-    ``process_bigram_batch``, additive ``batch=N`` partials under a
-    per-run temp dir), then score the corpus from the maintained
-    states via ``bigram_nll_from_state``. Counts are pure sums and the
-    scoring core is shared, so stream==batch is exact and the oracle
-    is the SAME relational recomputation as ``bigram_nll``. In
-    production the state dir is the standing store the crawl folds
-    into; here it is per-run and deleted as soon as the serve has
-    pinned (localCheckpoint, eager) the merged model tables."""
+def _serve_from_lm_states(spark, sf_dir, needs, serve):
+    """Shared scaffold of the streaming-LM serve gates (r11, VERDICT
+    r10 #2): fold a deterministic 3-batch split of ``documents``
+    (``doc_id % 3``) into the requested count states with the SAME
+    foreachBatch fold functions the live stream uses
+    (``streaming/wordcount.py``, additive ``batch=N`` partials under a
+    per-run temp dir), then hand the state dirs to ``serve``. Counts
+    are pure sums and every serve shares its batch twin's scoring
+    core, so stream==batch is exact and each gate's oracle is the SAME
+    relational recomputation as its batch twin. In production the
+    state dir is the standing store the crawl folds into; here it is
+    per-run and deleted as soon as the serve has pinned
+    (localCheckpoint, eager) the merged model tables."""
     import shutil
     import tempfile
 
-    from temporal_vector_database_spark.streaming.wordcount import (
-        bigram_nll_from_state,
-        process_bigram_batch,
-        process_wordcount_batch,
-    )
+    from temporal_vector_database_spark.streaming import wordcount as W
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    root = tempfile.mkdtemp(prefix="tvdb_bigram_nll_stream_")
+    root = tempfile.mkdtemp(prefix="tvdb_lm_stream_")
     try:
-        tstate = os.path.join(root, "terms")
-        bstate = os.path.join(root, "bigrams")
+        dirs = {n: os.path.join(root, n) for n in needs}
         for bid in range(3):
             part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
-            process_wordcount_batch(part, bid, tstate)
-            process_bigram_batch(part, bid, bstate)
-        return bigram_nll_from_state(spark, tstate, bstate, docs)
+            if "terms" in dirs:
+                W.process_wordcount_batch(part, bid, dirs["terms"])
+            if "bigrams" in dirs:
+                W.process_bigram_batch(part, bid, dirs["bigrams"])
+            if "trigrams" in dirs:
+                W.process_trigram_batch(part, bid, dirs["trigrams"])
+        return serve(docs, dirs)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def q_bigram_nll_stream(spark, sf_dir):
+    """r11 (VERDICT r10 #2): the streaming JM-bigram SERVE path under
+    the driver's oracle end-to-end — term + bigram count states built
+    in-query, then ``bigram_nll_from_state`` scores the corpus from
+    them. Oracle = the ``bigram_nll`` relational recomputation
+    (stream==batch is exact; see ``_serve_from_lm_states``)."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        bigram_nll_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("terms", "bigrams"),
+        lambda docs, d: bigram_nll_from_state(
+            spark, d["terms"], d["bigrams"], docs
+        ),
+    )
+
+
+def q_trigram_nll_stream(spark, sf_dir):
+    """r11: the streaming JM-trigram SERVE path under the oracle —
+    term + bigram + trigram count states built in-query, then
+    ``trigram_nll_from_state``. Oracle = the ``trigram_nll``
+    relational recomputation."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        trigram_nll_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("terms", "bigrams", "trigrams"),
+        lambda docs, d: trigram_nll_from_state(
+            spark, d["terms"], d["bigrams"], d["trigrams"], docs
+        ),
+    )
+
+
+def q_kneser_ney_nll_stream(spark, sf_dir):
+    """r11: the streaming Kneser-Ney bigram SERVE path under the
+    oracle — every KN quantity derives from the single maintained
+    bigram state. Oracle = the ``kneser_ney_nll`` relational
+    recomputation."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        kneser_ney_nll_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("bigrams",),
+        lambda docs, d: kneser_ney_nll_from_state(spark, d["bigrams"], docs),
+    )
+
+
+def q_modified_kn_nll_stream(spark, sf_dir):
+    """r11: the streaming modified-KN trigram SERVE path under the
+    oracle — discounts, context masses, and continuation tables all
+    derive from the single maintained trigram state. Oracle = the
+    ``modified_kn_nll`` relational recomputation."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        modified_kn_nll_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("trigrams",),
+        lambda docs, d: modified_kn_nll_from_state(spark, d["trigrams"], docs),
+    )
+
+
+def q_perplexity_band_stream(spark, sf_dir):
+    """r11: the streaming perplexity-band curation SERVE path under
+    the oracle — candidates scored against the maintained term-count
+    state, [25, 75) percent-rank band kept. Oracle = the
+    ``perplexity_band`` relational recomputation."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        perplexity_band_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("terms",),
+        lambda docs, d: perplexity_band_from_state(
+            spark, d["terms"], docs, 25, 75
+        ),
+    )
 
 
 def q_trigram_nll(spark, sf_dir):
@@ -5895,8 +5985,10 @@ GROUP BY doc_id
 """
 
 # r11: stream==batch is exact (additive count states + shared scoring
-# core, bit-parity pinned in tests), so the streamed serve is checked
-# against the SAME relational recomputation as the batch operator.
+# core, bit-parity pinned in tests), so each streamed serve is checked
+# against the SAME relational recomputation as its batch twin (the
+# trigram/KN/MKN/band assignments live after their twins' definitions
+# below).
 ORACLES["bigram_nll_stream"] = ORACLES["bigram_nll"]
 
 ORACLES["kneser_ney_nll"] = """
@@ -6142,6 +6234,14 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
 FROM joined, total
 GROUP BY doc_id
 """
+
+# r11: streamed-serve twins (stream==batch exact; header note at
+# bigram_nll_stream). Assigned here, after all four batch oracles are
+# defined.
+ORACLES["trigram_nll_stream"] = ORACLES["trigram_nll"]
+ORACLES["kneser_ney_nll_stream"] = ORACLES["kneser_ney_nll"]
+ORACLES["modified_kn_nll_stream"] = ORACLES["modified_kn_nll"]
+ORACLES["perplexity_band_stream"] = ORACLES["perplexity_band"]
 
 ORACLES["tfidf_topterms"] = """
 WITH toks AS (
@@ -11954,6 +12054,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r11 (rotated to the front by _R11_FRONT below) ---
     "bigram_nll_stream": q_bigram_nll_stream,
     "compaction_advisor_loop": q_compaction_advisor_loop,
+    # --- new in r11 PAST the 50-cap (self-verified vs oracle this
+    # round via scripts/check_oracle.py; queued FIRST for the r12
+    # front per the rotation policy — the graph_beam_search r09->r10
+    # precedent). Together with bigram_nll_stream these put every
+    # streaming/wordcount.py *_from_state serve under a driver gate.
+    "trigram_nll_stream": q_trigram_nll_stream,
+    "kneser_ney_nll_stream": q_kneser_ney_nll_stream,
+    "modified_kn_nll_stream": q_modified_kn_nll_stream,
+    "perplexity_band_stream": q_perplexity_band_stream,
 }
 
 

@@ -1194,3 +1194,23 @@ def test_bigram_nll_stream_gate_equals_batch_gate(spark, sf_dir):
 
     got = canon(q_bigram_nll_stream(spark, sf_dir))
     assert got == canon(q_bigram_nll(spark, sf_dir)) and len(got) > 0
+
+
+def test_remaining_stream_serve_gates_equal_batch_gates(spark, sf_dir):
+    """r11: the four serve gates added past the rotation cap
+    (trigram/KN/MKN/band) are bit-equal to their batch twins — the
+    same stream==batch exactness the driver's oracle checks."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_kneser_ney_nll,
+        q_kneser_ney_nll_stream,
+        q_perplexity_band,
+        q_perplexity_band_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(q_kneser_ney_nll_stream(spark, sf_dir))
+    assert got == canon(q_kneser_ney_nll(spark, sf_dir)) and len(got) > 0
+    got = canon(q_perplexity_band_stream(spark, sf_dir))
+    assert got == canon(q_perplexity_band(spark, sf_dir)) and len(got) > 0
