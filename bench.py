@@ -318,9 +318,16 @@ def main() -> None:
     # UNTOUCHED queries measured uniformly 1.2-1.8x the r09 stamp).
     # r11 (VERDICT r10 #3): shared helper; scripts/bench_compare.py
     # turns two records into a probe-NORMALIZED flag list mechanically.
-    from temporal_vector_database_spark.bench_util import cpu_probe_sec
+    from temporal_vector_database_spark.bench_util import (
+        cpu_probe_parallel_sec,
+        cpu_probe_sec,
+    )
 
     cpu_probe = cpu_probe_sec()
+    # r11: parallel twin — single-thread speed and parallel throughput
+    # drift INDEPENDENTLY on this host class (bench_util docstring);
+    # publishing both makes the next round's adjudication mechanical
+    cpu_probe_par = cpu_probe_parallel_sec()
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -365,6 +372,7 @@ def main() -> None:
             "end": [round(v, 2) for v in os.getloadavg()],
         },
         "cpu_probe_sec": cpu_probe,
+        "cpu_probe_par_sec": cpu_probe_par,
         "sf": sf,
     }
     sidecar = os.path.join(REPO, "BENCH_LOCAL.json")

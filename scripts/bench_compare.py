@@ -51,6 +51,21 @@ def main() -> None:
         f"cpu_probe: prev={prev.get('cpu_probe_sec')} "
         f"cur={cur.get('cpu_probe_sec')} ratio={rep['probe_ratio']}"
     )
+    if prev.get("cpu_probe_par_sec") or cur.get("cpu_probe_par_sec"):
+        print(
+            f"cpu_probe_par: prev={prev.get('cpu_probe_par_sec')} "
+            f"cur={cur.get('cpu_probe_par_sec')}  (throughput drift "
+            "instrument — see bench_util.cpu_probe_parallel_sec)"
+        )
+    # the single-thread probe misses PARALLEL-throughput contention
+    # (r11 lesson: a record taken at loadavg 5+ right after a test
+    # suite showed 1.4-1.9x on dozens of untouched queries while the
+    # probe read FASTER) — surface each record's loadavg so a reader
+    # checks the cheap explanation first
+    for tag, d in (("prev", prev), ("cur", cur)):
+        la = d.get("loadavg")
+        if la:
+            print(f"loadavg[{tag}]: start={la['start']} end={la['end']}")
     for name, v in sorted(
         rep["queries"].items(), key=lambda kv: -kv[1]["norm_ratio"]
     ):

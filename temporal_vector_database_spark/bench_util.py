@@ -39,6 +39,41 @@ def cpu_probe_sec(reps: int = 5) -> float:
     return round(best, 4)
 
 
+def cpu_probe_parallel_sec(threads: int = 8, reps: int = 3) -> float:
+    """Min-of-``reps`` wall time of the fixed probe matmul run on
+    ``threads`` concurrent threads (numpy releases the GIL, so these
+    genuinely occupy cores). The r11 lesson: host drift can move
+    PARALLEL throughput while single-thread speed is unchanged or even
+    improves (the r11 stamp measured 15 untouched queries uniformly
+    1.3-1.6x the r10 record while the single-thread probe read 15%
+    FASTER; isolated min-of-3 confirmed the elevation was host-state).
+    Records publishing both probes let the next comparison separate
+    frequency/steal drift (both move) from throughput/neighbor drift
+    (only this one moves)."""
+    import threading
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mats = [rng.random((512, 512)) for _ in range(threads)]
+
+    def work(i: int) -> None:
+        m = mats[i]
+        for _ in range(4):
+            m = m @ mats[i]
+
+    best = float("inf")
+    for _ in range(reps):
+        ts = [threading.Thread(target=work, args=(i,)) for i in range(threads)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def probe_normalized_ratios(
     cur: dict, prev: dict, flag_ratio: float = 1.5
 ) -> dict:
