@@ -2607,6 +2607,225 @@ def q_perplexity_band_stream(spark, sf_dir):
     )
 
 
+def q_unigram_nll_stream(spark, sf_dir):
+    """r11 wave 2: the streaming UNIGRAM SERVE path (the r09 serve the
+    r11 wave-1 gates skipped) under the oracle — candidates scored
+    against the maintained term-count state. Oracle = the
+    ``unigram_nll`` relational recomputation."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        unigram_nll_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("terms",),
+        lambda docs, d: unigram_nll_from_state(spark, d["terms"], docs),
+    )
+
+
+def q_vocab_coverage_stream(spark, sf_dir):
+    """r11 wave 2: the vocab-sizing dashboard SERVED from the
+    maintained term-count state — the original r09 streaming serve,
+    now under the oracle end-to-end. Oracle = the ``vocab_coverage``
+    relational recomputation."""
+    from temporal_vector_database_spark.streaming.wordcount import (
+        coverage_from_state,
+    )
+
+    return _serve_from_lm_states(
+        spark,
+        sf_dir,
+        ("terms",),
+        lambda docs, d: coverage_from_state(spark, d["terms"]),
+    )
+
+
+def _serve_from_series_state(spark, sf_dir, serve):
+    """Events twin of ``_serve_from_lm_states`` (r11 wave 2): fold a
+    deterministic 3-batch split of ``events`` (``event_id % 3`` — NOT
+    time-ordered, so late arrivals are exercised) into the per-bucket
+    series-sum state with the live foreachBatch fold
+    (``streaming/correlation.py process_series_sum_batch``, versioned
+    ``v=N`` commits), then hand the state dir to ``serve``. The state
+    is purely additive integer sums, so stream==batch is exact and
+    each gate's oracle is its batch twin's relational recomputation.
+    Per-run temp dir, deleted once the serve has pinned the state."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.correlation import (
+        process_series_sum_batch,
+    )
+
+    ev = load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tvdb_series_stream_")
+    try:
+        state = os.path.join(root, "series")
+        for bid in range(3):
+            part = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == bid)
+            process_series_sum_batch(part, bid, state)
+        return serve(state)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_events_type_corr_stream(spark, sf_dir):
+    """r11 wave 2: pairwise Pearson SERVED from the maintained
+    per-bucket series-sum state (``correlation_from_state`` — exact
+    BIGINT moments derived on the read side, never rescanning events).
+    Oracle = the ``events_type_corr`` relational recomputation
+    (stream==batch exact: the state is additive integer sums). The
+    state table must be pinned here: the serve reads it twice (both
+    sides of the pair join) and each reference would re-run the fold's
+    parquet read."""
+    from temporal_vector_database_spark.streaming.correlation import (
+        correlation_from_state,
+        read_series_state,
+    )
+
+    return _serve_from_series_state(
+        spark,
+        sf_dir,
+        lambda state: correlation_from_state(
+            read_series_state(spark, state).localCheckpoint()
+        ),
+    )
+
+
+def q_events_acf_stream(spark, sf_dir):
+    """r11 wave 2: per-series autocorrelation (lags 1..3) SERVED from
+    the SAME maintained series-sum state as the correlation serve —
+    two analytics off one maintenance stream. Oracle = the
+    ``events_acf`` relational recomputation."""
+    from temporal_vector_database_spark.streaming.correlation import (
+        acf_from_state,
+    )
+
+    return _serve_from_series_state(
+        spark,
+        sf_dir,
+        lambda state: acf_from_state(spark, state, max_lag=3),
+    )
+
+
+def q_source_overlap_stream(spark, sf_dir):
+    """r11 wave 3: cross-source overlap ESTIMATES served from the
+    incrementally maintained per-source MinHash signature state
+    (mergeable minima — folding document batches then comparing
+    signatures is bit-equal to one-shot signatures over everything
+    streamed). 3-batch deterministic split (doc_id % 3), live
+    ``process_source_sig_batch`` fold, per-run temp state dir. Oracle
+    = the estimator half of the ``source_overlap`` recomputation (the
+    batch gate additionally publishes the exact-Jaccard columns the
+    signature state deliberately does not carry)."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.streaming.sourcesig import (
+        process_source_sig_batch,
+        read_source_overlap_estimates,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="tvdb_sourcesig_stream_")
+    try:
+        state = os.path.join(root, "sig")
+        for bid in range(3):
+            part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+            process_source_sig_batch(part, bid, state)
+        # the serve reads the committed head once per join side; the
+        # result is collected by the driver after cleanup, so pin the
+        # k-source output (the multi-consumer state-serve discipline)
+        return read_source_overlap_estimates(spark, state).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _serve_from_neardup_edges(spark, sf_dir, serve):
+    """Graph-analytics twin of ``_serve_from_lm_states`` (r11 wave 3):
+    fold the sign-band LSH near-dup PAIR set into the canonical edge
+    state in 3 deterministic batches (``(a_id + b_id) % 3`` — edges,
+    not documents, because in production the pairs arrive from the
+    streaming dedup emitter as documents land), then hand the state
+    dir to ``serve``. The folded state is the distinct canonical edge
+    set, identical to the batch build regardless of split, so each
+    serve is bit-equal to its batch twin and shares its oracle."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.dedup import (
+        embedding_near_duplicates,
+    )
+    from temporal_vector_database_spark.streaming.graph import (
+        process_edges_batch,
+    )
+
+    emb = _quantized_embeddings(spark, sf_dir)
+    pairs = embedding_near_duplicates(emb, min_cosine=0.4).localCheckpoint()
+    root = tempfile.mkdtemp(prefix="tvdb_edges_stream_")
+    try:
+        state = os.path.join(root, "edges")
+        for bid in range(3):
+            part = pairs.where(
+                F.pmod(F.col("a_id") + F.col("b_id"), F.lit(3)) == bid
+            )
+            process_edges_batch(part, bid, state)
+        return serve(state)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_neardup_pagerank_stream(spark, sf_dir):
+    """r11 wave 3: PageRank centrality SERVED from the maintained
+    near-dup edge state (``pagerank_from_state``: symmetrize + the
+    same BIGINT fixed-point iterations) — the canonical-doc ranking
+    stays current as the crawl lands without re-running LSH. Oracle =
+    the ``neardup_pagerank`` relational recomputation. The fixed-point
+    result is pinned before cleanup (per-run temp state dir)."""
+    from temporal_vector_database_spark.streaming.graph import (
+        pagerank_from_state,
+    )
+
+    return _serve_from_neardup_edges(
+        spark,
+        sf_dir,
+        lambda state: pagerank_from_state(spark, state, n_iter=3)
+        .select(F.col("id").alias("vec_id"), "pr_units", "deg")
+        .localCheckpoint(),
+    )
+
+
+def q_label_propagation_stream(spark, sf_dir):
+    """r11 wave 3: semi-supervised label propagation SERVED from the
+    SAME maintained edge state — second analytics off one maintenance
+    stream (the pagerank serve's state discipline). Oracle = the
+    ``label_propagation`` relational recomputation."""
+    from temporal_vector_database_spark.streaming.graph import (
+        label_propagation_from_state,
+    )
+
+    seeds = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").cast("long").alias("id"))
+        .where(F.col("id") % 17 == 0)
+        .select(
+            "id",
+            F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias(
+                "label"
+            ),
+        )
+    )
+    return _serve_from_neardup_edges(
+        spark,
+        sf_dir,
+        lambda state: label_propagation_from_state(spark, state, seeds, n_iter=3)
+        .select(F.col("id").alias("vec_id"), "label", "is_seed")
+        .localCheckpoint(),
+    )
+
+
 def q_trigram_nll(spark, sf_dir):
     """r09: Jelinek-Mercer interpolated TRIGRAM LM quality score per
     doc — p(w3|w1w2) = (8/16)·c(w1w2w3)/c(w1w2·) + (5/16)·c(w2w3)/c(w2·)
@@ -12063,6 +12282,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kneser_ney_nll_stream": q_kneser_ney_nll_stream,
     "modified_kn_nll_stream": q_modified_kn_nll_stream,
     "perplexity_band_stream": q_perplexity_band_stream,
+    # --- r11 wave 2 (also past the cap, same r12-front queue): the
+    # remaining LM serves + the events series-state serves
+    "unigram_nll_stream": q_unigram_nll_stream,
+    "vocab_coverage_stream": q_vocab_coverage_stream,
+    "events_type_corr_stream": q_events_type_corr_stream,
+    "events_acf_stream": q_events_acf_stream,
+    # --- r11 wave 3: source-signature + near-dup-graph serve gates
+    "source_overlap_stream": q_source_overlap_stream,
+    "neardup_pagerank_stream": q_neardup_pagerank_stream,
+    "label_propagation_stream": q_label_propagation_stream,
 }
 
 
@@ -12430,3 +12659,56 @@ def oracle_map(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     return {name: sql.replace("{FIX}", fix) for name, sql in ORACLES.items()}
 
 ORACLES["ivfpq_residual_topk_persisted"] = ORACLES["ivfpq_residual_topk"]
+
+# r11 wave 2 streamed-serve twins (stream==batch exact; header note at
+# bigram_nll_stream)
+ORACLES["unigram_nll_stream"] = ORACLES["unigram_nll"]
+ORACLES["vocab_coverage_stream"] = ORACLES["vocab_coverage"]
+ORACLES["events_type_corr_stream"] = ORACLES["events_type_corr"]
+ORACLES["events_acf_stream"] = ORACLES["events_acf"]
+
+# r11 wave 3: graph analytics served from the folded canonical edge
+# state are bit-equal to the batch builds (the folded state is the
+# same distinct edge set), so they share the batch oracles verbatim.
+ORACLES["neardup_pagerank_stream"] = ORACLES["neardup_pagerank"]
+ORACLES["label_propagation_stream"] = ORACLES["label_propagation"]
+
+# r11 wave 3: the signature state carries only the mergeable minima,
+# so the streamed serve publishes the ESTIMATOR half of the batch
+# source_overlap gate — same sh/sig/est relational recomputation,
+# without the exact-Jaccard columns.
+ORACLES["source_overlap_stream"] = """
+WITH sh AS (
+  SELECT source AS src,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substring(text, i, 3))) AS sh
+  FROM documents
+),
+sig AS (
+  SELECT src,
+         min(substring(md5(sh), 1, 4)) AS mh_0, min(substring(md5(sh), 5, 4)) AS mh_1,
+         min(substring(md5(sh), 9, 4)) AS mh_2, min(substring(md5(sh), 13, 4)) AS mh_3,
+         min(substring(md5(sh), 17, 4)) AS mh_4, min(substring(md5(sh), 21, 4)) AS mh_5,
+         min(substring(md5(sh), 25, 4)) AS mh_6, min(substring(md5(sh), 29, 4)) AS mh_7
+  FROM sh GROUP BY src
+)
+SELECT a.src AS src_a, b.src AS src_b,
+       CAST((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+         AS est_jaccard
+FROM sig a JOIN sig b ON a.src < b.src
+"""

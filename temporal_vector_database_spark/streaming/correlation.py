@@ -126,7 +126,9 @@ def acf_from_state(
     state = read_series_state(spark, state_dir)
     if state is None:
         return None
-    return acf_from_per_bucket(state, bucket_ms, max_lag)
+    # pin: the per-bucket table feeds BOTH sides of the lag self-join
+    # (r11, the multi-consumer state-serve discipline)
+    return acf_from_per_bucket(state.localCheckpoint(), bucket_ms, max_lag)
 
 
 def run_series_sum_stream(

@@ -137,3 +137,37 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) >= 7  # every user sessions identically
+
+
+def test_wave3_stream_serve_gates_equal_batch_gates(spark, sf_dir):
+    """r11 wave 2/3: the series-state and edge-state serve gates are
+    value-equal to their batch twins (same exactness the driver's
+    oracle checks; columns differ only where documented —
+    source_overlap_stream publishes the estimator half)."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_events_acf,
+        q_events_acf_stream,
+        q_events_type_corr,
+        q_events_type_corr_stream,
+        q_neardup_pagerank,
+        q_neardup_pagerank_stream,
+        q_source_overlap,
+        q_source_overlap_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(q_events_type_corr_stream(spark, sf_dir))
+    assert got == canon(q_events_type_corr(spark, sf_dir)) and len(got) > 0
+    got = canon(q_events_acf_stream(spark, sf_dir))
+    assert got == canon(q_events_acf(spark, sf_dir)) and len(got) > 0
+    got = canon(q_neardup_pagerank_stream(spark, sf_dir))
+    assert got == canon(q_neardup_pagerank(spark, sf_dir)) and len(got) > 0
+    got = canon(q_source_overlap_stream(spark, sf_dir))
+    want = canon(
+        q_source_overlap(spark, sf_dir).select(
+            "src_a", "src_b", "n_match", "est_jaccard"
+        )
+    )
+    assert got == want and len(got) > 0
