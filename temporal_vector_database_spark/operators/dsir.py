@@ -184,6 +184,21 @@ def dsir_weights(
     the bucket's ``lambda_units``. Documents with no grams weight 0.
     Output: ``(id_col, weight_units BIGINT, n_grams BIGINT)``."""
     lam = dsir_lambda_table(raw_docs, target_docs, n_buckets, id_col, text_col)
+    return weights_from_lambda(raw_docs, lam, n_buckets, id_col, text_col)
+
+
+def weights_from_lambda(
+    raw_docs: DataFrame,
+    lam: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scoring half of :func:`dsir_weights` against an EXPLICIT
+    ``(bucket, lambda_units)`` table — shared with the streaming serve
+    (``streaming/dsir.py dsir_select_from_state``: λ derives from the
+    two maintained count states via ``lambda_from_counts``, so scoring
+    the streamed corpus is bit-equal to the batch op)."""
     grams = _bucketed(_doc_grams(raw_docs, id_col, text_col), n_buckets)
     per_doc = (
         grams.join(F.broadcast(lam), "bucket")

@@ -2777,6 +2777,162 @@ def _serve_from_neardup_edges(spark, sf_dir, serve):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_table_checksum_stream(spark, sf_dir):
+    """r11 wave 4: per-source table fingerprints SERVED from the
+    maintained checksum state — the replica-verification primitive
+    maintained incrementally as append-only batches land (XOR + count
+    fold is exact under any batch split). 3-batch ``doc_id % 3``
+    split, live ``process_checksum_batch`` fold. Oracle = the
+    ``table_checksum`` relational recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.streaming.checksum import (
+        process_checksum_batch,
+        read_checksum_state,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="tvdb_checksum_stream_")
+    try:
+        state = os.path.join(root, "cs")
+        for bid in range(3):
+            part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+            process_checksum_batch(
+                part,
+                bid,
+                state,
+                key_cols=("doc_id",),
+                compare_cols=("text", "lang", "n_chars"),
+                group_cols=("source",),
+            )
+        return read_checksum_state(spark, state).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_events_m4_stream(spark, sf_dir):
+    """r11 wave 4: the M4 pixel-perfect downsample SERVED from the
+    maintained mergeable extremum state (``m4_report`` over the folded
+    ``m4_state`` partials — every column an associative min/max/sum,
+    so the ``event_id % 3`` split, late arrivals included, lands on
+    the batch answer exactly). Oracle = the ``events_m4`` relational
+    recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.timeseries import m4_report
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.m4 import (
+        process_m4_batch,
+        read_m4_state,
+    )
+
+    ev = load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tvdb_m4_stream_")
+    try:
+        state = os.path.join(root, "m4")
+        for bid in range(3):
+            part = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == bid)
+            process_m4_batch(part, bid, state)
+        return m4_report(read_m4_state(spark, state)).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_dsir_select_stream(spark, sf_dir):
+    """r11 wave 4: DSIR top-200 selection SERVED from the two
+    maintained model-count states (raw corpus + English target) — the
+    data-mixture selector stays current as the crawl lands: per-batch
+    cost is one gram pass, the λ table derives from the committed
+    counts, and scoring uses the batch op's own core
+    (``weights_from_lambda``). Oracle = the ``dsir_select`` relational
+    recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.streaming.dsir import (
+        dsir_select_from_state,
+        process_dsir_counts_batch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    root = tempfile.mkdtemp(prefix="tvdb_dsir_stream_")
+    try:
+        rdir = os.path.join(root, "raw")
+        tdir = os.path.join(root, "target")
+        for bid in range(3):
+            part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+            process_dsir_counts_batch(part, bid, rdir)
+            process_dsir_counts_batch(
+                part.where(F.col("lang") == "en"), bid, tdir
+            )
+        out = dsir_select_from_state(spark, rdir, tdir, docs, k=200)
+        # the serve's λ is pinned inside dsir_select_from_state; the
+        # top-k result still reads docs (safe) — pin it anyway so the
+        # driver's collect after cleanup never touches the temp dir
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_cms_estimate_stream(spark, sf_dir):
+    """r11 wave 4: Count-Min point estimates SERVED from the
+    maintained additive counter state (``depth × width`` integer
+    counters fold by per-bucket sum — exact under any batch split).
+    The deterministic hot set (the probe list, k-bounded) is computed
+    exactly as the batch op does; the ESTIMATES come from the folded
+    state. Oracle = the ``cms_estimate_check`` relational
+    recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.streaming.cms import (
+        cms_point_estimates,
+        process_cms_batch,
+        read_cms_state,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' hot gram', 40)")),
+        ).otherwise(F.col("text")),
+    )
+    kt, n, d, wdt = 64, 2, 4, 256
+    root = tempfile.mkdtemp(prefix="tvdb_cms_stream_")
+    try:
+        state = os.path.join(root, "cms")
+        for bid in range(3):
+            part = skewed.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+            process_cms_batch(part, bid, state, n=n, depth=d, width=wdt)
+        counters, total = read_cms_state(spark, state, n=n, depth=d, width=wdt)
+        counters = counters.localCheckpoint()
+        from temporal_vector_database_spark.operators.textindex import (
+            _gram_stream,
+        )
+
+        grams = _gram_stream(skewed, n, "doc_id", "text")
+        exact = grams.groupBy("gram").agg(
+            F.count("*").cast("long").alias("n_occurrences")
+        )
+        hot = (
+            exact.crossJoin(F.broadcast(total.localCheckpoint()))
+            .where(F.col("n_occurrences") * (kt + 1) > F.col("n_grams"))
+            .select("gram", "n_occurrences", "n_grams")
+        )
+        est = cms_point_estimates(counters, hot, depth=d, width=wdt)
+        return (
+            hot.join(est, "gram")
+            .select("gram", "n_occurrences", "cms_est", "n_grams")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_neardup_pagerank_stream(spark, sf_dir):
     """r11 wave 3: PageRank centrality SERVED from the maintained
     near-dup edge state (``pagerank_from_state``: symmetrize + the
@@ -12292,6 +12448,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_stream": q_source_overlap_stream,
     "neardup_pagerank_stream": q_neardup_pagerank_stream,
     "label_propagation_stream": q_label_propagation_stream,
+    # --- r11 wave 4: checksum / M4 / DSIR / CMS state serves
+    "table_checksum_stream": q_table_checksum_stream,
+    "events_m4_stream": q_events_m4_stream,
+    "dsir_select_stream": q_dsir_select_stream,
+    "cms_estimate_stream": q_cms_estimate_stream,
 }
 
 
@@ -12672,6 +12833,14 @@ ORACLES["events_acf_stream"] = ORACLES["events_acf"]
 # same distinct edge set), so they share the batch oracles verbatim.
 ORACLES["neardup_pagerank_stream"] = ORACLES["neardup_pagerank"]
 ORACLES["label_propagation_stream"] = ORACLES["label_propagation"]
+
+# r11 wave 4: additive/mergeable state serves (XOR+count fingerprints,
+# M4 extremum structs, DSIR bucket counts, CMS counters) are exact
+# under any batch split, so each shares its batch twin's oracle.
+ORACLES["table_checksum_stream"] = ORACLES["table_checksum"]
+ORACLES["events_m4_stream"] = ORACLES["events_m4"]
+ORACLES["dsir_select_stream"] = ORACLES["dsir_select"]
+ORACLES["cms_estimate_stream"] = ORACLES["cms_estimate_check"]
 
 # r11 wave 3: the signature state carries only the mergeable minima,
 # so the streamed serve publishes the ESTIMATOR half of the batch

@@ -91,3 +91,36 @@ def run_dsir_counts_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def dsir_select_from_state(
+    spark: SparkSession,
+    raw_state_dir: str,
+    target_state_dir: str,
+    docs: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame | None:
+    """Top-``k`` DSIR selection SERVED from the two maintained model
+    count states (r11): λ derives from the committed raw/target bucket
+    counts (``lambda_from_counts`` — the shared read side), candidate
+    ``docs`` are scored with the batch op's own scoring half
+    (``operators/dsir.py weights_from_lambda``), so self-selecting the
+    streamed corpus is bit-equal to the batch ``dsir_select``. None
+    before either state's first commit. The λ table is pinned — it is
+    ``n_buckets`` rows and every reference re-reads both state
+    parquets and re-aggregates the totals."""
+    from temporal_vector_database_spark.operators.dsir import (
+        lambda_from_counts,
+        weights_from_lambda,
+    )
+
+    rc = read_counts_state(spark, raw_state_dir)
+    tc = read_counts_state(spark, target_state_dir)
+    if rc is None or tc is None:
+        return None
+    lam = lambda_from_counts(spark, tc, rc, n_buckets).localCheckpoint()
+    w = weights_from_lambda(docs, lam, n_buckets, id_col, text_col)
+    return w.orderBy(F.desc("weight_units"), F.asc(id_col)).limit(int(k))

@@ -171,3 +171,32 @@ def test_wave3_stream_serve_gates_equal_batch_gates(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_wave4_stream_serve_gates_equal_batch_gates(spark, sf_dir):
+    """r11 wave 4: checksum/M4/DSIR/CMS state serves are value-equal
+    to their batch twins."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_cms_estimate_check,
+        q_cms_estimate_stream,
+        q_dsir_select,
+        q_dsir_select_stream,
+        q_events_m4,
+        q_events_m4_stream,
+        q_table_checksum,
+        q_table_checksum_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for stream_q, batch_q in (
+        (q_table_checksum_stream, q_table_checksum),
+        (q_events_m4_stream, q_events_m4),
+        (q_dsir_select_stream, q_dsir_select),
+        (q_cms_estimate_stream, q_cms_estimate_check),
+    ):
+        got = canon(stream_q(spark, sf_dir))
+        assert got == canon(batch_q(spark, sf_dir)) and len(got) > 0, (
+            stream_q.__name__
+        )
