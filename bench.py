@@ -199,6 +199,11 @@ HEADLINE = (
     # r10 additions
     "modified_kn_nll",
     "kfold_assign",
+    # r11 additions (the two front-cap gates; the 13 other serve gates
+    # share their batch twins' plans plus a bounded state fold, so the
+    # two below stand in for the family's serve-path cost)
+    "bigram_nll_stream",
+    "compaction_advisor_loop",
     # r10: graph_beam_search_ivf follows the graph_beam_search non-bench
     # rationale below (build-dominated); correctness gated, recall
     # ladder measured in SCALE.md.

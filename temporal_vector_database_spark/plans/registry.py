@@ -2777,6 +2777,46 @@ def _serve_from_neardup_edges(spark, sf_dir, serve):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_ivf_store_compact_loop(spark, sf_dir):
+    """r11: the ANN-index MAINTENANCE loop under the oracle — the IVF
+    twin of ``compaction_advisor_loop``: COPY the merge-on-read store
+    fixture (base lists + uncompacted upsert batch − tombstone batch),
+    run ``ivf_store_compact`` (affected-partition rewrite, logs
+    cleared), then serve the same probe queries from the compacted
+    layout. Compaction is serving-invariant by construction
+    (latest-wins resolution happens either at read time or at rewrite
+    time over identical rows), so this gate shares the
+    ``ivf_store_topk`` oracle verbatim — a value drift in the rewrite
+    is a red driver row. The compacted copy lives in a per-run temp
+    dir; the k-row result is pinned before cleanup."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.ivf_store import (
+        ivf_store_compact,
+        ivf_store_topk,
+    )
+    from temporal_vector_database_spark.sources.fixtures import (
+        ensure_ivf_store_upserted,
+    )
+
+    store = ensure_ivf_store_upserted(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tvdb_ivf_compact_")
+    try:
+        work = os.path.join(root, "store")
+        shutil.copytree(store, work)
+        ivf_store_compact(spark, work)
+        emb = _quantized_embeddings(spark, sf_dir)
+        queries = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").cast("int").alias("query_id"), "embedding"
+        )
+        return ivf_store_topk(
+            spark, work, queries, k=10, nprobe=2
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_table_checksum_stream(spark, sf_dir):
     """r11 wave 4: per-source table fingerprints SERVED from the
     maintained checksum state — the replica-verification primitive
@@ -12453,6 +12493,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_m4_stream": q_events_m4_stream,
     "dsir_select_stream": q_dsir_select_stream,
     "cms_estimate_stream": q_cms_estimate_stream,
+    # --- r11: ANN-index maintenance loop (the IVF twin of
+    # compaction_advisor_loop)
+    "ivf_store_compact_loop": q_ivf_store_compact_loop,
 }
 
 
@@ -12841,6 +12884,11 @@ ORACLES["table_checksum_stream"] = ORACLES["table_checksum"]
 ORACLES["events_m4_stream"] = ORACLES["events_m4"]
 ORACLES["dsir_select_stream"] = ORACLES["dsir_select"]
 ORACLES["cms_estimate_stream"] = ORACLES["cms_estimate_check"]
+
+# r11: IVF compaction is serving-invariant by construction, so the
+# compact-then-serve loop shares the merge-on-read serving oracle —
+# any value drift in the affected-partition rewrite is a red row.
+ORACLES["ivf_store_compact_loop"] = ORACLES["ivf_store_topk"]
 
 # r11 wave 3: the signature state carries only the mergeable minima,
 # so the streamed serve publishes the ESTIMATOR half of the batch
