@@ -2777,6 +2777,151 @@ def _serve_from_neardup_edges(spark, sf_dir, serve):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_events_ohlc_stream(spark, sf_dir):
+    """r11 wave 5: daily OHLC bars SERVED from the maintained mergeable
+    extremum state (``ohlc_report`` over the folded ``ohlc_state``
+    partials — first/last/min/max structs are associative, so the
+    ``event_id % 3`` split, late arrivals included, lands on the batch
+    bars exactly). Oracle = the ``events_ohlc`` relational
+    recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.timeseries import ohlc_report
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.ohlc import (
+        process_ohlc_batch,
+        read_ohlc_state,
+    )
+
+    ev = load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tvdb_ohlc_stream_")
+    try:
+        state = os.path.join(root, "ohlc")
+        for bid in range(3):
+            part = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == bid)
+            process_ohlc_batch(part, bid, state)
+        return ohlc_report(read_ohlc_state(spark, state)).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_version_rollup_report_stream(spark, sf_dir):
+    """r11 wave 5: the hypertable rollup REPORT served from the
+    maintained rollup state — three append batches of the versions
+    table fold through ``process_rollup_batch`` (every state column
+    mergeable: sum/sum/sum/sum/max/sum), the read-side projection
+    derives the timestamp + double columns. Oracle = the
+    ``version_rollup_report`` relational recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.rollup import rollup_report
+    from temporal_vector_database_spark.streaming.rollup import (
+        process_rollup_batch,
+        read_rollup_state,
+    )
+
+    v = _versions(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tvdb_rollup_stream_")
+    try:
+        state = os.path.join(root, "rollup")
+        for bid, cond in enumerate(
+            (F.col("seq") <= 4, (F.col("seq") > 4) & (F.col("seq") <= 8),
+             F.col("seq") > 8)
+        ):
+            process_rollup_batch(v.where(cond), bid, state)
+        return rollup_report(read_rollup_state(spark, state)).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_events_counter_rate_stream(spark, sf_dir):
+    """r11 wave 5: Prometheus-style counter increase/rate SERVED from
+    the maintained (buckets, last-sample) state — folded over three
+    TIME-ORDERED micro-batches (the counter arrival contract: reset
+    detection needs each batch's first delta seeded from the previous
+    batch's last sample, so the split is by event-time terciles, not
+    by id hash). Oracle = the ``events_counter_rate`` relational
+    recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.counter import (
+        counter_report,
+        process_counter_batch,
+        read_counter_state,
+    )
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = events_ts_range(spark, sf_dir)
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    root = tempfile.mkdtemp(prefix="tvdb_counter_stream_")
+    try:
+        state = os.path.join(root, "counter")
+        for bid, cond in enumerate(
+            (F.col("ts_ms") < b1,
+             (F.col("ts_ms") >= b1) & (F.col("ts_ms") < b2),
+             F.col("ts_ms") >= b2)
+        ):
+            process_counter_batch(ev.where(cond), bid, state)
+        buckets, _last = read_counter_state(spark, state)
+        return counter_report(buckets, 86_400_000, 1000).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_bloom_decontaminate_stream(spark, sf_dir):
+    """r11 wave 5: Bloom decontamination SERVED from the maintained
+    eval-positions state — the eval suite folds in three batches
+    (bit-position set union is associative), then the train corpus
+    probes the COMPLETE committed filter in three batches whose
+    reports union to the batch answer (probe order is irrelevant once
+    the eval state is complete — the monotone-flags property is pinned
+    separately in tests). Oracle = the ``bloom_decontaminate``
+    relational recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.streaming.bloom import (
+        process_eval_bloom_batch,
+        process_probe_batch,
+        read_probe_reports,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    root = tempfile.mkdtemp(prefix="tvdb_bloom_stream_")
+    try:
+        state = os.path.join(root, "positions")
+        out = os.path.join(root, "reports")
+        for bid in range(3):
+            process_eval_bloom_batch(
+                ev.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid), bid, state
+            )
+        for bid in range(3):
+            process_probe_batch(
+                train.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid),
+                bid,
+                state,
+                out,
+                min_hits=2,
+            )
+        return (
+            read_probe_reports(spark, out)
+            .select(
+                "doc_id", "n_ngrams", "n_bloom_hits", "bloom_frac",
+                "is_contaminated",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ivf_store_compact_loop(spark, sf_dir):
     """r11: the ANN-index MAINTENANCE loop under the oracle — the IVF
     twin of ``compaction_advisor_loop``: COPY the merge-on-read store
@@ -12496,6 +12641,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r11: ANN-index maintenance loop (the IVF twin of
     # compaction_advisor_loop)
     "ivf_store_compact_loop": q_ivf_store_compact_loop,
+    # --- r11 wave 5: OHLC / rollup / counter / bloom state serves
+    "events_ohlc_stream": q_events_ohlc_stream,
+    "version_rollup_report_stream": q_version_rollup_report_stream,
+    "events_counter_rate_stream": q_events_counter_rate_stream,
+    "bloom_decontaminate_stream": q_bloom_decontaminate_stream,
 }
 
 
@@ -12889,6 +13039,14 @@ ORACLES["cms_estimate_stream"] = ORACLES["cms_estimate_check"]
 # compact-then-serve loop shares the merge-on-read serving oracle —
 # any value drift in the affected-partition rewrite is a red row.
 ORACLES["ivf_store_compact_loop"] = ORACLES["ivf_store_topk"]
+
+# r11 wave 5: mergeable-state serves (OHLC extremum structs, rollup
+# integer state, seeded counter deltas over time-ordered batches,
+# bloom position-set union) — each shares its batch twin's oracle.
+ORACLES["events_ohlc_stream"] = ORACLES["events_ohlc"]
+ORACLES["version_rollup_report_stream"] = ORACLES["version_rollup_report"]
+ORACLES["events_counter_rate_stream"] = ORACLES["events_counter_rate"]
+ORACLES["bloom_decontaminate_stream"] = ORACLES["bloom_decontaminate"]
 
 # r11 wave 3: the signature state carries only the mergeable minima,
 # so the streamed serve publishes the ESTIMATOR half of the batch

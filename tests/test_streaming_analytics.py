@@ -200,3 +200,37 @@ def test_wave4_stream_serve_gates_equal_batch_gates(spark, sf_dir):
         assert got == canon(batch_q(spark, sf_dir)) and len(got) > 0, (
             stream_q.__name__
         )
+
+
+def test_wave5_stream_serve_gates_equal_batch_gates(spark, sf_dir):
+    """r11 wave 5: OHLC/rollup/counter/bloom state serves are
+    value-equal to their batch twins (bloom compared on the oracle's
+    published columns)."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_bloom_decontaminate,
+        q_bloom_decontaminate_stream,
+        q_events_counter_rate,
+        q_events_counter_rate_stream,
+        q_events_ohlc,
+        q_events_ohlc_stream,
+        q_version_rollup_report,
+        q_version_rollup_report_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for stream_q, batch_q in (
+        (q_events_ohlc_stream, q_events_ohlc),
+        (q_version_rollup_report_stream, q_version_rollup_report),
+        (q_events_counter_rate_stream, q_events_counter_rate),
+    ):
+        got = canon(stream_q(spark, sf_dir))
+        assert got == canon(batch_q(spark, sf_dir)) and len(got) > 0, (
+            stream_q.__name__
+        )
+    cols = ["doc_id", "n_ngrams", "n_bloom_hits", "bloom_frac",
+            "is_contaminated"]
+    got = canon(q_bloom_decontaminate_stream(spark, sf_dir))
+    want = canon(q_bloom_decontaminate(spark, sf_dir).select(*cols))
+    assert got == want and len(got) > 0
