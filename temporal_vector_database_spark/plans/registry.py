@@ -2922,6 +2922,42 @@ def q_bloom_decontaminate_stream(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_events_scd2_snapshot_stream(spark, sf_dir):
+    """r11 wave 5: the SCD2 as-of snapshot SERVED from the maintained
+    interval store — events fold in three ``event_id % 3`` batches
+    (late updates land mid-history and the touched keys rebuild from
+    their full raw slice, the store's contract), then the snapshot at
+    the corpus-midpoint millisecond reads the store. Oracle = the
+    ``events_scd2_snapshot`` relational recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.temporal import scd2_snapshot
+    from temporal_vector_database_spark.sources.tables import load_events
+    from temporal_vector_database_spark.streaming.scd2 import (
+        process_scd2_batch,
+        read_scd2_store,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ms", "event_type"
+    )
+    lo, hi = events_ts_range(spark, sf_dir)
+    mid = (int(lo) + int(hi)) // 2
+    root = tempfile.mkdtemp(prefix="tvdb_scd2_stream_")
+    try:
+        store = os.path.join(root, "scd2")
+        for bid in range(3):
+            part = ev.where(F.pmod(F.col("event_id"), F.lit(3)) == bid)
+            process_scd2_batch(part, bid, store)
+        snap = scd2_snapshot(read_scd2_store(spark, store), mid).select(
+            "user_id", F.col("valid_from").alias("valid_from_ms"), "event_type"
+        )
+        return snap.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ivf_store_compact_loop(spark, sf_dir):
     """r11: the ANN-index MAINTENANCE loop under the oracle — the IVF
     twin of ``compaction_advisor_loop``: COPY the merge-on-read store
@@ -12646,6 +12682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "version_rollup_report_stream": q_version_rollup_report_stream,
     "events_counter_rate_stream": q_events_counter_rate_stream,
     "bloom_decontaminate_stream": q_bloom_decontaminate_stream,
+    "events_scd2_snapshot_stream": q_events_scd2_snapshot_stream,
 }
 
 
@@ -13044,6 +13081,7 @@ ORACLES["ivf_store_compact_loop"] = ORACLES["ivf_store_topk"]
 # integer state, seeded counter deltas over time-ordered batches,
 # bloom position-set union) — each shares its batch twin's oracle.
 ORACLES["events_ohlc_stream"] = ORACLES["events_ohlc"]
+ORACLES["events_scd2_snapshot_stream"] = ORACLES["events_scd2_snapshot"]
 ORACLES["version_rollup_report_stream"] = ORACLES["version_rollup_report"]
 ORACLES["events_counter_rate_stream"] = ORACLES["events_counter_rate"]
 ORACLES["bloom_decontaminate_stream"] = ORACLES["bloom_decontaminate"]

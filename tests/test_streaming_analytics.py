@@ -234,3 +234,18 @@ def test_wave5_stream_serve_gates_equal_batch_gates(spark, sf_dir):
     got = canon(q_bloom_decontaminate_stream(spark, sf_dir))
     want = canon(q_bloom_decontaminate(spark, sf_dir).select(*cols))
     assert got == want and len(got) > 0
+
+
+def test_scd2_stream_serve_gate_equals_batch_gate(spark, sf_dir):
+    """r11: the SCD2 snapshot served from the maintained interval
+    store equals the batch gate."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_events_scd2_snapshot,
+        q_events_scd2_snapshot_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(q_events_scd2_snapshot_stream(spark, sf_dir))
+    assert got == canon(q_events_scd2_snapshot(spark, sf_dir)) and len(got) > 0
