@@ -411,8 +411,14 @@ def q_compaction_advisor_loop(spark, sf_dir):
 
     bar = DEFAULT_CONFIG.advisor_max_cost
     v = _versions_ok(spark, sf_dir)
-    recs = S.optimize_content_bases(v).select(
-        "content_id", F.col("seq").alias("target_seq")
+    # pin the recommendation table: it feeds BOTH the per-content
+    # promotion count and promote_bases, and each unpinned reference
+    # re-runs the advisor's full reconstruction pass (r11 plan audit:
+    # 12 parquet scans → 8 after this pin)
+    recs = (
+        S.optimize_content_bases(v)
+        .select("content_id", F.col("seq").alias("target_seq"))
+        .localCheckpoint()
     )
     n_prom = recs.groupBy("content_id").agg(
         F.count("*").cast("long").alias("n_promoted")
