@@ -2964,6 +2964,65 @@ def q_events_scd2_snapshot_stream(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_heavy_hitters_stream(spark, sf_dir):
+    """r11 wave 5: heavy hitters SERVED from the maintained Misra-Gries
+    summary state. MG raw counters are stream-order-dependent and
+    deliberately unpublished — but the gate's contract is order-PROOF:
+    the streamed summary's candidate set is deficit-bounded (MG merge
+    across batches preserves the guarantee), so it contains every true
+    heavy hitter, exactly like the batch op's per-partition candidate
+    set; the published rows are the candidates' EXACT corpus counts
+    over the N/(k+1) threshold, and that filter canonicalizes BOTH
+    candidate supersets to the identical true-heavy-hitter set. Oracle
+    = the ``heavy_hitters_sketch`` relational recomputation."""
+    import shutil
+    import tempfile
+
+    from temporal_vector_database_spark.operators.textindex import (
+        _gram_stream,
+    )
+    from temporal_vector_database_spark.streaming.heavyhitters import (
+        hh_candidates,
+        process_hh_batch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' hot gram', 40)")),
+        ).otherwise(F.col("text")),
+    )
+    kt = 64
+    root = tempfile.mkdtemp(prefix="tvdb_hh_stream_")
+    try:
+        state = os.path.join(root, "hh")
+        for bid in range(3):
+            part = skewed.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+            process_hh_batch(part, bid, state, k_track=kt)
+        cands = (
+            hh_candidates(spark, state, k_track=kt)
+            .select("gram")
+            .distinct()
+            .localCheckpoint()
+        )
+        grams = _gram_stream(skewed, 2, "doc_id", "text")
+        exact = (
+            grams.join(F.broadcast(cands), "gram", "left_semi")
+            .groupBy("gram")
+            .agg(F.count("*").cast("long").alias("n_occurrences"))
+        )
+        total = grams.agg(F.count("*").cast("long").alias("n_grams"))
+        return (
+            exact.crossJoin(F.broadcast(total))
+            .where(F.col("n_occurrences") * (kt + 1) > F.col("n_grams"))
+            .select("gram", "n_occurrences", "n_grams")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_ivf_store_compact_loop(spark, sf_dir):
     """r11: the ANN-index MAINTENANCE loop under the oracle — the IVF
     twin of ``compaction_advisor_loop``: COPY the merge-on-read store
@@ -12689,6 +12748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_counter_rate_stream": q_events_counter_rate_stream,
     "bloom_decontaminate_stream": q_bloom_decontaminate_stream,
     "events_scd2_snapshot_stream": q_events_scd2_snapshot_stream,
+    "heavy_hitters_stream": q_heavy_hitters_stream,
 }
 
 
@@ -13088,6 +13148,10 @@ ORACLES["ivf_store_compact_loop"] = ORACLES["ivf_store_topk"]
 # bloom position-set union) — each shares its batch twin's oracle.
 ORACLES["events_ohlc_stream"] = ORACLES["events_ohlc"]
 ORACLES["events_scd2_snapshot_stream"] = ORACLES["events_scd2_snapshot"]
+# the MG superset + exact-count filter canonicalizes the candidate set
+# (docstring at q_heavy_hitters_stream), so the streamed serve shares
+# the batch oracle verbatim
+ORACLES["heavy_hitters_stream"] = ORACLES["heavy_hitters_sketch"]
 ORACLES["version_rollup_report_stream"] = ORACLES["version_rollup_report"]
 ORACLES["events_counter_rate_stream"] = ORACLES["events_counter_rate"]
 ORACLES["bloom_decontaminate_stream"] = ORACLES["bloom_decontaminate"]

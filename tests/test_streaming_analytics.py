@@ -249,3 +249,19 @@ def test_scd2_stream_serve_gate_equals_batch_gate(spark, sf_dir):
 
     got = canon(q_events_scd2_snapshot_stream(spark, sf_dir))
     assert got == canon(q_events_scd2_snapshot(spark, sf_dir)) and len(got) > 0
+
+
+def test_heavy_hitters_stream_gate_equals_batch_gate(spark, sf_dir):
+    """r11: the MG-state heavy-hitter serve equals the batch gate —
+    both candidate supersets canonicalize through the exact-count
+    threshold filter."""
+    from temporal_vector_database_spark.plans.registry import (
+        q_heavy_hitters_sketch,
+        q_heavy_hitters_stream,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(q_heavy_hitters_stream(spark, sf_dir))
+    assert got == canon(q_heavy_hitters_sketch(spark, sf_dir)) and len(got) > 0
