@@ -328,6 +328,17 @@ def main() -> None:
         cpu_probe_sec,
     )
 
+    # previous stamp (the committed sidecar of the last run) BEFORE this
+    # run overwrites it — the common-subset ratio is published parsed
+    # (VERDICT r11 #6) so adjudication stops re-deriving it from git.
+    sidecar = os.path.join(REPO, "BENCH_LOCAL.json")
+    prev_stamp = None
+    try:
+        with open(sidecar) as f:
+            prev_stamp = json.load(f)
+    except (OSError, ValueError):
+        prev_stamp = None
+
     cpu_probe = cpu_probe_sec()
     # r11: parallel twin — single-thread speed and parallel throughput
     # drift INDEPENDENTLY on this host class (bench_util docstring);
@@ -360,6 +371,20 @@ def main() -> None:
         n: round(_median(r) / max(min(r), 1e-9), 2) for n, r in raw.items()
     }
     contended = _median(list(spread.values())) > 2.0 if spread else False
+    # common-subset ratio vs the previous sidecar (same sf only — the
+    # driver also benches at a lower core count; that run still stamps a
+    # ratio, labeled by the prev record's probe for normalization)
+    common_ratio = None
+    common_n = 0
+    if prev_stamp and isinstance(prev_stamp.get("queries"), dict) and (
+        prev_stamp.get("sf") == sf
+    ):
+        common = sorted(set(prev_stamp["queries"]) & set(timings))
+        prev_sum = sum(float(prev_stamp["queries"][n]) for n in common)
+        cur_sum = sum(timings[n] for n in common)
+        common_n = len(common)
+        if prev_sum > 0:
+            common_ratio = round(cur_sum / prev_sum, 4)
     # Per-query detail (mins + raw reps) goes to a sidecar file and an
     # EARLY stdout line; the driver captures only a bounded tail of
     # stdout, so the final line must stay short (r03's combined line
@@ -378,9 +403,11 @@ def main() -> None:
         },
         "cpu_probe_sec": cpu_probe,
         "cpu_probe_par_sec": cpu_probe_par,
+        "common_ratio_vs_prev": common_ratio,
+        "common_n_vs_prev": common_n,
+        "prev_cpu_probe_sec": (prev_stamp or {}).get("cpu_probe_sec"),
         "sf": sf,
     }
-    sidecar = os.path.join(REPO, "BENCH_LOCAL.json")
     try:
         with open(sidecar, "w") as f:
             json.dump(detail, f)
@@ -398,6 +425,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "contended": contended,
+                "common_ratio_vs_prev": common_ratio,
                 "detail": "BENCH_LOCAL.json",
             }
         )

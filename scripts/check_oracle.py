@@ -38,8 +38,26 @@ def _canon_rows(rows, col_order):
 
 
 def main() -> int:
+    # positional args ONLY — an unknown --flag used to silently filter to
+    # nothing and pass vacuously (VERDICT r11 #2); reject it up front
+    bad = [a for a in sys.argv[1:] if a.startswith("-")]
+    if bad:
+        print(
+            f"unknown flag(s) {bad}: usage: python scripts/check_oracle.py"
+            " [sf_dir] [query ...]  (positional only)",
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    qs_all = entrymod.queries()
+    unknown = sorted(q for q in only if q not in qs_all)
+    if unknown:
+        print(
+            f"unknown query name(s) {unknown}: not in the declared registry",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()

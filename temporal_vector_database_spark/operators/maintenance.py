@@ -26,12 +26,31 @@ from pyspark.sql import functions as F
 from temporal_vector_database_spark.operators.reconstruct import reconstruct_at
 
 
-def _as_base_rows(versions: DataFrame, targets: DataFrame) -> DataFrame:
+def _as_base_rows(
+    versions: DataFrame,
+    targets: DataFrame,
+    reconstructions: DataFrame | None = None,
+) -> DataFrame:
     """Materialize (content_id, target_seq) reconstructions as base rows
-    carrying the original row's ts/total_dims/metadata."""
-    rec = reconstruct_at(versions, targets).select(
-        "content_id", F.col("target_seq").alias("seq"), "embedding"
-    )
+    carrying the original row's ts/total_dims/metadata.
+
+    ``reconstructions``: optional precomputed (content_id, target_seq,
+    embedding) rows covering exactly the reconstructable targets (e.g. a
+    filtered ``reconstruct_all`` output). Callers that already paid a
+    full reconstruction pass — the advisor→promote loop — supply it so
+    promotion does not re-run ``reconstruct_at``'s tag+fold over the
+    whole versions table a second time (guide §2.4: remove the shuffle
+    outright; r12)."""
+    if reconstructions is None:
+        rec = reconstruct_at(versions, targets).select(
+            "content_id", F.col("target_seq").alias("seq"), "embedding"
+        )
+    else:
+        rec = reconstructions.join(
+            targets.select("content_id", "target_seq"),
+            ["content_id", "target_seq"],
+            "left_semi",
+        ).select("content_id", F.col("target_seq").alias("seq"), "embedding")
     orig = versions.join(
         targets.select("content_id", F.col("target_seq").alias("seq")),
         ["content_id", "seq"],
@@ -63,10 +82,17 @@ def _as_base_rows(versions: DataFrame, targets: DataFrame) -> DataFrame:
     )
 
 
-def promote_bases(versions: DataFrame, targets: DataFrame) -> DataFrame:
+def promote_bases(
+    versions: DataFrame,
+    targets: DataFrame,
+    reconstructions: DataFrame | None = None,
+) -> DataFrame:
     """Compaction: rewrite the chosen delta sequences as base snapshots
     (e.g. feed it the advisor's recommendations). Reconstruction-
-    preserving by construction."""
+    preserving by construction.
+
+    ``reconstructions``: see ``_as_base_rows`` — precomputed target
+    embeddings, skipping the in-promotion reconstruction pass."""
     # pin both small tables: `targets` (k recommendations — often an
     # advisor plan that would otherwise re-run per reference) feeds the
     # base rewrite AND the anti-join, and `new_bases` (k rows) embeds a
@@ -75,7 +101,7 @@ def promote_bases(versions: DataFrame, targets: DataFrame) -> DataFrame:
     # compaction_invariance gate scanned the versions parquet 72×
     # before this pin — r10 plan audit).
     targets = targets.localCheckpoint()
-    new_bases = _as_base_rows(versions, targets).localCheckpoint()
+    new_bases = _as_base_rows(versions, targets, reconstructions).localCheckpoint()
     keep = versions.join(
         targets.select("content_id", F.col("target_seq").alias("seq")),
         ["content_id", "seq"],

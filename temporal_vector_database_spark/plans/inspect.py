@@ -27,6 +27,14 @@ class PlanSummary:
 
     n_shuffle_exchanges: int = 0
     n_broadcast_exchanges: int = 0
+    # round-robin exchanges counted SEPARATELY from the keyed shuffles:
+    # the only producer in this codebase is the adaptive small-scan
+    # spread (`plans.registry._spread`, r12), which fires only when a
+    # scan's split count is below the session parallelism — at
+    # production scale the condition is never met and the node is absent,
+    # so the keyed-shuffle pins (the 100-TB posture guards) stay
+    # meaningful with the spread present locally.
+    n_roundrobin_exchanges: int = 0
     has_cartesian_product: bool = False
     has_sort_merge_join: bool = False
     shuffle_keysets: set = field(default_factory=set)
@@ -55,7 +63,10 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
     ``assert_max_shuffles`` vacuous until round 3; pinned by
     ``test_plan_summary_counts_shuffles``). Shuffle exchanges are the
     ``(N) Exchange`` headers — hash, range, AND single-partition — while
-    broadcasts print as the distinct ``(N) BroadcastExchange`` node."""
+    broadcasts print as the distinct ``(N) BroadcastExchange`` node.
+    Round-robin exchanges (the adaptive small-scan spread, r12) are
+    tallied separately in ``n_roundrobin_exchanges`` — see the field
+    comment for why they do not count against the keyed-shuffle pins."""
     plan = formatted_plan(df)
     s = PlanSummary()
     s.has_cartesian_product = "CartesianProduct" in plan
@@ -66,6 +77,16 @@ def summarize_plan(df: DataFrame) -> PlanSummary:
             s.n_broadcast_exchanges += 1
             continue
         if not re.match(r"^\(\d+\) Exchange\b", line):
+            continue
+        is_roundrobin = False
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if "Arguments: RoundRobinPartitioning(" in lines[j]:
+                is_roundrobin = True
+                break
+            if not lines[j].strip() or lines[j].startswith("("):
+                break
+        if is_roundrobin:
+            s.n_roundrobin_exchanges += 1
             continue
         s.n_shuffle_exchanges += 1
         for j in range(i + 1, min(i + 8, len(lines))):

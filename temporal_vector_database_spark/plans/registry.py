@@ -40,6 +40,34 @@ def _fix(sf_dir: str, name: str):
     return os.path.join(ensure_fixtures(sf_dir), f"{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Adaptive scan spread (r12, guide §2.5 input skew / §1.2 step 1).
+
+    The test fixtures are single small parquet FILES, so every scan is
+    one task and the expensive pre-shuffle projections (char-gram
+    shingling, md5 hashing, token explodes, vector quantization) run on
+    ONE core of the session (measured: winnow_fingerprints 3.8 s → 0.7 s
+    at sf0.1/local[32] from this alone). Spread the scan round-robin
+    when its natural split count is below the session parallelism.
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    condition reads the scan's ACTUAL split count, so a production
+    table (many files / large splittable files) already meets the bar
+    and the repartition never fires — the exchange exists only in the
+    degenerate small-input regime where it moves kilobytes."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus, scan-spread (see ``_spread``)."""
+    return _spread(
+        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+
+
 # (min, max) of events.ts_ms memoized per sf_dir: five gated queries
 # derive probe windows from the corpus span. The probe is a stats-only
 # agg but still a full-table action, so bench setup pre-warms this cache
@@ -379,14 +407,24 @@ def q_compaction_invariance(spark, sf_dir):
     """Apply the advisor's base promotions, then reconstruct EVERYTHING —
     the oracle is the reconstruction of the UNCOMPACTED table, proving the
     maintenance rewrite is value-preserving."""
+    from temporal_vector_database_spark.config import DEFAULT_CONFIG
     from temporal_vector_database_spark.operators.maintenance import promote_bases
 
     v = _versions_ok(spark, sf_dir)
-    recs = S.optimize_content_bases(v).select(
-        "content_id", F.col("seq").alias("target_seq")
+    # shared-pass shape (r12, VERDICT r11 #3 — same rewrite as
+    # q_compaction_advisor_loop): one numpy-fold reconstruction supplies
+    # both the advisor's over-bar recommendation set and the promoted
+    # bases' embeddings, so promotion skips its own reconstruct_at pass
+    rec0 = (
+        R.reconstruct_all_folded(v)
+        .where(F.col("cost") > DEFAULT_CONFIG.advisor_max_cost)
+        .select("content_id", "target_seq", "embedding")
+        .localCheckpoint()
     )
-    promoted = promote_bases(v, recs)
-    rec = R.reconstruct_all(promoted)
+    promoted = promote_bases(
+        v, rec0.select("content_id", "target_seq"), reconstructions=rec0
+    )
+    rec = R.reconstruct_all_folded(promoted)
     return _emb_sums(rec).select("content_id", "target_seq", "emb_sum", "emb_wsum")
 
 
@@ -411,20 +449,31 @@ def q_compaction_advisor_loop(spark, sf_dir):
 
     bar = DEFAULT_CONFIG.advisor_max_cost
     v = _versions_ok(spark, sf_dir)
-    # pin the recommendation table: it feeds BOTH the per-content
-    # promotion count and promote_bases, and each unpinned reference
-    # re-runs the advisor's full reconstruction pass (r11 plan audit:
-    # 12 parquet scans → 8 after this pin)
-    recs = (
-        S.optimize_content_bases(v)
-        .select("content_id", F.col("seq").alias("target_seq"))
+    # ONE reconstruction pass feeds the whole advise→act half (r12,
+    # VERDICT r11 #3): the numpy fold twin reconstructs every version
+    # WITH embeddings (bit-equal to the declarative fold on the dyadic
+    # fixture grid — pinned in tests/test_reconstruct.py; cost is the
+    # exact integer deltas-applied count in both), so the over-bar
+    # filter IS the advisor recommendation set (optimize_content_bases
+    # ≡ reconstruct_all where cost > bar) AND the same rows' embeddings
+    # are the promoted-base payloads — promote_bases no longer re-runs
+    # reconstruct_at's tag+fold over the versions table (r11 plan
+    # audit: 8 parquet scans; r12: 2 — one per remaining fold).
+    rec0 = (
+        R.reconstruct_all_folded(v)
+        .where(F.col("cost") > bar)
+        .select("content_id", "target_seq", "embedding")
         .localCheckpoint()
     )
+    recs = rec0.select("content_id", "target_seq")
     n_prom = recs.groupBy("content_id").agg(
         F.count("*").cast("long").alias("n_promoted")
     )
-    promoted = promote_bases(v, recs)
-    rec = _emb_sums(R.reconstruct_all(promoted))
+    promoted = promote_bases(v, recs, reconstructions=rec0)
+    # post-compaction reconstruction: same numpy fold twin (the r12
+    # measured winner over the declarative HOF fold — see
+    # q_reconstruct_all's rationale)
+    rec = _emb_sums(R.reconstruct_all_folded(promoted))
     rep = rec.groupBy("content_id").agg(
         F.count("*").cast("long").alias("n_versions"),
         F.max("cost").cast("int").alias("max_cost_after"),
@@ -450,7 +499,7 @@ def q_compaction_advisor_loop(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import exact_duplicates
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return exact_duplicates(docs)
 
 
@@ -466,14 +515,14 @@ def _minhash_store(spark, sf_dir):
 def q_dedup_survivors(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import dedup_survivors
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return dedup_survivors(docs, sigs=_minhash_store(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_training_pipeline(spark, sf_dir):
     from temporal_vector_database_spark.operators.pipeline import curation_report
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return curation_report(docs, sigs=_minhash_store(spark, sf_dir))
 
 
@@ -487,7 +536,7 @@ def q_training_pipeline_strict(spark, sf_dir):
     (verified via scripts/check_oracle.py /root/testdata/sf0.1)."""
     from temporal_vector_database_spark.operators.pipeline import curation_report
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return curation_report(
         docs,
         min_quality=0.3,
@@ -504,7 +553,7 @@ def q_training_pipeline_full(spark, sf_dir):
     stage never re-shingles."""
     from temporal_vector_database_spark.operators.pipeline import full_curation_report
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return full_curation_report(
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
@@ -529,7 +578,7 @@ def q_training_pipeline_banded(spark, sf_dir):
 
     name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
     pairs = near_dup_pairs_from_band_store(spark, name, min_jaccard_est=0.75)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return curation_report(docs, pairs=pairs)
 
 
@@ -541,7 +590,7 @@ def q_quality_percentile_filter(spark, sf_dir):
     from text_quality."""
     from temporal_vector_database_spark.functions.text import quality_score
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     q = quality_score(docs).select("doc_id", "quality_r")
     w = Window.partitionBy("source").orderBy(F.desc("quality_r"), F.asc("doc_id"))
     ranked = (
@@ -557,7 +606,7 @@ def q_sample_docs(spark, sf_dir):
     property of the doc_id, reproducible in any engine/run)."""
     from temporal_vector_database_spark.operators.sampling import deterministic_sample
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return deterministic_sample(docs, 0.25).select("doc_id", "source")
 
 
@@ -566,7 +615,7 @@ def q_split_assign(spark, sf_dir):
     leak-proof across reruns)."""
     from temporal_vector_database_spark.operators.sampling import split_assign
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return split_assign(docs).select("doc_id", "split")
 
 
@@ -576,7 +625,7 @@ def q_token_chunks(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import with_text_stats
     from temporal_vector_database_spark.operators.sampling import token_budget_chunks
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     enriched = with_text_stats(docs).select("doc_id", "source", "n_tokens")
     return token_budget_chunks(enriched, budget=2000).select(
         "doc_id", "source", "n_tokens", "tokens_before", "chunk_id"
@@ -595,7 +644,7 @@ def q_temperature_sample(spark, sf_dir):
         temperature_rebalance,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return temperature_rebalance(docs, k=8.5).select("doc_id", "lang", "keep_rate")
 
 
@@ -606,7 +655,7 @@ def q_pack_sequences(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import with_text_stats
     from temporal_vector_database_spark.operators.sampling import pack_concat_chunks
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     enriched = with_text_stats(docs).select("doc_id", "source", "n_tokens")
     return pack_concat_chunks(enriched, seq_len=128).select(
         "doc_id", "source", "n_tokens", "seq_id", "tok_start", "tok_end"
@@ -621,7 +670,7 @@ def q_hard_negatives(spark, sf_dir):
     from temporal_vector_database_spark.operators.search import hard_negative_mine
 
     emb = _quantized_embeddings(spark, sf_dir)
-    labels = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    labels = _embeddings_raw(spark, sf_dir).select(
         "vec_id", "label"
     )
     queries = (
@@ -678,7 +727,7 @@ def q_multimodal_near_dup(spark, sf_dir):
         with_payload,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     feats = payload_features(with_payload(docs))
     centered = feats.select(
         F.col("doc_id").alias("vec_id"),
@@ -722,7 +771,7 @@ def q_wordpiece_tokens(spark, sf_dir):
         wordpiece_tokenize,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     vocab = build_subword_vocab(docs, vocab_size=256, max_len=4)
@@ -734,7 +783,7 @@ def q_stratified_sample(spark, sf_dir):
     src1, 20% of src2, and 10% of every other source."""
     from temporal_vector_database_spark.operators.sampling import stratified_sample
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return stratified_sample(
         docs,
         {"src0": 0.6, "src1": 1.0, "src2": 0.2},
@@ -745,28 +794,28 @@ def q_stratified_sample(spark, sf_dir):
 def q_token_stats(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import token_stats
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return token_stats(docs)
 
 
 def q_text_quality(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import quality_score
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return quality_score(docs)
 
 
 def q_doc_fingerprint(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import doc_fingerprint
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return doc_fingerprint(docs)
 
 
 def q_minhash_signature(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import minhash_signatures
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return minhash_signatures(docs, num_hashes=8)
 
 
@@ -779,14 +828,14 @@ def q_minhash_signature_prod(spark, sf_dir):
     (tests/test_dedup_text_search.py)."""
     from temporal_vector_database_spark.operators.dedup import minhash_signatures
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return minhash_signatures(docs, num_hashes=8, impl="xxhash64")
 
 
 def q_dedup_near_pairs(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import near_duplicate_pairs
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return near_duplicate_pairs(
         docs, num_hashes=8, bands=4, sigs=_minhash_store(spark, sf_dir)
     )
@@ -817,7 +866,7 @@ def q_dedup_incremental(spark, sf_dir):
         incremental_near_duplicate_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     new = docs.where(F.col("doc_id") % 5 == 0)
     # corpus side from the persisted signature store (production layout;
     # signatures are doc-local so filtering the store == signing `old`)
@@ -830,7 +879,7 @@ def q_ann_topk(spark, sf_dir):
     from temporal_vector_database_spark.operators.search import topk_cosine
 
     emb = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _embeddings_raw(spark, sf_dir)
         .select(
             "vec_id",
             F.transform(
@@ -864,7 +913,7 @@ def q_prf_search(spark, sf_dir):
     from temporal_vector_database_spark.operators.search import topk_cosine
     from temporal_vector_database_spark.operators.textindex import bm25_scores
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     fb = bm25_scores(docs, ["vector", "join", "scan"], top_n=10).select("doc_id")
@@ -890,26 +939,33 @@ def q_prf_search(spark, sf_dir):
 def q_simhash_signature(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import simhash_signatures
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return simhash_signatures(docs)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import simhash_near_pairs
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return simhash_near_pairs(docs, max_hamming=6)
 
 
 def q_ngram_jaccard(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return ngram_jaccard_pairs(docs, num_hashes=8, bands=4, min_jaccard=0.4)
 
 
+def _embeddings_raw(spark, sf_dir):
+    """The embeddings corpus, scan-spread (see ``_spread``)."""
+    return _spread(
+        spark, spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+
+
 def _quantized_embeddings(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    return _embeddings_raw(spark, sf_dir).select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -1043,21 +1099,21 @@ def q_topk_search_indexed(spark, sf_dir):
 def q_language_id(spark, sf_dir):
     from temporal_vector_database_spark.functions.text import language_id
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return language_id(docs)
 
 
 def q_multimodal_meta(spark, sf_dir):
     from temporal_vector_database_spark.operators.multimodal import payload_metadata
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return payload_metadata(docs)
 
 
 def q_multimodal_decode(spark, sf_dir):
     from temporal_vector_database_spark.operators.multimodal import decode_payload, with_payload
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return decode_payload(with_payload(docs))
 
 
@@ -1068,7 +1124,7 @@ def q_frame_sample(spark, sf_dir):
         with_payload,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return sample_frames(decode_payload(with_payload(docs)), every_k=4)
 
 
@@ -1166,7 +1222,7 @@ def q_multimodal_resize(spark, sf_dir):
         with_payload,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return resize_plan(decode_payload(with_payload(docs)), max_w=256, max_h=256)
 
 
@@ -1178,7 +1234,7 @@ def q_multimodal_features(spark, sf_dir):
         with_payload,
     )
 
-    feats = payload_features(with_payload(spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))))
+    feats = payload_features(with_payload(_documents(spark, sf_dir)))
     return feats.select(
         "doc_id",
         F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 9).alias("feat_sum"),
@@ -1192,7 +1248,7 @@ def q_label_centroids(spark, sf_dir):
     fully partial-aggregatable (map-side combine), unlike array-valued
     aggregation."""
     emb = _quantized_embeddings(spark, sf_dir)
-    lab = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select("vec_id", "label")
+    lab = _embeddings_raw(spark, sf_dir).select("vec_id", "label")
     return (
         emb.join(lab, "vec_id")
         .select("label", F.posexplode("embedding").alias("dim", "x"))
@@ -2263,7 +2319,7 @@ def q_events_retention(spark, sf_dir):
 
 
 def _doc_tokens(spark, sf_dir):
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("int").alias(
@@ -2314,7 +2370,7 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     bucket) counts with order-independent min/max score stats. No global
     window; the same broadcast-threshold shape as
     ``length_balanced_sample``."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     scored = docs.select(
         "doc_id",
         "lang",
@@ -2351,7 +2407,7 @@ def q_docs_winnow_fingerprint(spark, sf_dir):
     doc. Per-document window frames only — embarrassingly parallel."""
     from temporal_vector_database_spark.operators.textindex import winnow_fingerprints
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return winnow_fingerprints(docs, k=7, w=16)
@@ -2376,7 +2432,7 @@ _BOILER = (
 
 
 def _injected_boiler_docs(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    return _documents(spark, sf_dir).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_BOILER))
@@ -2409,7 +2465,7 @@ def q_bm25_scores(spark, sf_dir):
     a global window."""
     from temporal_vector_database_spark.operators.textindex import bm25_scores
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bm25_scores(docs, ["vector", "join", "scan"], top_n=20)
@@ -2426,13 +2482,13 @@ def q_hybrid_search(spark, sf_dir):
         rrf_fuse,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     text_ranked = bm25_scores(docs, ["vector", "join", "scan"], top_n=50).select(
         "doc_id", F.col("rn").alias("rank")
     )
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    emb = _embeddings_raw(spark, sf_dir).select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -2463,7 +2519,7 @@ def q_unigram_nll(spark, sf_dir):
         unigram_logprob_scores,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return unigram_logprob_scores(docs)
@@ -2478,7 +2534,7 @@ def q_bigram_nll(spark, sf_dir):
         bigram_logprob_scores,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bigram_logprob_scores(docs)
@@ -2502,7 +2558,7 @@ def _serve_from_lm_states(spark, sf_dir, needs, serve):
 
     from temporal_vector_database_spark.streaming import wordcount as W
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     root = tempfile.mkdtemp(prefix="tvdb_lm_stream_")
@@ -2734,7 +2790,7 @@ def q_source_overlap_stream(spark, sf_dir):
         read_source_overlap_estimates,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="tvdb_sourcesig_stream_")
     try:
         state = os.path.join(root, "sig")
@@ -2897,7 +2953,7 @@ def q_bloom_decontaminate_stream(spark, sf_dir):
         read_probe_reports,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
     root = tempfile.mkdtemp(prefix="tvdb_bloom_stream_")
@@ -2986,7 +3042,7 @@ def q_heavy_hitters_stream(spark, sf_dir):
         process_hh_batch,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     skewed = docs.withColumn(
         "text",
         F.when(
@@ -3078,7 +3134,7 @@ def q_table_checksum_stream(spark, sf_dir):
         read_checksum_state,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="tvdb_checksum_stream_")
     try:
         state = os.path.join(root, "cs")
@@ -3142,7 +3198,7 @@ def q_dsir_select_stream(spark, sf_dir):
         process_dsir_counts_batch,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="tvdb_dsir_stream_")
     try:
         rdir = os.path.join(root, "raw")
@@ -3179,7 +3235,7 @@ def q_cms_estimate_stream(spark, sf_dir):
         read_cms_state,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     skewed = docs.withColumn(
         "text",
         F.when(
@@ -3249,7 +3305,7 @@ def q_label_propagation_stream(spark, sf_dir):
     )
 
     seeds = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _embeddings_raw(spark, sf_dir)
         .select(F.col("vec_id").cast("long").alias("id"))
         .where(F.col("id") % 17 == 0)
         .select(
@@ -3278,7 +3334,7 @@ def q_trigram_nll(spark, sf_dir):
         trigram_logprob_scores,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return trigram_logprob_scores(docs)
@@ -3294,7 +3350,7 @@ def q_kneser_ney_nll(spark, sf_dir):
         kneser_ney_logprob_scores,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return kneser_ney_logprob_scores(docs)
@@ -3311,7 +3367,7 @@ def q_modified_kn_nll(spark, sf_dir):
         modified_kn_logprob_scores,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return modified_kn_logprob_scores(docs)
@@ -3326,7 +3382,7 @@ def q_perplexity_band(spark, sf_dir):
         perplexity_band_select,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return perplexity_band_select(docs, 25, 75)
@@ -3342,7 +3398,7 @@ def q_vocab_coverage(spark, sf_dir):
         vocab_coverage,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return vocab_coverage(docs)
@@ -3353,7 +3409,7 @@ def q_tfidf_topterms(spark, sf_dir):
     term). Per-doc window partitions only."""
     from temporal_vector_database_spark.operators.textindex import tfidf_top_terms
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return tfidf_top_terms(docs, top_n=3)
@@ -3441,7 +3497,7 @@ def q_edit_distance_pairs_short(spark, sf_dir):
     from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
 
     docs = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _documents(spark, sf_dir)
         .where(F.col("doc_id") % 5 == 0)
         .select(
             "doc_id",
@@ -4269,7 +4325,7 @@ def q_bbit_minhash(spark, sf_dir):
     the collision-corrected Jaccard estimator (16m-H)/(15H)."""
     from temporal_vector_database_spark.operators.dedup import bbit_minhash_pairs
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return bbit_minhash_pairs(docs, min_match=6)
 
 ORACLES["dedup_near_pairs"] = (
@@ -4385,11 +4441,21 @@ def q_dedup_survivors_quality(spark, sf_dir):
     clusters as dedup_survivors, but each cluster keeps its LONGEST
     member (max n_chars, ties → lowest doc_id) instead of the lowest
     id: the "keep the best copy" curation policy. Struct-max aggregate
-    per cluster, no window."""
-    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+    per cluster, no window. r12: pairs come from the persisted LSH band
+    store (the bench's production layout, shuffle paid once at ingest —
+    the dedup_near_pairs_banded / training_pipeline_banded precedent;
+    bit-equal pair set, pinned in tests), so the query never
+    re-shingles the corpus."""
+    from temporal_vector_database_spark.operators.dedup import (
+        dedup_survivors,
+        near_dup_pairs_from_band_store,
+    )
+    from temporal_vector_database_spark.sources.fixtures import ensure_lsh_band_store
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return dedup_survivors(docs, survivor_by="n_chars")
+    name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
+    pairs = near_dup_pairs_from_band_store(spark, name, min_jaccard_est=0.75)
+    docs = _documents(spark, sf_dir)
+    return dedup_survivors(docs, survivor_by="n_chars", pairs=pairs)
 
 
 ORACLES["dedup_survivors_quality"] = (
@@ -4417,11 +4483,19 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     report (how much mass sits in big mirror clusters vs singletons;
     the deflation factor a dedup pass will deliver). Same LSH clusters
     as dedup_survivors; histogram = one aggregate over the assignment
-    table."""
-    from temporal_vector_database_spark.operators.dedup import dedup_survivors
+    table. r12: pairs from the persisted LSH band store (production
+    layout — same rewrite and bit-equal-pairs rationale as
+    dedup_survivors_quality)."""
+    from temporal_vector_database_spark.operators.dedup import (
+        dedup_survivors,
+        near_dup_pairs_from_band_store,
+    )
+    from temporal_vector_database_spark.sources.fixtures import ensure_lsh_band_store
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    surv = dedup_survivors(docs)
+    name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
+    pairs = near_dup_pairs_from_band_store(spark, name, min_jaccard_est=0.75)
+    docs = _documents(spark, sf_dir)
+    surv = dedup_survivors(docs, pairs=pairs)
     sizes = surv.groupBy("canonical_id").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
@@ -4539,7 +4613,7 @@ def q_kfold_assign(spark, sf_dir):
     two-phase distributed global rank (no per-stratum window)."""
     from temporal_vector_database_spark.operators.sampling import kfold_assign
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "source"
     )
     return kfold_assign(docs, k=5)
@@ -4876,7 +4950,7 @@ def q_epoch_shuffle(spark, sf_dir):
     key/shard/position relationally."""
     from temporal_vector_database_spark.operators.sampling import epoch_shuffle
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return epoch_shuffle(docs, epoch=2, n_shards=8)
 
 
@@ -4914,7 +4988,7 @@ def q_frequent_token_pairs(spark, sf_dir):
         frequent_token_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return frequent_token_pairs(docs, min_support_num=5, min_support_den=100)
 
 
@@ -5034,7 +5108,7 @@ def q_source_overlap(spark, sf_dir):
     the gate itself."""
     from temporal_vector_database_spark.operators.dedup import source_overlap
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return source_overlap(docs)
 
 
@@ -6089,7 +6163,7 @@ def q_docs_pivot(spark, sf_dir):
     list — the explicit list keeps the schema static, which is both the
     oracle contract and the only scalable form: value-discovery pivots
     scan twice)."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     toks = docs.select(
         "source",
         "lang",
@@ -6142,7 +6216,7 @@ def q_quality_weighted_sample(spark, sf_dir):
     quality-weighted mixing primitive of training-data recipes."""
     from temporal_vector_database_spark.functions.text import quality_score
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     q = quality_score(docs).select("doc_id", "quality_r")
     u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
@@ -7464,7 +7538,7 @@ def q_decontaminate(spark, sf_dir):
     contaminated at >= 2 shared n-grams. Eval n-grams broadcast."""
     from temporal_vector_database_spark.operators.curation import decontaminate
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return decontaminate(
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
@@ -7476,14 +7550,14 @@ def q_decontaminate(spark, sf_dir):
 def q_repetition_stats(spark, sf_dir):
     from temporal_vector_database_spark.operators.curation import repetition_stats
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return repetition_stats(docs)
 
 
 def q_segment_dedup(spark, sf_dir):
     from temporal_vector_database_spark.operators.curation import segment_dedup
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return segment_dedup(docs, width=4)
 
 
@@ -7493,7 +7567,7 @@ def q_doc_chunks(spark, sf_dir):
     chunks and short tails)."""
     from temporal_vector_database_spark.operators.curation import doc_chunks
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return doc_chunks(docs, width=16, stride=8)
 
 
@@ -7522,7 +7596,7 @@ def q_profile_documents(spark, sf_dir):
     row/null/exact-distinct counts in one pass."""
     from temporal_vector_database_spark.operators.stats import profile_table
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
 
 
@@ -7558,7 +7632,7 @@ def q_edit_distance_pairs(spark, sf_dir):
     not just emptiness."""
     from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     clones = docs.where(F.col("doc_id") % 83 == 0).select(
@@ -7621,7 +7695,7 @@ def q_pii_scrub(spark, sf_dir):
     non-vacuous."""
     from temporal_vector_database_spark.operators.curation import pii_scrub
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     d = F.col("doc_id")
     injected = docs.select(
         "doc_id",
@@ -8794,7 +8868,7 @@ def q_knn_classify(spark, sf_dir):
     from temporal_vector_database_spark.operators.search import knn_classify
 
     emb = _quantized_embeddings(spark, sf_dir)
-    labels = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    labels = _embeddings_raw(spark, sf_dir).select(
         "vec_id", "label"
     )
     held = F.col("vec_id") % 50 == 0
@@ -8923,7 +8997,7 @@ def q_ivf_rank_eval(spark, sf_dir):
     from temporal_vector_database_spark.operators.search import ivf_topk, rank_eval
 
     emb = _quantized_embeddings(spark, sf_dir)
-    labels = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    labels = _embeddings_raw(spark, sf_dir).select(
         "vec_id", "label"
     )
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
@@ -9174,7 +9248,7 @@ def q_bloom_decontaminate(spark, sf_dir):
         bloom_decontaminate,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return bloom_decontaminate(
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
@@ -9477,7 +9551,7 @@ def q_corpus_top_ngrams(spark, sf_dir):
         corpus_top_ngrams,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return corpus_top_ngrams(docs, n=2, k=100, min_count=2)
 
 
@@ -9553,7 +9627,7 @@ def q_dsir_select(spark, sf_dir):
     subset; weights are exact fixed-point-log2 BIGINTs."""
     from temporal_vector_database_spark.operators.dsir import dsir_select
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     target = docs.where(F.col("lang") == "en")
     return dsir_select(docs, target, k=200, n_buckets=4096)
 
@@ -9623,7 +9697,7 @@ def q_token_budget_mixture(spark, sf_dir):
         token_budget_select,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     docs = docs.withColumn(
         "n_tokens",
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
@@ -9995,7 +10069,7 @@ def q_label_propagation(spark, sf_dir):
         pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     )
     seeds = (
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        _embeddings_raw(spark, sf_dir)
         .select(F.col("vec_id").cast("long").alias("id"))
         .where(F.col("id") % 17 == 0)
         .select(
@@ -10248,7 +10322,7 @@ def q_vocab_gini(spark, sf_dir):
     terminal expression (operators/textindex.py vocab_gini)."""
     from temporal_vector_database_spark.operators.textindex import vocab_gini
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return vocab_gini(docs)
 
 
@@ -10288,7 +10362,7 @@ def q_weighted_reservoir(spark, sf_dir):
         weighted_reservoir_sample,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return weighted_reservoir_sample(docs, k=150, weight_col="n_chars").select(
         "doc_id", "n_chars", "priority_units"
     )
@@ -10328,7 +10402,7 @@ def q_collocations_pmi(spark, sf_dir):
         collocations_pmi,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return collocations_pmi(docs, k=100, min_count=3)
 
 
@@ -10376,7 +10450,7 @@ def q_dataset_diff(spark, sf_dir):
     doc_id%7==0 — per-key added/removed/changed/unchanged statuses."""
     from temporal_vector_database_spark.operators.relational import dataset_diff
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     v1 = docs.where(F.col("doc_id") % 89 != 0)
     v2 = docs.where(F.col("doc_id") % 97 != 0).withColumn(
         "text",
@@ -10525,7 +10599,7 @@ def q_ngram_containment(spark, sf_dir):
         ngram_containment_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return ngram_containment_pairs(docs, min_containment=0.5)
 
 
@@ -10770,7 +10844,7 @@ def q_heavy_hitters_sketch(spark, sf_dir):
         heavy_hitters_sketch,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     skewed = docs.withColumn(
         "text",
         F.when(
@@ -10812,7 +10886,7 @@ def q_cms_estimate_check(spark, sf_dir):
         cms_estimate_check,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     skewed = docs.withColumn(
         "text",
         F.when(
@@ -10882,7 +10956,7 @@ def q_zipf_fit(spark, sf_dir):
     integers (the series_trend discipline, so the doubles hash-match)."""
     from temporal_vector_database_spark.operators.textindex import zipf_fit
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return zipf_fit(docs, top_k=1000)
 
 
@@ -10940,7 +11014,7 @@ def q_table_checksum(spark, sf_dir):
     partitioning, overflow-free at any row count."""
     from temporal_vector_database_spark.operators.relational import table_checksum
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return table_checksum(
         docs,
         key_cols=("doc_id",),
@@ -10996,7 +11070,7 @@ def q_dataset_drift(spark, sf_dir):
     as dataset_diff: exact doc/token/char counts per side + deltas."""
     from temporal_vector_database_spark.operators.relational import dataset_drift
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     v1 = docs.where(F.col("doc_id") % 89 != 0)
     v2 = docs.where(F.col("doc_id") % 97 != 0).withColumn(
         "text",
@@ -11063,7 +11137,7 @@ def q_jaccard_exact_join(spark, sf_dir):
     lists are short; the subset keeps the gate honest and bounded."""
     from temporal_vector_database_spark.operators.dedup import jaccard_prefix_join
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+    docs = _documents(spark, sf_dir).where(
         F.col("doc_id") % 10 == 0
     )
     leaks = docs.where(F.col("doc_id") % 25 == 0).select(
@@ -11147,7 +11221,7 @@ def q_fuzzy_decontaminate(spark, sf_dir):
         cross_corpus_near_dup,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 25 == 0).select(
         "doc_id", F.expr("substring(text, 21)").alias("text")
     )
@@ -11255,7 +11329,7 @@ def q_cross_corpus_near_dup_exact(spark, sf_dir):
         cross_corpus_jaccard_exact,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 25 == 0).select(
         "doc_id", F.expr("substring(text, 21)").alias("text")
     )
@@ -11321,7 +11395,7 @@ def q_ngram_containment_short(spark, sf_dir):
         _token_hash32_expr,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+    docs = _documents(spark, sf_dir).where(
         F.col("doc_id") % 20 == 0
     )
     shsets = (
@@ -11417,7 +11491,7 @@ def q_ngram_containment_small(spark, sf_dir):
         ngram_containment_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     base = docs.where(F.col("doc_id") % 10 == 0)
@@ -11499,7 +11573,7 @@ def q_decontaminate_containment(spark, sf_dir):
         containment_decontaminate,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     corpus = docs.where(F.col("doc_id") % 10 == 0)
@@ -11583,7 +11657,7 @@ def q_bpe_train(spark, sf_dir):
     independent windowed-SQL formulation of the same semantics."""
     from temporal_vector_database_spark.operators.tokenize import bpe_train
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bpe_train(docs, n_merges=8)
@@ -11682,7 +11756,7 @@ def q_bpe_train_incremental(spark, sf_dir):
         bpe_train_incremental,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bpe_train_incremental(docs, n_merges=64)
@@ -11707,7 +11781,7 @@ def q_bpe_train_batched(spark, sf_dir):
         bpe_train_batched,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bpe_train_batched(docs, n_merges=32, batch_size=4, max_rounds=8)
@@ -11835,7 +11909,7 @@ def q_bpe_apply(spark, sf_dir):
         bpe_train,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bpe_apply(docs, bpe_train(docs, n_merges=8))
@@ -11874,7 +11948,7 @@ def q_bleu_pairs(spark, sf_dir):
         bleu_score_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     ids = docs.select(F.col("doc_id").alias("a_id"))
@@ -11959,7 +12033,7 @@ def q_rouge_pairs(spark, sf_dir):
         rouge_score_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     ids = docs.select(F.col("doc_id").alias("a_id"))
@@ -12047,7 +12121,7 @@ def q_tokenizer_fertility(spark, sf_dir):
         tokenizer_fertility,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text", "source"
     )
     return tokenizer_fertility(docs, bpe_train(docs, n_merges=8))
@@ -12104,7 +12178,7 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
         sorted_neighborhood_pairs,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return sorted_neighborhood_pairs(
@@ -12249,7 +12323,7 @@ def q_ivf_filtered_topk(spark, sf_dir):
     so all k slots hold matching vectors (single-stage filtering)."""
     from temporal_vector_database_spark.operators.search import ivf_filtered_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+    emb = _embeddings_raw(spark, sf_dir).select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -12426,7 +12500,7 @@ def q_leakage_safe_split(spark, sf_dir):
         leakage_safe_split,
     )
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _documents(spark, sf_dir)
     return leakage_safe_split(docs).select("doc_id", "split")
 
 

@@ -463,6 +463,9 @@ def ensure_bucketed_versions(spark, sf_dir: str, buckets: int = 32):
         _drop_orphan_table_location(spark, name)
         df = spark.read.parquet(os.path.join(ensure_fixtures(sf_dir), "versions.parquet"))
         write_versions_bucketed(df, name, buckets=buckets)
+        # same stale-listing hazard as ensure_lsh_band_store: rebuild under
+        # a fresh session must invalidate the shared file-status cache
+        spark.catalog.refreshTable(name)
     return spark.table(name)
 
 
@@ -501,6 +504,11 @@ def ensure_lsh_band_store(spark, sf_dir: str, num_hashes: int = 8, bands: int = 
         _drop_orphan_table_location(spark, name)
         sigs = spark.read.parquet(ensure_minhash_store(spark, sf_dir))
         write_lsh_band_store(sigs, name, num_hashes=num_hashes, bands=bands)
+        # a rebuild under a NEW session (fresh in-memory catalog) leaves the
+        # JVM-shared file-status cache pointing at the rmtree'd old part
+        # files; refresh so readers list the rewritten location (the
+        # test_tz FAILED_READ_FILE.FILE_NOT_EXIST ordering artifact, r12)
+        spark.catalog.refreshTable(name)
     return name
 
 

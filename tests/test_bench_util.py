@@ -42,3 +42,35 @@ def test_disjoint_queries_ignored():
     cur = {"queries": {"a": 1.0, "only_cur": 9.0}, "cpu_probe_sec": 0.05}
     rep = probe_normalized_ratios(cur, prev)
     assert set(rep["queries"]) == {"a"}
+
+
+def test_check_oracle_rejects_flag_args():
+    """r12 (VERDICT r11 #2): a `--only x` invocation must exit non-zero
+    with a usage message instead of filtering to nothing and passing
+    vacuously."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "scripts/check_oracle.py", "--only", "dedup_exact"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert p.returncode == 2, (p.returncode, p.stdout[-500:], p.stderr[-500:])
+    assert "usage" in p.stderr
+
+
+def test_check_oracle_rejects_unknown_query_names():
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "scripts/check_oracle.py", "/root/testdata/sf0.001",
+         "no_such_query"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert p.returncode == 2, (p.returncode, p.stdout[-500:], p.stderr[-500:])
+    assert "unknown query" in p.stderr

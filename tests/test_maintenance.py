@@ -33,6 +33,33 @@ def test_promote_bases_preserves_reconstructions(versions):
     assert optimize_content_bases(promoted).count() == 0
 
 
+def test_promote_bases_precomputed_reconstructions_identical(versions):
+    """r12: the shared-pass loop shape — feeding promote_bases the
+    already-reconstructed target embeddings (``reconstructions=``) must
+    yield a bit-identical compacted table to the default path that
+    re-runs reconstruct_at internally."""
+    v = versions.where(F.col("content_id").isin("longchain", "c00000"))
+    recs = optimize_content_bases(v).select(
+        "content_id", F.col("seq").alias("target_seq")
+    )
+    assert recs.count() > 0
+    pre = reconstruct_all(v).join(
+        recs, ["content_id", "target_seq"], "left_semi"
+    ).select("content_id", "target_seq", "embedding")
+    def table_map(df):
+        return {
+            (r.content_id, r.seq): (
+                r.kind,
+                list(r.embedding) if r.embedding is not None else None,
+                r.version_id,
+            )
+            for r in df.collect()
+        }
+    default = table_map(promote_bases(v, recs))
+    shared = table_map(promote_bases(v, recs, reconstructions=pre))
+    assert shared == default
+
+
 def test_truncate_before_keeps_post_cutoff_reconstructions(versions):
     v = versions.where(F.col("content_id") == "c00000")
     # cutoff just after seq 8 (mid-epoch: its governing base is 6, so the

@@ -226,9 +226,14 @@ def test_repetition_stats_single_gram_shuffle(spark, qmap):
 
 
 def test_pii_scrub_is_narrow(spark, qmap):
-    plan = formatted_plan(qmap["pii_scrub"](spark, SF_DIR))
-    # pure column expressions: no exchange at all beyond the scan
-    assert "Exchange" not in plan, plan
+    # pure column expressions: no KEYED exchange anywhere — the only
+    # allowed exchange is the adaptive small-scan spread (r12), which
+    # vanishes at production split counts (see plans.inspect)
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["pii_scrub"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 0, sorted(s.shuffle_keysets)
+    assert s.n_roundrobin_exchanges <= 1
 
 
 def test_semantic_dedup_no_cartesian_and_bucketed_pairs(spark, qmap):
@@ -261,9 +266,10 @@ def test_plan_summary_utility(spark, qmap):
     assert s.n_broadcast_exchanges >= 3
     assert any("o_orderdate" in f for f in s.pushed_filters)
     assert s.read_schemas  # scans expose their pruned schemas
-    # pure-map plan: zero shuffles end to end
+    # pure-map plan: zero KEYED shuffles end to end (scan spread aside)
     z = summarize_plan(qmap["pii_scrub"](spark, SF_DIR))
     z.assert_no_cartesian().assert_max_shuffles(0)
+    assert z.n_roundrobin_exchanges <= 1
 
 
 def test_plan_summary_counts_shuffles(spark, qmap):
@@ -519,9 +525,13 @@ def test_rolling_anomaly_bucket_grain_window(spark, qmap):
 
 
 def test_leakage_safe_split_is_narrow(spark, qmap):
-    """Cluster key = md5(text) is pure column math: no exchange."""
-    plan = formatted_plan(qmap["leakage_safe_split"](spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    """Cluster key = md5(text) is pure column math: no KEYED exchange
+    (the adaptive scan spread is the only allowed one — r12)."""
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(qmap["leakage_safe_split"](spark, SF_DIR))
+    assert s.n_shuffle_exchanges == 0, sorted(s.shuffle_keysets)
+    assert s.n_roundrobin_exchanges <= 1
 
 
 def test_corpus_top_ngrams_topk_no_total_sort(spark, qmap):
@@ -709,7 +719,13 @@ def test_table_checksum_single_aggregate_no_joins(spark, qmap):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert "Window" not in plan
-    assert plan.count("Exchange") <= 2  # one partial->final agg exchange (+AQE read)
+    # one partial->final agg exchange; the r12 scan spread is the only
+    # other allowed exchange class
+    from temporal_vector_database_spark.plans.inspect import summarize_plan
+
+    s = summarize_plan(df)
+    assert s.n_shuffle_exchanges <= 1, sorted(s.shuffle_keysets)
+    assert s.n_roundrobin_exchanges <= 1
 
 
 def test_maxsim_rerank_no_cartesian_bounded_joins(spark, qmap):
