@@ -1078,6 +1078,67 @@ def embedding_near_duplicates(
     )
 
 
+def _precontract_pairs(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-partition vectorized pre-contraction for connected components
+    (r12, guide §4.2 / §2.3 "aggregate before you shuffle"): inside each
+    scan partition, run numpy min-label propagation with pointer jumping
+    over that partition's edges until local fixpoint, and emit ONE
+    ``(local_min_label, node)`` edge per non-root node — a spanning
+    structure that is connectivity-EQUIVALENT to the partition's edge
+    set but at most one row per distinct node.
+
+    Why sound: every emitted edge (node → its current local label) is a
+    union of merges the full algorithm would also make, and the labels
+    chain within the partition, so global connectivity is exactly
+    preserved; the distributed contraction loop downstream finishes the
+    cross-partition merges. (Even a PARTIAL local fixpoint would be
+    correct — fewer merges, never wrong ones — the fixpoint just
+    minimizes what the loop still has to do.)
+
+    Why it scales: the dense LSH near-dup pair lists (near-cliques, the
+    dominant cost of the old loop's first round) collapse map-side with
+    zero shuffle; the loop then starts from ≤ #distinct-nodes rows per
+    partition instead of the full pair list. State per task is bounded
+    by that partition's node count (same discipline as the bucket
+    verifiers)."""
+    tp = dict(pairs.dtypes)
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        a_parts, b_parts = [], []
+        for pdf in it:
+            a_parts.append(pdf[a_col].to_numpy())
+            b_parts.append(pdf[b_col].to_numpy())
+        if not a_parts:
+            return
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        if len(a) == 0:
+            return
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ea, eb = inv[: len(a)], inv[len(a):]
+        # labels are indices into the SORTED node array, so min index ==
+        # min id — the same canonical the distributed loop converges to
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(64):
+            prev = lbl
+            nxt = lbl.copy()
+            np.minimum.at(nxt, eb, lbl[ea])
+            np.minimum.at(nxt, ea, lbl[eb])
+            nxt = nxt[nxt]  # pointer jump: halve chain depth per round
+            lbl = nxt
+            if np.array_equal(lbl, prev):
+                break
+        keep = lbl != np.arange(len(nodes))
+        yield pd.DataFrame({a_col: nodes[lbl[keep]], b_col: nodes[keep]})
+
+    return pairs.select(a_col, b_col).mapInPandas(
+        fn, schema=f"{a_col} {tp[a_col]}, {b_col} {tp[b_col]}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -1100,15 +1161,25 @@ def connected_components(
     after round one, so only the first round touches the full pair list
     (measured 20 s → ~3 s on a 981k-edge / 3.4k-node graph at sf0.1).
 
-    Scale posture: per round one min-aggregate + two hash joins keyed by
-    node id over a strictly shrinking edge set; frames are
-    localCheckpoint'ed per round so lineage stays flat; only an
-    emptiness probe comes to the driver.
+    Scale posture: the pair list is first collapsed MAP-SIDE to ≤ one
+    edge per distinct node per partition (``_precontract_pairs``, r12 —
+    zero shuffle), then per round one min-aggregate + two hash joins
+    keyed by node id over a strictly shrinking edge set; the shared
+    ``h`` table is localCheckpoint'ed per round (it feeds three
+    consumers) while the label table stays a lazy join chain over those
+    checkpoints and materializes once at convergence; only an emptiness
+    probe comes to the driver.
 
     Output: (id, comp) — comp is the minimum id reachable from ``id``.
     """
     import warnings
 
+    # r12: collapse each partition's pair list map-side first (zero
+    # shuffle — see _precontract_pairs), then run the contraction loop
+    # on the residual ≤ one-edge-per-node structure. Measured at sf0.1
+    # (1.27M-pair LSH graph, interleaved A/B): 4.6 s → 3.2 s min-of-4
+    # together with the per-round trim below.
+    pairs = _precontract_pairs(pairs, a_col, b_col)
     e0 = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     edges = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     edges = edges.localCheckpoint(eager=True)
@@ -1116,14 +1187,19 @@ def connected_components(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
+        # r12 per-round trim: checkpoint h (it feeds three consumers —
+        # both contraction joins and the label update) instead of the
+        # label table; labels stay a LAZY join chain over the ≤ max_iter
+        # checkpointed h tables and materialize once at the end — two
+        # eager materializations per round become one.
         h = (
             edges.groupBy("s")
             .agg(F.min("d").alias("mind"))
             .select(F.col("s").alias("node"), F.least("s", "mind").alias("h"))
+            .localCheckpoint(eager=True)
         )
         contracted = (
             edges.join(h.select(F.col("node").alias("s"), F.col("h").alias("hs")), "s")
@@ -1135,11 +1211,11 @@ def connected_components(
         labels = (
             labels.join(h.select(F.col("node").alias("comp"), "h"), "comp", "left")
             .select("id", F.coalesce("h", F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
         )
         edges = contracted.localCheckpoint(eager=True)
         if edges.isEmpty():
             converged = True
+            labels = labels.localCheckpoint(eager=True)
             break
     if not converged:
         # silent under-merging would let duplicates survive dedup — say so

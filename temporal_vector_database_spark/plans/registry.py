@@ -61,11 +61,40 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+# split-count probe memo per parquet path: the probe (`df.rdd`) costs
+# ~50 ms per call and a path's split count never changes within one
+# process (fixtures are immutable once built). Plan METADATA only —
+# never query results.
+_SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _spread_path(spark: SparkSession, path: str) -> DataFrame:
+    """``_spread`` for a parquet path, with the split-count probe memoized."""
+    n = spark.sparkContext.defaultParallelism
+    df = spark.read.parquet(path)
+    key = (path, n)
+    if key not in _SCAN_PARTS_CACHE:
+        _SCAN_PARTS_CACHE[key] = df.rdd.getNumPartitions()
+    if _SCAN_PARTS_CACHE[key] < n:
+        return df.repartition(n)
+    return df
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents corpus, scan-spread (see ``_spread``)."""
-    return _spread(
-        spark, spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    )
+    """The documents corpus, plain scan.
+
+    Whether a query reads this or the ``_documents_spread`` twin was
+    decided PER QUERY by an interleaved A/B at sf0.1 (r12,
+    OPTIMIZATION_r12.md): queries whose heavy work is pre-shuffle
+    (generate/hash projections) win 2-5x from the spread; queries whose
+    first operation is a keyed exchange anyway lose ~0.1-0.5 s to the
+    extra round-robin exchange of full text payloads and stay plain."""
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _documents_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus, scan-spread (see ``_spread_path``)."""
+    return _spread_path(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 # (min, max) of events.ts_ms memoized per sf_dir: five gated queries
@@ -228,13 +257,17 @@ def _emb_sums(df: DataFrame) -> DataFrame:
 
 
 def q_reconstruct_all(spark, sf_dir):
-    # full-table reconstruction uses the grouped-map numpy fold: one
-    # content_id shuffle then a narrow Arrow pass — benched ~2-7x faster
-    # than the declarative HOF fold at sf0.1 (whose map_zip_with lambdas
-    # evaluate interpreted per element). The declarative twin stays the
-    # default for sparse target sets (reconstruct_at/latest) and its
-    # bit-equality to this path is pinned in tests/test_reconstruct.py.
-    rec = R.reconstruct_all_folded(_versions_ok(spark, sf_dir))
+    # r12 re-measurement (interleaved A/B at sf0.1, OPTIMIZATION_r12.md):
+    # the declarative HOF fold now beats the grouped-map numpy twin
+    # (min-of-3 1.0-1.8 s vs 2.8-3.5 s) — the numpy twin pays one
+    # Python/Arrow round-trip PER CONTENT GROUP (2002 groups of ~40 rows
+    # at sf0.1: per-group overhead dominates), while the declarative
+    # fold stays whole-stage-codegen JVM end to end. The twins'
+    # bit-equality (embeddings exact, cost exact-int) stays pinned in
+    # tests/test_reconstruct.py; the numpy twin remains the right shape
+    # for LONG timelines (its per-row work is O(nnz), the HOF fold's
+    # map_zip_with is interpreted per element).
+    rec = R.reconstruct_all(_versions_ok(spark, sf_dir))
     return _emb_sums(rec).select(
         "content_id", "target_seq", "base_seq", "cost", "emb_sum", "emb_wsum"
     )
@@ -412,11 +445,11 @@ def q_compaction_invariance(spark, sf_dir):
 
     v = _versions_ok(spark, sf_dir)
     # shared-pass shape (r12, VERDICT r11 #3 — same rewrite as
-    # q_compaction_advisor_loop): one numpy-fold reconstruction supplies
+    # q_compaction_advisor_loop): one declarative reconstruction supplies
     # both the advisor's over-bar recommendation set and the promoted
     # bases' embeddings, so promotion skips its own reconstruct_at pass
     rec0 = (
-        R.reconstruct_all_folded(v)
+        R.reconstruct_all(v)
         .where(F.col("cost") > DEFAULT_CONFIG.advisor_max_cost)
         .select("content_id", "target_seq", "embedding")
         .localCheckpoint()
@@ -424,7 +457,7 @@ def q_compaction_invariance(spark, sf_dir):
     promoted = promote_bases(
         v, rec0.select("content_id", "target_seq"), reconstructions=rec0
     )
-    rec = R.reconstruct_all_folded(promoted)
+    rec = R.reconstruct_all(promoted)
     return _emb_sums(rec).select("content_id", "target_seq", "emb_sum", "emb_wsum")
 
 
@@ -450,17 +483,19 @@ def q_compaction_advisor_loop(spark, sf_dir):
     bar = DEFAULT_CONFIG.advisor_max_cost
     v = _versions_ok(spark, sf_dir)
     # ONE reconstruction pass feeds the whole advise→act half (r12,
-    # VERDICT r11 #3): the numpy fold twin reconstructs every version
-    # WITH embeddings (bit-equal to the declarative fold on the dyadic
-    # fixture grid — pinned in tests/test_reconstruct.py; cost is the
-    # exact integer deltas-applied count in both), so the over-bar
-    # filter IS the advisor recommendation set (optimize_content_bases
-    # ≡ reconstruct_all where cost > bar) AND the same rows' embeddings
-    # are the promoted-base payloads — promote_bases no longer re-runs
-    # reconstruct_at's tag+fold over the versions table (r11 plan
-    # audit: 8 parquet scans; r12: 2 — one per remaining fold).
+    # VERDICT r11 #3): reconstruct_all WITH embeddings means the
+    # over-bar filter IS the advisor recommendation set
+    # (optimize_content_bases ≡ reconstruct_all where cost > bar; cost
+    # is the exact integer deltas-applied count) AND the same rows'
+    # embeddings are the promoted-base payloads — promote_bases no
+    # longer re-runs reconstruct_at's tag+fold over the versions table
+    # (r11 plan audit: 8 parquet scans; r12: 2 — one per remaining
+    # fold). The declarative fold is used for both passes — the r12
+    # interleaved A/B winner over the numpy twin AND the old 3-pass
+    # shape (5.8 s vs 7.0 / 7.2 s min-of-3 at sf0.1; see
+    # OPTIMIZATION_r12.md and q_reconstruct_all's rationale).
     rec0 = (
-        R.reconstruct_all_folded(v)
+        R.reconstruct_all(v)
         .where(F.col("cost") > bar)
         .select("content_id", "target_seq", "embedding")
         .localCheckpoint()
@@ -470,10 +505,7 @@ def q_compaction_advisor_loop(spark, sf_dir):
         F.count("*").cast("long").alias("n_promoted")
     )
     promoted = promote_bases(v, recs, reconstructions=rec0)
-    # post-compaction reconstruction: same numpy fold twin (the r12
-    # measured winner over the declarative HOF fold — see
-    # q_reconstruct_all's rationale)
-    rec = _emb_sums(R.reconstruct_all_folded(promoted))
+    rec = _emb_sums(R.reconstruct_all(promoted))
     rep = rec.groupBy("content_id").agg(
         F.count("*").cast("long").alias("n_versions"),
         F.max("cost").cast("int").alias("max_cost_after"),
@@ -522,7 +554,7 @@ def q_dedup_survivors(spark, sf_dir):
 def q_training_pipeline(spark, sf_dir):
     from temporal_vector_database_spark.operators.pipeline import curation_report
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return curation_report(docs, sigs=_minhash_store(spark, sf_dir))
 
 
@@ -536,7 +568,7 @@ def q_training_pipeline_strict(spark, sf_dir):
     (verified via scripts/check_oracle.py /root/testdata/sf0.1)."""
     from temporal_vector_database_spark.operators.pipeline import curation_report
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return curation_report(
         docs,
         min_quality=0.3,
@@ -553,7 +585,7 @@ def q_training_pipeline_full(spark, sf_dir):
     stage never re-shingles."""
     from temporal_vector_database_spark.operators.pipeline import full_curation_report
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return full_curation_report(
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
@@ -771,7 +803,7 @@ def q_wordpiece_tokens(spark, sf_dir):
         wordpiece_tokenize,
     )
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     vocab = build_subword_vocab(docs, vocab_size=256, max_len=4)
@@ -958,14 +990,19 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def _embeddings_raw(spark, sf_dir):
-    """The embeddings corpus, scan-spread (see ``_spread``)."""
-    return _spread(
-        spark, spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    )
+    """The embeddings corpus, plain scan (see ``_documents`` for the
+    per-query spread policy)."""
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _quantized_embeddings(spark, sf_dir):
-    return _embeddings_raw(spark, sf_dir).select(
+def _embeddings_spread(spark, sf_dir):
+    """The embeddings corpus, scan-spread (see ``_spread_path``)."""
+    return _spread_path(spark, os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _quantized_embeddings(spark, sf_dir, spread: bool = False):
+    src = _embeddings_spread(spark, sf_dir) if spread else _embeddings_raw(spark, sf_dir)
+    return src.select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -1038,7 +1075,7 @@ def q_ivfpq_topk(spark, sf_dir):
     """Three-tier composition gate: IVF probe pruning + PQ ADC scoring."""
     from temporal_vector_database_spark.operators.search import ivfpq_topk
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -1060,7 +1097,7 @@ def q_pq_topk(spark, sf_dir):
     and IVF): m=4 subspaces over the dim-8 fixture embeddings."""
     from temporal_vector_database_spark.operators.search import pq_topk
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -1074,7 +1111,7 @@ def q_pq_topk_reranked(spark, sf_dir):
     touches only the shortlist)."""
     from temporal_vector_database_spark.operators.search import pq_topk_reranked
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -2407,7 +2444,7 @@ def q_docs_winnow_fingerprint(spark, sf_dir):
     doc. Per-document window frames only — embarrassingly parallel."""
     from temporal_vector_database_spark.operators.textindex import winnow_fingerprints
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     return winnow_fingerprints(docs, k=7, w=16)
@@ -2432,7 +2469,7 @@ _BOILER = (
 
 
 def _injected_boiler_docs(spark, sf_dir):
-    return _documents(spark, sf_dir).select(
+    return _documents_spread(spark, sf_dir).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_BOILER))
@@ -2534,7 +2571,7 @@ def q_bigram_nll(spark, sf_dir):
         bigram_logprob_scores,
     )
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bigram_logprob_scores(docs)
@@ -3367,7 +3404,7 @@ def q_modified_kn_nll(spark, sf_dir):
         modified_kn_logprob_scores,
     )
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     return modified_kn_logprob_scores(docs)
@@ -3409,7 +3446,7 @@ def q_tfidf_topterms(spark, sf_dir):
     term). Per-doc window partitions only."""
     from temporal_vector_database_spark.operators.textindex import tfidf_top_terms
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     return tfidf_top_terms(docs, top_n=3)
@@ -7538,7 +7575,7 @@ def q_decontaminate(spark, sf_dir):
     contaminated at >= 2 shared n-grams. Eval n-grams broadcast."""
     from temporal_vector_database_spark.operators.curation import decontaminate
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return decontaminate(
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
@@ -7550,14 +7587,14 @@ def q_decontaminate(spark, sf_dir):
 def q_repetition_stats(spark, sf_dir):
     from temporal_vector_database_spark.operators.curation import repetition_stats
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return repetition_stats(docs)
 
 
 def q_segment_dedup(spark, sf_dir):
     from temporal_vector_database_spark.operators.curation import segment_dedup
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return segment_dedup(docs, width=4)
 
 
@@ -7632,7 +7669,7 @@ def q_edit_distance_pairs(spark, sf_dir):
     not just emptiness."""
     from temporal_vector_database_spark.operators.dedup import edit_distance_pairs
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     clones = docs.where(F.col("doc_id") % 83 == 0).select(
@@ -7695,7 +7732,7 @@ def q_pii_scrub(spark, sf_dir):
     non-vacuous."""
     from temporal_vector_database_spark.operators.curation import pii_scrub
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     d = F.col("doc_id")
     injected = docs.select(
         "doc_id",
@@ -7739,7 +7776,7 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     codes quantize x − c(x); ADC = dot(q, c) + residual LUT sum."""
     from temporal_vector_database_spark.operators.search import ivfpq_residual_topk
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -7847,7 +7884,7 @@ def q_bq_topk(spark, sf_dir):
     cheapest tier of the 1-bit → int8 → PQ compression ladder."""
     from temporal_vector_database_spark.operators.search import bq_topk
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -7882,7 +7919,7 @@ def q_sq8_topk(spark, sf_dir):
     compression tier below PQ; dequantized-inner-product identity."""
     from temporal_vector_database_spark.operators.search import sq8_topk
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -8705,7 +8742,7 @@ def q_knn_graph(spark, sf_dir):
     probed lists, never the corpus."""
     from temporal_vector_database_spark.operators.search import knn_graph
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     return knn_graph(emb, k=5, nprobe=2)
 
 
@@ -8855,7 +8892,7 @@ def q_nn_descent(spark, sf_dir):
     relationally (unrolled CTEs)."""
     from temporal_vector_database_spark.operators.search import nn_descent
 
-    emb = _quantized_embeddings(spark, sf_dir)
+    emb = _quantized_embeddings(spark, sf_dir, spread=True)
     return nn_descent(emb, k=5, rounds=2, nprobe=2)
 
 
@@ -9551,7 +9588,7 @@ def q_corpus_top_ngrams(spark, sf_dir):
         corpus_top_ngrams,
     )
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents_spread(spark, sf_dir)
     return corpus_top_ngrams(docs, n=2, k=100, min_count=2)
 
 
@@ -12178,7 +12215,7 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
         sorted_neighborhood_pairs,
     )
 
-    docs = _documents(spark, sf_dir).select(
+    docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
     return sorted_neighborhood_pairs(
