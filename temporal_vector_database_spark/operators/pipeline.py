@@ -45,8 +45,17 @@ def curate_documents(
     min_jaccard_est: float = 0.75,
     sigs: DataFrame | None = None,
     pairs: DataFrame | None = None,
+    stats_docs: DataFrame | None = None,
 ) -> DataFrame:
     """The curation funnel up to (and including) near-dup clustering.
+
+    ``stats_docs``: optional alternate frame (same rows/values as
+    ``docs``) used ONLY as the input of the text-stats enrichment — the
+    funnel's one generate-heavy narrow pass. A caller on a small
+    single-file corpus passes a scan-spread twin here so the quality
+    expressions parallelize, while the join/dedup sides keep the plain
+    scan (r12 measured split: spreading the join sides costs more in
+    extra payload exchanges than it saves).
 
     Returns every document that passed the threshold filter, enriched with
     ``n_tokens``/``quality_r``/``predicted_lang`` and the dedup verdict
@@ -68,7 +77,12 @@ def curate_documents(
     # with exactly the columns downstream consumes; pinned in
     # tests/test_plans.py).
     stats = (
-        with_text_stats(docs.select("doc_id", text_col), text_col)
+        with_text_stats(
+            (docs if stats_docs is None else stats_docs).select(
+                "doc_id", text_col
+            ),
+            text_col,
+        )
         .where(F.col("quality_r") >= min_quality)
         .select("doc_id", "n_tokens", "quality_r", "predicted_lang")
     )

@@ -611,7 +611,11 @@ def q_training_pipeline_banded(spark, sf_dir):
     name = ensure_lsh_band_store(spark, sf_dir, num_hashes=8, bands=4)
     pairs = near_dup_pairs_from_band_store(spark, name, min_jaccard_est=0.75)
     docs = _documents(spark, sf_dir)
-    return curation_report(docs, pairs=pairs)
+    # r12: spread ONLY the stats branch (measured 6.75 -> 6.0 min-of-4;
+    # all-spread regressed — the join sides pay payload exchanges)
+    return curation_report(
+        docs, pairs=pairs, stats_docs=_documents_spread(spark, sf_dir)
+    )
 
 
 def q_quality_percentile_filter(spark, sf_dir):
@@ -1075,7 +1079,7 @@ def q_ivfpq_topk(spark, sf_dir):
     """Three-tier composition gate: IVF probe pruning + PQ ADC scoring."""
     from temporal_vector_database_spark.operators.search import ivfpq_topk
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    emb = _quantized_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -1097,7 +1101,7 @@ def q_pq_topk(spark, sf_dir):
     and IVF): m=4 subspaces over the dim-8 fixture embeddings."""
     from temporal_vector_database_spark.operators.search import pq_topk
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    emb = _quantized_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -1111,7 +1115,7 @@ def q_pq_topk_reranked(spark, sf_dir):
     touches only the shortlist)."""
     from temporal_vector_database_spark.operators.search import pq_topk_reranked
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    emb = _quantized_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -2571,7 +2575,7 @@ def q_bigram_nll(spark, sf_dir):
         bigram_logprob_scores,
     )
 
-    docs = _documents_spread(spark, sf_dir).select(
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return bigram_logprob_scores(docs)
@@ -7776,7 +7780,7 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     codes quantize x − c(x); ADC = dot(q, c) + residual LUT sum."""
     from temporal_vector_database_spark.operators.search import ivfpq_residual_topk
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    emb = _quantized_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -7884,7 +7888,7 @@ def q_bq_topk(spark, sf_dir):
     cheapest tier of the 1-bit → int8 → PQ compression ladder."""
     from temporal_vector_database_spark.operators.search import bq_topk
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    emb = _quantized_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -7919,7 +7923,7 @@ def q_sq8_topk(spark, sf_dir):
     compression tier below PQ; dequantized-inner-product identity."""
     from temporal_vector_database_spark.operators.search import sq8_topk
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    emb = _quantized_embeddings(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
