@@ -331,13 +331,22 @@ def main() -> None:
     # previous stamp (the committed sidecar of the last run) BEFORE this
     # run overwrites it — the common-subset ratio is published parsed
     # (VERDICT r11 #6) so adjudication stops re-deriving it from git.
+    # r13 (VERDICT r12 #3): the detail sidecar is ALSO written to a
+    # per-core-count name so the driver's low-core scaling run no longer
+    # clobbers the main run's per-query detail (the r12 PERF per_query/
+    # scaling maps were empty for exactly that reason). The previous
+    # stamp prefers the same-core-count sidecar so the published
+    # common_ratio_vs_prev compares like with like.
     sidecar = os.path.join(REPO, "BENCH_LOCAL.json")
+    sidecar_c = os.path.join(REPO, f"BENCH_LOCAL_c{ncores}.json")
     prev_stamp = None
-    try:
-        with open(sidecar) as f:
-            prev_stamp = json.load(f)
-    except (OSError, ValueError):
-        prev_stamp = None
+    for cand in (sidecar_c, sidecar):
+        try:
+            with open(cand) as f:
+                prev_stamp = json.load(f)
+            break
+        except (OSError, ValueError):
+            prev_stamp = None
 
     cpu_probe = cpu_probe_sec()
     # r11: parallel twin — single-thread speed and parallel throughput
@@ -376,15 +385,21 @@ def main() -> None:
     # ratio, labeled by the prev record's probe for normalization)
     common_ratio = None
     common_n = 0
-    if prev_stamp and isinstance(prev_stamp.get("queries"), dict) and (
-        prev_stamp.get("sf") == sf
-    ):
-        common = sorted(set(prev_stamp["queries"]) & set(timings))
-        prev_sum = sum(float(prev_stamp["queries"][n]) for n in common)
-        cur_sum = sum(timings[n] for n in common)
-        common_n = len(common)
-        if prev_sum > 0:
-            common_ratio = round(cur_sum / prev_sum, 4)
+    # guarded against a malformed/legacy sidecar whose query values are
+    # not numeric (ADVICE r12): a bad stamp must not abort the bench
+    # after all timings were collected.
+    try:
+        if prev_stamp and isinstance(prev_stamp.get("queries"), dict) and (
+            prev_stamp.get("sf") == sf
+        ):
+            common = sorted(set(prev_stamp["queries"]) & set(timings))
+            prev_sum = sum(float(prev_stamp["queries"][n]) for n in common)
+            cur_sum = sum(timings[n] for n in common)
+            common_n = len(common)
+            if prev_sum > 0:
+                common_ratio = round(cur_sum / prev_sum, 4)
+    except (TypeError, ValueError, KeyError):
+        common_ratio, common_n = None, 0
     # Per-query detail (mins + raw reps) goes to a sidecar file and an
     # EARLY stdout line; the driver captures only a bounded tail of
     # stdout, so the final line must stay short (r03's combined line
@@ -408,11 +423,13 @@ def main() -> None:
         "prev_cpu_probe_sec": (prev_stamp or {}).get("cpu_probe_sec"),
         "sf": sf,
     }
-    try:
-        with open(sidecar, "w") as f:
-            json.dump(detail, f)
-    except OSError:
-        pass
+    detail["cpus"] = ncores
+    for out_path in (sidecar, sidecar_c):
+        try:
+            with open(out_path, "w") as f:
+                json.dump(detail, f)
+        except OSError:
+            pass
     print(json.dumps(detail))
     sys.stdout.flush()
     # compact headline line LAST and ALONE — this is the driver contract
@@ -427,6 +444,7 @@ def main() -> None:
                 "contended": contended,
                 "common_ratio_vs_prev": common_ratio,
                 "detail": "BENCH_LOCAL.json",
+                "detail_per_cpus": f"BENCH_LOCAL_c{ncores}.json",
             }
         )
     )

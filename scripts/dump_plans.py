@@ -40,7 +40,9 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
-    outdir = os.path.join(REPO, "plans", "r12")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13")
+    )
     os.makedirs(outdir, exist_ok=True)
     for n in names:
         df = qs[n](spark, sf_dir)

@@ -1139,11 +1139,64 @@ def _precontract_pairs(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def _forest_labels_single_task(
+    forest: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Final contraction level (r13): the whole pre-contracted forest in
+    ONE task — numpy min-label propagation with pointer jumping run to
+    the PROVEN fixpoint, emitting ``(id, comp)`` for EVERY node
+    (roots label themselves). At fixpoint every edge's endpoints share a
+    label and labels are idempotent, and since labels only ever take
+    values of reachable node indices and are non-increasing, the shared
+    label is exactly the component minimum — the same canonical the SQL
+    contraction loop converges to (bit-equality pinned in tests).
+
+    Only called when the caller has PROVEN the forest is under the
+    single-task guard (``connected_components(single_task_rows=)``), so
+    the one task holds a bounded edge list, never the raw pair graph."""
+    tp = dict(forest.dtypes)
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        a_parts, b_parts = [], []
+        for pdf in it:
+            a_parts.append(pdf[a_col].to_numpy())
+            b_parts.append(pdf[b_col].to_numpy())
+        a = np.concatenate(a_parts) if a_parts else np.array([])
+        if len(a) == 0:
+            return
+        b = np.concatenate(b_parts)
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ea, eb = inv[: len(a)], inv[len(a):]
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(200):  # min-prop + pointer jumping: O(log n) rounds
+            prev = lbl
+            nxt = lbl.copy()
+            np.minimum.at(nxt, eb, lbl[ea])
+            np.minimum.at(nxt, ea, lbl[eb])
+            nxt = nxt[nxt]
+            lbl = nxt
+            if np.array_equal(lbl, prev):
+                break
+        else:  # pragma: no cover — 200 ≫ log2 of any guard-sized forest
+            raise RuntimeError(
+                "connected_components single-task fold did not converge"
+            )
+        yield pd.DataFrame({"id": nodes, "comp": nodes[lbl]})
+
+    return forest.coalesce(1).mapInPandas(
+        fn, schema=f"id {tp[a_col]}, comp {tp[b_col]}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    single_task_rows: int = 4_000_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph by iterative
     min-neighborhood contraction (the large-star/small-star family,
@@ -1163,12 +1216,37 @@ def connected_components(
 
     Scale posture: the pair list is first collapsed MAP-SIDE to ≤ one
     edge per distinct node per partition (``_precontract_pairs``, r12 —
-    zero shuffle), then per round one min-aggregate + two hash joins
-    keyed by node id over a strictly shrinking edge set; the shared
-    ``h`` table is localCheckpoint'ed per round (it feeds three
+    zero shuffle). When the resulting forest fits the single-task guard
+    (``single_task_rows``) the labels come from ONE bounded numpy fold
+    (r13 — see below); otherwise coalesce levels halve-and-recontract
+    the forest map-side until it fits, and only if that stalls does the
+    distributed SQL loop run: per round one min-aggregate + two hash
+    joins keyed by node id over a strictly shrinking edge set; the
+    shared ``h`` table is localCheckpoint'ed per round (it feeds three
     consumers) while the label table stays a lazy join chain over those
     checkpoints and materializes once at convergence; only an emptiness
     probe comes to the driver.
+
+    ``single_task_rows`` (r13, guide §2.3/§1.2 step 1): after the
+    map-side pre-contraction the remaining cost at bench scale was pure
+    Spark job latency — 2 SQL rounds × (h checkpoint + edges checkpoint
+    + isEmpty probe) ≈ 6 scheduled jobs to merge a few thousand forest
+    rows. With the forest checkpointed, ONE cheap count decides: under
+    the guard, a single task union-finds the whole forest (3 jobs
+    total, no keyed shuffle at all). At 100 TB the guard makes this
+    safe, not a local[32] constant: the forest is ≤ one row per
+    distinct node per scan partition, each multi-level coalesce merges
+    ~guard-sized groups WITHOUT a shuffle (narrow dependency), per-task
+    state stays ≤ ~2 × guard int64s (the bucket-verifier discipline),
+    and a forest that cannot contract under the guard falls back to the
+    proven distributed loop.
+
+    Degenerate-input contract (ADVICE r12): a node appearing ONLY in
+    self-pairs (a == b) is absent from the output entirely (since r12's
+    pre-contraction; the pre-r12 loop emitted (id, id) for it) — both
+    in-repo consumers coalesce missing ids to themselves, and the
+    self-loop property test pins the behavior. Null ids are not
+    supported (the pair builders never emit them).
 
     Output: (id, comp) — comp is the minimum id reachable from ``id``.
     """
@@ -1179,8 +1257,27 @@ def connected_components(
     # on the residual ≤ one-edge-per-node structure. Measured at sf0.1
     # (1.27M-pair LSH graph, interleaved A/B): 4.6 s → 3.2 s min-of-4
     # together with the per-round trim below.
-    pairs = _precontract_pairs(pairs, a_col, b_col)
-    e0 = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    forest = _precontract_pairs(pairs, a_col, b_col).localCheckpoint(
+        eager=True
+    )
+    n_forest = forest.count()  # one trivial job over the checkpoint
+    # r13 multi-level map-side contraction: halve toward the guard with
+    # shuffle-free coalesce + re-contract levels; stop when a level
+    # stops shrinking (pathological partition layout) and fall back.
+    while n_forest > int(single_task_rows):
+        target = -(-n_forest // int(single_task_rows))  # ceil
+        level = _precontract_pairs(
+            forest.coalesce(int(target)), a_col, b_col
+        ).localCheckpoint(eager=True)
+        n_level = level.count()
+        if n_level >= n_forest:
+            break  # coalesce was a no-op or the forest stopped shrinking
+        forest, n_forest = level, n_level
+    if n_forest <= int(single_task_rows):
+        return _forest_labels_single_task(forest, a_col, b_col).localCheckpoint(
+            eager=True
+        )
+    e0 = forest.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
     edges = e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
     edges = edges.localCheckpoint(eager=True)
     labels = (

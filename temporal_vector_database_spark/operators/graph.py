@@ -382,12 +382,26 @@ def kcore(
             .groupBy("id")
             .agg(F.count("*").cast("long").alias("deg"))
         )
-        alive = deg.where(F.col("deg") >= int(k)).select("id").localCheckpoint()
+        # keep the degree beside the id (r13): at the fixpoint round the
+        # surviving set equals the previous round's, so `deg` — computed
+        # over edges within the PREVIOUS alive set — is already the
+        # degree within the survivor-induced subgraph. Carrying it
+        # through the checkpoint makes the final re-peel pass (two more
+        # semi-joins + a degree aggregate) unnecessary on the converged
+        # path; the extra long per row is noise next to the id.
+        alive = deg.where(F.col("deg") >= int(k)).localCheckpoint()
         n_new = alive.count()
         if n_new == n_prev:
             converged = True
             break
         n_prev = n_new
+    if converged:
+        # alive == previous alive ⇒ its `deg` IS deg_in_core (see above)
+        return alive.select(
+            "id",
+            F.col("deg").cast("long").alias("deg_in_core"),
+            F.lit(True).alias("converged"),
+        )
     ef = ce.join(alive.withColumnRenamed("id", "a"), "a", "left_semi").join(
         alive.withColumnRenamed("id", "b"), "b", "left_semi"
     )
@@ -398,7 +412,7 @@ def kcore(
         .agg(F.count("*").cast("long").alias("deg_in_core"))
     )
     return (
-        alive.join(degf, "id", "left")
+        alive.select("id").join(degf, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("deg_in_core"), F.lit(0)).cast("long").alias("deg_in_core"),

@@ -92,7 +92,12 @@ def promote_bases(
     preserving by construction.
 
     ``reconstructions``: see ``_as_base_rows`` — precomputed target
-    embeddings, skipping the in-promotion reconstruction pass."""
+    embeddings, skipping the in-promotion reconstruction pass. A target
+    NOT covered by ``reconstructions`` is left in place unmodified
+    (ADVICE r12: it used to vanish from the compacted table — the
+    anti-join removed it while no base row replaced it); the rewrite
+    set is restricted to the covered targets, so the table stays
+    reconstruction-complete regardless of coverage."""
     # pin both small tables: `targets` (k recommendations — often an
     # advisor plan that would otherwise re-run per reference) feeds the
     # base rewrite AND the anti-join, and `new_bases` (k rows) embeds a
@@ -100,6 +105,12 @@ def promote_bases(
     # the compacted table would re-execute per reference (the
     # compaction_invariance gate scanned the versions parquet 72×
     # before this pin — r10 plan audit).
+    if reconstructions is not None:
+        targets = targets.join(
+            reconstructions.select("content_id", "target_seq"),
+            ["content_id", "target_seq"],
+            "left_semi",
+        )
     targets = targets.localCheckpoint()
     new_bases = _as_base_rows(versions, targets, reconstructions).localCheckpoint()
     keep = versions.join(

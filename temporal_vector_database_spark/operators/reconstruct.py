@@ -244,6 +244,19 @@ def reconstruct_all(
         # downstream join/agg; the InMemoryRelation keeps the window's
         # hash(content_id) partitioning visible (pinned in tests/test_plans.py).
         tagged = tagged.persist()
+    return reconstruct_all_tagged(tagged, with_embedding=with_embedding)
+
+
+def reconstruct_all_tagged(
+    tagged: DataFrame, with_embedding: bool = True
+) -> DataFrame:
+    """:func:`reconstruct_all` over a PRE-TAGGED frame — the caller has
+    already run :func:`with_governing_base` and (normally) persisted the
+    result. The shared-working-set shape of the compaction loop (r13,
+    VERDICT r12 #8): the advisor fold, the promotion's keep/orig row
+    selections, and the promoted-base payloads all read the ONE pinned
+    (content_id, seq, kind, payload) slice instead of re-scanning the
+    versions table per consumer."""
     targets = tagged.where(F.col("base_seq").isNotNull()).select(
         "content_id", F.col("seq").alias("target_seq"), "base_seq"
     )

@@ -467,17 +467,25 @@ def _bigram_pairs(
     ``id_col=None`` yields corpus-level ``(w1, w2)`` occurrences with
     no id column (the streaming count-state path, ADVICE r10 — no
     injected constant column to collide with caller columns)."""
-    w = _words(text_col)
-    n = F.size(w)
-    bg_len = F.greatest(n - F.lit(1), F.lit(0))
-    bg = F.zip_with(
-        F.slice(w, F.lit(1), bg_len),
-        F.slice(w, F.lit(2), bg_len),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
+    bg = _bigram_structs(_words(text_col))
     head = [] if id_col is None else [id_col]
     return docs.select(*head, F.explode(bg).alias("bg")).select(
         *head, "bg.w1", "bg.w2"
+    )
+
+
+def _bigram_structs(w: Column) -> Column:
+    """``array<struct<w1,w2>>`` of adjacent-token bigrams off a token
+    ARRAY column (``zip_with`` of two clamped slices) — shared by
+    :func:`_bigram_pairs` (tokenizes itself) and the streaming combined
+    count-state writer, which tokenizes the batch ONCE and derives all
+    n-gram orders from the same array (r13)."""
+    n = F.size(w)
+    bg_len = F.greatest(n - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(w, F.lit(1), bg_len),
+        F.slice(w, F.lit(2), bg_len),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
 
 
@@ -600,22 +608,27 @@ def _trigram_triples(
     self-join, no positions). ``id_col=None`` yields corpus-level
     occurrences with no id column (the streaming count-state path,
     ADVICE r10)."""
-    w = _words(text_col)
+    tg = _trigram_structs(_words(text_col))
+    head = [] if id_col is None else [id_col]
+    return docs.select(*head, F.explode(tg).alias("t")).select(
+        *head, "t.w1", "t.w2", "t.w3"
+    )
+
+
+def _trigram_structs(w: Column) -> Column:
+    """``array<struct<w1,w2,w3>>`` of adjacent-token trigrams off a
+    token ARRAY column — see :func:`_bigram_structs`."""
     n = F.size(w)
     tri_len = F.greatest(n - F.lit(2), F.lit(0))
     s1 = F.slice(w, F.lit(1), tri_len)
     s2 = F.slice(w, F.lit(2), tri_len)
     s3 = F.slice(w, F.lit(3), tri_len)
-    tg = F.zip_with(
+    return F.zip_with(
         F.zip_with(s1, s2, lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))),
         s3,
         lambda p, z: F.struct(
             p["w1"].alias("w1"), p["w2"].alias("w2"), z.alias("w3")
         ),
-    )
-    head = [] if id_col is None else [id_col]
-    return docs.select(*head, F.explode(tg).alias("t")).select(
-        *head, "t.w1", "t.w2", "t.w3"
     )
 
 

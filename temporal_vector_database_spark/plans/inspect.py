@@ -29,7 +29,7 @@ class PlanSummary:
     n_broadcast_exchanges: int = 0
     # round-robin exchanges counted SEPARATELY from the keyed shuffles:
     # the only producer in this codebase is the adaptive small-scan
-    # spread (`plans.registry._spread`, r12), which fires only when a
+    # spread (`plans.registry._spread_path`, r12), which fires only when a
     # scan's split count is below the session parallelism — at
     # production scale the condition is never met and the node is absent,
     # so the keyed-shuffle pins (the 100-TB posture guards) stay
@@ -45,10 +45,22 @@ class PlanSummary:
         assert not self.has_cartesian_product, "plan contains CartesianProduct"
         return self
 
-    def assert_max_shuffles(self, n: int) -> "PlanSummary":
+    def assert_max_shuffles(
+        self, n: int, max_roundrobin: int = 2
+    ) -> "PlanSummary":
+        """Bound the keyed shuffles at ``n`` AND (ADVICE r12) the
+        round-robin exchanges at ``max_roundrobin`` (default 2 — the
+        adaptive small-scan spread adds at most one per spread input and
+        no pinned query spreads more than two), so a future
+        unconditional ``repartition(n)`` still fails plan-posture tests
+        instead of hiding in the separately-tallied round-robin count."""
         assert self.n_shuffle_exchanges <= n, (
             f"{self.n_shuffle_exchanges} shuffle exchanges (max {n}): "
             f"{sorted(self.shuffle_keysets)}"
+        )
+        assert self.n_roundrobin_exchanges <= max_roundrobin, (
+            f"{self.n_roundrobin_exchanges} round-robin exchanges "
+            f"(max {max_roundrobin})"
         )
         return self
 

@@ -40,8 +40,16 @@ def _fix(sf_dir: str, name: str):
     return os.path.join(ensure_fixtures(sf_dir), f"{name}.parquet")
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Adaptive scan spread (r12, guide §2.5 input skew / §1.2 step 1).
+# split-count probe memo per parquet path: the probe (`df.rdd`) costs
+# ~50 ms per call and a path's split count never changes within one
+# process (fixtures are immutable once built). Plan METADATA only —
+# never query results.
+_SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def _spread_path(spark: SparkSession, path: str) -> DataFrame:
+    """Adaptive scan spread for a parquet path, with the split-count
+    probe memoized (r12, guide §2.5 input skew / §1.2 step 1).
 
     The test fixtures are single small parquet FILES, so every scan is
     one task and the expensive pre-shuffle projections (char-gram
@@ -55,21 +63,6 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     table (many files / large splittable files) already meets the bar
     and the repartition never fires — the exchange exists only in the
     degenerate small-input regime where it moves kilobytes."""
-    n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
-
-
-# split-count probe memo per parquet path: the probe (`df.rdd`) costs
-# ~50 ms per call and a path's split count never changes within one
-# process (fixtures are immutable once built). Plan METADATA only —
-# never query results.
-_SCAN_PARTS_CACHE: dict[tuple[str, int], int] = {}
-
-
-def _spread_path(spark: SparkSession, path: str) -> DataFrame:
-    """``_spread`` for a parquet path, with the split-count probe memoized."""
     n = spark.sparkContext.defaultParallelism
     df = spark.read.parquet(path)
     key = (path, n)
@@ -447,15 +440,21 @@ def q_compaction_invariance(spark, sf_dir):
     # shared-pass shape (r12, VERDICT r11 #3 — same rewrite as
     # q_compaction_advisor_loop): one declarative reconstruction supplies
     # both the advisor's over-bar recommendation set and the promoted
-    # bases' embeddings, so promotion skips its own reconstruct_at pass
+    # bases' embeddings, so promotion skips its own reconstruct_at pass.
+    # r13 (VERDICT r12 #8): the TAGGED slice is pinned once and feeds the
+    # advisor fold AND promotion's keep/orig selections — one versions
+    # scan for the whole advise→act half.
+    tagged = R.with_governing_base(v).persist()
     rec0 = (
-        R.reconstruct_all(v)
+        R.reconstruct_all_tagged(tagged)
         .where(F.col("cost") > DEFAULT_CONFIG.advisor_max_cost)
         .select("content_id", "target_seq", "embedding")
         .localCheckpoint()
     )
     promoted = promote_bases(
-        v, rec0.select("content_id", "target_seq"), reconstructions=rec0
+        tagged.drop("base_seq"),
+        rec0.select("content_id", "target_seq"),
+        reconstructions=rec0,
     )
     rec = R.reconstruct_all(promoted)
     return _emb_sums(rec).select("content_id", "target_seq", "emb_sum", "emb_wsum")
@@ -494,8 +493,12 @@ def q_compaction_advisor_loop(spark, sf_dir):
     # interleaved A/B winner over the numpy twin AND the old 3-pass
     # shape (5.8 s vs 7.0 / 7.2 s min-of-3 at sf0.1; see
     # OPTIMIZATION_r12.md and q_reconstruct_all's rationale).
+    # r13 (VERDICT r12 #8): pin the TAGGED slice once — the advisor fold
+    # and promotion's keep/orig selections share it, so the advise→act
+    # half scans the versions table exactly once.
+    tagged = R.with_governing_base(v).persist()
     rec0 = (
-        R.reconstruct_all(v)
+        R.reconstruct_all_tagged(tagged)
         .where(F.col("cost") > bar)
         .select("content_id", "target_seq", "embedding")
         .localCheckpoint()
@@ -504,7 +507,7 @@ def q_compaction_advisor_loop(spark, sf_dir):
     n_prom = recs.groupBy("content_id").agg(
         F.count("*").cast("long").alias("n_promoted")
     )
-    promoted = promote_bases(v, recs, reconstructions=rec0)
+    promoted = promote_bases(tagged.drop("base_seq"), recs, reconstructions=rec0)
     rec = _emb_sums(R.reconstruct_all(promoted))
     rep = rec.groupBy("content_id").agg(
         F.count("*").cast("long").alias("n_versions"),
@@ -2607,12 +2610,16 @@ def _serve_from_lm_states(spark, sf_dir, needs, serve):
         dirs = {n: os.path.join(root, n) for n in needs}
         for bid in range(3):
             part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
-            if "terms" in dirs:
-                W.process_wordcount_batch(part, bid, dirs["terms"])
-            if "bigrams" in dirs:
-                W.process_bigram_batch(part, bid, dirs["bigrams"])
-            if "trigrams" in dirs:
-                W.process_trigram_batch(part, bid, dirs["trigrams"])
+            # combined writer (r13, VERDICT r12 #5): ONE tokenize pass
+            # per batch feeds every requested state — the per-order
+            # writers re-tokenized the same slice once per state
+            W.process_lm_batch(
+                part,
+                bid,
+                term_state_dir=dirs.get("terms"),
+                bigram_state_dir=dirs.get("bigrams"),
+                trigram_state_dir=dirs.get("trigrams"),
+            )
         return serve(docs, dirs)
     finally:
         shutil.rmtree(root, ignore_errors=True)

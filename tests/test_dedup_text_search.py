@@ -217,6 +217,55 @@ def test_connected_components_chain_and_isolate(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_paths_agree(spark):
+    """r13: the three physical paths — single-task fold (default guard),
+    multi-level coalesce contraction (tiny guard, many partitions), and
+    the distributed SQL fallback (guard that cannot be met) — produce
+    IDENTICAL labels on a graph with chains, a clique, and an isolated
+    pair spread across many input partitions."""
+    from temporal_vector_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(0, 12)]          # 13-node chain
+        + [(20 + i, 20 + j) for i in range(5) for j in range(i + 1, 5)]
+        + [(100, 101)]
+    )
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a_id long, b_id long"
+    ).repartition(8)
+    want = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert want[12] == 0 and want[24] == 20 and want[101] == 100
+    # multi-level: guard of 4 rows forces ≥1 coalesce+recontract level
+    lvl = {
+        r.id: r.comp
+        for r in connected_components(pairs, single_task_rows=4).collect()
+    }
+    assert lvl == want
+    # SQL fallback: a 1-row guard cannot be met once coalesce stalls
+    sql = {
+        r.id: r.comp
+        for r in connected_components(pairs, single_task_rows=1).collect()
+    }
+    assert sql == want
+
+
+def test_connected_components_self_loop_only_nodes_dropped(spark):
+    """ADVICE r12 contract pin: a node appearing ONLY in self-pairs is
+    absent from the output (both in-repo consumers coalesce missing ids
+    to themselves); self-pairs on connected nodes are harmless."""
+    from temporal_vector_database_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "a_id long, b_id long"
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1}
+
+
 def test_dedup_survivors_assignment(spark, sf_dir):
     """Survivor table invariants: one row per document, every canonical is
     itself a survivor, and canonical_id <= doc_id (min-id convention)."""

@@ -60,6 +60,41 @@ def test_promote_bases_precomputed_reconstructions_identical(versions):
     assert shared == default
 
 
+def test_promote_bases_uncovered_target_left_in_place(versions):
+    """ADVICE r12: a target NOT covered by the supplied
+    ``reconstructions`` frame must stay in the table as its original
+    row — not vanish (the pre-r13 behavior anti-joined it out while no
+    base row replaced it)."""
+    v = versions.where(F.col("content_id").isin("longchain", "c00000"))
+    # two delta rows as promotion targets, only one covered below
+    recs = (
+        v.where(F.col("kind") == "delta")
+        .select("content_id", F.col("seq").alias("target_seq"))
+        .orderBy("content_id", "target_seq")
+        .limit(2)
+        .localCheckpoint()
+    )
+    assert recs.count() == 2
+    covered = recs.orderBy("content_id", "target_seq").limit(1)
+    pre = reconstruct_all(v).join(
+        covered, ["content_id", "target_seq"], "left_semi"
+    ).select("content_id", "target_seq", "embedding")
+    # ALL targets requested, only one covered: the rest stay unmodified
+    promoted = promote_bases(v, recs, reconstructions=pre)
+    want_rows = v.count()  # rewrite-in-place never changes the row count
+    assert promoted.count() == want_rows
+    uncovered = recs.join(covered, ["content_id", "target_seq"], "left_anti")
+    still_there = promoted.join(
+        uncovered.select(
+            "content_id", F.col("target_seq").alias("seq")
+        ),
+        ["content_id", "seq"],
+        "left_semi",
+    )
+    assert still_there.count() == uncovered.count()
+    assert still_there.where(F.col("kind") == "delta").count() == uncovered.count()
+
+
 def test_truncate_before_keeps_post_cutoff_reconstructions(versions):
     v = versions.where(F.col("content_id") == "c00000")
     # cutoff just after seq 8 (mid-epoch: its governing base is 6, so the

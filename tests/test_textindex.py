@@ -1028,6 +1028,63 @@ def test_streaming_bigram_nll_from_state_equals_batch(spark, tmp_path, sf_dir):
     assert canon(bigram_nll_from_state(spark, tstate, bstate, docs)) == served
 
 
+def test_process_lm_batch_states_bit_equal_per_order_writers(spark, tmp_path, sf_dir):
+    """r13 (VERDICT r12 #5): the combined tokenize-once writer must
+    leave every state's parquet CONTENTS bit-identical to the per-order
+    writers folding the same batches — terms, bigrams, and trigrams —
+    including the empty-batch no-op."""
+    from pyspark.sql import functions as F
+
+    from temporal_vector_database_spark.streaming.wordcount import (
+        process_bigram_batch,
+        process_lm_batch,
+        process_trigram_batch,
+        process_wordcount_batch,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").where(
+        F.col("doc_id") % 7 == 3
+    )
+    old = {n: str(tmp_path / ("old_" + n)) for n in ("t", "b", "g")}
+    new = {n: str(tmp_path / ("new_" + n)) for n in ("t", "b", "g")}
+    for bid in range(2):
+        part = docs.where(F.col("doc_id") % 2 == bid)
+        process_wordcount_batch(part, bid, old["t"])
+        process_bigram_batch(part, bid, old["b"])
+        process_trigram_batch(part, bid, old["g"])
+        process_lm_batch(
+            part,
+            bid,
+            term_state_dir=new["t"],
+            bigram_state_dir=new["b"],
+            trigram_state_dir=new["g"],
+        )
+    # an empty batch writes nothing on either path
+    empty = docs.where(F.lit(False))
+    process_wordcount_batch(empty, 9, old["t"])
+    process_lm_batch(empty, 9, term_state_dir=new["t"], bigram_state_dir=new["b"])
+    import os
+
+    assert not os.path.exists(os.path.join(old["t"], "batch=9"))
+    assert not os.path.exists(os.path.join(new["t"], "batch=9"))
+
+    def canon(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", path).parquet(path).collect()
+        )
+
+    for n in ("t", "b", "g"):
+        rows = canon(new[n])
+        assert rows == canon(old[n]) and len(rows) > 0
+    # single-state call delegates to the per-order writer (no pin paid)
+    solo_old = str(tmp_path / "solo_old")
+    solo_new = str(tmp_path / "solo_new")
+    process_trigram_batch(docs, 0, solo_old)
+    process_lm_batch(docs, 0, trigram_state_dir=solo_new)
+    assert canon(solo_new) == canon(solo_old)
+
+
 def test_process_bigram_batch_tolerates_caller_one_column(spark, tmp_path):
     """ADVICE r10: a batch whose schema already carries a ``_one``
     column is counted correctly (the old implementation injected a
