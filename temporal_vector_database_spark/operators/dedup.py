@@ -1896,6 +1896,10 @@ def _containment_prefix_pairs(
         .distinct()
         .localCheckpoint()
     )
+    # r13: same single-partition verify fix as jaccard_prefix_join —
+    # the checkpointed id-only pair list AQE-coalesces to ~1 partition
+    # and the per-pair intersect verify serializes; no-op at scale.
+    cand = _spread(cand)
     cand_ids = (
         cand.select(F.col("a_id").alias("_id"))
         .unionByName(cand.select(F.col("b_id").alias("_id")))
@@ -2341,6 +2345,11 @@ def cross_corpus_jaccard_exact(
         .distinct()
         .localCheckpoint()
     )
+    # r13: a cand spread (the jaccard_prefix_join fix) was A/B'd here
+    # and REJECTED — 4.84 s → 5.96 s consistent across interleaved
+    # reps: this verify ends in a c_id-keyed row_number window, so the
+    # extra round-robin exchange only adds a shuffle before the keyed
+    # one the window pays anyway.
     cand_c = cand.select("c_id").distinct()
     vc = csets.join(cand_c, "c_id", "left_semi")
     scored = (
@@ -2461,6 +2470,9 @@ def containment_decontaminate(
         .distinct()
         .localCheckpoint()
     )
+    # r13: the jaccard_prefix_join cand spread was A/B'd here and
+    # REJECTED (1.92 s → 2.23 s) — same c_id-window tail as
+    # cross_corpus_jaccard_exact, so the extra exchange never pays.
     cand_c = cand.select("c_id").distinct()
     vc = csets.join(F.broadcast(cand_c), "c_id", "left_semi")
     scored = (
@@ -2718,6 +2730,14 @@ def jaccard_prefix_join(
         .distinct()
         .localCheckpoint()  # feeds the id-prune AND the verify join
     )
+    # r13 (guide §2.5 / §1.2 step 1): the checkpointed pair list is ids
+    # only, so AQE coalesces its distinct into ~1 partition — which
+    # serialized the whole per-pair array_intersect verify on one core
+    # (measured 7.2 s → 3.2 s at sf0.1's 86k adversarial candidates
+    # from this alone, consistent across interleaved reps). `_spread`
+    # moves id pairs (kilobytes) and never fires once the pair list has
+    # partitions ≥ session parallelism (the production regime).
+    cand = _spread(cand)
     # verify sides pruned to candidate members (the cross_corpus_near_dup
     # discipline: at corpus scale only docs that survived the prefix
     # filter carry their sets into the verify join)
