@@ -555,9 +555,13 @@ def q_dedup_survivors(spark, sf_dir):
 
 
 def q_training_pipeline(spark, sf_dir):
+    # r13 re-audit (VERDICT r12 #3): flipped back to PLAIN — the r12
+    # spread decision was contradicted by both r12's final stamp and
+    # this round's in-bench arbiter (run B plain 2.85 s vs run A spread
+    # 4.09 s; the r13 CC fast path changed the query's balance too).
     from temporal_vector_database_spark.operators.pipeline import curation_report
 
-    docs = _documents_spread(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
     return curation_report(docs, sigs=_minhash_store(spark, sf_dir))
 
 
@@ -571,7 +575,9 @@ def q_training_pipeline_strict(spark, sf_dir):
     (verified via scripts/check_oracle.py /root/testdata/sf0.1)."""
     from temporal_vector_database_spark.operators.pipeline import curation_report
 
-    docs = _documents_spread(spark, sf_dir)
+    # r13 re-audit: PLAIN (in-bench 2.07 vs 2.96 spread — see
+    # q_training_pipeline)
+    docs = _documents(spark, sf_dir)
     return curation_report(
         docs,
         min_quality=0.3,
@@ -3415,6 +3421,10 @@ def q_modified_kn_nll(spark, sf_dir):
         modified_kn_logprob_scores,
     )
 
+    # r13 re-audit (VERDICT r12 #3): SPREAD confirmed — interleaved ×4
+    # min 2.11 vs plain 2.34, and in-bench 2.01 (run A) vs 2.25 (run B,
+    # on a faster-probe host); the r12-stamp contradiction was session
+    # noise.
     docs = _documents_spread(spark, sf_dir).select(
         "doc_id", "text"
     )
@@ -8903,7 +8913,11 @@ def q_nn_descent(spark, sf_dir):
     relationally (unrolled CTEs)."""
     from temporal_vector_database_spark.operators.search import nn_descent
 
-    emb = _quantized_embeddings(spark, sf_dir, spread=True)
+    # r13 re-audit: PLAIN — interleaved ×4 was a coin flip (spread min
+    # 5.28 vs plain 5.60) but plain's in-bench reps are uniformly calmer
+    # (run B [8.6, 7.7, 6.2] vs run A spread [7.2, 18.7, 13.5]) and the
+    # r11 plain stamp (6.14) beat the r12 spread stamp (7.11).
+    emb = _quantized_embeddings(spark, sf_dir)
     return nn_descent(emb, k=5, rounds=2, nprobe=2)
 
 
@@ -12226,7 +12240,9 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
         sorted_neighborhood_pairs,
     )
 
-    docs = _documents_spread(spark, sf_dir).select(
+    # r13 re-audit: PLAIN (in-bench tie 2.07 vs 2.15; the r12 spread
+    # stamp regressed 2.04->4.01 vs r11 — marginal call goes to plain)
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text"
     )
     return sorted_neighborhood_pairs(
