@@ -1899,7 +1899,8 @@ def _containment_prefix_pairs(
     # r13: same single-partition verify fix as jaccard_prefix_join —
     # the checkpointed id-only pair list AQE-coalesces to ~1 partition
     # and the per-pair intersect verify serializes; no-op at scale.
-    cand = _spread(cand)
+    # Verify-side reference only (see jaccard_prefix_join).
+    cand_v = _spread(cand)
     cand_ids = (
         cand.select(F.col("a_id").alias("_id"))
         .unionByName(cand.select(F.col("b_id").alias("_id")))
@@ -1923,7 +1924,7 @@ def _containment_prefix_pairs(
         F.col("n_sh").alias("n_b"),
     )
     scored = (
-        cand.join(sa, "a_id")
+        cand_v.join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn(
             "n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long")
@@ -2736,8 +2737,12 @@ def jaccard_prefix_join(
     # (measured 7.2 s → 3.2 s at sf0.1's 86k adversarial candidates
     # from this alone, consistent across interleaved reps). `_spread`
     # moves id pairs (kilobytes) and never fires once the pair list has
-    # partitions ≥ session parallelism (the production regime).
-    cand = _spread(cand)
+    # partitions ≥ session parallelism (the production regime). Only
+    # the VERIFY-side reference is spread: the id-prune branches feed a
+    # keyed exchange anyway, and a lazy repartition replays once per
+    # reference (5 round-robin exchanges in the dumped plan before this
+    # split).
+    cand_v = _spread(cand)
     # verify sides pruned to candidate members (the cross_corpus_near_dup
     # discipline: at corpus scale only docs that survived the prefix
     # filter carry their sets into the verify join)
@@ -2762,7 +2767,7 @@ def jaccard_prefix_join(
         F.col("n_sh").alias("n_b"),
     )
     scored = (
-        cand.join(sa, "a_id")
+        cand_v.join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn("n_inter", F.size(F.array_intersect("a_set", "b_set")).cast("long"))
         .where(
