@@ -1264,8 +1264,9 @@ def connected_components(
     # r13 multi-level map-side contraction: halve toward the guard with
     # shuffle-free coalesce + re-contract levels; stop when a level
     # stops shrinking (pathological partition layout) and fall back.
-    while n_forest > int(single_task_rows):
-        target = -(-n_forest // int(single_task_rows))  # ceil
+    guard = max(1, int(single_task_rows))  # 0 would divide below
+    while n_forest > guard:
+        target = -(-n_forest // guard)  # ceil
         level = _precontract_pairs(
             forest.coalesce(int(target)), a_col, b_col
         ).localCheckpoint(eager=True)
@@ -1273,7 +1274,7 @@ def connected_components(
         if n_level >= n_forest:
             break  # coalesce was a no-op or the forest stopped shrinking
         forest, n_forest = level, n_level
-    if n_forest <= int(single_task_rows):
+    if n_forest <= guard:
         return _forest_labels_single_task(forest, a_col, b_col).localCheckpoint(
             eager=True
         )
